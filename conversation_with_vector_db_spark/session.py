@@ -1,0 +1,133 @@
+"""SparkSession factory and fixture-table catalog.
+
+The engine is size-agnostic: every operator is a pure
+DataFrame -> DataFrame function, and this module is the only place that
+knows where tables live. At test scale tables are local parquet files
+(``/root/testdata/sf*``); at cluster scale the same code reads
+partitioned object-store paths — nothing else changes.
+
+Scale posture (100 TB): AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), broadcast threshold left to Spark's default so
+dim tables (customer/nation/region/token_prices/config) broadcast
+automatically, shuffle partitions sized by the caller via
+``shuffle_partitions``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The ten driver-provided parquet tables (TESTDATA.md).
+BASE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "conversation-with-vector-db-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master=None`` defers to an existing session / spark-submit config;
+    tests and bench pass ``local[N]`` explicitly.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    builder = (
+        builder
+        # Deterministic wall-clock-free semantics: oracle comparisons run
+        # against naive (UTC) timestamps written by the data generator.
+        .config("spark.sql.session.timeZone", "UTC")
+        # 100 TB posture: adaptive execution re-plans joins, coalesces
+        # post-shuffle partitions, and splits skewed shuffle partitions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the few pandas-UDF operators (vector + multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@functools.lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read
+    them natively (PARQUET_TYPE_ILLEGAL); we read them as long and
+    convert. Footer-only check, no data read."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    schema = pq.read_schema(path)
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if pt.is_timestamp(typ) and typ.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = table_path(sf_dir, name)
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # ns -> us by integer division (truncation), matching DuckDB's
+        # conversion of nano parquet timestamps; NTZ keeps the value
+        # timezone-independent.
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"cast(timestamp_micros(cast({c} div 1000 as bigint))"
+                " as timestamp_ntz)"
+            ),
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = BASE_TABLES
+) -> dict[str, DataFrame]:
+    """Load the fixture tables and register them as temp views.
+
+    Registration makes ``spark.sql`` the engine's SQL entry point over
+    the same catalog the DataFrame API uses (SURVEY §2.14 D5: the
+    reference's Postgres SQL passthrough becomes ``spark.sql`` over
+    registered views).
+    """
+    # Deterministic date semantics even under a driver-provided session
+    # whose timezone we didn't configure.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,91 @@
+"""Oracle-comparison utilities shared by tests and tools/check_parity.
+
+Mimics the driver's correctness gate: run a registered query on Spark
+and its oracle SQL on DuckDB, compare row count, column-name sets, and
+values order-insensitively (columns sorted by name, rows sorted) with
+float tolerance.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+
+def normalize(v):
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("n", float(v))
+    if isinstance(v, float):
+        return ("n", v)
+    if isinstance(v, dt.datetime):
+        return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(normalize(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, normalize(x)) for k, x in v.items())))
+    if v is None:
+        return ("z",)
+    return ("s", str(v))
+
+
+def values_equal(a, b) -> bool:
+    if a[0] != b[0]:
+        return False
+    if a[0] == "n":
+        x, y = a[1], b[1]
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return math.isclose(x, y, rel_tol=1e-7, abs_tol=1e-9)
+    if a[0] == "l":
+        return len(a[1]) == len(b[1]) and all(
+            values_equal(x, y) for x, y in zip(a[1], b[1])
+        )
+    return a == b
+
+
+def rows_match(spark_rows, duck_rows) -> tuple[bool, str]:
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count {len(spark_rows)} vs {len(duck_rows)}"
+    key = repr
+    s = sorted(spark_rows, key=key)
+    d = sorted(duck_rows, key=key)
+    for i, (sr, dr) in enumerate(zip(s, d)):
+        for j, (a, b) in enumerate(zip(sr, dr)):
+            if not values_equal(a, b):
+                return False, f"row {i} col {j}: {a!r} vs {b!r}"
+    return True, ""
+
+
+def spark_result(df) -> tuple[list[str], list[tuple]]:
+    cols = [c.lower() for c in df.columns]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(normalize(row[i]) for i in idx) for row in df.collect()]
+    return sorted(cols), rows
+
+
+def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    cols = [d[0].lower() for d in cur.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(normalize(row[i]) for i in idx) for row in cur.fetchall()]
+    return sorted(cols), rows
+
+
+def assert_parity(spark, duck, name: str, sf_dir: str) -> int:
+    """Assert a registered query matches its oracle; returns row count."""
+    from .plans import load_all, registry
+
+    load_all()
+    q = registry.REGISTRY[name]
+    scols, srows = spark_result(q.fn(spark, sf_dir))
+    if q.oracle_sql is None:
+        return len(srows)
+    dcols, drows = duck_result(duck, q.oracle_sql)
+    assert scols == dcols, f"{name}: columns {scols} vs {dcols}"
+    ok, why = rows_match(srows, drows)
+    assert ok, f"{name}: {why}"
+    return len(srows)
