@@ -164,6 +164,37 @@ FROM part
 WHERE p_partkey < 200
 """
 
+# favorites — stands in for models/favoriteAssistantModel (counted per
+# assistant at service/favoriteAssistantService.js:33-35; N+1 loop at
+# controllers/publicAssistantController.js:57-75). Derived from click
+# events so counts are skewed like real favourite data.
+FAVORITES_SQL = """
+SELECT
+    event_id                                    AS fav_id,
+    user_id                                     AS user_id,
+    'asst_' || CAST(event_id % 200 AS STRING)   AS assistant_id,
+    ts                                          AS created_at
+FROM events
+WHERE event_type = 'click'
+"""
+
+# conversations — message-per-row mirror of the Redis session state and
+# conversation.messages[] nested array
+# (models/userConversationModels.js:4-14; session JSON at
+# controllers/conversationController.js:14,54-57). Sender alternates
+# user/bot; conversation id buckets a user's events.
+CONVERSATIONS_SQL = """
+SELECT
+    'c' || CAST(user_id AS STRING) || '-'
+        || CAST(event_id % 3 AS STRING)         AS conversation_id,
+    ts                                          AS ts,
+    CASE WHEN event_id % 2 = 0 THEN 'user'
+         ELSE 'bot' END                         AS sender,
+    'message ' || CAST(event_id AS STRING)
+        || ' about ' || event_type              AS message
+FROM events
+"""
+
 #: name -> portable derivation SQL (CTE-ready, no trailing semicolons).
 DERIVED_VIEWS: dict[str, str] = {
     "token_prices": TOKEN_PRICES_SQL,
@@ -172,6 +203,8 @@ DERIVED_VIEWS: dict[str, str] = {
     "usage": USAGE_SQL,
     "config": CONFIG_SQL,
     "assistants": ASSISTANTS_SQL,
+    "favorites": FAVORITES_SQL,
+    "conversations": CONVERSATIONS_SQL,
 }
 
 
@@ -188,4 +221,8 @@ def with_fixtures(sql: str, *names: str) -> str:
     if not names:
         return sql
     ctes = ", ".join(f"{n} AS ({DERIVED_VIEWS[n]})" for n in names)
+    stripped = sql.lstrip()
+    if stripped.upper().startswith("WITH"):
+        # Merge with the query's own CTE list: WITH a AS (...), <rest>.
+        return f"WITH {ctes}, {stripped[4:].lstrip()}"
     return f"WITH {ctes} {sql}"

@@ -1,0 +1,68 @@
+"""Dynamic filter building (SURVEY §2.4).
+
+The reference builds MongoDB filters from query-string JSON, rewriting
+``gt|gte|lt|lte|regex`` into ``$gt…`` operators with a regex pass over
+the serialized JSON (controllers/organizationController.js:95-128), and
+hand-assembles ``$or`` / ``$in`` / ``$exists`` shapes across 25
+controllers. Here the same surface is a declarative builder producing a
+Catalyst ``Column`` predicate — so pushdown/pruning still apply (the
+filter lands in the parquet scan, visible as PushedFilters in
+``.explain``).
+
+Spec grammar (a dict, mirroring the reference's query-by-example):
+    {"field": value}                       equality          (F1)
+    {"field": {"gt"|"gte"|"lt"|"lte": v}}  range             (F12)
+    {"field": {"ne": v}}                   negation          (F6)
+    {"field": {"in": [v, ...]}}            set membership    (F7)
+    {"field": {"regex": pat}}              case-insensitive  (F8)
+    {"field": {"exists": bool}}            null-ness         (F5)
+    {"or": [spec, spec, ...]}              disjunction       (F9/F10/F13)
+    {"and": [spec, spec, ...]}             conjunction       (F2)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_OPS = {
+    "gt": lambda c, v: c > v,
+    "gte": lambda c, v: c >= v,
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+    "ne": lambda c, v: c != v,
+    "in": lambda c, v: c.isin(*v),
+    # Mongo's {$regex: pat, $options:'i'} — substring-style match,
+    # case-insensitive (controllers/userController.js:29-31).
+    "regex": lambda c, v: F.lower(c).rlike(v.lower()),
+    "exists": lambda c, v: c.isNotNull() if v else c.isNull(),
+}
+
+
+def build_filter(spec: dict) -> Column:
+    """Compile a query-by-example spec into one Catalyst predicate."""
+    clauses: list[Column] = []
+    for key, val in spec.items():
+        if key == "or":
+            sub = [build_filter(s) for s in val]
+            acc = sub[0]
+            for s in sub[1:]:
+                acc = acc | s
+            clauses.append(acc)
+        elif key == "and":
+            for s in val:
+                clauses.append(build_filter(s))
+        elif isinstance(val, dict):
+            col = F.col(key)
+            for op, v in val.items():
+                if op not in _OPS:
+                    raise ValueError(f"unsupported operator: {op}")
+                clauses.append(_OPS[op](col, v))
+        else:
+            clauses.append(F.col(key) == val)
+    if not clauses:
+        return F.lit(True)
+    acc = clauses[0]
+    for c in clauses[1:]:
+        acc = acc & c
+    return acc

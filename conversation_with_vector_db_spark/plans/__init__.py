@@ -15,6 +15,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         dedup,
+        joins,
         maintenance,
         relational,
         streaming_batch,

@@ -271,3 +271,172 @@ def a11_budget_running_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "a4_group_collect_rows",
+    doc="""A4: $group with $push of row structs — templates per category
+    (controllers/templateController.js:74-86); the pushed array is
+    rendered as a sorted joined string for the oracle hash.""",
+    fixtures_used=("assistants",),
+    oracle="""
+SELECT category,
+       count(*) AS n,
+       array_to_string(list_sort(list(name)), '|') AS names
+FROM assistants
+WHERE NOT is_deleted
+GROUP BY category
+ORDER BY category
+""",
+)
+def a4_group_collect_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("assistants")
+        .filter(~F.col("is_deleted"))
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(F.array_sort(F.collect_list("name")), "|").alias(
+                "names"
+            ),
+        )
+        .orderBy("category")
+    )
+
+
+@query(
+    "a5_count_with_predicate",
+    doc="""A5: countDocuments(query), >=12 call sites (e.g.
+    controllers/assistantController.js:328,518;
+    userController.js:54,153-157).""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT count(*) AS n
+FROM prompts
+WHERE bot_provider = 'openai' AND NOT is_deleted AND tokenused > 1000
+""",
+)
+def a5_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = (
+        spark.table("prompts")
+        .filter(
+            (F.col("bot_provider") == "openai")
+            & ~F.col("is_deleted")
+            & (F.col("tokenused") > 1000)
+        )
+        .count()
+    )
+    # Scalar-returning operator surfaced as a 1-row DataFrame (the
+    # engine convention for countDocuments-style calls).
+    return spark.createDataFrame([(n,)], "n long")
+
+
+@query(
+    "a6_distinct",
+    doc="""A6: .distinct('threadid') after a filter
+    (controllers/promptController.js:363-366,712-715).""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT DISTINCT threadid
+FROM prompts
+WHERE userid = 12 AND NOT is_deleted
+ORDER BY threadid
+""",
+)
+def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("prompts")
+        .filter((F.col("userid") == 12) & ~F.col("is_deleted"))
+        .select("threadid")
+        .distinct()
+        .orderBy("threadid")
+    )
+
+
+@query(
+    "a7_client_side_sum",
+    doc="""A7: fetch tokenused then reduce((a,b)=>a+b) client-side
+    (controllers/promptController.js:568-569,683-695) => one agg(sum),
+    no collect.""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT CAST(sum(tokenused) AS BIGINT) AS total_tokens
+FROM prompts
+WHERE userid = 3 AND tokenused IS NOT NULL
+""",
+)
+def a7_client_side_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("prompts")
+        .filter((F.col("userid") == 3) & F.col("tokenused").isNotNull())
+        .agg(F.sum("tokenused").alias("total_tokens"))
+    )
+
+
+@query(
+    "a9_range_stats_null_model",
+    doc="""A9: range statistics split by model treating missing model as
+    gpt-4 (controllers/promptController.js:664-707) =>
+    groupBy(coalesce(modelused,'gpt-4')).""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT coalesce(modelused, 'gpt-4') AS model,
+       count(*) AS n,
+       CAST(sum(coalesce(tokenused, 0)) AS BIGINT) AS tokens
+FROM prompts
+WHERE promptdate >= DATE '2024-01-05' AND promptdate < DATE '2024-01-20'
+GROUP BY 1
+ORDER BY model
+""",
+)
+def a9_range_stats_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("prompts")
+        .filter(
+            (F.col("promptdate") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("promptdate") < F.lit("2024-01-20").cast("date"))
+        )
+        .groupBy(F.coalesce("modelused", F.lit("gpt-4")).alias("model"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("tokenused", F.lit(0))).alias("tokens"),
+        )
+        .orderBy("model")
+    )
+
+
+@query(
+    "a14_emptiness_probes",
+    doc="""A14: init-setup invariant — four collections must all be
+    empty (controllers/initController.js:38-45); here the four
+    count()==0 probes over filtered slices, conjoined.""",
+    fixtures_used=("users", "prompts", "assistants", "config"),
+    oracle="""
+SELECT
+    (SELECT count(*) FROM users WHERE role = 'superadmin') AS n_superadmins,
+    (SELECT count(*) FROM prompts WHERE tokenused < 0) AS n_negative,
+    (SELECT count(*) FROM assistants WHERE category = 'UNKNOWN') AS n_unknown,
+    (SELECT count(*) FROM config WHERE key = 'missing') AS n_missing,
+    ((SELECT count(*) FROM prompts WHERE tokenused < 0) = 0
+     AND (SELECT count(*) FROM assistants WHERE category = 'UNKNOWN') = 0
+     AND (SELECT count(*) FROM config WHERE key = 'missing') = 0)
+        AS clean_install
+""",
+)
+def a14_emptiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_super = (
+        spark.table("users").filter(F.col("role") == "superadmin").count()
+    )
+    n_neg = spark.table("prompts").filter(F.col("tokenused") < 0).count()
+    n_unk = (
+        spark.table("assistants")
+        .filter(F.col("category") == "UNKNOWN")
+        .count()
+    )
+    n_miss = spark.table("config").filter(F.col("key") == "missing").count()
+    clean = n_neg == 0 and n_unk == 0 and n_miss == 0
+    return spark.createDataFrame(
+        [(n_super, n_neg, n_unk, n_miss, clean)],
+        "n_superadmins long, n_negative long, n_unknown long, "
+        "n_missing long, clean_install boolean",
+    )

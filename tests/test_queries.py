@@ -1,0 +1,42 @@
+"""Registry-wide DuckDB-oracle parity at sf0.001 (SURVEY §5 strategy:
+every operator in §2 gets a named query checked against ANSI SQL)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conversation_with_vector_db_spark.plans import load_all, registry
+from conversation_with_vector_db_spark.testing import assert_parity
+
+load_all()
+ALL_QUERIES = sorted(registry.REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_parity(spark, duck, sf_dir, name):
+    # Oracle-backed queries must hash-match; rows-only queries must run.
+    assert_parity(spark, duck, name, sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert "usage_count" in df.columns
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_p1_excludes_secret_columns(spark, sf_dir):
+    # P1's point is the column is GONE, not just unread.
+    df = registry.REGISTRY["p1_column_exclusion"].fn(spark, sf_dir)
+    assert "email" not in df.columns
+    assert "deleted_email" not in df.columns
