@@ -195,6 +195,25 @@ SELECT
 FROM events
 """
 
+# corpus — documents plus planted duplicates so the dedup family has
+# known positives: every 10th doc gets an exact copy (+100000), every
+# 7th a near-copy with an appended tail (+200000), every 13th a
+# near-copy with a changed head (+300000).
+CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id,
+       text || ' appended tail marker words' AS text
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 300000 AS doc_id,
+       'changed head marker ' || text AS text
+FROM documents WHERE doc_id % 13 = 0
+"""
+
 #: name -> portable derivation SQL (CTE-ready, no trailing semicolons).
 DERIVED_VIEWS: dict[str, str] = {
     "token_prices": TOKEN_PRICES_SQL,
@@ -205,6 +224,7 @@ DERIVED_VIEWS: dict[str, str] = {
     "assistants": ASSISTANTS_SQL,
     "favorites": FAVORITES_SQL,
     "conversations": CONVERSATIONS_SQL,
+    "corpus": CORPUS_SQL,
 }
 
 

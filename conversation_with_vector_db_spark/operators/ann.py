@@ -1,0 +1,229 @@
+"""Approximate nearest-neighbor search — the 100 TB path for V1/V2.
+
+The reference's ANN is remote (Pinecone HNSW) or in-process C++
+(hnswlib, controllers/customTrainDataController.js:63). Neither model
+fits a data-parallel engine; the Spark-native strategies are:
+
+* :func:`hyperplane_lsh_topk` — random-hyperplane (sign) LSH for cosine:
+  signature bits are sign(v . plane_b) computed as pure column
+  expressions over plane literals (no shuffle, no UDF); candidates are
+  an equality join on band keys; survivors are exactly rescored. The
+  plane matrix is deterministic (md5-seeded), so results are stable.
+* :func:`ivf_topk` — inverted-file index: MLlib KMeans (fixed seed)
+  partitions the corpus into nlist cells; a query probes the nprobe
+  nearest centroids and rescans only those cells. This is the
+  partition-pruning pattern: at scale, write the corpus parquet
+  partitioned by cell id and the probe becomes a partition-pruned scan.
+
+Both are recall-measured against the exact brute force
+(:func:`..vector.brute_force_topk`) — an approximate operator without a
+recall number is not done.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .vector import brute_force_topk, cosine_similarity, topk_per_query
+
+
+def _plane_value(seed: int, bit: int, dim: int) -> float:
+    """Deterministic pseudo-uniform value in [-1, 1] from md5."""
+    h = hashlib.md5(f"{seed}:{bit}:{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / 0x7FFFFFFF - 1.0
+
+
+def hyperplane_planes(
+    n_bits: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    return [
+        [_plane_value(seed, b, d) for d in range(dim)]
+        for b in range(n_bits)
+    ]
+
+
+def _signature_bits(vec_col, planes: list[list[float]]) -> list:
+    """One 0/1 int column per plane: sign of the projection."""
+    bits = []
+    for plane in planes:
+        plane_lit = F.array(*[F.lit(w) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col, plane_lit, lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, 1).otherwise(0))
+    return bits
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Explode each row into (row, band, band_key) — band_key is the
+    band's bit substring; equality on it is the candidate filter."""
+    planes = hyperplane_planes(n_bits, _dim_of(df, vec_col), seed)
+    bits = _signature_bits(F.col(vec_col), planes)
+    sig = F.concat_ws("", *[b.cast("string") for b in bits])
+    per_band = n_bits // n_bands
+    banded = df.withColumn("_sig", sig).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    )
+    return banded.withColumn(
+        "band_key",
+        F.substring(
+            F.col("_sig"), F.col("band") * per_band + 1, per_band
+        ),
+    ).drop("_sig")
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share >=1 LSH band with the
+    query, exact-rescored, ranked. Returns (qid, vec_id, sim, rank)."""
+    c = with_lsh_bands(corpus, vec_col, n_bits, n_bands, seed).select(
+        F.col(id_col), F.col(vec_col), "band", "band_key"
+    )
+    q = with_lsh_bands(queries, vec_col, n_bits, n_bands, seed).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qvec"),
+        "band",
+        "band_key",
+    )
+    cands = (
+        c.join(F.broadcast(q), ["band", "band_key"])
+        .select("qid", "_qvec", id_col, vec_col)
+        .distinct()
+    )
+    scored = cands.select(
+        "qid",
+        id_col,
+        F.round(
+            cosine_similarity(F.col("_qvec"), F.col(vec_col)), 4
+        ).alias("sim"),
+    )
+    return topk_per_query(scored, k, tiebreak_col=id_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k via seeded KMeans cells + centroid probing.
+
+    At production scale the cell assignment is a write-time partition
+    column; the query-time scan prunes to nprobe partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.withColumn("_features", array_to_vector(vec_col))
+    km = KMeans(k=nlist, seed=seed, featuresCol="_features")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).withColumnRenamed(
+        "prediction", "cell"
+    )
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, ["cell", "centroid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qvec")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "qid",
+            "_qvec",
+            "cell",
+            cosine_similarity(F.col("_qvec"), F.col("centroid")).alias(
+                "_csim"
+            ),
+        )
+    )
+    probed = topk_per_query(
+        probe, nprobe, query_col="qid", score_col="_csim",
+        tiebreak_col="cell",
+    ).select("qid", "_qvec", "cell")
+
+    cands = assigned.join(F.broadcast(probed), "cell").select(
+        "qid",
+        "_qvec",
+        id_col,
+        vec_col,
+    )
+    scored = cands.select(
+        "qid",
+        id_col,
+        F.round(
+            cosine_similarity(F.col("_qvec"), F.col(vec_col)), 4
+        ).alias("sim"),
+    )
+    return topk_per_query(scored, k, tiebreak_col=id_col)
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, k: int = 10
+) -> DataFrame:
+    """One-row recall report: |approx ∩ exact| / |exact| over all
+    queries (both inputs shaped (qid, vec_id, ...rank<=k))."""
+    hits = approx.select("qid", "vec_id").join(
+        exact.select("qid", "vec_id"), ["qid", "vec_id"]
+    )
+    n_exact = exact.count()
+    n_hits = hits.count()
+    n_queries = exact.select("qid").distinct().count()
+    spark = approx.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                n_queries,
+                n_hits,
+                n_exact,
+                round(n_hits / n_exact, 4) if n_exact else 0.0,
+            )
+        ],
+        "k int, n_queries long, n_hits long, n_exact long, recall double",
+    )
+
+
+def exact_baseline(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return brute_force_topk(corpus, queries, k, id_col, vec_col)

@@ -1,0 +1,108 @@
+"""Vector similarity operators (SURVEY §2.3; reference read path
+controllers/conversationController.js:32-45, Pinecone cosine ANN).
+
+All expressions stay JVM-side (``zip_with`` + ``aggregate`` higher-order
+functions — no Python UDF in the hot path), so whole-stage codegen
+applies. Elements are cast to double before multiply-accumulate to keep
+float32 rounding out of the similarity ordering.
+
+Scale design (100 TB corpus):
+* The query side is tiny (one or a few vectors) -> ``broadcast``; the
+  corpus is scanned once, no shuffle of raw vectors.
+* Top-k uses a two-phase pattern: per-partition k via a window keyed by
+  ``spark_partition_id()``, then global k over ``numPartitions * k``
+  survivors — the shuffle carries k rows per partition instead of the
+  whole scored corpus.
+* Exact brute force is the correctness baseline; LSH bucketing
+  (:mod:`.ann`) is the sublinear path, recall-checked against this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, double accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm (matches
+    the convention of treating degenerate vectors as dissimilar)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_col: str = "qid",
+    score_col: str = "sim",
+    tiebreak_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k rows per query from a scored DataFrame, two-phase.
+
+    Phase 1 keeps k rows per (query, input-partition) — a map-side
+    window with no shuffle beyond the local sort. Phase 2 ranks the
+    survivors globally per query. With P partitions the global shuffle
+    sees at most P*k rows per query instead of the full corpus —
+    the difference between shuffling ~100 TB of scored rows and a few
+    thousand at cluster scale.
+    """
+    from pyspark.sql import Window
+
+    phase1 = Window.partitionBy(
+        query_col, F.spark_partition_id()
+    ).orderBy(F.desc(score_col), tiebreak_col)
+    survivors = (
+        scored.withColumn("_local_rank", F.row_number().over(phase1))
+        .filter(F.col("_local_rank") <= k)
+        .drop("_local_rank")
+    )
+    phase2 = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), tiebreak_col
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(phase2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors across the corpus
+    scan (V1, topK=10 at controllers/conversationController.js:34).
+
+    ``round_digits`` quantizes the similarity BEFORE ranking so the
+    ordering is reproducible across engines/accumulation orders; ties
+    break on the corpus id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qvec")
+    )
+    sim = cosine_similarity(F.col("_qvec"), F.col(vec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "qid", id_col, sim.alias("sim"),
+        *[c for c in corpus.columns if c not in (id_col, vec_col)],
+    )
+    return topk_per_query(scored, k, tiebreak_col=id_col)

@@ -14,6 +14,7 @@ def load_all() -> None:
     """Import every plan module (idempotent) so the registry is full."""
     from . import (  # noqa: F401
         analytics,
+        ann,
         dedup,
         joins,
         maintenance,

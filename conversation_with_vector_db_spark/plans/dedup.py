@@ -1,1 +1,265 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Deduplication queries over the `corpus` fixture (documents + planted
+duplicates) — exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+These extend the reference (whose only dedup is key-wise upsert) with
+the curation operators a 100 TB training corpus requires; every variant
+except none is oracle-checked against DuckDB running the same md5-based
+algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_pairs,
+)
+from ..operators.vector import cosine_similarity
+from .registry import query
+
+# Shared DuckDB CTE: distinct word-3-gram shingle hashes per corpus doc
+# (mirror of operators.dedup.exploded_shingles on the corpus view).
+_SHINGLES_CTE = """
+tok AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS toks
+    FROM corpus
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(toks[i:i+2], ' ')) AS shingle
+    FROM tok,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    doc="""Exact dedup: hash-groupBy on normalized content — one shuffle
+    of (hash, id), canonical id = min. Finds the planted +100000
+    copies.""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH hashes AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS chash
+    FROM corpus
+)
+SELECT chash, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM hashes
+GROUP BY chash
+HAVING count(*) > 1
+ORDER BY canonical_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        exact_duplicate_groups(spark.table("corpus"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    doc="""N-gram Jaccard near-dup: inverted-index self-join on word
+    3-gram hashes (docs only meet if they share a shingle — no
+    all-pairs), |A∩B| from the join, threshold 0.5. Catches the
+    planted appended-tail / changed-head near-copies.""",
+    fixtures_used=("corpus",),
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+    FROM sh x JOIN sh y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT c.a AS a, c.b AS b,
+           round(CAST(c.common AS DOUBLE)
+                 / (sa.sz + sb.sz - c.common), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a
+    JOIN sizes sb ON sb.doc_id = c.b
+)
+SELECT a, b, jaccard FROM pairs
+WHERE jaccard >= 0.5
+ORDER BY a, b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        spark.table("corpus"), threshold=0.5
+    ).orderBy("a", "b")
+
+
+@query(
+    "dedup_minhash_lsh",
+    doc="""MinHash+LSH near-dup: 12 salted-md5 permutations -> min per
+    doc (one explode+groupBy pass), 4 bands x 3 rows, candidates share
+    a band key, then exact-Jaccard verification at 0.5 — candidate
+    count scales with collisions, not pairs.""",
+    fixtures_used=("corpus",),
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + """,
+perms AS (
+    SELECT doc_id, p.i AS perm, shingle
+    FROM sh, unnest(generate_series(0, 11)) AS p(i)
+),
+sig AS (
+    SELECT doc_id, perm,
+           min(md5(CAST(perm AS STRING) || ':' || shingle)) AS minhash
+    FROM perms GROUP BY doc_id, perm
+),
+bandkeys AS (
+    SELECT doc_id, CAST(perm // 3 AS INT) AS band,
+           md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+    FROM sig GROUP BY doc_id, band
+),
+cands AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bandkeys x JOIN bandkeys y USING (band, band_key)
+    WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+    FROM sh x JOIN sh y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.a AS a, c.b AS b,
+       round(CAST(m.common AS DOUBLE)
+             / (sa.sz + sb.sz - m.common), 4) AS jaccard
+FROM cands c
+JOIN common m ON m.a = c.a AND m.b = c.b
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+WHERE round(CAST(m.common AS DOUBLE)
+            / (sa.sz + sb.sz - m.common), 4) >= 0.5
+ORDER BY a, b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = spark.table("corpus")
+    cands = minhash_lsh_candidates(corpus, num_perm=12, bands=4)
+    verified = jaccard_pairs(corpus, threshold=0.5)
+    return cands.join(verified, ["a", "b"]).orderBy("a", "b")
+
+
+@query(
+    "dedup_simhash",
+    doc="""SimHash near-dup: 60-bit weighted-majority hash per doc
+    (linear passes only), banded 4x15-bit exact-match blocking
+    (pigeonhole guarantees recall at hamming<=3), verify by
+    popcount(xor).""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+')) AS token
+    FROM corpus
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf,
+           CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+    FROM tok GROUP BY doc_id, token
+),
+votes AS (
+    SELECT doc_id, b.bit AS bit,
+           sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+    FROM tf, unnest(generate_series(0, 59)) AS b(bit)
+    GROUP BY doc_id, b.bit
+),
+sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, simhash, b.band AS band,
+           (simhash >> (b.band * 15)) & 32767 AS band_bits
+    FROM sh, unnest(generate_series(0, 3)) AS b(band)
+),
+pairs AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           x.simhash AS ha, y.simhash AS hb
+    FROM bands x JOIN bands y USING (band, band_bits)
+    WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY a, b
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(
+        spark.table("corpus"), max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("int")).orderBy("a", "b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    doc="""Embedding-cosine near-dup: top-3 most similar pairs per
+    label bucket (label blocking stands in for LSH bucketing at scale;
+    within-bucket pairs only, never all-pairs across the corpus).""",
+    oracle="""
+WITH pairs AS (
+    SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(
+               x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings x JOIN embeddings y ON x.label = y.label
+    WHERE x.vec_id < y.vec_id
+)
+SELECT label, a, b, sim, rn AS rank FROM (
+    SELECT label, a, b, sim,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY sim DESC, a, b) AS rn
+    FROM pairs
+) WHERE rn <= 3
+ORDER BY label, rank
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    x = emb.select(
+        "label", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    y = emb.select(
+        "label", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        x.join(y, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "label",
+            "a",
+            "b",
+            F.round(
+                cosine_similarity(F.col("ea"), F.col("eb")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("sim"), "a", "b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("label", "rank")
+    )

@@ -1,1 +1,258 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Data-maintenance rewrites (SURVEY §2.12 M1-M7).
+
+Every Mongo update/delete in the reference becomes a pure
+read-transform-write job here: the *predicate + assignment* is the
+operator, and the write is a keyed overwrite (see
+:mod:`..sources.parquet_io` for the physical upsert/partition
+patterns). Queries below return the post-maintenance table state so the
+transform itself is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+
+
+@query(
+    "m1_soft_delete",
+    doc="""M1: updateMany({userid, isDeleted:false}, {$set:
+    {isDeleted:true}}) (controllers/promptController.js:314-349) as a
+    conditional column rewrite; returns the affected-count summary the
+    endpoint reports plus the new flag distribution.""",
+    fixtures_used=("prompts",),
+    oracle="""
+WITH updated AS (
+    SELECT prompt_id,
+           CASE WHEN userid = 9 AND NOT is_deleted THEN true
+                ELSE is_deleted END AS is_deleted,
+           (userid = 9 AND NOT is_deleted) AS was_flipped
+    FROM prompts
+)
+SELECT CAST(sum(CASE WHEN was_flipped THEN 1 ELSE 0 END) AS BIGINT)
+           AS modified_count,
+       CAST(sum(CASE WHEN is_deleted THEN 1 ELSE 0 END) AS BIGINT)
+           AS total_deleted,
+       count(*) AS total_rows
+FROM updated
+""",
+)
+def m1_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = (F.col("userid") == 9) & ~F.col("is_deleted")
+    updated = spark.table("prompts").select(
+        "prompt_id",
+        F.when(pred, F.lit(True)).otherwise(F.col("is_deleted")).alias(
+            "is_deleted"
+        ),
+        pred.alias("was_flipped"),
+    )
+    return updated.agg(
+        F.sum(F.col("was_flipped").cast("int"))
+        .cast("long")
+        .alias("modified_count"),
+        F.sum(F.col("is_deleted").cast("int"))
+        .cast("long")
+        .alias("total_deleted"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+@query(
+    "m2_bulk_recover",
+    doc="""M2: updateMany({threadid:{$in:ids}}, {isDeleted:false})
+    (controllers/promptController.js:768-781) — inverse of M1 scoped to
+    a thread id set.""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT threadid,
+       CAST(sum(CASE WHEN is_deleted THEN 0 ELSE 1 END) AS BIGINT)
+           AS live_after
+FROM (
+    SELECT threadid,
+           CASE WHEN threadid IN ('t0-0', 't20-4') THEN false
+                ELSE is_deleted END AS is_deleted
+    FROM prompts
+)
+WHERE threadid IN ('t0-0', 't20-4')
+GROUP BY threadid
+ORDER BY threadid
+""",
+)
+def m2_bulk_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = ("t0-0", "t20-4")
+    recovered = spark.table("prompts").withColumn(
+        "is_deleted",
+        F.when(F.col("threadid").isin(*ids), F.lit(False)).otherwise(
+            F.col("is_deleted")
+        ),
+    )
+    return (
+        recovered.filter(F.col("threadid").isin(*ids))
+        .groupBy("threadid")
+        .agg(
+            F.sum(F.when(F.col("is_deleted"), 0).otherwise(1))
+            .cast("long")
+            .alias("live_after")
+        )
+        .orderBy("threadid")
+    )
+
+
+@query(
+    "m3_hard_delete",
+    doc="""M3: deleteMany({threadid:{$in:ids}})
+    (controllers/promptController.js:790-808) as left-anti; returns
+    survivor stats.""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT threadid) AS n_threads
+FROM prompts
+WHERE threadid NOT IN ('t0-0', 't1-1', 't2-2')
+""",
+)
+def m3_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doomed = spark.createDataFrame(
+        [("t0-0",), ("t1-1",), ("t2-2",)], ["threadid"]
+    )
+    return (
+        spark.table("prompts")
+        .join(F.broadcast(doomed), "threadid", "left_anti")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("threadid").alias("n_threads"),
+        )
+    )
+
+
+@query(
+    "m4_field_patch",
+    doc="""M4: updateMany({threadid}, {$set:{prompttitle}}) — title
+    propagation across a thread (promptController.js:510-525).""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT prompt_id, threadid,
+       CASE WHEN threadid = 't5-3' THEN 'Renamed thread title'
+            ELSE substr(description, 1, 50) END AS prompttitle
+FROM prompts
+WHERE threadid IN ('t5-3', 't6-2')
+ORDER BY prompt_id
+""",
+)
+def m4_field_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("prompts")
+        .filter(F.col("threadid").isin("t5-3", "t6-2"))
+        .select(
+            "prompt_id",
+            "threadid",
+            F.when(F.col("threadid") == "t5-3", "Renamed thread title")
+            .otherwise(F.substring("description", 1, 50))
+            .alias("prompttitle"),
+        )
+        .orderBy("prompt_id")
+    )
+
+
+@query(
+    "m5_upsert_by_key_config",
+    doc="""M5: findOne-then-update-else-create config upsert (pattern x8,
+    controllers/configController.js:27-104) as merge: union + last-
+    writer-wins dedup by key.""",
+    fixtures_used=("config",),
+    oracle="""
+WITH incoming AS (
+    SELECT 'temperature' AS key, '0.9' AS value, 1 AS gen
+    UNION ALL SELECT 'new_setting', 'enabled', 1
+),
+merged AS (
+    SELECT key, value, 0 AS gen FROM config
+    UNION ALL
+    SELECT key, value, gen FROM incoming
+)
+SELECT key, value FROM (
+    SELECT key, value,
+           row_number() OVER (PARTITION BY key ORDER BY gen DESC) AS rn
+    FROM merged
+) WHERE rn = 1
+ORDER BY key
+""",
+)
+def m5_upsert_by_key_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    current = spark.table("config").withColumn("gen", F.lit(0))
+    incoming = spark.createDataFrame(
+        [("temperature", "0.9", 1), ("new_setting", "enabled", 1)],
+        ["key", "value", "gen"],
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("gen"))
+    return (
+        current.unionByName(incoming)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "value")
+        .orderBy("key")
+    )
+
+
+@query(
+    "m6_doc_patch_by_id",
+    doc="""M6: findByIdAndUpdate single-doc patch
+    (controllers/templateController.js:151-156) — keyed overwrite of
+    one row's fields.""",
+    fixtures_used=("assistants",),
+    oracle="""
+SELECT assistant_id,
+       CASE WHEN assistant_id = 'asst_10' THEN 'Patched Name'
+            ELSE name END AS name,
+       CASE WHEN assistant_id = 'asst_10' THEN false
+            ELSE is_active END AS is_active
+FROM assistants
+WHERE assistant_id IN ('asst_10', 'asst_11')
+ORDER BY assistant_id
+""",
+)
+def m6_doc_patch_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit = F.col("assistant_id") == "asst_10"
+    return (
+        spark.table("assistants")
+        .filter(F.col("assistant_id").isin("asst_10", "asst_11"))
+        .select(
+            "assistant_id",
+            F.when(hit, "Patched Name").otherwise(F.col("name")).alias(
+                "name"
+            ),
+            F.when(hit, F.lit(False))
+            .otherwise(F.col("is_active"))
+            .alias("is_active"),
+        )
+        .orderBy("assistant_id")
+    )
+
+
+@query(
+    "m7_ttl_expiry",
+    doc="""M7: TTL expiry — reset-token expires:3600
+    (models/token.js:15-19) / Redis EX 900
+    (conversationController.js:14) as an event-time filter against a
+    fixed 'now' (2024-01-30T00:00:00): rows older than the TTL are
+    gone.""",
+    fixtures_used=("conversations",),
+    oracle="""
+SELECT conversation_id, count(*) AS live_messages
+FROM conversations
+WHERE ts > TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 900 SECOND
+GROUP BY conversation_id
+ORDER BY conversation_id
+""",
+)
+def m7_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = F.lit("2024-01-30 00:00:00").cast("timestamp_ntz")
+    return (
+        spark.table("conversations")
+        .filter(F.col("ts") > now - F.expr("INTERVAL 900 SECOND"))
+        .groupBy("conversation_id")
+        .agg(F.count("*").alias("live_messages"))
+        .orderBy("conversation_id")
+    )

@@ -1,1 +1,484 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Text/embedding pipeline queries (SURVEY §2.2 T1-T12) and the text
+analysis operators a training-data pipeline needs (language id, quality
+scoring, token counting, fingerprinting).
+
+The embed step is the deterministic md5 hashing featurizer
+(:mod:`..functions.embedding`) standing in for the OpenAI embedding API
+(FIXTURES.md determinism rules), so every stage — chunk -> featurize ->
+search — is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.embedding import (
+    bucket_expr,
+    featurize_sparse,
+    sparse_cosine,
+    tokens_expr,
+)
+from ..operators.chunking import chunk_fixed, recursive_split
+from .registry import query
+
+
+@query(
+    "t1_chunk_recursive",
+    doc="""T1: recursive character chunking, size 1000 (langchain
+    defaults: overlap 200, separators ["\\n\\n","\\n"," ",""]) —
+    controllers/customTrainDataController.js:61-62. Per-document
+    imperative splitting is the one pandas-UDF stage of the pipeline;
+    not SQL-expressible, so rows-only here + golden-value pytest
+    coverage against the pure-Python reference implementation.""",
+    oracle=None,
+)
+def t1_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    return recursive_split(docs, chunk_size=1000, chunk_overlap=200).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "t2_chunk_recursive_fine",
+    doc="""T2: the 1500-char utility splitter (utils/textutils.js:20-24)
+    exercised at a finer size (150/30) so fixture documents (<=600
+    chars) actually split and overlap — same operator, different
+    parameters.""",
+    oracle=None,
+)
+def t2_chunk_recursive_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    return recursive_split(docs, chunk_size=150, chunk_overlap=30).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "t1b_chunk_fixed",
+    doc="""T1 (declarative variant): fixed-window chunking as a pure
+    column expression — sequence + substring + posexplode; the
+    oracle-checkable, codegen-friendly scale path.""",
+    oracle="""
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_id,
+       substring(text, CAST((i - 1) * 100 + 1 AS INT), 100) AS text,
+       CAST(length(substring(text, CAST((i - 1) * 100 + 1 AS INT), 100))
+            AS INT) AS n_chars
+FROM documents,
+     unnest(generate_series(
+         1, CAST(greatest(ceil(length(text) / 100.0), 1) AS BIGINT)))
+     AS t(i)
+ORDER BY doc_id, chunk_id
+""",
+)
+def t1b_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_fixed(spark.table("documents"), size=100).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "t3_featurize_sparse",
+    doc="""T3/T4: batch embed (utils/textutils.js:12-18) as the
+    deterministic featurizer — token -> md5 bucket mod 256 -> tf ->
+    L2 normalize; sparse (doc_id, idx, weight) output, the scalable
+    form.""",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents WHERE doc_id < 100
+),
+counts AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS idx,
+           CAST(count(*) AS DOUBLE) AS tf
+    FROM tok GROUP BY 1, 2
+)
+SELECT doc_id, idx,
+       round(tf / sqrt(sum(tf * tf) OVER (PARTITION BY doc_id)), 6)
+           AS weight
+FROM counts
+ORDER BY doc_id, idx
+""",
+)
+def t3_featurize_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return (
+        featurize_sparse(docs, dim=256)
+        .withColumn("weight", F.round("weight", 6))
+        .orderBy("doc_id", "idx")
+    )
+
+
+@query(
+    "t5_rag_query_end_to_end",
+    doc="""T5+V1+V4 (§3.1 lifecycle): the full RAG read path — embed a
+    query string with the same featurizer the corpus used, score
+    sparse cosine against all documents via the inverted-index join
+    (only shared hash buckets shuffle), take top-10, assemble the
+    context string in similarity order. One declarative plan,
+    oracle-checked end to end.""",
+    oracle="""
+WITH qtok AS (
+    SELECT unnest(regexp_extract_all(lower(
+        'spark query join filter window data'), '[a-z0-9]+')) AS token
+),
+qvec_raw AS (
+    SELECT CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS idx,
+           CAST(count(*) AS DOUBLE) AS tf
+    FROM qtok GROUP BY 1
+),
+qvec AS (
+    SELECT idx, tf / sqrt(sum(tf * tf) OVER ()) AS weight FROM qvec_raw
+),
+dtok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+dcounts AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS idx,
+           CAST(count(*) AS DOUBLE) AS tf
+    FROM dtok GROUP BY 1, 2
+),
+dvec AS (
+    SELECT doc_id, idx,
+           tf / sqrt(sum(tf * tf) OVER (PARTITION BY doc_id)) AS weight
+    FROM dcounts
+),
+scored AS (
+    SELECT d.doc_id, round(sum(d.weight * q.weight), 4) AS sim
+    FROM dvec d JOIN qvec q ON d.idx = q.idx
+    GROUP BY d.doc_id
+),
+topk AS (
+    SELECT doc_id, sim,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+    FROM scored QUALIFY rank <= 10
+)
+SELECT t.rank AS rank, t.doc_id AS doc_id, t.sim AS sim,
+       substr(d.text, 1, 40) AS preview
+FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY rank
+""",
+)
+def t5_rag_query_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    question = "spark query join filter window data"
+    docs = spark.table("documents")
+    dvec = featurize_sparse(docs, dim=256)
+    qdf = spark.createDataFrame([(0, question)], ["doc_id", "text"])
+    qvec = featurize_sparse(qdf, dim=256).select("idx", "weight")
+    scored = (
+        dvec.join(F.broadcast(qvec.withColumnRenamed("weight", "qw")), "idx")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("weight") * F.col("qw")), 4).alias("sim"))
+    )
+    w = Window.orderBy(F.desc("sim"), "doc_id")
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    return (
+        topk.join(docs, "doc_id")
+        .select(
+            "rank", "doc_id", "sim",
+            F.substring("text", 1, 40).alias("preview"),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "t11_token_count",
+    doc="""T11: tiktoken token counting
+    (service/trackUsageService.js:46-49) replaced by the deterministic
+    BPE-ish regex tokenizer: words + standalone non-space symbols.""",
+    oracle="""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+            AS INT) AS n_tokens,
+       n_chars
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def t11_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+                )
+            ).alias("n_tokens"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "t12_flatten_nested_output",
+    doc="""T12: recursive flatten of nested arrays to one string
+    (service/trackUsageService.js:111-119) — typed input: flatten +
+    concat_ws over per-thread collected message groups.""",
+    fixtures_used=("conversations",),
+    oracle="""
+WITH grouped AS (
+    SELECT conversation_id, sender,
+           list_sort(list(message)) AS msgs
+    FROM conversations
+    WHERE conversation_id IN ('c1-0', 'c1-1', 'c2-0')
+    GROUP BY conversation_id, sender
+)
+SELECT conversation_id,
+       array_to_string(flatten(list_sort(list(msgs))), ' ') AS flat_text
+FROM grouped
+GROUP BY conversation_id
+ORDER BY conversation_id
+""",
+)
+def t12_flatten_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grouped = (
+        spark.table("conversations")
+        .filter(F.col("conversation_id").isin("c1-0", "c1-1", "c2-0"))
+        .groupBy("conversation_id", "sender")
+        .agg(F.array_sort(F.collect_list("message")).alias("msgs"))
+    )
+    return (
+        grouped.groupBy("conversation_id")
+        .agg(
+            F.concat_ws(
+                " ", F.flatten(F.array_sort(F.collect_list("msgs")))
+            ).alias("flat_text")
+        )
+        .orderBy("conversation_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis for the training-data pipeline (beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_score",
+    doc="""Quality scoring for corpus filtering: word count, mean word
+    length, stopword ratio, symbol ratio, and a composite keep/drop
+    flag — the standard pre-training heuristics, all JVM-side.""",
+    oracle="""
+WITH stats AS (
+    SELECT doc_id, n_chars,
+           CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS BIGINT) AS n_words,
+           CAST(length(regexp_extract_all(lower(text),
+                '\\b(the|a|of|and|to|in|is|for)\\b')) AS BIGINT)
+               AS n_stop,
+           CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_sym
+    FROM documents
+)
+SELECT doc_id, n_words,
+       round(CAST(n_chars AS DOUBLE) / greatest(n_words, 1), 4)
+           AS mean_word_len,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4)
+           AS stopword_ratio,
+       round(CAST(n_sym AS DOUBLE) / greatest(n_chars, 1), 4)
+           AS symbol_ratio,
+       (n_words >= 10
+        AND CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.05
+        AND CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) < 0.1)
+           AS keep
+FROM stats
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    n_words = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    ).cast("long")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(the|a|of|and|to|in|is|for)\b"),
+            0,
+        )
+    ).cast("long")
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0)
+    ).cast("long")
+    stats = docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        n_sym.alias("n_sym"),
+    )
+    mean_word_len = F.col("n_chars").cast("double") / F.greatest(
+        F.col("n_words"), F.lit(1)
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(
+        F.col("n_words"), F.lit(1)
+    )
+    sym_ratio = F.col("n_sym").cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        (
+            (F.col("n_words") >= 10)
+            & (stop_ratio >= 0.05)
+            & (sym_ratio < 0.1)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    doc="""Language identification by marker-token scoring — count hits
+    against per-language function-word lists, pick argmax with a
+    deterministic tie-break; 'und' when nothing matches. (n-gram
+    heuristic family; the fixture `lang` column is the ground-truth
+    label to compare against downstream.)""",
+    oracle="""
+WITH scores AS (
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(length(regexp_extract_all(lower(text),
+               '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS en_score,
+           CAST(length(regexp_extract_all(lower(text),
+               '\\b(el|la|de|que|los)\\b')) AS BIGINT) AS es_score,
+           CAST(length(regexp_extract_all(lower(text),
+               '\\b(der|die|und|das|ist)\\b')) AS BIGINT) AS de_score
+    FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, labeled_lang, en_score, es_score, de_score,
+       CASE
+           WHEN en_score = 0 AND es_score = 0 AND de_score = 0 THEN 'und'
+           WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+           WHEN es_score >= de_score THEN 'es'
+           ELSE 'de'
+       END AS predicted_lang
+FROM scores
+ORDER BY doc_id
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def score(words: str):
+        return F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(rf"\b({words})\b"), 0
+            )
+        ).cast("long")
+
+    scores = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            score("the|and|of|to|is").alias("en_score"),
+            score("el|la|de|que|los").alias("es_score"),
+            score("der|die|und|das|ist").alias("de_score"),
+        )
+    )
+    return scores.select(
+        "*",
+        F.when(
+            (F.col("en_score") == 0)
+            & (F.col("es_score") == 0)
+            & (F.col("de_score") == 0),
+            "und",
+        )
+        .when(
+            (F.col("en_score") >= F.col("es_score"))
+            & (F.col("en_score") >= F.col("de_score")),
+            "en",
+        )
+        .when(F.col("es_score") >= F.col("de_score"), "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    doc="""Document fingerprinting: whole-document content hash over
+    whitespace-normalized lowercase text, plus a winnowing-style
+    min-shingle fingerprint (min md5 over 5-token shingles) — the
+    canonical-content keys the dedup family joins on.""",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS ntext
+    FROM documents WHERE doc_id < 200
+),
+tok AS (
+    SELECT doc_id, ntext,
+           regexp_extract_all(ntext, '[a-z0-9]+') AS toks
+    FROM norm
+),
+shingles AS (
+    SELECT doc_id,
+           min(md5(array_to_string(toks[i:i+4], ' '))) AS min_shingle
+    FROM tok,
+         unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS t(i)
+    GROUP BY doc_id
+)
+SELECT n.doc_id AS doc_id,
+       md5(n.ntext) AS content_hash,
+       s.min_shingle AS min_shingle
+FROM norm n JOIN shingles s ON s.doc_id = n.doc_id
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.trim(F.lower("text")), r"\s+", " "
+            ).alias("ntext"),
+        )
+    )
+    tok = norm.select(
+        "doc_id",
+        "ntext",
+        F.regexp_extract_all("ntext", F.lit("[a-z0-9]+"), 0).alias("toks"),
+    )
+    shingles = (
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("toks") - 4, F.lit(1)),
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i, 5))
+                    ),
+                )
+            ).alias("shingle_hash"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("shingle_hash").alias("min_shingle"))
+    )
+    return (
+        norm.join(shingles, "doc_id")
+        .select("doc_id", F.md5("ntext").alias("content_hash"), "min_shingle")
+        .orderBy("doc_id")
+    )

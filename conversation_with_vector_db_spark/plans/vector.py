@@ -1,1 +1,319 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Vector query plans: the RAG read path and vector-store maintenance
+(SURVEY §2.3 V1-V5, §2.1 S5-S7, §2.8 W5).
+
+The reference delegates ANN to Pinecone (cosine, namespaced, topK=10 —
+controllers/conversationController.js:32-36) and hnswlib
+(customTrainDataController.js:63-72). Here the index IS a DataFrame
+(`embeddings`); exact brute-force cosine is the correctness baseline
+(fine to ~10^6 vectors per query set), and the LSH path in
+:mod:`..operators.ann` is the 100 TB strategy, recall-checked against
+this in tests.
+
+`embeddings.vec_id` aligns with `documents.doc_id` (both 0..N-1 driver
+fixtures), standing in for the chunk-id -> metadata.pageContent mirror
+(models/embeddedModel.js:3-29).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.vector import brute_force_topk, cosine_similarity
+from .registry import query
+
+K = 10  # Pinecone topK (controllers/conversationController.js:34)
+
+_V1_SCORED_CTE = """
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS qe
+    FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT q.qid AS qid, c.vec_id AS vec_id, c.label AS label,
+           round(list_cosine_similarity(
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM q CROSS JOIN embeddings c
+)
+"""
+
+
+@query(
+    "v1_topk_cosine",
+    doc="""V1: top-k cosine similarity, k=10, query vectors = vec_id 0-4
+    (FIXTURES.md query-side fixtures; mirrors Pinecone query at
+    controllers/conversationController.js:32-36). Exact brute force:
+    broadcast queries x one corpus scan, two-phase top-k.""",
+    oracle=_V1_SCORED_CTE
+    + """
+SELECT qid, vec_id, sim, rn AS rank FROM (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+ORDER BY qid, rank
+""",
+)
+def v1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    return (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=K)
+        .select("qid", "vec_id", "sim", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "v3_empty_result_guard",
+    doc="""V3: empty-match branch — if no match clears a similarity
+    threshold the engine returns the canned no-context marker
+    (controllers/conversationController.js:38,71-76).""",
+    oracle=_V1_SCORED_CTE
+    + """
+SELECT qid,
+       CAST(sum(CASE WHEN sim >= 0.99 AND vec_id <> qid
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CASE WHEN sum(CASE WHEN sim >= 0.99 AND vec_id <> qid
+                          THEN 1 ELSE 0 END) = 0
+            THEN 'no-context' ELSE 'has-context' END AS branch
+FROM scored
+GROUP BY qid
+ORDER BY qid
+""",
+)
+def v3_empty_result_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias(
+            "sim"
+        ),
+    )
+    hit = ((F.col("sim") >= 0.99) & (F.col("vec_id") != F.col("qid"))).cast(
+        "int"
+    )
+    return (
+        scored.groupBy("qid")
+        .agg(F.sum(hit).cast("long").alias("n_matches"))
+        .select(
+            "qid",
+            "n_matches",
+            F.when(F.col("n_matches") == 0, "no-context")
+            .otherwise("has-context")
+            .alias("branch"),
+        )
+        .orderBy("qid")
+    )
+
+
+@query(
+    "v4_context_assembly",
+    doc="""V4: context assembly — concat the top-k matches' text in
+    similarity order, one context string per query
+    (matches.map(m => m.metadata.pageContent).join(' '),
+    controllers/conversationController.js:43-45).""",
+    oracle=_V1_SCORED_CTE
+    + """
+, topk AS (
+    SELECT qid, vec_id, sim, rn FROM (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+)
+SELECT t.qid AS qid,
+       string_agg(d.text, ' ' ORDER BY t.rn) AS context
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+GROUP BY t.qid
+ORDER BY qid
+""",
+)
+def v4_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    docs = spark.table("documents")
+    topk = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=K)
+    return (
+        topk.join(docs, topk.vec_id == docs.doc_id)
+        .groupBy("qid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "text"))
+                    ),
+                    lambda s: s.text,
+                ),
+            ).alias("context")
+        )
+        .orderBy("qid")
+    )
+
+
+@query(
+    "v5_metadata_matches",
+    doc="""V5: matches carry id + score + metadata
+    (controllers/conversationController.js:32-44) — the top-k result
+    keeps the label metadata and the doc source columns.""",
+    oracle=_V1_SCORED_CTE
+    + """
+SELECT qid, vec_id, sim, label, rn AS rank FROM (
+    SELECT qid, vec_id, sim, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+ORDER BY qid, rank
+""",
+)
+def v5_metadata_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    return (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=K)
+        .select("qid", "vec_id", "sim", "label", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "w5_topk_per_namespace",
+    doc="""W5: per-namespace top-k — Pinecone queries are namespaced
+    (namespace('pinecone-index'), conversationController.js:32); the
+    harness namespace is label % 3 (FIXTURES.md). One window ranks
+    within each namespace.""",
+    oracle="""
+WITH q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+    SELECT c.label % 3 AS namespace, c.vec_id AS vec_id,
+           round(list_cosine_similarity(
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM q CROSS JOIN embeddings c
+)
+SELECT namespace, vec_id, sim, rn AS rank FROM (
+    SELECT namespace, vec_id, sim,
+           row_number() OVER (PARTITION BY namespace
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+ORDER BY namespace, rank
+""",
+)
+def w5_topk_per_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings").withColumn(
+        "namespace", F.col("label") % 3
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "namespace",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("namespace").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .orderBy("namespace", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 vector-store maintenance as key-wise rewrites (S5-S7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s5_upsert_by_key",
+    doc="""S5/T10: Pinecone upsert (models/embeddingmodel.js:4-12) as a
+    key-wise overwrite: new records win, untouched old rows survive —
+    old ANTI-JOIN new, UNION new. Updated rows carry a bumped label.""",
+    oracle="""
+WITH updates AS (
+    SELECT vec_id, label + 100 AS label
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+merged AS (
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM updates)
+    UNION ALL
+    SELECT vec_id, label FROM updates
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS label_sum,
+       CAST(sum(CASE WHEN label >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updated
+FROM merged
+""",
+)
+def s5_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings").select("vec_id", "label")
+    updates = emb.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", (F.col("label") + 100).alias("label")
+    )
+    merged = emb.join(updates, "vec_id", "left_anti").unionByName(updates)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+        F.sum((F.col("label") >= 100).cast("int"))
+        .cast("long")
+        .alias("n_updated"),
+    )
+
+
+@query(
+    "s6_delete_by_id",
+    doc="""S6: Pinecone deleteOne(ids) (models/embeddingmodel.js:14-24)
+    as a left-anti rewrite of the vector table.""",
+    oracle="""
+SELECT count(*) AS n_rows, CAST(min(vec_id) AS BIGINT) AS min_id
+FROM embeddings
+WHERE vec_id NOT IN (0, 1, 2, 3, 4)
+""",
+)
+def s6_delete_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    doomed = spark.range(5).select(F.col("id").alias("vec_id"))
+    return (
+        emb.join(F.broadcast(doomed), "vec_id", "left_anti")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("vec_id").alias("min_id"),
+        )
+    )
+
+
+@query(
+    "s7_drop_namespace",
+    doc="""S7: Pinecone deleteAll() on a namespace
+    (models/embeddingmodel.js:26-35) = dropping the namespace
+    partition; on parquet this is partition pruning, not a row scan.""",
+    oracle="""
+SELECT label % 3 AS namespace, count(*) AS n
+FROM embeddings
+WHERE label % 3 <> 1
+GROUP BY 1
+ORDER BY namespace
+""",
+)
+def s7_drop_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings").withColumn(
+        "namespace", F.col("label") % 3
+    )
+    return (
+        emb.filter(F.col("namespace") != 1)
+        .groupBy("namespace")
+        .agg(F.count("*").alias("n"))
+        .orderBy("namespace")
+    )

@@ -1,0 +1,139 @@
+"""Golden/invariant tests for the text pipeline, dedup, and ANN
+operators (the parts the SQL oracle can't certify)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.operators.chunking import (
+    recursive_split_text,
+)
+from conversation_with_vector_db_spark.plans import load_all, registry
+from conversation_with_vector_db_spark.session import load_tables
+
+load_all()
+
+
+class TestRecursiveSplitter:
+    def test_golden_paragraph_structure(self):
+        text = (
+            "para one about spark.\n\n"
+            "para two about joins and shuffles.\npara two line two.\n\n"
+            + "word " * 50
+        )
+        out = recursive_split_text(text, chunk_size=60, chunk_overlap=15)
+        assert out[0] == "para one about spark."
+        assert out[1] == (
+            "para two about joins and shuffles.\npara two line two."
+        )
+        # The word-soup tail merges into 60-char windows of 12 words.
+        assert all(len(c) <= 60 for c in out)
+        assert out[2].split() == ["word"] * 12
+
+    def test_edge_cases(self):
+        assert recursive_split_text("short text", 100, 20) == ["short text"]
+        assert recursive_split_text("", 100, 20) == []
+        hard = recursive_split_text("x" * 250, 100, 20)
+        assert all(len(c) <= 100 for c in hard)
+        assert len(hard) == 3
+
+    def test_determinism(self):
+        text = "alpha beta gamma " * 40
+        a = recursive_split_text(text, 100, 20)
+        b = recursive_split_text(text, 100, 20)
+        assert a == b and len(a) > 1
+
+    def test_overlap_present(self):
+        # Consecutive chunks share a suffix/prefix within the overlap
+        # budget when merging uniform words.
+        out = recursive_split_text("tok " * 100, 40, 12)
+        for prev, nxt in zip(out, out[1:]):
+            assert nxt.startswith(prev[-11:]) or len(prev) < 40
+
+
+class TestFeaturizerPortability:
+    def test_bucket_matches_python_md5(self, spark, sf_dir):
+        load_tables(spark, sf_dir)
+        rows = (
+            spark.table("documents")
+            .limit(5)
+            .select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.lower("text"), F.lit("[a-z0-9]+"), 0
+                    )
+                ).alias("token")
+            )
+            .distinct()
+            .select(
+                "token",
+                (
+                    F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast(
+                        "bigint"
+                    )
+                    % 256
+                ).alias("bucket"),
+            )
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            expected = (
+                int(hashlib.md5(r.token.encode()).hexdigest()[:8], 16) % 256
+            )
+            assert r.bucket == expected, r.token
+
+
+class TestDedupFindsPlantedDuplicates:
+    def test_exact_finds_planted_copies(self, spark, sf_dir):
+        df = registry.REGISTRY["dedup_exact"].fn(spark, sf_dir)
+        groups = df.collect()
+        # Every 10th doc was copied verbatim (+100000).
+        assert len(groups) >= 40
+        assert all(g.n_dups >= 2 for g in groups)
+
+    def test_jaccard_finds_near_copies(self, spark, sf_dir):
+        pairs = registry.REGISTRY["dedup_ngram_jaccard"].fn(
+            spark, sf_dir
+        ).collect()
+        planted = {
+            (a, b)
+            for a, b in ((p.a, p.b) for p in pairs)
+            if b - a in (100000, 200000, 300000)
+        }
+        assert len(planted) >= 100  # exact + tail/head perturbed pairs
+
+    def test_minhash_candidates_cover_exact_dups(self, spark, sf_dir):
+        pairs = registry.REGISTRY["dedup_minhash_lsh"].fn(
+            spark, sf_dir
+        ).collect()
+        exact_pairs = {(p.a, p.b) for p in pairs if p.b - p.a == 100000}
+        # Identical docs share every band -> always candidates.
+        assert len(exact_pairs) >= 40
+
+
+class TestAnnRecall:
+    def test_lsh_recall_floor(self, spark, sf_dir):
+        row = registry.REGISTRY["ann_lsh_recall"].fn(spark, sf_dir).first()
+        assert row.recall >= 0.4, row
+        assert row.n_queries == 5
+
+    def test_ivf_recall_floor(self, spark, sf_dir):
+        row = registry.REGISTRY["ann_ivf_recall"].fn(spark, sf_dir).first()
+        assert row.recall >= 0.4, row
+
+
+class TestChunkPlans:
+    def test_recursive_chunk_table_shape(self, spark, sf_dir):
+        df = registry.REGISTRY["t2_chunk_recursive_fine"].fn(spark, sf_dir)
+        rows = df.limit(500).collect()
+        assert rows
+        assert all(r.n_chars <= 150 for r in rows)
+        # chunk_ids are dense per document
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.chunk_id)
+        for ids in by_doc.values():
+            assert sorted(ids) == list(range(min(ids), max(ids) + 1))
