@@ -25,6 +25,13 @@ HEADLINE = [
     "a8_per_model_period_usage",
     "c14_cost_formula",
     "a11_budget_running_decrement",
+    "v1_topk_cosine",
+    "t5_rag_query_end_to_end",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "x3_session_window_ttl",
+    "w1_first_row_per_thread",
+    "j9_company_daily_rollup",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Governed UDF surface + SQL entry point (SURVEY §2.14 D1-D8).
+
+The reference persists function definitions in Mongo and compiles them
+with ``new Function('axios', 'return async ' + def)``
+(utils/assistant.js:336-361) — arbitrary code eval. That is a
+vulnerability, not a feature to port: this engine replaces it with a
+**whitelisted registry** of named Python callables
+(spark.udf.register'd at session setup) and a **validated SQL
+passthrough** mirroring the reference's regex-gated Postgres surface
+(service/postgreService.js:5-127). Attempts to register or run
+anything outside the whitelist raise.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+
+@dataclass(frozen=True)
+class FunctionDef:
+    """D1: a registry row — mirrors models/functionDefinitionModel.js:4-35
+    ({name, definition, parameters, description})."""
+
+    name: str
+    fn: Callable
+    return_type: object
+    description: str = ""
+    parameters: tuple[str, ...] = field(default_factory=tuple)
+
+
+def _surrogate_token_count(text: str | None) -> int:
+    if not text:
+        return 0
+    return len(re.findall(r"[a-z0-9]+|[^a-z0-9\s]", text.lower()))
+
+
+def _title_from_description(text: str | None) -> str:
+    # First-50-chars title rule (service/assistantService.js:124).
+    return (text or "")[:50]
+
+
+#: D3: the static name -> implementation map
+#: (utils/assistantFunctionMapper.js:4-10).
+WHITELIST: dict[str, FunctionDef] = {
+    fd.name: fd
+    for fd in (
+        FunctionDef(
+            "surrogate_token_count",
+            _surrogate_token_count,
+            LongType(),
+            "deterministic tiktoken stand-in "
+            "(service/trackUsageService.js:46-49)",
+            ("text",),
+        ),
+        FunctionDef(
+            "title_from_description",
+            _title_from_description,
+            StringType(),
+            "thread title = first 50 chars "
+            "(sockets/assistants/assistantHandler.js:73)",
+            ("text",),
+        ),
+    )
+}
+
+
+def register_udfs(spark: SparkSession) -> list[str]:
+    """D1: install every whitelisted function into the session catalog
+    so SQL can call them by name."""
+    for fd in WHITELIST.values():
+        spark.udf.register(fd.name, fd.fn, fd.return_type)
+    return sorted(WHITELIST)
+
+
+def compile_definition(name: str, source: str | None = None) -> Callable:
+    """D2: the 'compile stored source' gate. The reference eval's the
+    stored string; here source is ignored and only whitelisted names
+    resolve — everything else raises."""
+    if name not in WHITELIST:
+        raise PermissionError(
+            f"function {name!r} is not in the engine whitelist; "
+            "arbitrary definition eval is not supported"
+        )
+    return WHITELIST[name].fn
+
+
+# --- D5/D6: validated SQL passthrough -----------------------------------
+
+_SELECT_RE = re.compile(r"^\s*SELECT\b", re.IGNORECASE)
+_INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+(\w+)", re.IGNORECASE)
+_UPDATE_RE = re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\b", re.IGNORECASE)
+_DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+(\w+)", re.IGNORECASE)
+
+
+def sql_passthrough(spark: SparkSession, sql: str) -> DataFrame:
+    """D5: SELECT-only passthrough over the registered views — the
+    engine's true SQL entry point (service/postgreService.js:49-63
+    validated the same way by regex)."""
+    if not _SELECT_RE.match(sql):
+        raise ValueError("only SELECT statements pass through")
+    return spark.sql(sql)
+
+
+def classify_write_statement(sql: str) -> tuple[str, str]:
+    """D6: the reference's regex triage of INSERT/UPDATE/DELETE
+    (service/postgreService.js:5-46,66-96,99-127). Returns
+    (operation, table); the actual mutation is executed as the
+    corresponding M-operator (plans/maintenance.py), not raw SQL."""
+    for op, rx in (
+        ("insert", _INSERT_RE),
+        ("update", _UPDATE_RE),
+        ("delete", _DELETE_RE),
+    ):
+        m = rx.match(sql)
+        if m:
+            return op, m.group(1)
+    raise ValueError("statement is not a recognized INSERT/UPDATE/DELETE")
+
+
+MAX_QUESTION_CHARS = 32700  # utils/validations.js:4
+
+
+def validation_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """D8: the input-length validation (question <= 32700 chars) as a
+    filter predicate."""
+    return df.filter(F.length(text_col) <= MAX_QUESTION_CHARS)
+
+
+def meeting_summary(
+    spark: SparkSession,
+    start_date: str,
+    end_date: str,
+    meeting_types: list[str],
+) -> DataFrame:
+    """D4: the UDTF-shaped meeting_summary(sDate, eDate, type) —
+    args -> filtered/joined/projected row set (utils/assistant.js:123-170):
+    date-range filter, tag membership, user join, reshaped summary line
+    (C2 date format + C8 concat).
+
+    Requires the `prompts`/`users` fixture views to be registered.
+    """
+    prompts = spark.table("prompts")
+    users = spark.table("users")
+    return (
+        prompts.filter(
+            (F.col("promptdate") >= F.lit(start_date).cast("date"))
+            & (F.col("promptdate") < F.lit(end_date).cast("date"))
+            & ~F.col("is_deleted")
+            & F.col("modelused").isin(*meeting_types)
+        )
+        .join(F.broadcast(users.select("user_id", "lname")),
+              F.col("userid") == F.col("user_id"))
+        .select(
+            "prompt_id",
+            F.concat_ws(
+                " | ",
+                F.date_format("promptdate", "yyyy-MM-dd"),
+                F.col("lname"),
+                F.col("description"),
+            ).alias("summary"),
+        )
+    )

@@ -57,10 +57,60 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def exploded_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows — the inverted-index input."""
-    return df.select(
-        id_col, F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) rows — the inverted-index input.
+
+    Tokens are materialized as a column in a separate projection before
+    the shingle transform: referencing the tokenizer expression inside
+    the lambda would re-evaluate it per shingle index (no
+    common-subexpression elimination inside higher-order functions),
+    turning an O(tokens) pass into O(tokens^2) per document — measured
+    as the dominant cost at sf0.1 before this split.
+    """
+    toks = df.select(
+        id_col,
+        F.regexp_extract_all(
+            normalized_text(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("_toks"),
     )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
+        )
+    )
+    return toks.select(id_col, F.explode(shingles).alias("shingle"))
+
+
+def df_capped_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shingles with a document-frequency cap: shingles present in more
+    than ``max_df`` documents are dropped BEFORE any join — they carry
+    no near-dup signal (every doc shares them) yet generate the
+    quadratic bulk of the inverted-index pairs. The cap applies to both
+    the intersection counts and the set sizes, so Jaccard stays
+    internally consistent."""
+    sh = exploded_shingles(df, text_col, id_col, n)
+    if max_df is None:
+        return sh
+    # Frequent shingles are rare by construction (heavy tail), so the
+    # cap is a broadcast ANTI-join against the tiny over-cap list —
+    # map-side, no sort, no extra shuffle of the full shingle table
+    # (a window-count cap measured 3x slower here).
+    sh = sh.cache()
+    frequent = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(frequent), "shingle", "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -88,19 +138,70 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard via inverted-index join.
 
     |A ∩ B| comes from the shingle self-join; |A ∪ B| = |A|+|B|-|A∩B|.
-    Only ordered pairs (a < b) are produced.
+    Only ordered pairs (a < b) are produced. ``max_df`` drops
+    non-discriminative frequent shingles before the join (the pair
+    count is quadratic in per-shingle document frequency).
     """
-    sh = exploded_shingles(df, text_col, id_col, n)
+    # The shingle table feeds three consumers (sizes + both join
+    # sides); cache it so tokenize+hash runs once, not three times —
+    # at cluster scale this persist would be a checkpoint to storage.
+    sh = df_capped_shingles(df, text_col, id_col, n, max_df).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard restricted to the given candidate (a, b) pairs —
+    the verification stage after LSH: work scales with candidates, not
+    with every shingle-sharing pair in the corpus."""
+    sh = (
+        shingles
+        if shingles is not None
+        else df_capped_shingles(df, text_col, id_col, n, max_df).cache()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col(id_col).alias("a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        pairs.join(sha, "a")
+        .join(shb, ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
@@ -133,20 +234,28 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 12,
     n: int = 3,
+    max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, perm, minhash) — num_perm permutations simulated by salting
-    the shingle hash; one explode + one groupBy, no per-row Python."""
-    sh = exploded_shingles(df, text_col, id_col, n)
-    perms = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
-        "shingle",
+    """Wide signature table (id, mh0..mh{num_perm-1}).
+
+    The permutations are salted-md5 mins computed as num_perm aggregate
+    columns in ONE groupBy over the shingle table — no num_perm-times
+    row explosion, one shuffle keyed by id. (An earlier tall
+    explode-per-perm layout moved 12x the shingle rows through the
+    shuffle for identical results.)"""
+    sh = (
+        shingles
+        if shingles is not None
+        else df_capped_shingles(df, text_col, id_col, n, max_df)
     )
-    return perms.groupBy(id_col, "perm").agg(
+    aggs = [
         F.min(
-            F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), "shingle"))
-        ).alias("minhash")
-    )
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(
@@ -155,18 +264,28 @@ def lsh_band_keys(
     bands: int = 4,
     rows_per_band: int = 3,
 ) -> DataFrame:
-    """(id, band, band_key): md5 over the band's concatenated minhashes."""
-    return (
-        signatures.withColumn(
-            "band", (F.col("perm") / rows_per_band).cast("int")
+    """(id, band, band_key): md5 over the band's value-sorted minhashes
+    (sorted so the key is order-independent, matching the oracle)."""
+    band_structs = []
+    for b in range(bands):
+        arr = F.array_sort(
+            F.array(
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            )
         )
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list("minhash")))
-            ).alias("band_key")
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", arr)).alias("band_key"),
+            )
         )
-    )
+    return signatures.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_lsh_candidates(
@@ -176,11 +295,15 @@ def minhash_lsh_candidates(
     num_perm: int = 12,
     bands: int = 4,
     n: int = 3,
+    max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing at least one LSH band (a < b)."""
     rows_per_band = num_perm // bands
     keys = lsh_band_keys(
-        minhash_signatures(df, text_col, id_col, num_perm, n),
+        minhash_signatures(
+            df, text_col, id_col, num_perm, n, max_df, shingles
+        ),
         id_col,
         bands,
         rows_per_band,

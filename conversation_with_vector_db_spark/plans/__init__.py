@@ -18,9 +18,11 @@ def load_all() -> None:
         dedup,
         joins,
         maintenance,
+        multimodal,
         relational,
         streaming_batch,
         text_pipeline,
+        udf_sql,
         vector,
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_duplicate_groups,
     jaccard_pairs,
+    jaccard_verify,
     minhash_lsh_candidates,
     simhash_near_pairs,
 )
@@ -32,13 +33,24 @@ tok AS (
                '[a-z0-9]+') AS toks
     FROM corpus
 ),
-sh AS (
+sh0 AS (
     SELECT DISTINCT doc_id,
            md5(array_to_string(toks[i:i+2], ' ')) AS shingle
     FROM tok,
          unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+),
+sh AS (
+    SELECT s.doc_id, s.shingle
+    FROM sh0 s
+    JOIN (SELECT shingle FROM sh0
+          GROUP BY shingle HAVING count(*) <= 64) r USING (shingle)
 )
 """
+
+# Document-frequency cap shared by the Spark plans and the oracle CTE
+# above: shingles in >64 docs are non-discriminative noise that
+# quadratically inflates the inverted-index join.
+MAX_DF = 64
 
 
 @query(
@@ -73,8 +85,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     doc="""N-gram Jaccard near-dup: inverted-index self-join on word
     3-gram hashes (docs only meet if they share a shingle — no
-    all-pairs), |A∩B| from the join, threshold 0.5. Catches the
-    planted appended-tail / changed-head near-copies.""",
+    all-pairs), |A∩B| from the join, threshold 0.5, DF cap 64. Catches
+    the planted appended-tail / changed-head near-copies.""",
     fixtures_used=("corpus",),
     oracle="WITH "
     + _SHINGLES_CTE
@@ -101,7 +113,7 @@ ORDER BY a, b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
-        spark.table("corpus"), threshold=0.5
+        spark.table("corpus"), threshold=0.5, max_df=MAX_DF
     ).orderBy("a", "b")
 
 
@@ -154,10 +166,17 @@ ORDER BY a, b
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import df_capped_shingles
+
     corpus = spark.table("corpus")
-    cands = minhash_lsh_candidates(corpus, num_perm=12, bands=4)
-    verified = jaccard_pairs(corpus, threshold=0.5)
-    return cands.join(verified, ["a", "b"]).orderBy("a", "b")
+    # One materialized shingle table feeds signature building AND
+    # verification (cache = this scale's stand-in for a storage
+    # checkpoint of the shingle index).
+    sh = df_capped_shingles(corpus, max_df=MAX_DF).cache()
+    cands = minhash_lsh_candidates(corpus, num_perm=12, bands=4, shingles=sh)
+    return jaccard_verify(
+        corpus, cands, threshold=0.5, shingles=sh
+    ).orderBy("a", "b")
 
 
 @query(

@@ -1,0 +1,65 @@
+"""Multimodal-column queries: binary payloads + typed metadata +
+stubbed decode plumbing (training-data-pipeline surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    decode_media,
+    frame_sample,
+    media_metadata,
+    media_table_from_documents,
+)
+from .registry import query
+
+
+@query(
+    "mm_media_metadata",
+    doc="""Metadata over opaque binary media WITHOUT decoding: size,
+    checksum, kind — the pure-JVM filter surface for media curation
+    (payload = utf-8 bytes of documents; kind cycles by id).""",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       source
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table_from_documents(spark.table("documents"))
+    return media_metadata(media).orderBy("media_id")
+
+
+@query(
+    "mm_decode_features",
+    doc="""Arrow-batched decode/feature-extract via mapInPandas with the
+    deterministic fake decoder (real decoders aren't in this
+    environment; schema, batch shape, and partitioning are the real
+    plumbing). Rows-only: md5-byte-derived dims/features aren't
+    ANSI-SQL-expressible.""",
+    oracle=None,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table_from_documents(spark.table("documents"))
+    return decode_media(media, fake=True).orderBy("media_id")
+
+
+@query(
+    "mm_frame_sample",
+    doc="""Per-video frame sampling via mapInPandas (4 deterministic
+    payload slices per video under the fake decoder) — the
+    one-row-to-many-frames UDTF shape for video pipelines.""",
+    oracle=None,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table_from_documents(spark.table("documents"))
+    return frame_sample(media, n_frames=4, fake=True).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -1,0 +1,193 @@
+"""UDF-surface and SQL-entry queries (SURVEY §2.14 D1-D8) plus the
+scalar-function suite (§2.11 C-family rows not covered elsewhere)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.registry import (
+    meeting_summary,
+    register_udfs,
+    sql_passthrough,
+    validation_gate,
+)
+from .registry import query
+
+
+@query(
+    "d1_registered_udfs",
+    doc="""D1+D3: the whitelisted UDF registry applied through SQL —
+    surrogate token counter and first-50-chars title rule
+    (models/functionDefinitionModel.js:4-35;
+    utils/assistantFunctionMapper.js:4-10). Python UDFs are the slow
+    path by design here: this is the governed escape hatch, not a hot
+    loop.""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT prompt_id,
+       CAST(length(regexp_extract_all(lower(description),
+            '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       substr(description, 1, 50) AS title
+FROM prompts
+WHERE userid = 21
+ORDER BY prompt_id
+""",
+)
+def d1_registered_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_udfs(spark)
+    return spark.sql(
+        """
+        SELECT prompt_id,
+               surrogate_token_count(description) AS n_tokens,
+               title_from_description(description) AS title
+        FROM prompts
+        WHERE userid = 21
+        ORDER BY prompt_id
+        """
+    )
+
+
+@query(
+    "d4_meeting_summary",
+    doc="""D4: meeting_summary(sDate, eDate, type) — the UDTF-shaped
+    parameterized row-set function (utils/assistant.js:123-170).""",
+    fixtures_used=("prompts", "users"),
+    oracle="""
+SELECT p.prompt_id AS prompt_id,
+       strftime(p.promptdate, '%Y-%m-%d') || ' | ' || u.lname
+           || ' | ' || p.description AS summary
+FROM prompts p
+JOIN users u ON u.user_id = p.userid
+WHERE p.promptdate >= DATE '2024-01-10' AND p.promptdate < DATE '2024-01-12'
+  AND NOT p.is_deleted
+  AND p.modelused IN ('gpt-4', 'gemini-pro')
+ORDER BY prompt_id
+""",
+)
+def d4_meeting_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return meeting_summary(
+        spark, "2024-01-10", "2024-01-12", ["gpt-4", "gemini-pro"]
+    ).orderBy("prompt_id")
+
+
+@query(
+    "d5_sql_passthrough",
+    doc="""D5: validated SELECT passthrough over registered views — the
+    engine's true SQL entry point (service/postgreService.js:49-63).
+    The SQL text below runs verbatim on both engines.""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT bot_provider, count(*) AS n,
+       CAST(sum(coalesce(tokenused, 0)) AS BIGINT) AS tokens
+FROM prompts
+WHERE NOT is_deleted
+GROUP BY bot_provider
+ORDER BY bot_provider
+""",
+)
+def d5_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_passthrough(
+        spark,
+        """
+SELECT bot_provider, count(*) AS n,
+       CAST(sum(coalesce(tokenused, 0)) AS BIGINT) AS tokens
+FROM prompts
+WHERE NOT is_deleted
+GROUP BY bot_provider
+ORDER BY bot_provider
+""",
+    )
+
+
+@query(
+    "d8_validation_gate",
+    doc="""D8: the question-length validation (<= 32700 chars,
+    utils/validations.js:3-5) as a filter; reported alongside a tighter
+    demonstration threshold since fixture docs are all short.""",
+    oracle="""
+SELECT count(*) AS n_accepted,
+       CAST(sum(CASE WHEN length(text) <= 300 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_under_300
+FROM documents
+WHERE length(text) <= 32700
+""",
+)
+def d8_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gated = validation_gate(spark.table("documents"))
+    return gated.agg(
+        F.count("*").alias("n_accepted"),
+        F.sum((F.length("text") <= 300).cast("int"))
+        .cast("long")
+        .alias("n_under_300"),
+    )
+
+
+@query(
+    "c_scalar_suite",
+    doc="""C2/C9-C13/C16/C21/C22: the scalar library in one projection —
+    date formatting, SQL-statement regex capture
+    (service/postgreService.js:8-17), global regex replace
+    (utils/assistant.js:163), URL-ish split+element_at
+    (customTrainDataController.js:29-36), JSON extraction, base64
+    data-URI prep (utils/assistant.js:213-224), ceil paging, md5
+    surrogate ids (uuidv4 stand-in), tombstone timestamps
+    (userController.js:515-545).""",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day_str,
+       regexp_extract('INSERT INTO usage_t (a) VALUES (1)',
+                      'INSERT INTO (\\w+)', 1) AS parsed_table,
+       regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled,
+       string_split('files/2024_' || event_type || '.txt?sig=abc',
+                    '?')[1] AS path_part,
+       json_extract_string(props, '$.k') AS prop_k,
+       to_base64(encode(event_type)) AS b64_kind,
+       CAST(ceil(value / 10.0) AS BIGINT) AS pages,
+       md5('evt-' || CAST(event_id AS STRING)) AS surrogate_id,
+       CASE WHEN event_type = 'error'
+            THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS tombstone
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)
+def c_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+            F.regexp_extract(
+                F.lit("INSERT INTO usage_t (a) VALUES (1)"),
+                r"INSERT INTO (\w+)",
+                1,
+            ).alias("parsed_table"),
+            F.regexp_replace("event_type", "[aeiou]", "_").alias(
+                "devoweled"
+            ),
+            F.element_at(
+                F.split(
+                    F.concat(
+                        F.lit("files/2024_"),
+                        F.col("event_type"),
+                        F.lit(".txt?sig=abc"),
+                    ),
+                    r"\?",
+                ),
+                1,
+            ).alias("path_part"),
+            F.get_json_object("props", "$.k").alias("prop_k"),
+            F.base64(F.encode("event_type", "utf-8")).alias("b64_kind"),
+            F.ceil(F.col("value") / 10.0).alias("pages"),
+            F.md5(
+                F.concat(F.lit("evt-"), F.col("event_id").cast("string"))
+            ).alias("surrogate_id"),
+            F.when(
+                F.col("event_type") == "error",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            ).alias("tombstone"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,199 @@
+"""Structured Streaming operators (SURVEY §2.13).
+
+Note: watermarks require TIMESTAMP (not NTZ); with the engine's UTC
+session timezone the cast from the fixtures' NTZ values is the
+identity.
+
+The reference's streaming is socket-level token delivery plus Redis
+TTL session state. The Spark-native equivalents:
+
+* :func:`stream_events` — file-source stream over parquet (tests split
+  the fixture into multiple files so maxFilesPerTrigger=1 produces a
+  real multi-batch stream; in production this is the object-store drop
+  directory or Kafka).
+* :func:`running_counts` — X2: running per-key counters with a
+  watermark bounding state.
+* :func:`session_accumulator` — X1+X3: per-conversation accumulation
+  with a 15-minute idle TTL via ``applyInPandasWithState`` and
+  event-time timeout — the faithful port of the Redis ``EX 900``
+  session (controllers/conversationController.js:14,57): state resets
+  on activity, expires when the watermark passes last-activity + TTL,
+  and the expired session is emitted exactly once (the final answer
+  emit).
+* :func:`append_sink_query` — X8/S9/S11: foreachBatch writer appending
+  finalized rows to a parquet table idempotently (batch id recorded —
+  reruns of a batch overwrite instead of duplicating).
+
+tests/test_streaming.py drives each against the batch equivalents in
+plans/streaming_batch.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+        StructField("props", StringType()),
+    ]
+)
+
+CONVERSATION_SCHEMA = StructType(
+    [
+        StructField("conversation_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("sender", StringType()),
+        StructField("message", StringType()),
+    ]
+)
+
+SESSION_TTL_SECONDS = 900  # Redis EX 900
+
+
+def stream_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def running_counts(
+    stream: DataFrame, key: str = "user_id", watermark: str = "30 minutes"
+) -> DataFrame:
+    """X2: per-key running counter (tokenCount++ per chunk)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(key)
+        .agg(F.count("*").alias("n_chunks"))
+    )
+
+
+_SESSION_STATE = StructType(
+    [
+        StructField("transcript", StringType()),
+        StructField("n_chunks", LongType()),
+        StructField("last_ts_micros", LongType()),
+    ]
+)
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("conversation_id", StringType()),
+        StructField("transcript", StringType()),
+        StructField("n_chunks", LongType()),
+    ]
+)
+
+
+def _accumulate_session(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold arriving chunks into the session transcript; on TTL expiry
+    emit the final accumulated row exactly once (the terminal emit the
+    reference sends on stream end)."""
+    (conversation_id,) = key
+    if state.hasTimedOut:
+        transcript, n_chunks, _ = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "conversation_id": [conversation_id],
+                "transcript": [transcript],
+                "n_chunks": [n_chunks],
+            }
+        )
+        return
+
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        rows.extend(
+            (r.ts, r.message) for r in pdf.itertuples(index=False)
+        )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    transcript, n_chunks, last_micros = (
+        state.get if state.exists else ("", 0, 0)
+    )
+    # A micro-batch may span many idle gaps (coarse triggers replaying
+    # a long feed), so the gap check runs per arriving chunk — a gap
+    # >= TTL closes the current session and emits it immediately; only
+    # the still-open tail session lives in state.
+    ttl_micros = SESSION_TTL_SECONDS * 1_000_000
+    closed: list[tuple[str, str, int]] = []
+    for ts, message in rows:
+        t_us = int(ts.value // 1000)
+        if n_chunks and t_us - last_micros >= ttl_micros:
+            closed.append((conversation_id, transcript, n_chunks))
+            transcript, n_chunks = "", 0
+        transcript = f"{transcript} {message}".strip()
+        n_chunks += 1
+        last_micros = t_us
+    state.update((transcript, n_chunks, last_micros))
+    # TTL: expire when event time passes last activity + 900 s —
+    # activity resets the clock exactly like Redis SET ... EX 900.
+    state.setTimeoutTimestamp(last_micros // 1000 + SESSION_TTL_SECONDS * 1000)
+    yield pd.DataFrame(
+        closed, columns=["conversation_id", "transcript", "n_chunks"]
+    ).astype({"n_chunks": "int64"})
+
+
+def session_accumulator(
+    stream: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """X1+X3: TTL-bounded per-conversation accumulation."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conversation_id")
+        .applyInPandasWithState(
+            _accumulate_session,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def append_sink_query(
+    result_stream: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """X8/S9: idempotent append sink via foreachBatch — each micro-batch
+    writes to a batch-id subdirectory with overwrite, so a replayed
+    batch after failure cannot double-append (the engine's answer to
+    the reference's non-transactional Mongo double-write)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{target_dir}/batch_id={batch_id}"
+            )
+        )
+
+    return (
+        result_stream.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1,0 +1,163 @@
+"""Physical parquet maintenance (S5-S9), text source (S2/S4),
+multimodal plumbing, and the governed UDF surface (D1-D8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark import fixtures
+from conversation_with_vector_db_spark.functions.registry import (
+    classify_write_statement,
+    compile_definition,
+    sql_passthrough,
+)
+from conversation_with_vector_db_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    media_table_from_documents,
+)
+from conversation_with_vector_db_spark.session import load_tables
+from conversation_with_vector_db_spark.sources.parquet_io import (
+    append_rows,
+    delete_by_key,
+    drop_partition,
+    read_text_documents,
+    upsert_by_key,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def vector_store(spark, sf_dir, tmp_path):
+    """A namespace-partitioned parquet vector store from embeddings."""
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", "label", (F.col("label") % 3).alias("namespace")
+    )
+    path = str(tmp_path / "store")
+    write_partitioned(emb, path, ("namespace",))
+    return path
+
+
+class TestParquetMaintenance:
+    def test_upsert_by_key(self, spark, vector_store):
+        updates = spark.createDataFrame(
+            [(0, 999, 0), (1, 999, 1), (424242, 999, 2)],
+            ["vec_id", "label", "namespace"],
+        )
+        before = spark.read.parquet(vector_store).count()
+        upsert_by_key(spark, vector_store, updates, key="vec_id")
+        after = spark.read.parquet(vector_store)
+        assert after.count() == before + 1  # 2 replaced, 1 inserted
+        assert (
+            after.filter(F.col("vec_id").isin(0, 1, 424242))
+            .filter(F.col("label") == 999)
+            .count()
+            == 3
+        )
+
+    def test_delete_by_key(self, spark, vector_store):
+        ids = spark.createDataFrame([(5,), (6,)], ["vec_id"])
+        before = spark.read.parquet(vector_store).count()
+        delete_by_key(spark, vector_store, ids, key="vec_id")
+        after = spark.read.parquet(vector_store)
+        assert after.count() == before - 2
+        assert after.filter(F.col("vec_id").isin(5, 6)).count() == 0
+
+    def test_drop_partition(self, spark, vector_store):
+        drop_partition(spark, vector_store, "namespace", 1)
+        after = spark.read.parquet(vector_store)
+        assert after.filter(F.col("namespace") == 1).count() == 0
+        assert after.filter(F.col("namespace") == 0).count() > 0
+
+    def test_append_rows(self, spark, tmp_path):
+        path = str(tmp_path / "log")
+        df = spark.range(10).select(F.col("id").alias("event_id"))
+        append_rows(df, path)
+        append_rows(df, path)
+        assert spark.read.parquet(path).count() == 20
+
+    def test_read_text_documents(self, spark, tmp_path):
+        p = tmp_path / "docs"
+        p.mkdir()
+        (p / "a.txt").write_text("hello spark engine")
+        (p / "b.txt").write_text("second document\nwith two lines")
+        df = read_text_documents(spark, str(p))
+        rows = {r.source_path.split("/")[-1]: r.text for r in df.collect()}
+        assert rows["a.txt"] == "hello spark engine"
+        assert "two lines" in rows["b.txt"]
+
+
+class TestMultimodalPlumbing:
+    def test_decode_requires_explicit_fake(self, spark, sf_dir):
+        load_tables(spark, sf_dir)
+        media = media_table_from_documents(spark.table("documents"))
+        with pytest.raises(NotImplementedError):
+            decode_media(media)
+        with pytest.raises(NotImplementedError):
+            frame_sample(media)
+
+    def test_fake_decode_shapes(self, spark, sf_dir):
+        load_tables(spark, sf_dir)
+        media = media_table_from_documents(spark.table("documents"))
+        decoded = decode_media(media, fake=True)
+        rows = decoded.limit(20).collect()
+        assert rows
+        for r in rows:
+            assert 16 <= r.width < 80 and 16 <= r.height < 80
+            assert len(r.features) == 8
+            assert all(0.0 <= f <= 1.0 for f in r.features)
+        # Determinism: same payload -> same decode.
+        a = decoded.filter(F.col("media_id") == 3).first()
+        b = decode_media(media, fake=True).filter(
+            F.col("media_id") == 3
+        ).first()
+        assert a == b
+
+    def test_frame_sample_only_videos(self, spark, sf_dir):
+        load_tables(spark, sf_dir)
+        media = media_table_from_documents(spark.table("documents"))
+        frames = frame_sample(media, n_frames=4, fake=True)
+        per_media = (
+            frames.groupBy("media_id").count().select("count").distinct()
+        )
+        assert [r["count"] for r in per_media.collect()] == [4]
+        kinds = frames.join(media, "media_id").select("kind").distinct()
+        assert [r.kind for r in kinds.collect()] == ["video"]
+
+
+class TestUdfGovernance:
+    def test_compile_rejects_unknown(self):
+        with pytest.raises(PermissionError):
+            compile_definition("evil_fn", "process.exit(1)")
+
+    def test_compile_resolves_whitelisted(self):
+        fn = compile_definition("surrogate_token_count")
+        assert fn("hello, world") == 3
+
+    def test_sql_passthrough_select_only(self, spark, sf_dir):
+        load_tables(spark, sf_dir)
+        fixtures.register_derived_views(spark)
+        assert sql_passthrough(spark, "SELECT 1 AS x").first().x == 1
+        for bad in (
+            "DROP TABLE prompts",
+            "INSERT INTO prompts VALUES (1)",
+            "UPDATE prompts SET tokenused = 0",
+        ):
+            with pytest.raises(ValueError):
+                sql_passthrough(spark, bad)
+
+    def test_classify_write_statements(self):
+        assert classify_write_statement(
+            "INSERT INTO usage_t (a) VALUES (1)"
+        ) == ("insert", "usage_t")
+        assert classify_write_statement(
+            "UPDATE prompts SET tokenused = 0 WHERE 1=1"
+        ) == ("update", "prompts")
+        assert classify_write_statement(
+            "DELETE FROM favorites WHERE fav_id = 1"
+        ) == ("delete", "favorites")
+        with pytest.raises(ValueError):
+            classify_write_statement("TRUNCATE TABLE prompts")

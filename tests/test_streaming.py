@@ -1,0 +1,210 @@
+"""Real Structured Streaming runs converging to the batch-equivalent
+results (the streaming-correctness argument for SURVEY §2.13)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark import fixtures
+from conversation_with_vector_db_spark.plans import load_all, registry
+from conversation_with_vector_db_spark.session import load_tables
+from conversation_with_vector_db_spark.streaming.sessions import (
+    CONVERSATION_SCHEMA,
+    append_sink_query,
+    running_counts,
+    session_accumulator,
+    stream_parquet_dir,
+)
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def conv_stream_dir(spark, sf_dir, tmp_path_factory):
+    """The conversations fixture split into 4 files so
+    maxFilesPerTrigger=1 yields a genuine multi-batch stream."""
+    root = tmp_path_factory.mktemp("conv_stream")
+    load_tables(spark, sf_dir)
+    fixtures.register_derived_views(spark)
+    conv = (
+        spark.table("conversations")
+        .filter(F.col("conversation_id").isin("c5-0", "c5-1", "c9-2"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # Time-quartile split: file i holds the i-th quarter of the
+    # timeline, so the stream arrives in event-time order and the
+    # watermark advances monotonically (like a real ingest feed).
+    conv = conv.withColumn(
+        "bucket",
+        F.ntile(4).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .orderBy("ts")
+        ) - 1,
+    )
+    for i in range(4):
+        (
+            conv.filter(F.col("bucket") == i)
+            .drop("bucket")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(root / f"part{i}"))
+        )
+        for f in (root / f"part{i}").glob("*.parquet"):
+            shutil.move(str(f), str(root / f"file{i}.parquet"))
+        shutil.rmtree(root / f"part{i}")
+    return str(root)
+
+
+def test_running_counts_converge(spark, conv_stream_dir, tmp_path):
+    stream = stream_parquet_dir(
+        spark, conv_stream_dir, CONVERSATION_SCHEMA
+    ).withColumnRenamed("conversation_id", "user_id")
+    q = (
+        running_counts(stream, key="user_id")
+        .writeStream.format("memory")
+        .queryName("running_counts_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: r.n_chunks
+        for r in spark.table("running_counts_t").collect()
+    }
+    expected = {
+        r.conversation_id: r.n_chunks
+        for r in registry.REGISTRY["x1_stream_accumulation"]
+        .fn(spark, spark.conf.get("spark.cvdb.test.sfdir"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_session_accumulator_matches_islands(
+    spark, sf_dir, conv_stream_dir, tmp_path
+):
+    """The TTL accumulator must reproduce the gaps-and-islands
+    sessionization: one emitted row per closed 900s-gap session. The
+    final session of each conversation stays open (the watermark never
+    passes end-of-stream), exactly like a live Redis session that
+    hasn't expired yet."""
+    stream = stream_parquet_dir(spark, conv_stream_dir, CONVERSATION_SCHEMA)
+    q = (
+        session_accumulator(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = [
+        r
+        for r in spark.table("sessions_t").collect()
+        if r.conversation_id is not None
+    ]
+    got_sessions: dict[str, int] = {}
+    got_chunks: dict[str, int] = {}
+    for r in emitted:
+        got_sessions[r.conversation_id] = (
+            got_sessions.get(r.conversation_id, 0) + 1
+        )
+        got_chunks[r.conversation_id] = (
+            got_chunks.get(r.conversation_id, 0) + r.n_chunks
+        )
+
+    # Batch islands model over the same three conversations.
+    from pyspark.sql import Window
+
+    conv = spark.table("conversations").filter(
+        F.col("conversation_id").isin("c5-0", "c5-1", "c9-2")
+    )
+    w = Window.partitionBy("conversation_id").orderBy("ts", "message")
+    islands = (
+        conv.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.col("prev_ts").cast("timestamp").cast("long")
+                    >= 900
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("conversation_id", "sid")
+        .agg(F.count("*").alias("n"), F.max("ts").alias("last_ts"))
+    )
+    rows = islands.collect()
+    # Final watermark = global max event time; a session emits iff its
+    # TTL elapsed before that (last_ts + 900s <= watermark). Only the
+    # session holding the global max can never expire.
+    global_max = max(r.last_ts for r in rows)
+    expected_sessions: dict[str, int] = {}
+    expected_chunks: dict[str, int] = {}
+    last_sid = {}
+    for r in rows:
+        last_sid[r.conversation_id] = max(
+            last_sid.get(r.conversation_id, 0), r.sid
+        )
+    for r in rows:
+        still_open = (
+            r.sid == last_sid[r.conversation_id]
+            and (global_max - r.last_ts).total_seconds() < 900
+        )
+        if still_open:
+            continue
+        expected_sessions[r.conversation_id] = (
+            expected_sessions.get(r.conversation_id, 0) + 1
+        )
+        expected_chunks[r.conversation_id] = (
+            expected_chunks.get(r.conversation_id, 0) + r.n
+        )
+    assert got_sessions == expected_sessions
+    assert got_chunks == expected_chunks
+
+
+def test_append_sink_idempotent(spark, conv_stream_dir, tmp_path):
+    stream = stream_parquet_dir(spark, conv_stream_dir, CONVERSATION_SCHEMA)
+    counts = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("conversation_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = tmp_path / "sink"
+    q = append_sink_query(
+        counts, str(out), str(tmp_path / "ckpt3")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.option("basePath", str(out)).parquet(
+        str(out) + "/batch_id=*"
+    )
+    # Last batch's state holds the converged totals.
+    last = written.agg(F.max("batch_id")).first()[0]
+    final = {
+        r.conversation_id: r.n
+        for r in written.filter(F.col("batch_id") == last).collect()
+    }
+    total_msgs = sum(final.values())
+    assert total_msgs > 0
+    assert set(final) == {"c5-0", "c5-1", "c9-2"}
+
+
+@pytest.fixture(autouse=True)
+def _stash_sfdir(spark, sf_dir):
+    spark.conf.set("spark.cvdb.test.sfdir", sf_dir)
