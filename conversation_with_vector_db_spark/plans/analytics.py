@@ -440,3 +440,22 @@ def a14_emptiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_superadmins long, n_negative long, n_unknown long, "
         "n_missing long, clean_install boolean",
     )
+
+
+@query(
+    "c17_max_id_keygen",
+    doc="""C17: SELECT MAX(id) ... nextId = maxId + 1 key generation
+    (service/postgreService.js:20-29; the documented race stays out of
+    the engine — this is the pure computation).""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT CAST(max(prompt_id) AS BIGINT) AS max_id,
+       CAST(max(prompt_id) + 1 AS BIGINT) AS next_id
+FROM prompts
+""",
+)
+def c17_max_id_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.table("prompts").agg(
+        F.max("prompt_id").alias("max_id"),
+        (F.max("prompt_id") + 1).alias("next_id"),
+    )

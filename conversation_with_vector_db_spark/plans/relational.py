@@ -853,3 +853,142 @@ def u5_array_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threadid")
     )
+
+
+@query(
+    "f3_month_window",
+    doc="""F3: createdAt {$gte: startOfMonth, $lt: endOfMonth} date
+    bucketing (controllers/trackUsageController.js:42-59,160-180) —
+    fixed-literal month window, per-day counts.""",
+    oracle="""
+SELECT CAST(day(ts) AS INT) AS d, count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+GROUP BY 1 ORDER BY d
+""",
+)
+def f3_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-01"))
+            & (F.col("ts") < F.lit("2024-02-01"))
+        )
+        .groupBy(F.dayofmonth("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("d")
+    )
+
+
+@query(
+    "f11_correlated_subquery",
+    doc="""F11: $expr {$eq:['$userid','$$userid']} correlated
+    sub-pipeline (controllers/userController.js:118-125) — users having
+    at least one live gemini prompt, as a left-semi join (the join
+    condition IS the correlated equality).""",
+    fixtures_used=("users", "prompts"),
+    oracle="""
+SELECT u.user_id AS user_id, u.lname AS lname
+FROM users u
+WHERE EXISTS (
+    SELECT 1 FROM prompts p
+    WHERE p.userid = u.user_id
+      AND p.bot_provider = 'gemini' AND NOT p.is_deleted
+)
+ORDER BY u.user_id
+""",
+)
+def f11_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = spark.table("users")
+    gemini = (
+        spark.table("prompts")
+        .filter((F.col("bot_provider") == "gemini") & ~F.col("is_deleted"))
+        .select(F.col("userid").alias("user_id"))
+    )
+    return (
+        users.join(gemini, "user_id", "left_semi")
+        .select("user_id", "lname")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "w3_truncate_after_edit",
+    doc="""W3: edit-truncation — soft-delete every prompt in the thread
+    at or after the edited row's timestamp
+    (controllers/promptController.js:396-410).""",
+    fixtures_used=("prompts",),
+    oracle="""
+WITH anchor AS (
+    SELECT min(created_at) AS edit_ts
+    FROM prompts WHERE threadid = 't3-1' AND prompt_id >= 400
+)
+SELECT p.prompt_id AS prompt_id,
+       (p.created_at >= a.edit_ts) AS is_deleted_after
+FROM prompts p CROSS JOIN anchor a
+WHERE p.threadid = 't3-1'
+ORDER BY p.prompt_id
+""",
+)
+def w3_truncate_after_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prompts = spark.table("prompts").filter(F.col("threadid") == "t3-1")
+    anchor = prompts.filter(F.col("prompt_id") >= 400).agg(
+        F.min("created_at").alias("edit_ts")
+    )
+    return (
+        prompts.crossJoin(F.broadcast(anchor))
+        .select(
+            "prompt_id",
+            (F.col("created_at") >= F.col("edit_ts")).alias(
+                "is_deleted_after"
+            ),
+        )
+        .orderBy("prompt_id")
+    )
+
+
+@query(
+    "o3_sort_inside_pipeline",
+    doc="""O3+O4: $sort {'_id.day':1} after the aggregation stage
+    (controllers/trackUsageController.js:104-106) and the client-side
+    comparator sort of threads by latest createdAt desc
+    (promptController.js:376-378) — both one orderBy.""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT threadid, max(created_at) AS latest
+FROM prompts
+WHERE NOT is_deleted AND userid < 40
+GROUP BY threadid
+ORDER BY latest DESC, threadid
+""",
+)
+def o3_sort_inside_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("prompts")
+        .filter(~F.col("is_deleted") & (F.col("userid") < 40))
+        .groupBy("threadid")
+        .agg(F.max("created_at").alias("latest"))
+        .orderBy(F.desc("latest"), "threadid")
+    )
+
+
+@query(
+    "s1_collection_scan",
+    doc="""S1: Model.find() full collection scan with projection pruning
+    (controllers/promptController.js:248 pattern) — the base scan
+    operator; .explain shows ReadSchema pruned to three columns.""",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       count(DISTINCT event_type) AS n_types
+FROM events
+""",
+)
+def s1_collection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.table("events").agg(
+        F.count("*").alias("n_rows"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

@@ -482,3 +482,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("ntext").alias("content_hash"), "min_shingle")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t8_vector_record_assembly",
+    doc="""T8: vector record assembly {id, values, metadata}
+    (controllers/embeddingController.js:33-37) with deterministic
+    surrogate ids (md5, standing in for uuidv4 per FIXTURES.md) and a
+    JSON metadata string.""",
+    oracle="""
+SELECT vec_id,
+       md5('vec-' || CAST(vec_id AS STRING)) AS record_id,
+       CAST(len(embedding) AS INT) AS dims,
+       '{"label":' || CAST(label AS STRING) || '}' AS metadata
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+)
+def t8_vector_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.md5(
+                F.concat(F.lit("vec-"), F.col("vec_id").cast("string"))
+            ).alias("record_id"),
+            F.size("embedding").alias("dims"),
+            F.concat(
+                F.lit('{"label":'),
+                F.col("label").cast("string"),
+                F.lit("}"),
+            ).alias("metadata"),
+        )
+        .orderBy("vec_id")
+    )
