@@ -1,0 +1,104 @@
+"""Scale-technique verification: bucketed co-located joins (no
+exchange), skew salting equivalence, MLlib LSH recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.plans import load_all, registry
+from conversation_with_vector_db_spark.session import load_tables
+
+load_all()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key (write-time co-location)
+    removes the shuffle: the sort-merge join reads pre-bucketed files
+    directly — the pattern for repeatedly-joined 100 TB fact tables."""
+    load_tables(spark, sf_dir)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", None)
+    events = spark.table("events").select("event_id", "user_id", "value")
+    users = spark.table("customer").select("c_custkey", "c_mktsegment")
+    (
+        events.write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .saveAsTable("bk_events")
+    )
+    (
+        users.withColumnRenamed("c_custkey", "user_id")
+        .write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .saveAsTable("bk_users")
+    )
+    # Disable broadcast so the join would otherwise shuffle both sides.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_events").join(
+            spark.table("bk_users"), "user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # And it still computes the right thing.
+        n = joined.count()
+        expected = (
+            spark.table("events")
+            .join(
+                spark.table("customer"),
+                F.col("user_id") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bk_events")
+        spark.sql("DROP TABLE IF EXISTS bk_users")
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    got = registry.REGISTRY["scale_salted_aggregate"].fn(spark, sf_dir)
+    plain = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    got = {
+        (r.event_type, r.segment): r.n
+        for r in registry.REGISTRY["scale_salted_join"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    plain = {
+        (r.event_type, r.c_mktsegment): r.n
+        for r in spark.table("events")
+        .join(
+            spark.table("customer"), F.col("user_id") == F.col("c_custkey")
+        )
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == plain
+
+
+def test_brp_lsh_recall_floor(spark, sf_dir):
+    row = registry.REGISTRY["ann_brp_lsh_recall"].fn(spark, sf_dir).first()
+    assert row.recall >= 0.9, row
