@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the engine's headline queries and prints ONE
 JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}``.
+"sf": ...}`` (plus per-query DuckDB oracle timings and Spark/DuckDB
+ratios, since the target is within-2x of the oracle engine).
 
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32).
@@ -17,8 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline queries: one per major operator family (expanded as coverage
-# grows). Each is a registered name from the plans registry.
+# Headline queries: one per major operator family.
 HEADLINE = [
     "flagship_usage_daily_by_user",
     "a2_global_rollup",
@@ -29,9 +29,12 @@ HEADLINE = [
     "t5_rag_query_end_to_end",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_quality_score",
     "x3_session_window_ttl",
     "w1_first_row_per_thread",
     "j9_company_daily_rollup",
+    "scale_salted_aggregate",
 ]
 
 
@@ -41,8 +44,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    import duckdb
+
     import __spark_entry__ as e
-    from conversation_with_vector_db_spark.session import get_spark
+    from conversation_with_vector_db_spark.session import (
+        BASE_TABLES,
+        get_spark,
+        table_path,
+    )
 
     spark = get_spark(
         app_name="cvdb-spark-bench",
@@ -51,7 +60,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = e.queries()
+    qs, oracles = e.queries(), e.oracle_sql()
     names = [n for n in HEADLINE if n in qs]
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup.
@@ -64,6 +73,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    con = duckdb.connect()
+    for t in BASE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    duck_timings: dict[str, float] = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        duck_timings[name] = round(time.perf_counter() - t0, 4)
+
+    ratios = {
+        n: round(timings[n] / duck_timings[n], 2)
+        for n in duck_timings
+        if duck_timings[n] > 0
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -73,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "duckdb_oracle_sec": duck_timings,
+                "spark_over_duckdb_ratio": ratios,
             }
         )
     )

@@ -230,9 +230,17 @@ DERIVED_VIEWS: dict[str, str] = {
 
 def register_derived_views(spark: SparkSession) -> None:
     """Register the reference-shaped views on top of the base temp views
-    (call after :func:`..session.load_tables`)."""
+    (call after :func:`..session.load_tables`). Idempotent per session +
+    sf_dir (tracks the loader's marker) — re-parsing 9 view definitions
+    per query call is measurable overhead."""
+    marker = "spark.cvdb.derived.sfdir"
+    current = spark.conf.get("spark.cvdb.registered.sfdir", None)
+    if current is not None and spark.conf.get(marker, None) == current:
+        return
     for name, sql in DERIVED_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
+    if current is not None:
+        spark.conf.set(marker, current)
 
 
 def with_fixtures(sql: str, *names: str) -> str:

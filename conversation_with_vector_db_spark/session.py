@@ -125,9 +125,16 @@ def load_tables(
     # Deterministic date semantics even under a driver-provided session
     # whose timezone we didn't configure.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Idempotence guard: registering the same sf_dir twice in a session
+    # is pure overhead (10 footer reads + 10 py4j view calls per query
+    # call otherwise — measurable against sub-second queries).
+    marker = "spark.cvdb.registered.sfdir"
+    if spark.conf.get(marker, None) == sf_dir:
+        return {name: spark.table(name) for name in names}
     out: dict[str, DataFrame] = {}
     for name in names:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    spark.conf.set(marker, sf_dir)
     return out
