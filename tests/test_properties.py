@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure-Python operator cores
+— the pieces whose invariants must hold for ANY input, not just
+fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conversation_with_vector_db_spark.functions.registry import (
+    classify_write_statement,
+    compile_definition,
+)
+from conversation_with_vector_db_spark.operators.chunking import (
+    recursive_split_text,
+)
+from conversation_with_vector_db_spark.operators.filters import build_filter
+
+texts = st.text(
+    alphabet=st.sampled_from("ab cd\n.!?"), min_size=0, max_size=2000
+)
+
+
+class TestSplitterProperties:
+    @given(texts, st.integers(20, 200))
+    @settings(max_examples=200, deadline=None)
+    def test_chunks_bounded_and_nonempty(self, text, size):
+        overlap = size // 4
+        chunks = recursive_split_text(text, size, overlap)
+        for c in chunks:
+            assert c == c.strip()
+            assert c != ""
+        # Pieces below the split threshold always merge under the cap;
+        # only an unsplittable single piece may exceed it.
+        for c in chunks:
+            if len(c) > size:
+                assert " " not in c and "\n" not in c
+
+    @given(texts, st.integers(20, 200))
+    @settings(max_examples=100, deadline=None)
+    def test_content_preserved_in_order(self, text, size):
+        """Every chunk's words appear in the original, in order —
+        chunking never invents or reorders content."""
+        chunks = recursive_split_text(text, size, size // 4)
+        flat = " ".join(text.split())
+        for c in chunks:
+            c_flat = " ".join(c.split())
+            assert c_flat in flat or c_flat == ""
+
+    @given(texts)
+    @settings(max_examples=50, deadline=None)
+    def test_deterministic(self, text):
+        assert recursive_split_text(text, 80, 20) == recursive_split_text(
+            text, 80, 20
+        )
+
+
+class TestFilterBuilderProperties:
+    @given(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(
+                st.integers(-100, 100),
+                st.fixed_dictionaries(
+                    {"gt": st.integers(-100, 100)}
+                ),
+                st.fixed_dictionaries(
+                    {"in": st.lists(st.integers(0, 10), min_size=1, max_size=4)}
+                ),
+                st.fixed_dictionaries({"exists": st.booleans()}),
+            ),
+            min_size=0,
+            max_size=3,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_always_compiles_to_column(self, spark, spec):
+        # `spark` fixture: Column literals need an active JVM context.
+        col = build_filter(spec)
+        # A Column with a resolvable SQL representation — no raw
+        # exceptions for any well-formed spec.
+        assert "Column" in type(col).__name__
+
+
+class TestSqlClassifierProperties:
+    @given(st.text(max_size=100))
+    @settings(max_examples=200, deadline=None)
+    def test_never_misclassifies_garbage(self, sql):
+        """Arbitrary text either classifies as a known op on a named
+        table, or raises ValueError — never returns junk."""
+        try:
+            op, table = classify_write_statement(sql)
+        except ValueError:
+            return
+        assert op in ("insert", "update", "delete")
+        assert table.isidentifier() or table.replace("_", "").isalnum()
+
+    @given(st.text(max_size=50))
+    @settings(max_examples=100, deadline=None)
+    def test_compile_rejects_all_unknown_names(self, name):
+        if name in ("surrogate_token_count", "title_from_description"):
+            return
+        try:
+            compile_definition(name)
+            raise AssertionError("should have raised")
+        except PermissionError:
+            pass
