@@ -9,11 +9,19 @@ schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from conversation_with_vector_db_spark import plans
+# Import insurance: a driver loading this file by path (importlib spec)
+# rather than with the repo on sys.path must still find the package.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from conversation_with_vector_db_spark import plans  # noqa: E402
 
 plans.load_all()
 
