@@ -282,3 +282,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("label", "rank")
     )
+
+
+@query(
+    "dedup_char_ngram",
+    doc="""Character 5-gram Jaccard near-dup — the char-level variant
+    (robust to tokenization differences); same inverted-index shape as
+    the word-level operator, shingles are md5 of 5-char windows of the
+    normalized text, sampled every 3rd offset to bound the index size
+    (deterministic stride, mirrored in the oracle).""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS ntext
+    FROM corpus
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           md5(substring(ntext, CAST(i AS INT), 5)) AS shingle
+    FROM norm,
+         unnest(generate_series(
+             1, greatest(length(ntext) - 4, 1), 3)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+    FROM sh x JOIN sh y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.a AS a, c.b AS b,
+       round(CAST(c.common AS DOUBLE)
+             / (sa.sz + sb.sz - c.common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+WHERE round(CAST(c.common AS DOUBLE)
+            / (sa.sz + sb.sz - c.common), 4) >= 0.6
+ORDER BY a, b
+""",
+)
+def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalized_text
+
+    norm = spark.table("corpus").select(
+        "doc_id", normalized_text(F.col("text")).alias("ntext")
+    )
+    sh = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length("ntext") - 4, F.lit(1)),
+                        F.lit(3),
+                    ),
+                    lambda i: F.md5(F.substring("ntext", i, 5)),
+                )
+            )
+        ).alias("shingle"),
+    ).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("a", "b")
+    )

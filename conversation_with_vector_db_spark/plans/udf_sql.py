@@ -191,3 +191,68 @@ def c_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "d_grouped_udaf_zscore",
+    doc="""Grouped pandas UDAF via applyInPandas: per-user z-scores of
+    event values with outlier flags — the per-group pandas-in/
+    pandas-out surface (Arrow batches, one group per call). The math is
+    reproducible in SQL (sample stddev), so even the Python path is
+    oracle-checked.""",
+    oracle="""
+WITH stats AS (
+    SELECT user_id,
+           avg(value) AS mu,
+           stddev_samp(value) AS sigma
+    FROM events WHERE user_id < 8
+    GROUP BY user_id
+)
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       round((e.value - s.mu) / s.sigma, 4) AS z,
+       abs((e.value - s.mu) / s.sigma) > 2 AS is_outlier
+FROM events e JOIN stats s ON s.user_id = e.user_id
+WHERE e.user_id < 8
+ORDER BY event_id
+""",
+)
+def d_grouped_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("z", DoubleType()),
+            StructField("is_outlier", BooleanType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)  # sample stddev = stddev_samp
+        z = (pdf["value"] - mu) / sigma
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z": z.round(4),
+                "is_outlier": z.abs() > 2,
+            }
+        )
+
+    return (
+        spark.table("events")
+        .filter(F.col("user_id") < 8)
+        .groupBy("user_id")
+        .applyInPandas(zscore, schema)
+        .orderBy("event_id")
+    )

@@ -317,3 +317,73 @@ def s7_drop_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("namespace")
     )
+
+
+@query(
+    "v1b_range_search",
+    doc="""Range similarity search: all neighbors above a similarity
+    threshold (the other canonical vector-store read besides top-k);
+    same broadcast-query/one-scan shape as V1, no ranking shuffle at
+    all — the filter is the operator.""",
+    oracle=_V1_SCORED_CTE
+    + """
+SELECT qid, vec_id, sim
+FROM scored
+WHERE sim >= 0.35 AND vec_id <> qid
+ORDER BY qid, vec_id
+""",
+)
+def v1b_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias(
+            "sim"
+        ),
+    )
+    return (
+        scored.filter((F.col("sim") >= 0.35) & (F.col("vec_id") != F.col("qid")))
+        .orderBy("qid", "vec_id")
+    )
+
+
+@query(
+    "v1c_filtered_topk",
+    doc="""Metadata-filtered top-k: the filter applies BEFORE scoring
+    (filter-then-search, not search-then-filter), so pushdown prunes
+    the candidate set at the scan — at scale this is partition pruning
+    when the metadata column is the partition key.""",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS qe
+    FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+    SELECT q.qid AS qid, c.vec_id AS vec_id, c.label AS label,
+           round(list_cosine_similarity(
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM q CROSS JOIN embeddings c
+    WHERE c.label IN (2, 5, 7)
+)
+SELECT qid, vec_id, label, sim, rn AS rank FROM (
+    SELECT qid, vec_id, label, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+ORDER BY qid, rank
+""",
+)
+def v1c_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    filtered = emb.filter(F.col("label").isin(2, 5, 7))
+    topk = brute_force_topk(
+        filtered, emb.filter(F.col("vec_id") < 3), k=K
+    )
+    return topk.select("qid", "vec_id", "label", "sim", "rank").orderBy(
+        "qid", "rank"
+    )
