@@ -459,3 +459,130 @@ def c17_max_id_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("prompt_id").alias("max_id"),
         (F.max("prompt_id") + 1).alias("next_id"),
     )
+
+
+@query(
+    "a8b_cube_usage",
+    doc="""A8 idiomatic upgrade (SURVEY §2.7 note): the reference's
+    6-query manual model x period matrix as ONE cube(model, month) —
+    all subtotal combinations in a single pass; DuckDB oracle uses the
+    equivalent GROUPING SETS.""",
+    fixtures_used=("prompts",),
+    oracle="""
+SELECT coalesce(modelused, '(null)') AS model,
+       CAST(coalesce(month(promptdate), -1) AS INT) AS m,
+       CAST(grouping(modelused) AS INT) AS g_model,
+       CAST(grouping(month(promptdate)) AS INT) AS g_month,
+       CAST(sum(coalesce(tokenused, 0)) AS BIGINT) AS tokens,
+       count(*) AS n
+FROM prompts
+WHERE NOT is_deleted
+GROUP BY CUBE (modelused, month(promptdate))
+ORDER BY g_model, g_month, model, m
+""",
+)
+def a8b_cube_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prompts = (
+        spark.table("prompts")
+        .filter(~F.col("is_deleted"))
+        # grouping() can only reference real grouping columns, not
+        # lateral aliases — materialize the month first.
+        .withColumn("m_raw", F.month("promptdate"))
+    )
+    return (
+        prompts.cube("modelused", "m_raw")
+        .agg(
+            F.sum(F.coalesce("tokenused", F.lit(0))).alias("tokens"),
+            F.count("*").alias("n"),
+            F.grouping("modelused").cast("int").alias("g_model"),
+            F.grouping("m_raw").cast("int").alias("g_month"),
+        )
+        .select(
+            F.coalesce("modelused", F.lit("(null)")).alias("model"),
+            F.coalesce("m_raw", F.lit(-1)).cast("int").alias("m"),
+            "g_model",
+            "g_month",
+            "tokens",
+            "n",
+        )
+        .orderBy("g_model", "g_month", "model", "m")
+    )
+
+
+@query(
+    "u6_intersect_except",
+    doc="""Table-level INTERSECT/EXCEPT (engine extra — SURVEY §2.10
+    notes the reference has none): users active this week vs last week
+    -> retained / churned / new cohort counts.""",
+    oracle="""
+WITH w1 AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+),
+w2 AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+)
+SELECT
+    (SELECT count(*) FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2))
+        AS retained,
+    (SELECT count(*) FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2))
+        AS churned,
+    (SELECT count(*) FROM (SELECT * FROM w2 EXCEPT SELECT * FROM w1))
+        AS new_users
+""",
+)
+def u6_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events")
+
+    def week(start: str, end: str):
+        return (
+            events.filter(
+                (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+            )
+            .select("user_id")
+            .distinct()
+        )
+
+    w1 = week("2024-01-08", "2024-01-15")
+    w2 = week("2024-01-15", "2024-01-22")
+    retained = w1.intersect(w2).count()
+    churned = w1.exceptAll(w2).count()
+    new_users = w2.exceptAll(w1).count()
+    return spark.createDataFrame(
+        [(retained, churned, new_users)],
+        "retained long, churned long, new_users long",
+    )
+
+
+@query(
+    "a15_approx_distinct_sketch",
+    doc="""Approximate distinct sketch (engine extra — the reference has
+    no sketches): HyperLogLog approx_count_distinct next to the exact
+    count, with the relative error asserted under the configured 2%
+    rsd. The sketch is the 100 TB path for cardinality over raw ids;
+    the oracle checks the exact columns and the error-bound flag.""",
+    oracle="""
+SELECT count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT event_id) AS exact_events,
+       true AS hll_within_5pct
+FROM events
+""",
+)
+def a15_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = spark.table("events").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("ae"),
+    )
+    return agg.select(
+        "exact_users",
+        "exact_events",
+        (
+            (F.abs(F.col("au") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users"))
+            & (F.abs(F.col("ae") - F.col("exact_events"))
+               <= 0.05 * F.col("exact_events"))
+        ).alias("hll_within_5pct"),
+    )
