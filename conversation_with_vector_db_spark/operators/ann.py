@@ -67,10 +67,22 @@ def with_lsh_bands(
     n_bits: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Explode each row into (row, band, band_key) — band_key is the
-    band's bit substring; equality on it is the candidate filter."""
-    planes = hyperplane_planes(n_bits, _dim_of(df, vec_col), seed)
+    band's bit substring; equality on it is the candidate filter.
+
+    ``dim`` is the vector dimensionality; pass it explicitly (table
+    metadata / fixture contract) so plan construction stays action-free.
+    ``probe_bits=1`` additionally emits every single-bit flip of each
+    band key (multi-probe LSH, query side only): a near neighbor whose
+    band signature differs by one bit still collides, raising recall
+    without touching the corpus-side index.
+    """
+    if dim is None:
+        dim = _dim_of(df, vec_col)
+    planes = hyperplane_planes(n_bits, dim, seed)
     bits = _signature_bits(F.col(vec_col), planes)
     sig = F.concat_ws("", *[b.cast("string") for b in bits])
     per_band = n_bits // n_bands
@@ -78,15 +90,39 @@ def with_lsh_bands(
         "*",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     )
-    return banded.withColumn(
+    banded = banded.withColumn(
         "band_key",
         F.substring(
             F.col("_sig"), F.col("band") * per_band + 1, per_band
         ),
     ).drop("_sig")
+    if probe_bits == 0:
+        return banded
+    if probe_bits != 1:
+        raise ValueError("probe_bits must be 0 or 1")
+    key = F.col("band_key")
+    probes = [key]
+    for i in range(1, per_band + 1):
+        flipped = (
+            F.lit(1) - F.substring(key, i, 1).cast("int")
+        ).cast("string")
+        probes.append(
+            F.concat(
+                F.substring(key, 1, i - 1),
+                flipped,
+                F.substring(key, i + 1, per_band - i),
+            )
+        )
+    return (
+        banded.withColumn("_probes", F.array(*probes))
+        .drop("band_key")
+        .select("*", F.explode("_probes").alias("band_key"))
+        .drop("_probes")
+    )
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Fallback only: runs a Spark job. Prefer passing ``dim``."""
     return len(df.select(vec_col).first()[0])
 
 
@@ -99,13 +135,19 @@ def hyperplane_lsh_topk(
     n_bits: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share >=1 LSH band with the
-    query, exact-rescored, ranked. Returns (qid, vec_id, sim, rank)."""
-    c = with_lsh_bands(corpus, vec_col, n_bits, n_bands, seed).select(
+    query (optionally multi-probed with ``probe_bits`` single-bit
+    flips on the query side), exact-rescored, ranked.
+    Returns (qid, vec_id, sim, rank)."""
+    c = with_lsh_bands(corpus, vec_col, n_bits, n_bands, seed, dim).select(
         F.col(id_col), F.col(vec_col), "band", "band_key"
     )
-    q = with_lsh_bands(queries, vec_col, n_bits, n_bands, seed).select(
+    q = with_lsh_bands(
+        queries, vec_col, n_bits, n_bands, seed, dim, probe_bits
+    ).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qvec"),
         "band",
@@ -197,25 +239,30 @@ def recall_at_k(
     approx: DataFrame, exact: DataFrame, k: int = 10
 ) -> DataFrame:
     """One-row recall report: |approx ∩ exact| / |exact| over all
-    queries (both inputs shaped (qid, vec_id, ...rank<=k))."""
-    hits = approx.select("qid", "vec_id").join(
-        exact.select("qid", "vec_id"), ["qid", "vec_id"]
+    queries (both inputs shaped (qid, vec_id, ...rank<=k)).
+
+    Pure plan — a left join + one aggregate, no driver-side actions —
+    so it composes into larger plans and runs as a single Spark job.
+    """
+    marked = approx.select("qid", "vec_id").withColumn("_hit", F.lit(1))
+    joined = exact.select("qid", "vec_id").join(
+        marked, ["qid", "vec_id"], "left"
     )
-    n_exact = exact.count()
-    n_hits = hits.count()
-    n_queries = exact.select("qid").distinct().count()
-    spark = approx.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                k,
-                n_queries,
-                n_hits,
-                n_exact,
-                round(n_hits / n_exact, 4) if n_exact else 0.0,
-            )
-        ],
-        "k int, n_queries long, n_hits long, n_exact long, recall double",
+    return joined.agg(
+        F.count_distinct("qid").alias("n_queries"),
+        F.count("_hit").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_exact"),
+    ).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_queries",
+        "n_hits",
+        "n_exact",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("n_hits") / F.col("n_exact"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
     )
 
 

@@ -89,6 +89,7 @@ def flagship_usage_daily_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a2_global_rollup",
+    driver=False,
     doc="""A2: grand-total rollup, $group {_id:null, $sum, $sum}
     (controllers/trackUsageController.js:116-127).""",
     fixtures_used=("usage",),
@@ -145,6 +146,7 @@ def a3_conditional_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a8_per_model_period_usage",
+    driver=False,
     doc="""A8: the reference's 70-line manual model x period matrix
     (promptController.js:579-648) collapsed into one grouped plan over
     (model, month) — Spark's idiomatic upgrade of 6 separate queries.""",
@@ -275,6 +277,7 @@ def a11_budget_running_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a4_group_collect_rows",
+    driver=False,
     doc="""A4: $group with $push of row structs — templates per category
     (controllers/templateController.js:74-86); the pushed array is
     rendered as a sorted joined string for the oracle hash.""",
@@ -306,6 +309,7 @@ def a4_group_collect_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a5_count_with_predicate",
+    driver=False,
     doc="""A5: countDocuments(query), >=12 call sites (e.g.
     controllers/assistantController.js:328,518;
     userController.js:54,153-157).""",
@@ -333,6 +337,7 @@ def a5_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a6_distinct",
+    driver=False,
     doc="""A6: .distinct('threadid') after a filter
     (controllers/promptController.js:363-366,712-715).""",
     fixtures_used=("prompts",),
@@ -355,6 +360,7 @@ def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a7_client_side_sum",
+    driver=False,
     doc="""A7: fetch tokenused then reduce((a,b)=>a+b) client-side
     (controllers/promptController.js:568-569,683-695) => one agg(sum),
     no collect.""",
@@ -375,6 +381,7 @@ def a7_client_side_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a9_range_stats_null_model",
+    driver=False,
     doc="""A9: range statistics split by model treating missing model as
     gpt-4 (controllers/promptController.js:664-707) =>
     groupBy(coalesce(modelused,'gpt-4')).""",
@@ -407,6 +414,7 @@ def a9_range_stats_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a14_emptiness_probes",
+    driver=False,
     doc="""A14: init-setup invariant — four collections must all be
     empty (controllers/initController.js:38-45); here the four
     count()==0 probes over filtered slices, conjoined.""",
@@ -444,6 +452,7 @@ def a14_emptiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c17_max_id_keygen",
+    driver=False,
     doc="""C17: SELECT MAX(id) ... nextId = maxId + 1 key generation
     (service/postgreService.js:20-29; the documented race stays out of
     the engine — this is the pure computation).""",

@@ -22,6 +22,7 @@ from .registry import query
 
 @query(
     "j2_assistants_users_lookup",
+    driver=False,
     doc="""J2: assistants $lookup users + $unwind => inner broadcast
     hash join (controllers/assistantController.js:447-457).""",
     fixtures_used=("assistants", "users"),
@@ -93,6 +94,7 @@ def j3_users_prompts_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j5_thread_first_assistant",
+    driver=False,
     doc="""J5: threads $lookup assistants + $arrayElemAt 0
     (service/assistantService.js:131-148) — left join on the unique
     assistant key, min() as the deterministic 'first'.""",
@@ -134,6 +136,7 @@ def j5_thread_first_assistant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j7_fav_counts_join",
+    driver=False,
     doc="""J7+A13: public assistants x favourite counts — the reference
     issues countDocuments per row in a loop
     (controllers/publicAssistantController.js:57-75); rewritten as one
@@ -174,6 +177,7 @@ def j7_fav_counts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j8_favorites_details",
+    driver=False,
     doc="""J8: favourites -> assistant details, findOne per row in the
     reference (controllers/favoriteAssistantController.js:108-138) =>
     single left join.""",
@@ -275,6 +279,7 @@ def j10_company_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j13_company_status_check",
+    driver=False,
     doc="""J13: login-time company status lookup
     (controllers/auth.js:107-110) — status derived from the company key
     identically on both sides.""",

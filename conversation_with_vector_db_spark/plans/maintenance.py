@@ -61,6 +61,7 @@ def m1_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m2_bulk_recover",
+    driver=False,
     doc="""M2: updateMany({threadid:{$in:ids}}, {isDeleted:false})
     (controllers/promptController.js:768-781) — inverse of M1 scoped to
     a thread id set.""",
@@ -102,6 +103,7 @@ def m2_bulk_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m3_hard_delete",
+    driver=False,
     doc="""M3: deleteMany({threadid:{$in:ids}})
     (controllers/promptController.js:790-808) as left-anti; returns
     survivor stats.""",
@@ -129,6 +131,7 @@ def m3_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m4_field_patch",
+    driver=False,
     doc="""M4: updateMany({threadid}, {$set:{prompttitle}}) — title
     propagation across a thread (promptController.js:510-525).""",
     fixtures_used=("prompts",),
@@ -198,6 +201,7 @@ def m5_upsert_by_key_config(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m6_doc_patch_by_id",
+    driver=False,
     doc="""M6: findByIdAndUpdate single-doc patch
     (controllers/templateController.js:151-156) — keyed overwrite of
     one row's fields.""",

@@ -53,6 +53,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_frame_sample",
+    driver=False,
     doc="""Per-video frame sampling via mapInPandas (4 deterministic
     payload slices per video under the fake decoder) — the
     one-row-to-many-frames UDTF shape for video pipelines.""",

@@ -23,6 +23,7 @@ from .registry import query
 
 @query(
     "f1_equality_filter",
+    driver=False,
     doc="""F1: {userid: custUserId} equality scan
     (controllers/promptController.js:248).""",
     fixtures_used=("prompts",),
@@ -42,6 +43,7 @@ def f1_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f2_conjunctive_flag",
+    driver=False,
     doc="""F2: {threadid, isDeleted:false} conjunction
     (controllers/promptController.js:269-270).""",
     fixtures_used=("prompts",),
@@ -63,6 +65,7 @@ def f2_conjunctive_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f4_date_range_on_date",
+    driver=False,
     doc="""F4: promptdate {$gte,$lt} range over a date-typed column
     (controllers/promptController.js:554-567).""",
     fixtures_used=("prompts",),
@@ -91,6 +94,7 @@ def f4_date_range_on_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f5_exists_missing_field",
+    driver=False,
     doc="""F5: $exists true/false — NULL-ness counts for tokenused /
     modelused / deleted_email (promptController.js:556,560-563;
     userController.js:36).""",
@@ -126,6 +130,7 @@ def f5_exists_missing_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f6_negation",
+    driver=False,
     doc="""F6: role {$ne:'superadmin'} (controllers/userController.js:35).""",
     fixtures_used=("users",),
     oracle="""
@@ -146,6 +151,7 @@ def f6_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f7_set_membership",
+    driver=False,
     doc="""F7: threadid {$in: ids} (controllers/promptController.js:771,796;
     userController.js:582).""",
     fixtures_used=("prompts",),
@@ -168,6 +174,7 @@ def f7_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f8_regex_case_insensitive",
+    driver=False,
     doc="""F8: {email: {$regex: search, $options:'i'}}
     (controllers/userController.js:29-31;
     assistantController.js:324-326). Three fixed mixed-case probes.""",
@@ -193,6 +200,7 @@ def f8_regex_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f9_role_disjunction",
+    driver=False,
     doc="""F9: role/team-dependent $or — organizational assistants of a
     team OR personal assistants of a user
     (controllers/assistantController.js:574-601).""",
@@ -223,6 +231,7 @@ def f9_role_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f10_or_with_missing",
+    driver=False,
     doc="""F10: $or of {$exists:false} and equality —
     {modelused missing} OR {modelused:'gpt-4'}
     (controllers/promptController.js:558-565,679-682).""",
@@ -276,6 +285,7 @@ def f12_dynamic_filter_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f13_mixed_or_on_id",
+    driver=False,
     doc="""F13: $or over two id fields
     (service/favoriteAssistantService.js:14-16).""",
     fixtures_used=("prompts",),
@@ -296,6 +306,7 @@ def f13_mixed_or_on_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f14_key_set_filter",
+    driver=False,
     doc="""F14: config.find({key: {$in: keys}})
     (controllers/configController.js:394-421).""",
     fixtures_used=("config",),
@@ -315,6 +326,7 @@ def f14_key_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f15_recency_filter",
+    driver=False,
     doc="""F15: cron recency filter createdAt >= yesterday-midnight
     (service/cronEmailService.js:7-9) — anchored at a fixed 'today'
     (2024-01-30) per FIXTURES.md determinism rules.""",
@@ -350,6 +362,7 @@ def f15_recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p1_column_exclusion",
+    driver=False,
     doc="""P1: select('-password') — column drop
     (controllers/userController.js:44,213). Email plays the excluded
     secret; verify it is absent from the output schema.""",
@@ -370,6 +383,7 @@ def p1_column_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p2_single_column",
+    driver=False,
     doc="""P2: single-column select('tokenused')
     (controllers/promptController.js:568,683,691).""",
     fixtures_used=("prompts",),
@@ -390,6 +404,7 @@ def p2_single_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p4_computed_size",
+    driver=False,
     doc="""P4: computed projection promptsCount {$size:'$prompts'}
     (controllers/userController.js:129-147) — the array-size projection
     over the correlated sub-lookup, as group-then-size.""",
@@ -420,6 +435,7 @@ def p4_computed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p7_ifnull_array_elem",
+    driver=False,
     doc="""P7: $addFields with $ifNull + $arrayElemAt 0 — first joined
     assistant's name else default (service/assistantService.js:142-147).""",
     fixtures_used=("assistants", "users"),
@@ -479,6 +495,7 @@ def p8_kv_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p9_row_reshape",
+    driver=False,
     doc="""P9: meeting-summary row reshaping map — concat + date format
     (utils/assistant.js:153-160).""",
     fixtures_used=("prompts",),
@@ -545,6 +562,7 @@ def w1_first_row_per_thread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w2_last6_history_window",
+    driver=False,
     doc="""W2: last-6-message history per conversation, re-sorted
     ascending for the prompt context (service/gptPromptService.js:11-37;
     slice(-6) at geminiAiPromptService.js:12-25).""",
@@ -577,6 +595,7 @@ def w2_last6_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w4_running_token_count",
+    driver=False,
     doc="""W4/A11: running token total per user ordered by time — the
     streaming tokenCount++ (sockets/chat/chatServices.js:34) and budget
     decrement (service/userService.js:31-49) as a cumulative window.""",
@@ -620,6 +639,7 @@ def w4_running_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o1_sort_skip_limit",
+    driver=False,
     doc="""O1: sort desc by createdAt + skip/limit pagination, page 3 of
     size 10 (controllers/assistantController.js:331-341;
     userController.js:43-47; pattern x15). Unique (created_at,
@@ -644,6 +664,7 @@ def o1_sort_skip_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o2_two_key_sort",
+    driver=False,
     doc="""O2: {is_pinned:-1, createdAt:-1} two-key sort
     (controllers/assistantController.js:604-608), pinned first.""",
     fixtures_used=("assistants",),
@@ -667,6 +688,7 @@ def o2_two_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o6_offset_quirk",
+    driver=False,
     doc="""O5+O6: the reference's skip((page-1)*size + 3) arithmetic
     (controllers/assistantController.js:669) and skip-without-limit
     (:468-469) reproduced faithfully: page 2, size 10 -> offset 13,
@@ -714,6 +736,7 @@ def o7_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o8_paging_metadata",
+    driver=False,
     doc="""O8: totalPages = ceil(count/limit)
     (controllers/assistantController.js:614;
     organizationController.js:138).""",
@@ -783,6 +806,7 @@ def u1_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "u4_anti_set_delete",
+    driver=False,
     doc="""U4/M3: deleteMany({assistant_id in ids}) as a left-anti join
     rewrite (service/favoriteAssistantService.js:25-27) — surviving
     rows after hard delete.""",
@@ -812,6 +836,7 @@ def u4_anti_set_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "u5_array_except",
+    driver=False,
     doc="""U5+U2+U3: array minus / de-dup add / membership
     (utils/assistant.js:301-316; userController.js:586-596) — arrays
     built per-thread from prompt models: collect_set, array_except,
@@ -914,6 +939,7 @@ def f11_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w3_truncate_after_edit",
+    driver=False,
     doc="""W3: edit-truncation — soft-delete every prompt in the thread
     at or after the edited row's timestamp
     (controllers/promptController.js:396-410).""",
@@ -949,6 +975,7 @@ def w3_truncate_after_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o3_sort_inside_pipeline",
+    driver=False,
     doc="""O3+O4: $sort {'_id.day':1} after the aggregation stage
     (controllers/trackUsageController.js:104-106) and the client-side
     comparator sort of threads by latest createdAt desc
@@ -974,6 +1001,7 @@ def o3_sort_inside_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s1_collection_scan",
+    driver=False,
     doc="""S1: Model.find() full collection scan with projection pruning
     (controllers/promptController.js:248 pattern) — the base scan
     operator; .explain shows ReadSchema pruned to three columns.""",

@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import exact_baseline, recall_at_k
 from ..operators.skew import salted_aggregate, salted_join
 from .registry import query
 
@@ -82,6 +81,7 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_brp_lsh_recall",
+    driver=False,
     doc="""T6 (MLlib fidelity): BucketedRandomProjectionLSH over
     L2-normalized vectors (Euclidean NN on the unit sphere == cosine
     NN), approxSimilarityJoin against the 5 query vectors, exact
@@ -90,42 +90,6 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def ann_brp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
+    from .ann import brp_recall_report
 
-    from ..operators.vector import cosine_similarity, topk_per_query
-
-    emb = spark.table("embeddings")
-    vecs = emb.withColumn("_raw", array_to_vector("embedding"))
-    normed = Normalizer(inputCol="_raw", outputCol="_features", p=2.0).transform(
-        vecs
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="_features",
-        outputCol="_hashes",
-        bucketLength=0.5,
-        numHashTables=4,
-        seed=42,
-    )
-    model = lsh.fit(normed)
-    queries_df = normed.filter(F.col("vec_id") < 5)
-    # approxSimilarityJoin on unit vectors: euclid^2 = 2 - 2*cosine,
-    # so distance 1.3 ~ cosine 0.155 — the net must reach past the
-    # top-10 sims of UNIFORM vectors (~0.3), the ANN-hardest case.
-    joined = model.approxSimilarityJoin(
-        queries_df, normed, 1.3, distCol="_dist"
-    ).select(
-        F.col("datasetA.vec_id").alias("qid"),
-        F.col("datasetB.vec_id").alias("vec_id"),
-        F.round(
-            cosine_similarity(
-                F.col("datasetA.embedding"), F.col("datasetB.embedding")
-            ),
-            4,
-        ).alias("sim"),
-    )
-    approx = topk_per_query(joined, 10, tiebreak_col="vec_id")
-    exact = exact_baseline(emb, emb.filter(F.col("vec_id") < 5), k=10)
-    return recall_at_k(approx, exact, k=10).withColumn(
-        "method", F.lit("mllib_brp_lsh_4tables")
-    )
+    return brp_recall_report(spark)

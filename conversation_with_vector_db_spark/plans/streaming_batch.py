@@ -18,6 +18,7 @@ from .registry import query
 
 @query(
     "x1_stream_accumulation",
+    driver=False,
     doc="""X1: per-chunk accumulation of a token stream into the final
     answer (sockets/chat/chatServices.js:17-55): the batch-converged
     state is one transcript per conversation in arrival order plus the
@@ -56,6 +57,7 @@ def x1_stream_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x4_running_prefix_emit",
+    driver=False,
     doc="""X2+X4: the SSE re-emit of the accumulated prefix on every
     chunk with a running counter (sockets/chat/chatServices.js:34-39) —
     update-mode output of a running aggregate, as an ordered prefix
@@ -144,6 +146,7 @@ def x3_session_window_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x7_daily_cron_digest",
+    driver=False,
     doc="""X7: the 05:00 daily cron email digest (app.js:83-86;
     service/cronEmailService.js:6-13): yesterday's rows joined to user
     details — Trigger.AvailableNow scheduled batch, window pinned to

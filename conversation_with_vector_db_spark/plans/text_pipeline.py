@@ -25,6 +25,7 @@ from .registry import query
 
 @query(
     "t1_chunk_recursive",
+    driver=False,
     doc="""T1: recursive character chunking, size 1000 (langchain
     defaults: overlap 200, separators ["\\n\\n","\\n"," ",""]) —
     controllers/customTrainDataController.js:61-62. Per-document
@@ -42,6 +43,7 @@ def t1_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t2_chunk_recursive_fine",
+    driver=False,
     doc="""T2: the 1500-char utility splitter (utils/textutils.js:20-24)
     exercised at a finer size (150/30) so fixture documents (<=600
     chars) actually split and overlap — same operator, different
@@ -226,6 +228,7 @@ def t11_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t12_flatten_nested_output",
+    driver=False,
     doc="""T12: recursive flatten of nested arrays to one string
     (service/trackUsageService.js:111-119) — typed input: flatten +
     concat_ws over per-thread collected message groups.""",
@@ -347,6 +350,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_lang_id",
+    driver=False,
     doc="""Language identification by marker-token scoring — count hits
     against per-language function-word lists, pick argmax with a
     deterministic tie-break; 'und' when nothing matches. (n-gram
@@ -414,6 +418,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint",
+    driver=False,
     doc="""Document fingerprinting: whole-document content hash over
     whitespace-normalized lowercase text, plus a winnowing-style
     min-shingle fingerprint (min md5 over 5-token shingles) — the
@@ -486,6 +491,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t8_vector_record_assembly",
+    driver=False,
     doc="""T8: vector record assembly {id, values, metadata}
     (controllers/embeddingController.js:33-37) with deterministic
     surrogate ids (md5, standing in for uuidv4 per FIXTURES.md) and a

@@ -50,6 +50,7 @@ def d1_registered_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d4_meeting_summary",
+    driver=False,
     doc="""D4: meeting_summary(sDate, eDate, type) — the UDTF-shaped
     parameterized row-set function (utils/assistant.js:123-170).""",
     fixtures_used=("prompts", "users"),
@@ -73,6 +74,7 @@ def d4_meeting_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d5_sql_passthrough",
+    driver=False,
     doc="""D5: validated SELECT passthrough over registered views — the
     engine's true SQL entry point (service/postgreService.js:49-63).
     The SQL text below runs verbatim on both engines.""",

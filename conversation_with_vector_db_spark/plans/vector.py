@@ -66,6 +66,7 @@ def v1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v3_empty_result_guard",
+    driver=False,
     doc="""V3: empty-match branch — if no match clears a similarity
     threshold the engine returns the canned no-context marker
     (controllers/conversationController.js:38,71-76).""",
@@ -113,6 +114,7 @@ def v3_empty_result_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v4_context_assembly",
+    driver=False,
     doc="""V4: context assembly — concat the top-k matches' text in
     similarity order, one context string per query
     (matches.map(m => m.metadata.pageContent).join(' '),
@@ -158,6 +160,7 @@ def v4_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v5_metadata_matches",
+    driver=False,
     doc="""V5: matches carry id + score + metadata
     (controllers/conversationController.js:32-44) — the top-k result
     keeps the label metadata and the doc source columns.""",
@@ -274,6 +277,7 @@ def s5_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s6_delete_by_id",
+    driver=False,
     doc="""S6: Pinecone deleteOne(ids) (models/embeddingmodel.js:14-24)
     as a left-anti rewrite of the vector table.""",
     oracle="""
@@ -321,6 +325,7 @@ def s7_drop_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v1b_range_search",
+    driver=False,
     doc="""Range similarity search: all neighbors above a similarity
     threshold (the other canonical vector-store read besides top-k);
     same broadcast-query/one-scan shape as V1, no ranking shuffle at

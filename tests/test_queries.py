@@ -35,6 +35,29 @@ def test_registry_contract():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+def test_driver_tier_capped():
+    # The driver's correctness gate records only the alphabetically
+    # first ~50 queries(); a larger driver tier silently leaves
+    # operator families unverified (observed in CORRECTNESS_r01.json).
+    import __spark_entry__ as e
+
+    assert len(e.queries()) <= registry.DRIVER_TIER_CAP
+
+
+def test_driver_tier_covers_every_family():
+    # At least one driver-tier query per SURVEY §2 family prefix.
+    import __spark_entry__ as e
+
+    names = sorted(e.queries())
+    prefixes = {
+        "a", "ann", "c", "d", "dedup", "f", "flagship", "j", "m", "mm",
+        "o", "p", "s", "scale", "t", "text", "u", "v", "w", "x",
+    }
+    seen = {n.split("_")[0].rstrip("0123456789b") or n for n in names}
+    missing = prefixes - seen
+    assert not missing, f"families without a driver-tier query: {missing}"
+
+
 def test_p1_excludes_secret_columns(spark, sf_dir):
     # P1's point is the column is GONE, not just unread.
     df = registry.REGISTRY["p1_column_exclusion"].fn(spark, sf_dir)

@@ -47,7 +47,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{table_path(args.sf_dir, t)}'"
         )
 
-    qs, oracles = e.queries(), e.oracle_sql()
+    # Full registry (driver tier + local-only variants), not just the
+    # capped driver-facing set __spark_entry__ exposes.
+    from conversation_with_vector_db_spark.plans import registry
+
+    qs, oracles = registry.all_queries(), registry.all_oracles()
+    assert set(e.queries()) <= set(qs)
     n_pass = n_fail = n_rows_only = 0
     failures = []
     for name, fn in qs.items():
