@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import load_table_in_range
 from .registry import query
 
 # Fixed month window (FIXTURES.md determinism rules: never now()).
@@ -50,12 +51,15 @@ ORDER BY d, user_id
 """,
 )
 def flagship_usage_daily_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = spark.table("events")
+    # Range on the raw nanos long BEFORE the NTZ cast -> the predicate
+    # reaches PushedFilters and prunes parquet row groups (a filter on
+    # the computed ts column evaluates post-scan).
+    events = load_table_in_range(
+        spark, sf_dir, "events", "ts", MONTH_START, MONTH_END
+    )
     users = spark.table("users")
     daily = (
-        events.filter(
-            (F.col("ts") >= F.lit(MONTH_START)) & (F.col("ts") < F.lit(MONTH_END))
-        )
+        events
         .groupBy(
             F.year("ts").alias("y"),
             F.month("ts").alias("m"),
@@ -542,25 +546,28 @@ SELECT
 """,
 )
 def u6_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = spark.table("events")
-
     def week(start: str, end: str):
         return (
-            events.filter(
-                (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
-            )
+            load_table_in_range(spark, sf_dir, "events", "ts", start, end)
             .select("user_id")
             .distinct()
         )
 
-    w1 = week("2024-01-08", "2024-01-15")
-    w2 = week("2024-01-15", "2024-01-22")
-    retained = w1.intersect(w2).count()
-    churned = w1.exceptAll(w2).count()
-    new_users = w2.exceptAll(w1).count()
-    return spark.createDataFrame(
-        [(retained, churned, new_users)],
-        "retained long, churned long, new_users long",
+    w1 = week("2024-01-08", "2024-01-15").withColumn("_w1", F.lit(1))
+    w2 = week("2024-01-15", "2024-01-22").withColumn("_w2", F.lit(1))
+    # One lazy plan (full outer join on the distinct cohorts + a single
+    # aggregate) instead of three driver-side .count() actions:
+    # INTERSECT = both marks, EXCEPT = one-sided marks.
+    return w1.join(w2, "user_id", "full_outer").agg(
+        F.count(
+            F.when(F.col("_w1").isNotNull() & F.col("_w2").isNotNull(), 1)
+        ).alias("retained"),
+        F.count(
+            F.when(F.col("_w1").isNotNull() & F.col("_w2").isNull(), 1)
+        ).alias("churned"),
+        F.count(
+            F.when(F.col("_w1").isNull() & F.col("_w2").isNotNull(), 1)
+        ).alias("new_users"),
     )
 
 

@@ -236,39 +236,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
-    doc="""Embedding-cosine near-dup: top-3 most similar pairs per
-    label bucket (label blocking stands in for LSH bucketing at scale;
-    within-bucket pairs only, never all-pairs across the corpus).""",
+    doc="""Embedding-cosine near-dup with sub-quadratic candidate
+    generation: random-hyperplane LSH bands (16 bits / 4 bands,
+    md5-seeded planes — deterministic, so the oracle reproduces them in
+    SQL) block the corpus; only pairs sharing >=1 band key are exactly
+    rescored, then the 30 most-similar candidate pairs are reported.
+    Never all-pairs: at 100 TB the band join is the candidate filter,
+    exactly the shape of the minhash banding above.""",
     oracle="""
-WITH pairs AS (
-    SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
-           round(list_cosine_similarity(
-               x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
-    FROM embeddings x JOIN embeddings y ON x.label = y.label
+WITH planes AS (
+    SELECT b.bit AS bit, d.d AS d,
+           CAST(('0x' || substr(md5(42 || ':' || b.bit || ':' || d.d),
+                 1, 8)) AS BIGINT) / 2147483647.0 - 1.0 AS w
+    FROM unnest(generate_series(0, 15)) AS b(bit),
+         unnest(generate_series(0, 63)) AS d(d)
+),
+proj AS (
+    SELECT e.vec_id, p.bit,
+           sum(e.embedding[p.d + 1]::DOUBLE * p.w) AS proj
+    FROM embeddings e, planes p
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT vec_id, CAST(bit // 4 AS INT) AS band,
+           string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY bit) AS band_key
+    FROM proj GROUP BY vec_id, CAST(bit // 4 AS INT)
+),
+cands AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM bands x JOIN bands y USING (band, band_key)
     WHERE x.vec_id < y.vec_id
+),
+scored AS (
+    SELECT c.a AS a, c.b AS b,
+           round(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+    FROM cands c
+    JOIN embeddings ea ON ea.vec_id = c.a
+    JOIN embeddings eb ON eb.vec_id = c.b
 )
-SELECT label, a, b, sim, rn AS rank FROM (
-    SELECT label, a, b, sim,
-           row_number() OVER (PARTITION BY label
-                              ORDER BY sim DESC, a, b) AS rn
-    FROM pairs
-) WHERE rn <= 3
-ORDER BY label, rank
+SELECT a, b, sim,
+       row_number() OVER (ORDER BY sim DESC, a, b) AS rank
+FROM scored
+ORDER BY sim DESC, a, b
+LIMIT 30
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import with_lsh_bands
+
     emb = spark.table("embeddings")
-    x = emb.select(
-        "label", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    banded = with_lsh_bands(
+        emb.select("vec_id", "embedding"), n_bits=16, n_bands=4, dim=64
     )
-    y = emb.select(
-        "label", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    x = banded.select(
+        F.col("vec_id").alias("a"), "band", "band_key"
     )
-    pairs = (
-        x.join(y, "label")
+    y = banded.select(
+        F.col("vec_id").alias("b"), "band", "band_key"
+    )
+    cands = (
+        x.join(y, ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    scored = (
+        cands.join(ea, "a")
+        .join(eb, "b")
         .select(
-            "label",
             "a",
             "b",
             F.round(
@@ -276,11 +315,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("label").orderBy(F.desc("sim"), "a", "b")
+    # Two-phase top-k (TakeOrderedAndProject), then rank the 30
+    # survivors — no corpus-sized single-partition window.
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .orderBy("label", "rank")
+        scored.orderBy(F.desc("sim"), "a", "b")
+        .limit(30)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("sim"), "a", "b")),
+        )
     )
 
 
@@ -290,7 +333,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (robust to tokenization differences); same inverted-index shape as
     the word-level operator, shingles are md5 of 5-char windows of the
     normalized text, sampled every 3rd offset to bound the index size
-    (deterministic stride, mirrored in the oracle).""",
+    (deterministic stride, mirrored in the oracle). DF cap 64 drops
+    non-discriminative shingles (' the ' class) whose per-shingle pair
+    fan-out is quadratic in document frequency — the same guard the
+    word-gram twin uses.""",
     fixtures_used=("corpus",),
     oracle="""
 WITH norm AS (
@@ -298,12 +344,18 @@ WITH norm AS (
            regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS ntext
     FROM corpus
 ),
-sh AS (
+sh0 AS (
     SELECT DISTINCT doc_id,
            md5(substring(ntext, CAST(i AS INT), 5)) AS shingle
     FROM norm,
          unnest(generate_series(
              1, greatest(length(ntext) - 4, 1), 3)) AS t(i)
+),
+sh AS (
+    SELECT s.doc_id, s.shingle
+    FROM sh0 s
+    JOIN (SELECT shingle FROM sh0
+          GROUP BY shingle HAVING count(*) <= 64) r USING (shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
@@ -329,7 +381,7 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = spark.table("corpus").select(
         "doc_id", normalized_text(F.col("text")).alias("ntext")
     )
-    sh = norm.select(
+    sh0 = norm.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -344,6 +396,17 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).cache()
+    # DF cap via broadcast anti-join against the tiny over-cap shingle
+    # list (same shape as operators.dedup.df_capped_shingles): sizes and
+    # the inverted-index join both see the capped table, so Jaccard
+    # stays consistent between engines.
+    frequent = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > MAX_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(frequent), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

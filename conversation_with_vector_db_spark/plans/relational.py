@@ -339,12 +339,11 @@ GROUP BY event_type ORDER BY event_type
 """,
 )
 def f15_recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    anchor = F.lit("2024-01-30").cast("timestamp_ntz")
+    from ..session import load_table_in_range
+
     return (
-        spark.table("events")
-        .filter(
-            (F.col("ts") >= F.date_sub(anchor, 1).cast("timestamp_ntz"))
-            & (F.col("ts") < anchor)
+        load_table_in_range(
+            spark, sf_dir, "events", "ts", "2024-01-29", "2024-01-30"
         )
         .groupBy("event_type")
         .agg(
@@ -893,11 +892,11 @@ GROUP BY 1 ORDER BY d
 """,
 )
 def f3_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import load_table_in_range
+
     return (
-        spark.table("events")
-        .filter(
-            (F.col("ts") >= F.lit("2024-01-01"))
-            & (F.col("ts") < F.lit("2024-02-01"))
+        load_table_in_range(
+            spark, sf_dir, "events", "ts", "2024-01-01", "2024-02-01"
         )
         .groupBy(F.dayofmonth("ts").alias("d"))
         .agg(F.count("*").alias("n"))

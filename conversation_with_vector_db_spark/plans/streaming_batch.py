@@ -165,12 +165,12 @@ ORDER BY u.user_id
 """,
 )
 def x7_daily_cron_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import load_table_in_range
+
     users = spark.table("users")
     return (
-        spark.table("events")
-        .filter(
-            (F.col("ts") >= F.lit("2024-01-29 00:00:00").cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit("2024-01-30 00:00:00").cast("timestamp_ntz"))
+        load_table_in_range(
+            spark, sf_dir, "events", "ts", "2024-01-29", "2024-01-30"
         )
         .groupBy("user_id")
         .agg(

@@ -179,13 +179,20 @@ def t5_rag_query_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("weight") * F.col("qw")), 4).alias("sim"))
     )
-    w = Window.orderBy(F.desc("sim"), "doc_id")
+    # Two-phase top-k: orderBy().limit() lowers to TakeOrderedAndProject
+    # (per-partition heaps + driver merge of k rows), so no corpus-sized
+    # single-partition WindowExec; the rank window then runs over the 10
+    # survivors only. The 10-row top-k broadcasts into the text join.
     topk = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        scored.orderBy(F.desc("sim"), "doc_id")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id")),
+        )
     )
     return (
-        topk.join(docs, "doc_id")
+        docs.join(F.broadcast(topk), "doc_id")
         .select(
             "rank", "doc_id", "sim",
             F.substring("text", 1, 40).alias("preview"),

@@ -112,6 +112,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _iso_to_epoch_ns(iso_date: str) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso_date).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def load_table_in_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    lo_iso: str,
+    hi_iso: str,
+) -> DataFrame:
+    """Read ``name`` with ``lo_iso <= ts_col < hi_iso`` pushed into the
+    parquet scan.
+
+    The nanos->NTZ conversion in :func:`load_table` makes ``ts_col`` a
+    computed column, so a range predicate on it evaluates post-scan (the
+    scan shows only ``IsNotNull`` in PushedFilters). Here the range is
+    applied to the RAW nanos long BEFORE the cast — the predicate lands
+    on the scanned attribute and prunes parquet row groups. Correct for
+    whole-second boundaries: the us-truncating cast can't move a value
+    across an exact-second boundary.
+    """
+    path = table_path(sf_dir, name)
+    nano_cols = _nano_ts_columns(path)
+    if ts_col not in nano_cols:
+        df = load_table(spark, sf_dir, name)
+        return df.filter(
+            (F.col(ts_col) >= F.lit(lo_iso)) & (F.col(ts_col) < F.lit(hi_iso))
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path).filter(
+        (F.col(ts_col) >= F.lit(_iso_to_epoch_ns(lo_iso)))
+        & (F.col(ts_col) < F.lit(_iso_to_epoch_ns(hi_iso)))
+    )
+    for c in nano_cols:
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"cast(timestamp_micros(cast({c} div 1000 as bigint))"
+                " as timestamp_ntz)"
+            ),
+        )
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = BASE_TABLES
 ) -> dict[str, DataFrame]:
