@@ -93,8 +93,11 @@ def featurize_dense(
             id_col,
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
+                # element_at on a MAP is KEY-based and the keys are the
+                # bucket indices 0..dim-1 themselves — no +1 (that's
+                # only for 1-based ARRAY lookup).
                 lambda i: F.coalesce(
-                    F.element_at("m", i.cast("bigint") + 1), F.lit(0.0)
+                    F.element_at("m", i.cast("bigint")), F.lit(0.0)
                 ),
             ).alias("embedding"),
         )

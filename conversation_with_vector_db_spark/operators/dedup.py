@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import scoped_cache
+
 # --------------------------------------------------------------------------
 # shared text canonicalization
 # --------------------------------------------------------------------------
@@ -103,7 +105,7 @@ def df_capped_shingles(
     # cap is a broadcast ANTI-join against the tiny over-cap list —
     # map-side, no sort, no extra shuffle of the full shingle table
     # (a window-count cap measured 3x slower here).
-    sh = sh.cache()
+    sh = scoped_cache(sh)
     frequent = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("_df"))
@@ -150,7 +152,7 @@ def jaccard_pairs(
     # The shingle table feeds three consumers (sizes + both join
     # sides); cache it so tokenize+hash runs once, not three times —
     # at cluster scale this persist would be a checkpoint to storage.
-    sh = df_capped_shingles(df, text_col, id_col, n, max_df).cache()
+    sh = scoped_cache(df_capped_shingles(df, text_col, id_col, n, max_df))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -194,7 +196,7 @@ def jaccard_verify(
     sh = (
         shingles
         if shingles is not None
-        else df_capped_shingles(df, text_col, id_col, n, max_df).cache()
+        else scoped_cache(df_capped_shingles(df, text_col, id_col, n, max_df))
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sha = sh.select(F.col(id_col).alias("a"), "shingle")

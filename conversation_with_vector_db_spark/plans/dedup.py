@@ -20,6 +20,7 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     simhash_near_pairs,
 )
+from ..operators.cache import scoped_cache
 from ..operators.vector import cosine_similarity
 from .registry import query
 
@@ -172,7 +173,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One materialized shingle table feeds signature building AND
     # verification (cache = this scale's stand-in for a storage
     # checkpoint of the shingle index).
-    sh = df_capped_shingles(corpus, max_df=MAX_DF).cache()
+    sh = scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
     cands = minhash_lsh_candidates(corpus, num_perm=12, bands=4, shingles=sh)
     return jaccard_verify(
         corpus, cands, threshold=0.5, shingles=sh
@@ -395,7 +396,8 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
-    ).cache()
+    )
+    sh0 = scoped_cache(sh0)
     # DF cap via broadcast anti-join against the tiny over-cap shingle
     # list (same shape as operators.dedup.df_capped_shingles): sizes and
     # the inverted-index join both see the capped table, so Jaccard

@@ -67,6 +67,12 @@ def query(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The previous query's action has completed by the time the
+            # next query is built — release its scoped operator caches
+            # so long-lived sessions don't accumulate cached RDDs.
+            from ..operators.cache import release_all
+
+            release_all()
             session.load_tables(spark, sf_dir)
             if fixtures_used:
                 fixtures.register_derived_views(spark)

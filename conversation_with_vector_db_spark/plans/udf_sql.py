@@ -239,15 +239,21 @@ def d_grouped_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         mu = pdf["value"].mean()
         sigma = pdf["value"].std(ddof=1)  # sample stddev = stddev_samp
         z = (pdf["value"] - mu) / sigma
+        # SQL NULL semantics on degenerate groups: a single-row group
+        # (sigma = NaN) or zero-variance group (z = inf) must yield
+        # NULL, not NaN/inf, to match the stddev_samp/division oracle.
+        z = z.where(np.isfinite(z))
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
                 "z": z.round(4),
-                "is_outlier": z.abs() > 2,
+                "is_outlier": (z.abs() > 2).where(z.notna()),
             }
         )
 

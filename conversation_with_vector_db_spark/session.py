@@ -177,13 +177,20 @@ def load_tables(
     # Idempotence guard: registering the same sf_dir twice in a session
     # is pure overhead (10 footer reads + 10 py4j view calls per query
     # call otherwise — measurable against sub-second queries).
+    # The marker is only valid for the full BASE_TABLES registration: a
+    # subset call must neither set it (later full calls would skip the
+    # missing views) nor be satisfied by it incorrectly (the full set is
+    # a superset, so reading from the catalog is fine).
     marker = "spark.cvdb.registered.sfdir"
-    if spark.conf.get(marker, None) == sf_dir:
+    if spark.conf.get(marker, None) == sf_dir and set(names) <= set(
+        BASE_TABLES
+    ):
         return {name: spark.table(name) for name in names}
     out: dict[str, DataFrame] = {}
     for name in names:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    spark.conf.set(marker, sf_dir)
+    if tuple(names) == BASE_TABLES:
+        spark.conf.set(marker, sf_dir)
     return out

@@ -51,9 +51,14 @@ def upsert_by_key(
     partition_col: str = "namespace",
 ) -> None:
     """S5: Pinecone-style upsert (models/embeddingmodel.js:4-12): new
-    records win by key. Only partitions containing touched keys are
-    rewritten (dynamic overwrite); untouched partitions are never
-    read back or rewritten."""
+    records win by identity. Identity is (partition_col, key) — exactly
+    Pinecone's namespace semantics, where the same id in two namespaces
+    is two records; "moving" a key to another partition therefore
+    inserts a new record and never deletes the old identity. Only
+    partitions named in the updates are rewritten (dynamic overwrite);
+    untouched partitions are never read back or rewritten, and a key
+    match in a touched partition's sibling namespace is never
+    clobbered."""
     current = spark.read.parquet(path)
     touched = (
         updates.select(partition_col).distinct()
@@ -62,7 +67,7 @@ def upsert_by_key(
         F.broadcast(touched), partition_col, "left_semi"
     )
     merged = touched_current.join(
-        updates.select(key), key, "left_anti"
+        updates.select(partition_col, key), [partition_col, key], "left_anti"
     ).unionByName(updates)
     _dynamic_overwrite(merged, path, partition_col)
 

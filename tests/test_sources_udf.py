@@ -43,8 +43,16 @@ def vector_store(spark, sf_dir, tmp_path):
 
 class TestParquetMaintenance:
     def test_upsert_by_key(self, spark, vector_store):
+        # Identity is (namespace, key): update two rows IN their actual
+        # namespaces, insert one brand-new identity.
+        cur = {
+            r.vec_id: r.namespace
+            for r in spark.read.parquet(vector_store)
+            .filter(F.col("vec_id").isin(0, 1))
+            .collect()
+        }
         updates = spark.createDataFrame(
-            [(0, 999, 0), (1, 999, 1), (424242, 999, 2)],
+            [(0, 999, cur[0]), (1, 999, cur[1]), (424242, 999, 2)],
             ["vec_id", "label", "namespace"],
         )
         before = spark.read.parquet(vector_store).count()
@@ -57,6 +65,36 @@ class TestParquetMaintenance:
             .count()
             == 3
         )
+
+    def test_upsert_is_namespace_scoped(self, spark, vector_store):
+        # The same key in a DIFFERENT namespace is a different identity
+        # (Pinecone semantics): updating (ns_a, k) must not clobber
+        # (ns_b, k) even when ns_b is also touched by the batch.
+        store = spark.read.parquet(vector_store)
+        k = store.filter(F.col("namespace") == 0).first().vec_id
+        # Match the store's physical types (label is int32 here) or the
+        # mixed-type partition files become unreadable.
+        updates = spark.createDataFrame(
+            [(k, 999, 0), (987654, 999, 1)], schema=store.schema
+        )
+        # Plant the same key in namespace 1, then touch ns 1 via the
+        # unrelated insert above.
+        upsert_by_key(
+            spark,
+            vector_store,
+            spark.createDataFrame([(k, 111, 1)], schema=store.schema),
+            key="vec_id",
+        )
+        upsert_by_key(spark, vector_store, updates, key="vec_id")
+        after = spark.read.parquet(vector_store)
+        ns1_row = after.filter(
+            (F.col("vec_id") == k) & (F.col("namespace") == 1)
+        ).collect()
+        assert len(ns1_row) == 1 and ns1_row[0].label == 111
+        ns0_row = after.filter(
+            (F.col("vec_id") == k) & (F.col("namespace") == 0)
+        ).collect()
+        assert len(ns0_row) == 1 and ns0_row[0].label == 999
 
     def test_delete_by_key(self, spark, vector_store):
         ids = spark.createDataFrame([(5,), (6,)], ["vec_id"])

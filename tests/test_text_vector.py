@@ -86,6 +86,29 @@ class TestFeaturizerPortability:
             assert r.bucket == expected, r.token
 
 
+    def test_dense_agrees_with_sparse_scatter(self, spark, sf_dir):
+        # featurize_dense must place weight for bucket idx at position
+        # idx (map element_at is key-based — a +1 off-by-one here once
+        # shifted every bucket and dropped bucket 0).
+        from conversation_with_vector_db_spark.functions.embedding import (
+            featurize_dense,
+            featurize_sparse,
+        )
+
+        load_tables(spark, sf_dir)
+        docs = spark.table("documents").filter(F.col("doc_id") < 10)
+        sparse = {
+            (r.doc_id, r.idx): r.weight
+            for r in featurize_sparse(docs, dim=64).collect()
+        }
+        assert sparse
+        assert any(idx == 0 for _, idx in sparse)  # bucket 0 exercised
+        for row in featurize_dense(docs, dim=64).collect():
+            for idx, w in enumerate(row.embedding):
+                expect = sparse.get((row.doc_id, idx), 0.0)
+                assert abs(w - expect) < 1e-12, (row.doc_id, idx)
+
+
 class TestDedupFindsPlantedDuplicates:
     def test_exact_finds_planted_copies(self, spark, sf_dir):
         df = registry.REGISTRY["dedup_exact"].fn(spark, sf_dir)
