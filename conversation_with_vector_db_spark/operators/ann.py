@@ -27,7 +27,13 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .vector import brute_force_topk, cosine_similarity, topk_per_query
+from .vector import (
+    brute_force_topk,
+    cosine_similarity,
+    cosine_with_norms,
+    l2_norm,
+    topk_per_query,
+)
 
 
 def _plane_value(seed: int, bit: int, dim: int) -> float:
@@ -143,26 +149,34 @@ def hyperplane_lsh_topk(
     flips on the query side), exact-rescored, ranked.
     Returns (qid, vec_id, sim, rank)."""
     c = with_lsh_bands(corpus, vec_col, n_bits, n_bands, seed, dim).select(
-        F.col(id_col), F.col(vec_col), "band", "band_key"
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        "band",
+        "band_key",
     )
     q = with_lsh_bands(
         queries, vec_col, n_bits, n_bands, seed, dim, probe_bits
     ).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         "band",
         "band_key",
     )
     cands = (
         c.join(F.broadcast(q), ["band", "band_key"])
-        .select("qid", "_qvec", id_col, vec_col)
+        .select("qid", "_qvec", "_qn", id_col, vec_col, "_cn")
         .distinct()
     )
     scored = cands.select(
         "qid",
         id_col,
         F.round(
-            cosine_similarity(F.col("_qvec"), F.col(vec_col)), 4
+            cosine_with_norms(
+                F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+            ),
+            4,
         ).alias("sim"),
     )
     return topk_per_query(scored, k, tiebreak_col=id_col)
@@ -219,17 +233,17 @@ def ivf_topk(
         tiebreak_col="cell",
     ).select("qid", "_qvec", "cell")
 
-    cands = assigned.join(F.broadcast(probed), "cell").select(
-        "qid",
-        "_qvec",
-        id_col,
-        vec_col,
-    )
+    cands = assigned.withColumn(
+        "_cn", l2_norm(F.col(vec_col))
+    ).join(F.broadcast(probed.withColumn("_qn", l2_norm("_qvec"))), "cell")
     scored = cands.select(
         "qid",
         id_col,
         F.round(
-            cosine_similarity(F.col("_qvec"), F.col(vec_col)), 4
+            cosine_with_norms(
+                F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+            ),
+            4,
         ).alias("sim"),
     )
     return topk_per_query(scored, k, tiebreak_col=id_col)

@@ -43,15 +43,25 @@ def content_hash(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+def hash60(value: Column) -> Column:
+    """60-bit bigint hash from the first 15 md5 hex digits — the
+    cross-engine idiom (Spark conv == DuckDB 0x-cast == Python
+    int(hexdigest[:15], 16)). Shingle keys use this instead of the full
+    md5 STRING so shuffle/groupBy payloads carry 8-byte longs, not
+    32-char strings — at 100 TB the inverted-index shuffle is the
+    dominant byte mover."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct md5 hashes of word n-grams of the normalized text."""
+    """Distinct 60-bit hashes of word n-grams of the normalized text."""
     toks = F.regexp_extract_all(normalized_text(text), F.lit("[a-z0-9]+"), 0)
     return F.array_distinct(
         F.transform(
             F.sequence(
                 F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
             ),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, n))),
         )
     )
 
@@ -79,7 +89,7 @@ def exploded_shingles(
             F.sequence(
                 F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))
             ),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
+            lambda i: hash60(F.concat_ws(" ", F.slice("_toks", i, n))),
         )
     )
     return toks.select(id_col, F.explode(shingles).alias("shingle"))
@@ -253,7 +263,9 @@ def minhash_signatures(
     )
     aggs = [
         F.min(
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            F.md5(
+                F.concat(F.lit(f"{i}:"), F.col("shingle").cast("string"))
+            )
         ).alias(f"mh{i}")
         for i in range(num_perm)
     ]

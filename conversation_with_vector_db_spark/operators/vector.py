@@ -45,6 +45,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed L2 norms — one array fold per pair
+    instead of three. Bit-identical to :func:`cosine_similarity` (same
+    ``dot / (na * nb)`` expression over the same doubles), so oracle
+    parity is unaffected; use it whenever a vector participates in many
+    pairs (candidate rescoring, brute-force scans) so each norm is
+    computed once per VECTOR, not once per PAIR."""
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
 def topk_per_query(
     scored: DataFrame,
     k: int,
@@ -96,13 +108,18 @@ def brute_force_topk(
     break on the corpus id.
     """
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    sim = cosine_similarity(F.col("_qvec"), F.col(vec_col))
+    c = corpus.withColumn("_cn", l2_norm(F.col(vec_col)))
+    sim = cosine_with_norms(
+        F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    scored = c.crossJoin(F.broadcast(q)).select(
         "qid", id_col, sim.alias("sim"),
-        *[c for c in corpus.columns if c not in (id_col, vec_col)],
+        *[col for col in corpus.columns if col not in (id_col, vec_col)],
     )
     return topk_per_query(scored, k, tiebreak_col=id_col)

@@ -21,7 +21,6 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.cache import scoped_cache
-from ..operators.vector import cosine_similarity
 from .registry import query
 
 # Shared DuckDB CTE: distinct word-3-gram shingle hashes per corpus doc
@@ -36,7 +35,8 @@ tok AS (
 ),
 sh0 AS (
     SELECT DISTINCT doc_id,
-           md5(array_to_string(toks[i:i+2], ' ')) AS shingle
+           CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                 1, 15)) AS BIGINT) AS shingle
     FROM tok,
          unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
 ),
@@ -134,7 +134,8 @@ perms AS (
 ),
 sig AS (
     SELECT doc_id, perm,
-           min(md5(CAST(perm AS STRING) || ':' || shingle)) AS minhash
+           min(md5(CAST(perm AS STRING) || ':'
+                   || CAST(shingle AS STRING))) AS minhash
     FROM perms GROUP BY doc_id, perm
 ),
 bandkeys AS (
@@ -238,10 +239,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     doc="""Embedding-cosine near-dup with sub-quadratic candidate
-    generation: random-hyperplane LSH bands (16 bits / 4 bands,
+    generation: random-hyperplane LSH bands (48 bits / 6 bands,
     md5-seeded planes — deterministic, so the oracle reproduces them in
     SQL) block the corpus; only pairs sharing >=1 band key are exactly
     rescored, then the 30 most-similar candidate pairs are reported.
+    8-bit bands lean toward precision — the right knob for NEAR-DUP
+    (sim>=0.9) detection: random-pair collision ~2% even on a uniform
+    corpus, while a sim-0.95 duplicate still collides with p~0.97.
     Never all-pairs: at 100 TB the band join is the candidate filter,
     exactly the shape of the minhash banding above.""",
     oracle="""
@@ -249,7 +253,7 @@ WITH planes AS (
     SELECT b.bit AS bit, d.d AS d,
            CAST(('0x' || substr(md5(42 || ':' || b.bit || ':' || d.d),
                  1, 8)) AS BIGINT) / 2147483647.0 - 1.0 AS w
-    FROM unnest(generate_series(0, 15)) AS b(bit),
+    FROM unnest(generate_series(0, 47)) AS b(bit),
          unnest(generate_series(0, 63)) AS d(d)
 ),
 proj AS (
@@ -259,10 +263,10 @@ proj AS (
     GROUP BY 1, 2
 ),
 bands AS (
-    SELECT vec_id, CAST(bit // 4 AS INT) AS band,
+    SELECT vec_id, CAST(bit // 8 AS INT) AS band,
            string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, ''
                       ORDER BY bit) AS band_key
-    FROM proj GROUP BY vec_id, CAST(bit // 4 AS INT)
+    FROM proj GROUP BY vec_id, CAST(bit // 8 AS INT)
 ),
 cands AS (
     SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
@@ -288,8 +292,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import with_lsh_bands
 
     emb = spark.table("embeddings")
-    banded = with_lsh_bands(
-        emb.select("vec_id", "embedding"), n_bits=16, n_bands=4, dim=64
+    # Cache the banded signature table: it feeds BOTH sides of the
+    # candidate self-join, and the 48-plane signature projection is the
+    # per-row-expensive part (at cluster scale this persist is a
+    # write-once signature index next to the vector table).
+    banded = scoped_cache(
+        with_lsh_bands(
+            emb.select("vec_id", "embedding"), n_bits=48, n_bands=6, dim=64
+        )
     )
     x = banded.select(
         F.col("vec_id").alias("a"), "band", "band_key"
@@ -303,16 +313,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    # The vector table is small relative to the candidate-pair fan-out:
+    # broadcast BOTH sides (pairs never shuffle) and precompute each
+    # vector's norm once so the per-pair work is a single dot fold.
+    from ..operators.vector import cosine_with_norms, l2_norm
+
+    ea = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     scored = (
-        cands.join(ea, "a")
-        .join(eb, "b")
+        cands.join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
         .select(
             "a",
             "b",
             F.round(
-                cosine_similarity(F.col("ea"), F.col("eb")), 4
+                cosine_with_norms(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                4,
             ).alias("sim"),
         )
     )
@@ -347,7 +373,8 @@ WITH norm AS (
 ),
 sh0 AS (
     SELECT DISTINCT doc_id,
-           md5(substring(ntext, CAST(i AS INT), 5)) AS shingle
+           CAST(('0x' || substr(md5(substring(ntext, CAST(i AS INT), 5)),
+                 1, 15)) AS BIGINT) AS shingle
     FROM norm,
          unnest(generate_series(
              1, greatest(length(ntext) - 4, 1), 3)) AS t(i)
@@ -377,7 +404,7 @@ ORDER BY a, b
 """,
 )
 def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import normalized_text
+    from ..operators.dedup import hash60, normalized_text
 
     norm = spark.table("corpus").select(
         "doc_id", normalized_text(F.col("text")).alias("ntext")
@@ -392,7 +419,7 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.greatest(F.length("ntext") - 4, F.lit(1)),
                         F.lit(3),
                     ),
-                    lambda i: F.md5(F.substring("ntext", i, 5)),
+                    lambda i: hash60(F.substring("ntext", i, 5)),
                 )
             )
         ).alias("shingle"),

@@ -67,12 +67,13 @@ def query(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # The previous query's action has completed by the time the
-            # next query is built — release its scoped operator caches
-            # so long-lived sessions don't accumulate cached RDDs.
-            from ..operators.cache import release_all
+            # Advance the scoped-cache generation: caches older than the
+            # previous query are released so long-lived sessions don't
+            # accumulate cached RDDs (the previous generation survives
+            # for plan-identity reuse across back-to-back queries).
+            from ..operators.cache import next_generation
 
-            release_all()
+            next_generation()
             session.load_tables(spark, sf_dir)
             if fixtures_used:
                 fixtures.register_derived_views(spark)
