@@ -17,6 +17,72 @@ from .registry import query
 
 
 @query(
+    "m8_merge_on_read",
+    doc="""M8 (engine extra — the 100 TB answer to M1-M7's write
+    amplification): merge-on-read overlay. Mutations live in a side
+    change log (_op, _seq); the read reconstructs the current table —
+    latest _seq per key wins, deletes drop the key — via one window
+    over the LOG only plus an anti-join on the base. Physical side
+    (append_change_log / compact_change_log rewriting only touched
+    partitions) is exercised in tests/test_sources_udf.py; this query
+    oracle-checks the overlay semantics themselves, including an
+    upsert-over-delete seq conflict.""",
+    oracle="""
+WITH base AS (SELECT vec_id, label FROM embeddings),
+log AS (
+    SELECT vec_id, label + 1000 AS label, 'upsert' AS _op, 2 AS _seq
+    FROM base WHERE vec_id % 40 = 0
+    UNION ALL
+    SELECT vec_id, label, 'delete' AS _op, 1 AS _seq
+    FROM base WHERE vec_id % 50 = 0
+),
+latest AS (
+    SELECT vec_id, label, _op FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _seq DESC, _op) AS _rn
+        FROM log
+    ) WHERE _rn = 1
+),
+merged AS (
+    SELECT b.vec_id, b.label
+    FROM base b ANTI JOIN latest l ON l.vec_id = b.vec_id
+    UNION ALL
+    SELECT vec_id, label FROM latest WHERE _op = 'upsert'
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS label_sum,
+       CAST(sum(CASE WHEN label >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_patched
+FROM merged
+""",
+)
+def m8_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.parquet_io import merge_overlay
+
+    base = spark.table("embeddings").select("vec_id", "label")
+    ups = base.filter(F.col("vec_id") % 40 == 0).select(
+        "vec_id",
+        (F.col("label") + 1000).alias("label"),
+        F.lit("upsert").alias("_op"),
+        F.lit(2).alias("_seq"),
+    )
+    dels = base.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id",
+        "label",
+        F.lit("delete").alias("_op"),
+        F.lit(1).alias("_seq"),
+    )
+    merged = merge_overlay(base, ups.unionByName(dels), ["vec_id"])
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+        F.sum((F.col("label") >= 1000).cast("int"))
+        .cast("long")
+        .alias("n_patched"),
+    )
+
+
+@query(
     "m1_soft_delete",
     doc="""M1: updateMany({userid, isDeleted:false}, {$set:
     {isDeleted:true}}) (controllers/promptController.js:314-349) as a

@@ -13,7 +13,87 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import fixtures
 from .registry import query
+
+#: Tool-continuation depth cap for X5 (run depth = prompt_id % 3 < 3).
+CONTINUATION_MAX_DEPTH = 2
+
+
+@query(
+    "x5_stream_continuation",
+    doc="""X5/X6: recursive tool-call continuation to fixpoint
+    (sockets/assistants/assistantHandler.js:89-137 re-enters the model
+    stream with each tool result until the run completes;
+    assistantController.js:206-233 polls the run). Batch form: each run
+    starts with its prompt tokens and depth = prompt_id % 3 pending
+    tool rounds; round k adds base div (k+1) tokens. Spark expands by
+    BOUNDED ITERATION (depth-many frontier unions — a pure plan, no
+    driver actions); the oracle is a genuine WITH RECURSIVE CTE.
+    tests/test_streaming.py drives the same semantics through a LIVE
+    feedback-loop stream (continuation_sink) to convergence against
+    this result.""",
+    oracle=f"""
+WITH RECURSIVE prompts AS ({fixtures.PROMPTS_SQL}),
+runs AS (
+    SELECT prompt_id AS run_id,
+           coalesce(tokenused, 0) AS base,
+           CAST(prompt_id % 3 AS INT) AS depth
+    FROM prompts
+    WHERE NOT is_deleted AND prompt_id < 1000
+),
+expand AS (
+    SELECT run_id, base, 0 AS round, base AS total, depth FROM runs
+    UNION ALL
+    SELECT run_id, base, round + 1, total + base // (round + 2), depth
+    FROM expand WHERE round < depth
+)
+SELECT run_id,
+       CAST(round AS INT) AS n_rounds,
+       CAST(total AS BIGINT) AS total_tokens
+FROM expand WHERE round = depth
+ORDER BY run_id
+""",
+)
+def x5_stream_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fixtures.register_derived_views(spark)
+    seed = (
+        spark.table("prompts")
+        .filter(~F.col("is_deleted") & (F.col("prompt_id") < 1000))
+        .select(
+            F.col("prompt_id").alias("run_id"),
+            F.coalesce("tokenused", F.lit(0)).alias("base"),
+            F.lit(0).alias("round"),
+            F.coalesce("tokenused", F.lit(0)).alias("total"),
+            (F.col("prompt_id") % 3).cast("int").alias("depth"),
+        )
+    )
+    # Spark has no recursive CTE; the continuation depth is bounded by
+    # construction, so the fixpoint is depth-many frontier expansions
+    # unioned — still one declarative plan, no mid-build actions.
+    frontier = seed
+    tiers = [seed]
+    for _ in range(CONTINUATION_MAX_DEPTH):
+        frontier = frontier.filter(F.col("round") < F.col("depth")).select(
+            "run_id",
+            "base",
+            (F.col("round") + 1).alias("round"),
+            (F.col("total") + F.expr("base div (round + 2)")).alias("total"),
+            "depth",
+        )
+        tiers.append(frontier)
+    out = tiers[0]
+    for tier in tiers[1:]:
+        out = out.unionByName(tier)
+    return (
+        out.filter(F.col("round") == F.col("depth"))
+        .select(
+            "run_id",
+            F.col("round").cast("int").alias("n_rounds"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("run_id")
+    )
 
 
 @query(

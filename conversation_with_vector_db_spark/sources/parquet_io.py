@@ -108,6 +108,118 @@ def drop_partition(
     fs.delete(hpath, True)
 
 
+# ---------------------------------------------------------------------------
+# Merge-on-read change log (M1-M7 at 100 TB)
+# ---------------------------------------------------------------------------
+#
+# The read-transform-overwrite form above (upsert_by_key/delete_by_key)
+# is copy-on-write: every mutation rewrites whole partitions, so a
+# steady trickle of single-row patches against a 100 TB table rewrites
+# the table over and over — write amplification is the FIRST thing a
+# real user hits. The merge-on-read alternative:
+#
+#   * mutations APPEND tagged rows (_op upsert|delete, _seq) to a small
+#     side log — O(change) bytes written, never O(partition);
+#   * reads reconstruct the current table: latest log row per identity
+#     wins over base (one window over the LOG ONLY — small between
+#     compactions — plus an anti-join on the base scan). This is the
+#     read-amplification half of the trade;
+#   * a periodic COMPACTION folds the log into the base, rewriting only
+#     the partitions the log touches (dynamic overwrite), then truncates
+#     the log — amortizing the copy-on-write cost over many mutations.
+#
+# This is exactly the Delta/Iceberg/Hudi MOR design re-expressed on
+# bare parquet; swapping a table format in replaces the log with commit
+# metadata and makes compaction transactional, with no caller-visible
+# API change.
+
+
+def append_change_log(
+    df: DataFrame, log_path: str, op: str, seq: int
+) -> None:
+    """Append one batch of mutations (``op``: 'upsert' | 'delete') to
+    the side log. ``seq`` orders batches (monotonic writer-assigned —
+    a batch id / commit timestamp); later seq wins at read."""
+    if op not in ("upsert", "delete"):
+        raise ValueError(f"op must be upsert|delete, got {op!r}")
+    (
+        df.withColumn("_op", F.lit(op))
+        .withColumn("_seq", F.lit(seq).cast("long"))
+        .write.mode("append")
+        .parquet(log_path)
+    )
+
+
+def merge_overlay(
+    base: DataFrame, log: DataFrame, identity: list[str]
+) -> DataFrame:
+    """The MOR read: overlay a change log (``_op``, ``_seq`` columns)
+    on a base table — latest ``_seq`` per identity wins, deletes drop
+    the identity. Pure plan: one window over the LOG only + an
+    anti-join on the base."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*identity).orderBy(F.desc("_seq"))
+    latest = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = base.join(latest.select(*identity), identity, "left_anti")
+    upserts = latest.filter(F.col("_op") == "upsert").drop("_op", "_seq")
+    return survivors.unionByName(upserts)
+
+
+def read_merge_on_read(
+    spark: SparkSession,
+    base_path: str,
+    log_path: str,
+    key: str,
+    partition_col: str = "namespace",
+) -> DataFrame:
+    """Current state of the table: base parquet overlaid with the side
+    change log via :func:`merge_overlay` on the (partition, key)
+    identity."""
+    base = spark.read.parquet(base_path)
+    try:
+        log = spark.read.parquet(log_path)
+    except Exception:
+        return base  # no mutations yet
+    return merge_overlay(base, log, [partition_col, key])
+
+
+def compact_change_log(
+    spark: SparkSession,
+    base_path: str,
+    log_path: str,
+    key: str,
+    partition_col: str = "namespace",
+) -> None:
+    """Fold the log into the base: rewrite ONLY the partitions the log
+    touches (dynamic overwrite), then truncate the log. The merged
+    result is read_merge_on_read restricted to touched partitions,
+    unioned back over untouched base partitions implicitly (they are
+    never read or written)."""
+    try:
+        log = spark.read.parquet(log_path)
+    except Exception:
+        return  # nothing to compact
+    merged = read_merge_on_read(spark, base_path, log_path, key, partition_col)
+    touched = log.select(partition_col).distinct()
+    merged_touched = merged.join(
+        F.broadcast(touched), partition_col, "left_semi"
+    )
+    # Materialize before writing: the merged plan READS base_path, which
+    # the dynamic overwrite is about to rewrite (a table format makes
+    # this step a transactional commit instead).
+    merged_touched = merged_touched.localCheckpoint(eager=True)
+    _dynamic_overwrite(merged_touched, base_path, partition_col)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(log_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def read_text_documents(
     spark: SparkSession, path: str, wholetext: bool = True
 ) -> DataFrame:

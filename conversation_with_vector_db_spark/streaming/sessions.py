@@ -177,6 +177,75 @@ def session_accumulator(
     )
 
 
+CONTINUATION_SCHEMA = StructType(
+    [
+        StructField("run_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("round", LongType()),
+        StructField("base", LongType()),
+        StructField("tokens", LongType()),
+        StructField("depth", LongType()),
+    ]
+)
+
+
+def continuation_sink(
+    stream: DataFrame, input_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """X5/X6: re-entrant tool-call continuation as a stream feedback
+    loop (sockets/assistants/assistantHandler.js:89-137 — the assistant
+    recursively re-enters the model stream with each tool result until
+    the run completes; controllers/assistantController.js:206-233 polls
+    the run to completion).
+
+    Arriving ``tool_call`` chunks are answered IN the sink: the handler
+    derives the deterministic tool result (DataFrame ops only — the
+    reference's tool execution is the external call here) and appends
+    it, plus the next ``tool_call`` while rounds remain, back into the
+    SOURCE directory — the stream consumes its own continuations until
+    every run reaches its depth and the loop drains. Token-bearing
+    chunks land in ``out_dir`` under a batch-id subdirectory (the X8
+    exactly-once append); the feedback append is at-least-once on
+    crash-replay, deduplicable downstream by the (run_id, kind, round)
+    natural key.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        calls = batch_df.filter(F.col("kind") == "tool_call")
+        results = calls.select(
+            "run_id",
+            F.lit("tool_result").alias("kind"),
+            (F.col("round") + 1).alias("round"),
+            "base",
+            F.expr("base div (round + 2)").alias("tokens"),
+            "depth",
+        )
+        next_calls = calls.filter(
+            F.col("round") + 1 < F.col("depth")
+        ).select(
+            "run_id",
+            F.lit("tool_call").alias("kind"),
+            (F.col("round") + 1).alias("round"),
+            "base",
+            F.lit(0).cast("long").alias("tokens"),
+            "depth",
+        )
+        (
+            batch_df.filter(F.col("kind") != "tool_call")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+        feedback = results.unionByName(next_calls)
+        if not feedback.isEmpty():
+            feedback.write.mode("append").parquet(input_dir)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def append_sink_query(
     result_stream: DataFrame, target_dir: str, checkpoint_dir: str
 ):

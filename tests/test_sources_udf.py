@@ -104,6 +104,62 @@ class TestParquetMaintenance:
         assert after.count() == before - 2
         assert after.filter(F.col("vec_id").isin(5, 6)).count() == 0
 
+    def test_merge_on_read_overlay_and_compaction(
+        self, spark, vector_store, tmp_path
+    ):
+        # MOR: mutations append to a side log; reads overlay latest-wins;
+        # compaction folds the log into only the touched partitions.
+        from conversation_with_vector_db_spark.sources.parquet_io import (
+            append_change_log,
+            compact_change_log,
+            read_merge_on_read,
+        )
+
+        log = str(tmp_path / "log")
+        store = spark.read.parquet(vector_store)
+        schema = store.schema
+        k0 = store.filter(F.col("namespace") == 0).first().vec_id
+        k1 = store.filter(F.col("namespace") == 1).first().vec_id
+        before = store.count()
+
+        # seq 1: patch k0 in ns0; seq 2: delete k1 in ns1 + insert new;
+        # seq 3: re-patch k0 (later seq must win).
+        append_change_log(
+            spark.createDataFrame([(k0, 500, 0)], schema=schema), log,
+            "upsert", 1,
+        )
+        append_change_log(
+            spark.createDataFrame([(k1, 0, 1)], schema=schema), log,
+            "delete", 2,
+        )
+        append_change_log(
+            spark.createDataFrame([(777777, 600, 2)], schema=schema), log,
+            "upsert", 2,
+        )
+        append_change_log(
+            spark.createDataFrame([(k0, 501, 0)], schema=schema), log,
+            "upsert", 3,
+        )
+
+        def check(df):
+            assert df.count() == before  # +1 insert, -1 delete
+            assert (
+                df.filter((F.col("vec_id") == k0) & (F.col("namespace") == 0))
+                .first().label == 501
+            )  # latest seq wins
+            assert (
+                df.filter((F.col("vec_id") == k1) & (F.col("namespace") == 1))
+                .count() == 0
+            )
+            assert df.filter(F.col("vec_id") == 777777).count() == 1
+
+        check(read_merge_on_read(spark, vector_store, log, key="vec_id"))
+        compact_change_log(spark, vector_store, log, key="vec_id")
+        # After compaction the base alone holds the merged state and the
+        # log is gone.
+        check(spark.read.parquet(vector_store))
+        check(read_merge_on_read(spark, vector_store, log, key="vec_id"))
+
     def test_drop_partition(self, spark, vector_store):
         drop_partition(spark, vector_store, "namespace", 1)
         after = spark.read.parquet(vector_store)

@@ -205,6 +205,91 @@ def test_append_sink_idempotent(spark, conv_stream_dir, tmp_path):
     assert set(final) == {"c5-0", "c5-1", "c9-2"}
 
 
+def test_continuation_loop_converges_to_batch_fixpoint(
+    spark, sf_dir, tmp_path
+):
+    """X5/X6: a LIVE stream whose sink feeds tool results back into its
+    own source must converge to exactly the x5_stream_continuation
+    batch fixpoint (re-entrant assistant runs,
+    sockets/assistants/assistantHandler.js:89-137)."""
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        CONTINUATION_SCHEMA,
+        continuation_sink,
+    )
+
+    load_tables(spark, sf_dir)
+    fixtures.register_derived_views(spark)
+    runs = (
+        spark.table("prompts")
+        .filter(~F.col("is_deleted") & (F.col("prompt_id") < 1000))
+        .select(
+            F.col("prompt_id").alias("run_id"),
+            F.coalesce("tokenused", F.lit(0)).alias("base"),
+            (F.col("prompt_id") % 3).cast("long").alias("depth"),
+        )
+    )
+    # Seed: the initial token chunk per run, plus the first tool call
+    # for runs that need continuation rounds.
+    text = runs.select(
+        "run_id",
+        F.lit("text").alias("kind"),
+        F.lit(0).cast("long").alias("round"),
+        "base",
+        F.col("base").alias("tokens"),
+        "depth",
+    )
+    first_calls = runs.filter(F.col("depth") > 0).select(
+        "run_id",
+        F.lit("tool_call").alias("kind"),
+        F.lit(0).cast("long").alias("round"),
+        "base",
+        F.lit(0).cast("long").alias("tokens"),
+        "depth",
+    )
+    input_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "runs_out")
+    text.unionByName(first_calls).write.mode("append").parquet(input_dir)
+
+    stream = stream_parquet_dir(
+        spark, input_dir, CONTINUATION_SCHEMA, max_files_per_trigger=8
+    )
+    q = continuation_sink(
+        stream, input_dir, out_dir, str(tmp_path / "ckpt_cont")
+    ).start()
+    # X6 poll-to-completion: the feedback loop adds source files DURING
+    # processing, so poll until the accumulated output stabilizes.
+    prev = -1
+    for _ in range(20):
+        q.processAllAvailable()
+        n = spark.read.option("basePath", out_dir).parquet(
+            out_dir + "/batch_id=*"
+        ).count()
+        if n == prev:
+            break
+        prev = n
+    q.stop()
+
+    streamed = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir + "/batch_id=*")
+        .groupBy("run_id")
+        .agg(
+            F.sum("tokens").alias("total_tokens"),
+            F.max("round").cast("int").alias("n_rounds"),
+        )
+    )
+    got = {
+        r.run_id: (r.n_rounds, r.total_tokens) for r in streamed.collect()
+    }
+    expected = {
+        r.run_id: (r.n_rounds, r.total_tokens)
+        for r in registry.REGISTRY["x5_stream_continuation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+
+
 @pytest.fixture(autouse=True)
 def _stash_sfdir(spark, sf_dir):
     spark.conf.set("spark.cvdb.test.sfdir", sf_dir)
