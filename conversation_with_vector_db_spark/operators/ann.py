@@ -51,17 +51,23 @@ def hyperplane_planes(
     ]
 
 
-def _signature_bits(vec_col, planes: list[list[float]]) -> list:
-    """One 0/1 int column per plane: sign of the projection."""
+def _signature_bits(vec_col: str, planes: list[list[float]]) -> list:
+    """One 0/1 int column per plane: sign of the projection.
+
+    Each projection is ONE server-side-parsed SQL expression: building
+    the plane literals as F.lit() columns costs a py4j round-trip per
+    literal (48 planes x 64 dims ~ 3000 calls ~ 3s of plan-BUILD time,
+    measured); a generated expr string parses in the JVM in one call.
+    ``repr`` round-trips doubles exactly, so the expression — and the
+    oracle parity — is bit-identical to the F.lit form.
+    """
     bits = []
     for plane in planes:
-        plane_lit = F.array(*[F.lit(w) for w in plane])
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col, plane_lit, lambda x, w: x.cast("double") * w
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ",".join(f"{w!r}D" for w in plane)
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, array({arr}),"
+            " (x, y) -> cast(x as double) * y),"
+            " 0D, (acc, x) -> acc + x)"
         )
         bits.append(F.when(proj > 0, 1).otherwise(0))
     return bits
@@ -89,7 +95,7 @@ def with_lsh_bands(
     if dim is None:
         dim = _dim_of(df, vec_col)
     planes = hyperplane_planes(n_bits, dim, seed)
-    bits = _signature_bits(F.col(vec_col), planes)
+    bits = _signature_bits(vec_col, planes)
     sig = F.concat_ws("", *[b.cast("string") for b in bits])
     per_band = n_bits // n_bands
     banded = df.withColumn("_sig", sig).select(
