@@ -105,3 +105,27 @@ class TestSqlClassifierProperties:
             raise AssertionError("should have raised")
         except PermissionError:
             pass
+
+
+class TestRangePushdown:
+    def test_load_table_in_range_equals_post_cast_filter(self, spark, sf_dir):
+        # The raw-nanos pushdown path must return exactly the rows the
+        # post-cast NTZ filter would, for whole-second bounds.
+        from pyspark.sql import functions as F
+
+        from conversation_with_vector_db_spark.session import (
+            load_table,
+            load_table_in_range,
+        )
+
+        lo, hi = "2024-01-10", "2024-01-20 00:00:30"
+        pushed = load_table_in_range(spark, sf_dir, "events", "ts", lo, hi)
+        plain = load_table(spark, sf_dir, "events").filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+        )
+        assert pushed.count() == plain.count()
+        assert pushed.exceptAll(plain).isEmpty()
+        assert plain.exceptAll(pushed).isEmpty()
+        # And the range really is in the scan's pushed data filters.
+        plan = pushed._jdf.queryExecution().executedPlan().toString()
+        assert "1704844800000000000" in plan  # 2024-01-10 as epoch nanos
