@@ -93,3 +93,107 @@ def ann_brp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ann import brp_recall_report
 
     return brp_recall_report(spark)
+
+
+@query(
+    "scale_deterministic_split",
+    driver=False,
+    doc="""Train/val/test splitting for a training corpus: assignment is
+    a pure function of the document id (md5 bucket mod 100 -> 80/10/10),
+    so the split is reproducible on any engine, any cluster size, any
+    run — no RNG state to ship, rows never shuffle to be assigned, and
+    adding documents never reassigns existing ones. The standard
+    hash-split idiom for 100 TB datasets.""",
+    oracle="""
+WITH assigned AS (
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))
+                AS BIGINT) % 100 AS bucket
+    FROM documents
+),
+labeled AS (
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars, doc_id
+    FROM assigned
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM labeled GROUP BY split ORDER BY split
+""",
+)
+def scale_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        spark.table("documents")
+        .select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "scale_stratified_sample",
+    driver=False,
+    doc="""Stratified deterministic sampling: keep ~20% of each label
+    stratum by hashing the row id (seeded by the stratum, so strata
+    sample independently). Unlike rand()-based TABLESAMPLE the result
+    is stable across engines/runs — required when a sample must be
+    reproducible for eval or debugging at 100 TB.""",
+    oracle="""
+WITH sampled AS (
+    SELECT label, vec_id
+    FROM embeddings
+    WHERE CAST(('0x' || substr(md5(CAST(label AS STRING) || ':'
+               || CAST(vec_id AS STRING)), 1, 8)) AS BIGINT) % 100 < 20
+)
+SELECT label, count(*) AS n_sampled,
+       CAST(sum(vec_id) AS BIGINT) AS id_checksum
+FROM sampled GROUP BY label ORDER BY label
+""",
+)
+def scale_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("label").cast("string"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 20
+    )
+    return (
+        spark.table("embeddings")
+        .filter(keep)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("label")
+    )
