@@ -339,10 +339,6 @@ def minhash_lsh_candidates(
 SIMHASH_BITS = 60  # 15 md5 hex digits -> fits a signed 64-bit int
 
 
-def _token_hash60(token: Column) -> Column:
-    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
-
-
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -362,7 +358,7 @@ def simhash(
     hashed = (
         toks.groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", _token_hash60(F.col("token")))
+        .withColumn("h", hash60(F.col("token")))
     )
     votes = hashed.select(
         id_col,
