@@ -308,7 +308,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b"), "band", "band_key"
     )
     cands = (
-        x.join(y, ["band", "band_key"])
+        x.join(y.hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -440,7 +440,7 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
     common = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
