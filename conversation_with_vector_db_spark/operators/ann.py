@@ -73,6 +73,40 @@ def _signature_bits(vec_col: str, planes: list[list[float]]) -> list:
     return bits
 
 
+def _signature_udf(planes: list[list[float]]):
+    """Arrow-batched signature: all n_bits projections of a vector batch
+    in one vectorized pass, returning the concatenated bit string.
+
+    Dense matrix x matrix is where interpreted per-row expressions lose
+    by orders of magnitude (the HOF-fold form above costs ~0.5 ms/row
+    for 48x64 — untenable at corpus scale); numpy over Arrow batches is
+    the idiomatic Spark answer. Summation accumulates DIMENSION BY
+    DIMENSION (64 vectorized adds), which is exactly the left-fold
+    order of the SQL ``aggregate`` form — bit-identical doubles, so the
+    sign bits and the oracle parity are unchanged, not merely close.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # planes as a dim x n_bits weight matrix; row d = every plane's
+    # weight for vector dimension d.
+    wt = np.array(planes, dtype=np.float64).T.copy()
+
+    # no parameter annotations: PEP 563 (future annotations) stringifies
+    # them, which pandas_udf's signature inference rejects.
+    @pandas_udf("string")
+    def sig(vecs):
+        mat = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros((mat.shape[0], wt.shape[1]), dtype=np.float64)
+        for d in range(wt.shape[0]):
+            acc += mat[:, d : d + 1] * wt[d]
+        bits = np.where(acc > 0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    return sig
+
+
 def with_lsh_bands(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -95,8 +129,7 @@ def with_lsh_bands(
     if dim is None:
         dim = _dim_of(df, vec_col)
     planes = hyperplane_planes(n_bits, dim, seed)
-    bits = _signature_bits(vec_col, planes)
-    sig = F.concat_ws("", *[b.cast("string") for b in bits])
+    sig = _signature_udf(planes)(F.col(vec_col))
     per_band = n_bits // n_bands
     banded = df.withColumn("_sig", sig).select(
         "*",

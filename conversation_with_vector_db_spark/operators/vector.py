@@ -1,10 +1,13 @@
 """Vector similarity operators (SURVEY §2.3; reference read path
 controllers/conversationController.js:32-45, Pinecone cosine ANN).
 
-All expressions stay JVM-side (``zip_with`` + ``aggregate`` higher-order
-functions — no Python UDF in the hot path), so whole-stage codegen
-applies. Elements are cast to double before multiply-accumulate to keep
-float32 rounding out of the similarity ordering.
+Scalar/occasional dot products use JVM-side ``zip_with`` + ``aggregate``
+higher-order functions; BULK pair scoring uses the Arrow-batched
+:func:`dot_batched` (vectorized numpy over whole batches, bit-identical
+fold order — HOF lambdas are interpreted per element and lose by ~100x
+on tens of thousands of pairs). Elements are cast to double before
+multiply-accumulate to keep float32 rounding out of the similarity
+ordering.
 
 Scale design (100 TB corpus):
 * The query side is tiny (one or a few vectors) -> ``broadcast``; the
@@ -32,6 +35,36 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_batched() -> "object":
+    """Arrow-batched dot product UDF — the bulk-pair form of :func:`dot`.
+
+    The HOF fold above is interpreted per element (~0.01 ms/pair at
+    dim 64); when one plan rescores tens of thousands of candidate
+    pairs that interpretation dominates the stage. This pandas UDF does
+    the same multiply-accumulate over a whole Arrow batch, accumulating
+    DIMENSION BY DIMENSION in float64 — the exact left-fold order (and
+    the exact per-element double casts) of the SQL ``aggregate`` form,
+    so the result is bit-identical to :func:`dot`, not merely close:
+    oracle hash-parity is preserved through round().
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no parameter annotations: PEP 563 stringifies them, which
+    # pandas_udf's signature inference rejects.
+    @pandas_udf("double")
+    def _dot(a, b):
+        va = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        vb = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(va.shape[0], dtype=np.float64)
+        for d in range(va.shape[1]):
+            acc += va[:, d] * vb[:, d]
+        return pd.Series(acc)
+
+    return _dot
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -54,6 +87,17 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     computed once per VECTOR, not once per PAIR."""
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
         dot(a, b) / (na * nb)
+    )
+
+
+def cosine_with_norms_batched(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """:func:`cosine_with_norms` with the dot product Arrow-batched —
+    bit-identical values (see :func:`dot_batched`); use in plans that
+    score many pairs per stage."""
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot_batched()(a, b) / (na * nb)
     )
 
 
@@ -112,6 +156,9 @@ def brute_force_topk(
         F.col(vec_col).alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
+    # JVM fold, not dot_batched(): with a handful of broadcast query
+    # vectors the Arrow transfer (query vector repeated per corpus row)
+    # costs more than the interpreted fold saves — measured at sf0.1.
     c = corpus.withColumn("_cn", l2_norm(F.col(vec_col)))
     sim = cosine_with_norms(
         F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")

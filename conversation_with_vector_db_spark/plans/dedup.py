@@ -316,7 +316,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The vector table is small relative to the candidate-pair fan-out:
     # broadcast BOTH sides (pairs never shuffle) and precompute each
     # vector's norm once so the per-pair work is a single dot fold.
-    from ..operators.vector import cosine_with_norms, l2_norm
+    from ..operators.vector import cosine_with_norms_batched, l2_norm
 
     ea = emb.select(
         F.col("vec_id").alias("a"),
@@ -335,7 +335,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             F.round(
-                cosine_with_norms(
+                cosine_with_norms_batched(
                     F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
                 ),
                 4,
