@@ -25,8 +25,25 @@ _GEN = 0
 
 
 def scoped_cache(df: DataFrame) -> DataFrame:
-    """``df.cache()`` registered for generational release."""
+    """``df.cache()`` registered for generational release.
+
+    Registration dedupes by CANONICAL PLAN (``sameResult``): Spark's
+    cache manager shares one InMemoryRelation between equivalent plans,
+    so two generation entries for the same plan would be one underlying
+    cache — and the older entry's delayed unpersist would silently kill
+    the data the newer entry still relies on (observed: every bench
+    run rebuilt the shingle index its predecessor had just cached).
+    An equivalent live plan just has its generation refreshed.
+    """
     cached = df.cache()
+    try:
+        target = cached._jdf.queryExecution().analyzed()
+        for i, (gen, old) in enumerate(_LIVE):
+            if old._jdf.queryExecution().analyzed().sameResult(target):
+                _LIVE[i] = (_GEN, old)
+                return cached
+    except Exception:
+        pass  # canonical comparison unavailable — fall back to append
     _LIVE.append((_GEN, cached))
     return cached
 
