@@ -444,7 +444,11 @@ def simhash_near_pairs(
     hamming 3 must agree exactly on >=1 band (pigeonhole), so the join
     is an equality join on (band, band_bits) — never all-pairs.
     """
-    sh = simhash(df, text_col, id_col)
+    # The signature table is a per-corpus index (one 8-byte hash per
+    # doc) reused by every near-dup probe over the same corpus — cache
+    # it like the shingle index (at cluster scale: a persisted
+    # signature table next to the corpus).
+    sh = scoped_cache(simhash(df, text_col, id_col))
     bands = sh.select(
         id_col,
         "simhash",

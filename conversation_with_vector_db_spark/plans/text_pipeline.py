@@ -191,8 +191,13 @@ def t5_rag_query_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         qw_expr = F.when(F.col("idx") == idx, F.lit(tf / qnorm)).otherwise(
             qw_expr
         )
+    from ..operators.cache import scoped_cache
+
     docs = spark.table("documents")
-    dcounts = (
+    # The (doc, bucket, tf) table is the corpus's feature index —
+    # shared by every RAG query against the same corpus, so cache it
+    # generationally like the dedup shingle index.
+    dcounts = scoped_cache(
         docs.select(
             "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
         )
