@@ -248,6 +248,24 @@ def jaccard_verify(
 # --------------------------------------------------------------------------
 
 
+MINHASH_P = 2147483647  # 2^31 - 1, prime
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation for the universal hash
+    family h_i(s) = (a_i * (s mod P) + b_i) mod P — md5-seeded at PLAN
+    time (pure Python), so the runtime does integer arithmetic only and
+    the oracle embeds the same literals."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16)
+        out.append((a % MINHASH_P or 1, b % MINHASH_P))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -257,27 +275,29 @@ def minhash_signatures(
     max_df: int | None = None,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Wide signature table (id, mh0..mh{num_perm-1}).
+    """Wide signature table (id, mh0..mh{num_perm-1}), mh columns BIGINT.
 
-    The permutations are salted-md5 mins computed as num_perm aggregate
-    columns in ONE groupBy over the shingle table — no num_perm-times
-    row explosion, one shuffle keyed by id. (An earlier tall
-    explode-per-perm layout moved 12x the shingle rows through the
-    shuffle for identical results.)"""
+    The permutations are the textbook universal-hash family
+    ``(a_i * s + b_i) mod P`` over the 60-bit shingle hashes (s reduced
+    mod P first so every product stays under 2^62 — no overflow in
+    either engine), computed as num_perm aggregate columns in ONE
+    groupBy over the shingle table: no num_perm-times row explosion,
+    one shuffle keyed by id, and — unlike a salted-md5 family — zero
+    string hashing in the per-shingle hot loop (12 integer mults
+    replace 12 md5 calls; at corpus scale the signature stage is pure
+    integer SIMD work)."""
     sh = (
         shingles
         if shingles is not None
         else df_capped_shingles(df, text_col, id_col, n, max_df)
     )
+    s_mod = (F.col("shingle") % MINHASH_P).alias("_s")
+    projected = sh.select(id_col, s_mod)
     aggs = [
-        F.min(
-            F.md5(
-                F.concat(F.lit(f"{i}:"), F.col("shingle").cast("string"))
-            )
-        ).alias(f"mh{i}")
-        for i in range(num_perm)
+        F.min((F.col("_s") * a + b) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return projected.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(
@@ -287,7 +307,9 @@ def lsh_band_keys(
     rows_per_band: int = 3,
 ) -> DataFrame:
     """(id, band, band_key): md5 over the band's value-sorted minhashes
-    (sorted so the key is order-independent, matching the oracle)."""
+    (sorted so the key is order-independent, matching the oracle).
+    Runs over the doc-count-sized signature table, so the md5 here is
+    negligible — the per-shingle hot loop stays md5-free."""
     band_structs = []
     for b in range(bands):
         arr = F.array_sort(
@@ -298,10 +320,11 @@ def lsh_band_keys(
                 ]
             )
         )
+        arr_str = F.transform(arr, lambda x: x.cast("string"))
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", arr)).alias("band_key"),
+                F.md5(F.concat_ws(",", arr_str)).alias("band_key"),
             )
         )
     return signatures.select(

@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    MINHASH_P,
     exact_duplicate_groups,
     jaccard_pairs,
     jaccard_verify,
     minhash_lsh_candidates,
+    minhash_perm_constants,
     simhash_near_pairs,
 )
 from ..operators.cache import scoped_cache
@@ -120,22 +122,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    doc="""MinHash+LSH near-dup: 12 salted-md5 permutations -> min per
+    doc="""MinHash+LSH near-dup: 12 universal-hash permutations
+    ((a*s+b) mod P over the 60-bit shingle hashes) -> min per
     doc (one explode+groupBy pass), 4 bands x 3 rows, candidates share
     a band key, then exact-Jaccard verification at 0.5 — candidate
     count scales with collisions, not pairs.""",
     fixtures_used=("corpus",),
     oracle="WITH "
     + _SHINGLES_CTE
-    + """,
+    + f""",
 perms AS (
-    SELECT doc_id, p.i AS perm, shingle
-    FROM sh, unnest(generate_series(0, 11)) AS p(i)
+    SELECT doc_id, p.i AS perm,
+           (p.a * (shingle % {MINHASH_P}) + p.b) % {MINHASH_P} AS h
+    FROM sh, (VALUES {", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_perm_constants(12))
+    )}) AS p(i, a, b)
 ),
 sig AS (
-    SELECT doc_id, perm,
-           min(md5(CAST(perm AS STRING) || ':'
-                   || CAST(shingle AS STRING))) AS minhash
+    SELECT doc_id, perm, min(h) AS minhash
     FROM perms GROUP BY doc_id, perm
 ),
 bandkeys AS (
