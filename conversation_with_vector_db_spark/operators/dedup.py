@@ -516,3 +516,70 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clustering
+# --------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
+    """(id, lbl): connected components over an undirected pair graph —
+    ``lbl`` converges to the component's min id (the canonical copy a
+    dedup pipeline keeps).
+
+    Iterative min-label propagation: each round is one distributed
+    join + groupBy; the driver loop only inspects a per-round changed
+    count (Pregel-lite — the standard shape for iterative algorithms on
+    DataFrames; GraphX/GraphFrames run the same rounds under the hood).
+    Near-dup graphs are unions of small dense clusters, so convergence
+    is a handful of rounds regardless of corpus size; each round's
+    shuffle carries one (id, lbl) row per clustered doc, never the
+    corpus.
+
+    ``pairs`` must have columns (a, b); ``max_iters`` bounds pathological
+    chains (a 2^32-doc path graph is not a dedup workload).
+    """
+    und = scoped_cache(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    lbl = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+    for _ in range(max_iters):
+        nb = (
+            und.join(lbl, und["dst"] == lbl["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            lbl.alias("l")
+            .join(nb.alias("n"), F.col("l.id") == F.col("n.src"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.lbl"),
+                    F.coalesce(F.col("n.nlbl"), F.col("l.lbl")),
+                ).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new.alias("n2")
+            .join(lbl.alias("o"), F.col("n2.id") == F.col("o.id"))
+            .filter(F.col("n2.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        prev, lbl = lbl, new
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+        if changed == 0:
+            break
+    return lbl

@@ -23,6 +23,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.cache import scoped_cache
+from .. import fixtures
 from .registry import query
 
 # Shared DuckDB CTE: distinct word-3-gram shingle hashes per corpus doc
@@ -475,4 +476,150 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.6)
         .orderBy("a", "b")
+    )
+
+
+@query(
+    "dedup_decontaminate",
+    driver=False,
+    doc="""Benchmark decontamination — the GPT-3/Pile-style n-gram
+    overlap sweep a training pipeline runs before every release: flag
+    training documents sharing >= 5 word-3-gram shingles with any doc
+    of a held-out eval set (here the deterministic ~2% slice
+    doc_id % 53 = 0 of `documents`; planted near-copies in `corpus`
+    are the known contaminations). The eval side is tiny by nature
+    (benchmarks are MBs against a 100 TB corpus), so its shingle set
+    BROADCASTS and contamination detection is one map-side join over
+    the training shingle index — the corpus is scanned once and never
+    shuffled.""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH btok AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS toks
+    FROM documents WHERE doc_id % 53 = 0
+),
+bsh AS (
+    SELECT DISTINCT doc_id AS bench_id,
+           CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                 1, 15)) AS BIGINT) AS shingle
+    FROM btok,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+),
+ttok AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS toks
+    FROM corpus WHERE doc_id % 53 <> 0
+),
+tsh AS (
+    SELECT DISTINCT doc_id AS train_id,
+           CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                 1, 15)) AS BIGINT) AS shingle
+    FROM ttok,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+)
+SELECT t.train_id AS train_id, b.bench_id AS bench_id,
+       count(*) AS n_shared
+FROM tsh t JOIN bsh b USING (shingle)
+GROUP BY 1, 2
+HAVING count(*) >= 5
+ORDER BY train_id, bench_id
+""",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exploded_shingles
+
+    bench = spark.table("documents").filter(F.col("doc_id") % 53 == 0)
+    train = spark.table("corpus").filter(F.col("doc_id") % 53 != 0)
+    bsh = exploded_shingles(bench).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    tsh = exploded_shingles(train).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    return (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy("train_id", "bench_id")
+    )
+
+
+@query(
+    "dedup_clusters",
+    driver=False,
+    doc="""Duplicate clustering: connected components over the near-dup
+    pair graph (word-3-gram Jaccard >= 0.5), assigning every clustered
+    doc its component's min doc_id as the canonical copy to keep — the
+    final 'drop all but one' step of a dedup pipeline. Spark side runs
+    iterative min-label propagation (each round one join + groupBy,
+    driver-coordinated loop, converges in graph-diameter rounds — the
+    Pregel-lite idiom for iterative algorithms on DataFrames); the
+    oracle computes the same components with a genuine WITH RECURSIVE
+    transitive closure. Fixture CTEs are inlined because RECURSIVE
+    cannot pass through the fixture CTE merge.""",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({{corpus_sql}}),
+{_SHINGLES_CTE.lstrip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+    FROM sh x JOIN sh y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT c.a AS a, c.b AS b
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a
+    JOIN sizes sb ON sb.doc_id = c.b
+    WHERE round(CAST(c.common AS DOUBLE)
+                / (sa.sz + sb.sz - c.common), 4) >= 0.5
+),
+und AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+),
+reach AS (
+    SELECT src, dst FROM und
+    UNION
+    SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+),
+canon AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+    FROM reach GROUP BY src
+)
+SELECT c.doc_id AS doc_id, c.canonical_id AS canonical_id,
+       CAST(s.n AS BIGINT) AS cluster_size
+FROM canon c
+JOIN (SELECT canonical_id, count(*) AS n
+      FROM canon GROUP BY canonical_id) s USING (canonical_id)
+ORDER BY doc_id
+""".replace("{corpus_sql}", fixtures.CORPUS_SQL),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    # Registered here, not via fixtures_used: the oracle inlines the
+    # corpus CTE itself (WITH RECURSIVE cannot pass the CTE merge).
+    fixtures.register_derived_views(spark)
+    pairs = jaccard_pairs(
+        spark.table("corpus"), threshold=0.5, max_df=MAX_DF
+    ).select("a", "b")
+    lbl = connected_components(pairs)
+    sizes = lbl.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        lbl.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("canonical_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
     )
