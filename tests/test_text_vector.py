@@ -173,3 +173,59 @@ class TestChunkPlans:
             by_doc.setdefault(r.doc_id, []).append(r.chunk_id)
         for ids in by_doc.values():
             assert sorted(ids) == list(range(min(ids), max(ids) + 1))
+
+
+def test_lsh_recall_and_pruning_on_clustered_vectors(spark):
+    # PLANS.md claims the uniform fixture is the WORST case for cosine
+    # LSH (sims concentrate at 0 +- 1/sqrt(dim)) and that on clustered
+    # embeddings LSH prunes far better. Pin that claim with a config
+    # sized for pruning: 8-bit band keys (48 bits / 6 bands) + 1-bit
+    # multi-probe. (The 4-bit-band multi-probe config of the uniform
+    # suite trades ALL pruning for recall by construction: 30 probe
+    # keys over 16-bucket bands collide with ~90% of any corpus.)
+    import numpy as np
+
+    from conversation_with_vector_db_spark.operators.ann import (
+        exact_baseline,
+        hyperplane_lsh_topk,
+        recall_at_k,
+        with_lsh_bands,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per_cluster = 64, 20, 50
+    centroids = rng.normal(size=(n_clusters, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centroids[c] + 0.08 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") % 97 == 0)
+
+    approx = hyperplane_lsh_topk(
+        corpus, queries, k=10, n_bits=48, n_bands=6, dim=dim,
+        probe_bits=1,
+    )
+    exact = exact_baseline(corpus, queries, k=10)
+    rep = recall_at_k(approx, exact, k=10).first()
+    assert rep.recall >= 0.9, rep
+
+    # Candidate scan fraction: distinct (qid, vec_id) band matches over
+    # queries x corpus — must be a real pruning ratio here, unlike the
+    # uniform fixture's 0.88.
+    c = with_lsh_bands(corpus, n_bits=48, n_bands=6, dim=dim)
+    q = with_lsh_bands(
+        queries, n_bits=48, n_bands=6, dim=dim, probe_bits=1
+    ).select(F.col("vec_id").alias("qid"), "band", "band_key")
+    n_cand = (
+        c.join(q, ["band", "band_key"])
+        .select("qid", "vec_id")
+        .distinct()
+        .count()
+    )
+    frac = n_cand / (queries.count() * corpus.count())
+    assert frac < 0.35, frac
