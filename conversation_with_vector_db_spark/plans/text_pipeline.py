@@ -569,3 +569,153 @@ def t8_vector_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "text_curation_verdict",
+    driver=False,
+    doc="""End-to-end curation decision — the materialization a
+    training-data pipeline actually ships: one row per corpus doc with
+    every filter signal (exact-dup canonicality, language id, length,
+    stopword/symbol quality ratios) and the final keep/drop verdict
+    with the first failing rule as the drop reason. One corpus scan +
+    one content-hash window; every signal is a JVM-side expression, so
+    the whole verdict is a single codegen'd pass at any scale.""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH sig AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS chash,
+           CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS BIGINT) AS n_words,
+           CAST(length(regexp_extract_all(lower(text),
+                '\\b(the|a|of|and|to|in|is|for)\\b')) AS BIGINT)
+               AS n_stop,
+           CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_sym,
+           CAST(length(regexp_extract_all(lower(text),
+               '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS en_score,
+           CAST(length(regexp_extract_all(lower(text),
+               '\\b(el|la|de|que|los)\\b')) AS BIGINT) AS es_score,
+           CAST(length(regexp_extract_all(lower(text),
+               '\\b(der|die|und|das|ist)\\b')) AS BIGINT) AS de_score
+    FROM corpus
+),
+canon AS (
+    SELECT s.*,
+           min(doc_id) OVER (PARTITION BY chash) AS canonical_id
+    FROM sig s
+),
+verdict AS (
+    SELECT doc_id,
+           n_words,
+           round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4)
+               AS stopword_ratio,
+           round(CAST(n_sym AS DOUBLE) / greatest(n_chars, 1), 4)
+               AS symbol_ratio,
+           CASE
+               WHEN en_score = 0 AND es_score = 0 AND de_score = 0
+                   THEN 'und'
+               WHEN en_score >= es_score AND en_score >= de_score
+                   THEN 'en'
+               WHEN es_score >= de_score THEN 'es'
+               ELSE 'de'
+           END AS predicted_lang,
+           doc_id <> canonical_id AS is_dup_copy
+    FROM canon
+)
+SELECT doc_id, n_words, stopword_ratio, symbol_ratio, predicted_lang,
+       is_dup_copy,
+       CASE
+           WHEN is_dup_copy THEN 'exact_dup'
+           WHEN n_words < 10 THEN 'too_short'
+           WHEN predicted_lang = 'und' THEN 'unknown_lang'
+           WHEN stopword_ratio < 0.05 THEN 'low_stopword'
+           WHEN symbol_ratio >= 0.1 THEN 'high_symbol'
+       END AS drop_reason,
+       (NOT is_dup_copy AND n_words >= 10
+        AND predicted_lang <> 'und'
+        AND stopword_ratio >= 0.05 AND symbol_ratio < 0.1) AS keep
+FROM verdict
+ORDER BY doc_id
+""",
+)
+def text_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import content_hash
+
+    def nmatches(pattern: str, col=None):
+        src = F.lower("text") if col is None else col
+        return F.size(
+            F.regexp_extract_all(src, F.lit(pattern), 0)
+        ).cast("long")
+
+    sig = spark.table("corpus").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        content_hash(F.col("text")).alias("chash"),
+        nmatches("[a-z0-9]+").alias("n_words"),
+        nmatches(r"\b(the|a|of|and|to|in|is|for)\b").alias("n_stop"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0
+            )
+        ).cast("long").alias("n_sym"),
+        nmatches(r"\b(the|and|of|to|is)\b").alias("en_score"),
+        nmatches(r"\b(el|la|de|que|los)\b").alias("es_score"),
+        nmatches(r"\b(der|die|und|das|ist)\b").alias("de_score"),
+    )
+    canon = sig.withColumn(
+        "canonical_id", F.min("doc_id").over(W.partitionBy("chash"))
+    )
+    stopword_ratio = F.round(
+        F.col("n_stop").cast("double") / F.greatest(F.col("n_words"), F.lit(1)),
+        4,
+    )
+    symbol_ratio = F.round(
+        F.col("n_sym").cast("double") / F.greatest(F.col("n_chars"), F.lit(1)),
+        4,
+    )
+    predicted_lang = (
+        F.when(
+            (F.col("en_score") == 0)
+            & (F.col("es_score") == 0)
+            & (F.col("de_score") == 0),
+            "und",
+        )
+        .when(
+            (F.col("en_score") >= F.col("es_score"))
+            & (F.col("en_score") >= F.col("de_score")),
+            "en",
+        )
+        .when(F.col("es_score") >= F.col("de_score"), "es")
+        .otherwise("de")
+    )
+    verdict = canon.select(
+        "doc_id",
+        "n_words",
+        stopword_ratio.alias("stopword_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        predicted_lang.alias("predicted_lang"),
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup_copy"),
+    )
+    drop_reason = (
+        F.when(F.col("is_dup_copy"), "exact_dup")
+        .when(F.col("n_words") < 10, "too_short")
+        .when(F.col("predicted_lang") == "und", "unknown_lang")
+        .when(F.col("stopword_ratio") < 0.05, "low_stopword")
+        .when(F.col("symbol_ratio") >= 0.1, "high_symbol")
+    )
+    keep = (
+        ~F.col("is_dup_copy")
+        & (F.col("n_words") >= 10)
+        & (F.col("predicted_lang") != "und")
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("symbol_ratio") < 0.1)
+    )
+    return verdict.select(
+        "*", drop_reason.alias("drop_reason"), keep.alias("keep")
+    ).orderBy("doc_id")
