@@ -97,6 +97,8 @@ def _signature_udf(planes: list[list[float]]):
     # them, which pandas_udf's signature inference rejects.
     @pandas_udf("string")
     def sig(vecs):
+        if len(vecs) == 0:  # empty Arrow batch (empty partition)
+            return pd.Series([], dtype="object")
         mat = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
         acc = np.zeros((mat.shape[0], wt.shape[1]), dtype=np.float64)
         for d in range(wt.shape[0]):

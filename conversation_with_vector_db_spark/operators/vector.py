@@ -55,6 +55,8 @@ def dot_batched() -> "object":
     # pandas_udf's signature inference rejects.
     @pandas_udf("double")
     def _dot(a, b):
+        if len(a) == 0:  # empty Arrow batch (empty partition)
+            return pd.Series([], dtype="float64")
         va = np.stack(a.to_numpy()).astype(np.float64, copy=False)
         vb = np.stack(b.to_numpy()).astype(np.float64, copy=False)
         acc = np.zeros(va.shape[0], dtype=np.float64)

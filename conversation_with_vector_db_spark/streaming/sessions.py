@@ -81,6 +81,32 @@ def stream_parquet_dir(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "message",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first arrival of each
+    normalized content hash — the ingest-time dedup gate of a
+    training-data pipeline (drop exact re-crawls as they arrive rather
+    than paying a batch dedup later).
+
+    ``dropDuplicatesWithinWatermark`` keys state by the content hash
+    and expires entries once the watermark passes, so state is bounded
+    by the dedup horizon, not the stream's lifetime — the only sound
+    shape for an unbounded feed (an unwatermarked dropDuplicates grows
+    state forever).
+    """
+    from ..operators.dedup import content_hash
+
+    return (
+        stream.withColumn("chash", content_hash(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["chash"])
+    )
+
+
 def running_counts(
     stream: DataFrame, key: str = "user_id", watermark: str = "30 minutes"
 ) -> DataFrame:

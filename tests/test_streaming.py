@@ -293,3 +293,45 @@ def test_continuation_loop_converges_to_batch_fixpoint(
 @pytest.fixture(autouse=True)
 def _stash_sfdir(spark, sf_dir):
     spark.conf.set("spark.cvdb.test.sfdir", sf_dir)
+
+
+def test_streaming_exact_dedup_converges(spark, conv_stream_dir, tmp_path):
+    """Ingest-time exact dedup: the multi-batch stream emits exactly one
+    row per distinct normalized message content, matching the batch
+    distinct; state is watermark-bounded."""
+    from conversation_with_vector_db_spark.operators.dedup import (
+        content_hash,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    stream = stream_parquet_dir(
+        spark, conv_stream_dir, CONVERSATION_SCHEMA
+    )
+    q = (
+        streaming_exact_dedup(stream, text_col="message", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dedup_stream")
+    batch = (
+        spark.read.parquet(conv_stream_dir)
+        .withColumn("chash", content_hash(F.col("message")))
+    )
+    n_distinct = batch.select("chash").distinct().count()
+    # One emit per distinct content, and it IS a subset of the input.
+    assert got.count() == n_distinct
+    assert got.select("chash").distinct().count() == n_distinct
+    assert (
+        got.join(batch, ["conversation_id", "ts", "sender", "chash"])
+        .count()
+        == n_distinct
+    )

@@ -229,3 +229,22 @@ def test_lsh_recall_and_pruning_on_clustered_vectors(spark):
     )
     frac = n_cand / (queries.count() * corpus.count())
     assert frac < 0.35, frac
+
+
+def test_batched_udfs_handle_empty_partitions(spark):
+    from conversation_with_vector_db_spark.operators.ann import (
+        with_lsh_bands,
+    )
+    from conversation_with_vector_db_spark.operators.vector import (
+        dot_batched,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    ).repartition(8)  # most partitions empty
+    banded = with_lsh_bands(emb, n_bits=8, n_bands=2, dim=2)
+    assert banded.count() == 4
+    d = emb.select(
+        dot_batched()(F.col("embedding"), F.col("embedding")).alias("d")
+    )
+    assert sorted(r.d for r in d.collect()) == [1.0, 1.0]
