@@ -719,3 +719,127 @@ def text_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdict.select(
         "*", drop_reason.alias("drop_reason"), keep.alias("keep")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_ratio",
+    driver=False,
+    doc="""Within-document repetition (Gopher/RefinedWeb-style quality
+    rule): fraction of word-3-gram occurrences that are repeats of an
+    earlier occurrence in the SAME doc — boilerplate and degenerate
+    generations score high. Pure per-doc expression work (tokenize,
+    hash, count vs distinct-count) — no joins, no shuffle beyond the
+    final groupBy; flags docs over the 0.2 threshold.""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS toks
+    FROM corpus
+),
+grams AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                 1, 15)) AS BIGINT) AS shingle
+    FROM tok,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+),
+stats AS (
+    SELECT doc_id,
+           count(*) AS n_grams,
+           count(DISTINCT shingle) AS n_distinct
+    FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4)
+           AS repetition_ratio,
+       (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) >= 0.2 AS flagged
+FROM stats
+ORDER BY doc_id
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hash60, normalized_text
+
+    toks = spark.table("corpus").select(
+        "doc_id",
+        F.regexp_extract_all(
+            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("_toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_toks") - 2, F.lit(1))
+                ),
+                lambda i: hash60(F.concat_ws(" ", F.slice("_toks", i, 3))),
+            )
+        ).alias("shingle"),
+    )
+    stats = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_distinct("shingle").alias("n_distinct"),
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
+        "n_grams"
+    )
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        F.round(ratio, 4).alias("repetition_ratio"),
+        (ratio >= 0.2).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_pii_scrub",
+    driver=False,
+    doc="""PII scrubbing: redact email addresses and US-style phone
+    numbers with typed placeholders and count the redactions — the
+    map-side-only compliance pass every released corpus needs. Pure
+    regexp_replace/regexp_extract_all expressions, zero shuffle except
+    the final sort; rows with no PII pass through byte-identical.""",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+               '<EMAIL>', 'g'),
+           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')
+           AS scrubbed,
+       CAST(length(regexp_extract_all(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+           AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(text,
+           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones
+FROM documents
+WHERE doc_id < 500
+ORDER BY doc_id
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+                phone,
+                "<PHONE>",
+            ).alias("scrubbed"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(email), 0)
+            ).cast("long").alias("n_emails"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(phone), 0)
+            ).cast("long").alias("n_phones"),
+        )
+        .orderBy("doc_id")
+    )
