@@ -481,7 +481,6 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_decontaminate",
-    driver=False,
     doc="""Benchmark decontamination — the GPT-3/Pile-style n-gram
     overlap sweep a training pipeline runs before every release: flag
     training documents sharing >= 5 word-3-gram shingles with any doc
@@ -552,7 +551,6 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    driver=False,
     doc="""Duplicate clustering: connected components over the near-dup
     pair graph (word-3-gram Jaccard >= 0.5), assigning every clustered
     doc its component's min doc_id as the canonical copy to keep — the

@@ -84,6 +84,7 @@ def m8_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m1_soft_delete",
+    driver=False,
     doc="""M1: updateMany({userid, isDeleted:false}, {$set:
     {isDeleted:true}}) (controllers/promptController.js:314-349) as a
     conditional column rewrite; returns the affected-count summary the

@@ -52,6 +52,7 @@ def scale_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scale_salted_join",
+    driver=False,
     doc="""Skew-safe equi-join (small side replicated x16, big side
     salted per row); oracle is the plain join — identical results,
     different physical placement.""",

@@ -573,7 +573,6 @@ def t8_vector_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_curation_verdict",
-    driver=False,
     doc="""End-to-end curation decision — the materialization a
     training-data pipeline actually ships: one row per corpus doc with
     every filter signal (exact-dup canonicality, language id, length,

@@ -300,6 +300,7 @@ def s6_delete_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s7_drop_namespace",
+    driver=False,
     doc="""S7: Pinecone deleteAll() on a namespace
     (models/embeddingmodel.js:26-35) = dropping the namespace
     partition; on parquet this is partition pruning, not a row scan.""",
