@@ -388,17 +388,22 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 
 
-def simhash_band_bits(
+def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, band, band_bits): per-band simhash fragments.
+    """(id, simhash): weighted-majority bit vote over token hashes.
 
-    The bit votes are aggregated BAND-WISE: each (id, token-hash, tf)
-    row explodes 4 band rows (not 60 bit rows), and each band's 15
-    votes are 15 conditional-sum aggregate columns in one groupBy —
-    15x fewer exploded rows through the shuffle than a per-bit layout
-    for identical sums. The full 60-bit simhash is reassembled from
-    the 4 fragments by a doc-count-sized groupBy.
+    Votes are summed per token OCCURRENCE (+-1) straight off the
+    hashed token stream — identical to the textbook
+    per-distinct-token +-tf formulation, since a tf pre-group would
+    only pre-combine what the vote sum combines anyway; skipping it
+    removes a full (id, token)-keyed STRING shuffle (md5 runs before
+    the shuffle, so only 8-byte hashes leave the scan stage). The
+    votes are aggregated BAND-WISE (each occurrence explodes 4 band
+    rows; each band's 15 votes are 15 conditional-sum columns of one
+    groupBy) — measured faster than one 60-agg groupBy, whose
+    generated update loop is too wide for the fast hash-map path. The
+    full 60-bit signature is reassembled by a doc-count-sized groupBy.
     """
     toks = df.select(
         id_col,
@@ -407,20 +412,9 @@ def simhash_band_bits(
                 normalized_text(F.col(text_col)), F.lit("[a-z0-9]+"), 0
             )
         ).alias("token"),
-    )
-    # Group by the token STRING, hash after: md5 then runs once per
-    # distinct (doc, token) instead of once per occurrence — measured
-    # faster than hash-first despite the string shuffle at this token/
-    # distinct ratio (~2.3:1); both orders are vote-equivalent since
-    # votes depend only on the hash.
-    tfh = (
-        toks.groupBy(id_col, "token")
-        .agg(F.count("*").alias("tf"))
-        .select(id_col, "tf", hash60(F.col("token")).alias("h"))
-    )
-    banded = tfh.select(
+    ).select(id_col, hash60(F.col("token")).alias("h"))
+    banded = toks.select(
         id_col,
-        "tf",
         "h",
         F.explode(
             F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
@@ -435,8 +429,8 @@ def simhash_band_bits(
                     f"shiftright(h, band * {SIMHASH_BAND_BITS} + {r}) & 1"
                 )
                 == 1,
-                F.col("tf"),
-            ).otherwise(-F.col("tf"))
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"v{r}")
         for r in range(SIMHASH_BAND_BITS)
     ]
@@ -447,25 +441,11 @@ def simhash_band_bits(
             F.col(f"v{r}") > 0, F.lit(1 << r).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
         bits = term if bits is None else bits + term
-    return votes.select(id_col, "band", bits.alias("band_bits"))
-
-
-def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, simhash): weighted-majority bit vote over token hashes.
-
-    Linear passes only (explode -> banded vote groupBy -> doc groupBy);
-    no pairwise work.
-    """
-    return (
-        simhash_band_bits(df, text_col, id_col)
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.expr(f"shiftleft(band_bits, band * {SIMHASH_BAND_BITS})")
-            ).alias("simhash")
-        )
+    band_bits = votes.select(id_col, "band", bits.alias("band_bits"))
+    return band_bits.groupBy(id_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(band_bits, band * {SIMHASH_BAND_BITS})")
+        ).alias("simhash")
     )
 
 
