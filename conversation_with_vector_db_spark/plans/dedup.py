@@ -364,8 +364,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_char_ngram",
     doc="""Character 5-gram Jaccard near-dup — the char-level variant
     (robust to tokenization differences); same inverted-index shape as
-    the word-level operator, shingles are md5 of 5-char windows of the
-    normalized text, sampled every 3rd offset to bound the index size
+    the word-level operator; the raw 5-char window IS the join key (at
+    5 bytes it is already smaller than any portable hash of it, and
+    skipping md5 removes ~300 hash evaluations per KB of text from the
+    scan stage), sampled every 3rd offset to bound the index size
     (deterministic stride, mirrored in the oracle). DF cap 64 drops
     non-discriminative shingles (' the ' class) whose per-shingle pair
     fan-out is quadratic in document frequency — the same guard the
@@ -379,8 +381,7 @@ WITH norm AS (
 ),
 sh0 AS (
     SELECT DISTINCT doc_id,
-           CAST(('0x' || substr(md5(substring(ntext, CAST(i AS INT), 5)),
-                 1, 15)) AS BIGINT) AS shingle
+           substring(ntext, CAST(i AS INT), 5) AS shingle
     FROM norm,
          unnest(generate_series(
              1, greatest(length(ntext) - 4, 1), 3)) AS t(i)
@@ -410,7 +411,7 @@ ORDER BY a, b
 """,
 )
 def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import hash60, normalized_text
+    from ..operators.dedup import normalized_text
 
     norm = spark.table("corpus").select(
         "doc_id", normalized_text(F.col("text")).alias("ntext")
@@ -425,7 +426,7 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.greatest(F.length("ntext") - 4, F.lit(1)),
                         F.lit(3),
                     ),
-                    lambda i: hash60(F.substring("ntext", i, 5)),
+                    lambda i: F.substring("ntext", i, 5),
                 )
             )
         ).alias("shingle"),
