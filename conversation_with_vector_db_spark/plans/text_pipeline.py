@@ -241,6 +241,7 @@ def t5_rag_query_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t11_token_count",
+    driver=False,
     doc="""T11: tiktoken token counting
     (service/trackUsageService.js:46-49) replaced by the deterministic
     BPE-ish regex tokenizer: words + standalone non-space symbols.""",
@@ -841,4 +842,109 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_phones"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "t13_pack_sequences",
+    doc="""Training-sequence packing — the GPT-style concat-and-chunk
+    step of a pretraining data pipeline: documents are concatenated in
+    a deterministic order and split into fixed 256-token sequences,
+    documents spanning a boundary are split across the two sequences.
+    Stands in for the reference's context-window assembly
+    (controllers/conversationController.js:38-45 packs retrieved chunks
+    into the prompt budget the same way).
+
+    Scale shape: packing is SHARDED (doc_id % 8; shard count scales
+    with the cluster) so the running token count is a window per shard,
+    never a global single-partition window; each shard packs
+    independently, which is exactly how multi-worker training data is
+    laid out (one packed stream per data-loader worker). Cost is two
+    keyed shuffles of (shard,)-small rows: the window partition and the
+    per-sequence rollup.""",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           doc_id % 8 AS shard,
+           CAST(length(regexp_extract_all(lower(text),
+                '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+    FROM documents
+),
+walked AS (
+    SELECT doc_id, shard, n_tok,
+           CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM tok WHERE n_tok > 0
+),
+slices AS (
+    SELECT shard, doc_id, n_tok, cum, t.seq_id,
+           LEAST(cum, (t.seq_id + 1) * 256)
+             - GREATEST(cum - n_tok, t.seq_id * 256) AS toks_in_seq
+    FROM walked,
+         unnest(generate_series((cum - n_tok) // 256,
+                                (cum - 1) // 256)) AS t(seq_id)
+)
+SELECT shard, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_slices,
+       CAST(SUM(toks_in_seq) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN toks_in_seq < n_tok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_split_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM slices
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id
+""",
+)
+def t13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 256
+    tok = (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+                )
+            )
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = tok.withColumn("cum", F.sum("n_tok").over(w))
+    slices = walked.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cum - n_tok) div {budget}"),
+                F.expr(f"(cum - 1) div {budget}"),
+            )
+        ).alias("seq_id"),
+    ).withColumn(
+        "toks_in_seq",
+        F.least(F.col("cum"), (F.col("seq_id") + 1) * budget)
+        - F.greatest(F.col("cum") - F.col("n_tok"), F.col("seq_id") * budget),
+    )
+    return (
+        slices.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_slices"),
+            F.sum("toks_in_seq").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("toks_in_seq") < F.col("n_tok"), 1).otherwise(0)
+            ).alias("n_split_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
     )
