@@ -5,7 +5,7 @@ correctness claim of a physical rewrite)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_aggregate, salted_join
@@ -197,4 +197,105 @@ def scale_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("id_checksum"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "scale_domain_mixture",
+    driver=False,
+    doc="""Target-mixture resampling — apply a target domain mix (the
+    DoReMi/pretraining "data recipe" step) to a corpus: per-domain keep
+    rates are COMPUTED from the observed domain counts against target
+    shares and a token budget, then applied as a deterministic hash
+    filter. Unlike the fixed-rate stratified sample, rates are data
+    dependent, so the plan is two-pass: a tiny per-domain aggregate
+    (broadcast back as the rate table) gates a single corpus scan —
+    the aggregate is 5 rows regardless of corpus size, so at 100 TB
+    the second pass is still one scan + a broadcast hash semi-join.
+    All rate arithmetic is integer (permille), exact on both engines.""",
+    oracle="""
+WITH targets(lang, tgt_permille) AS (
+    VALUES ('en', 400), ('zh', 200), ('de', 150), ('fr', 150),
+           ('es', 100)
+),
+counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+),
+rates AS (
+    SELECT c.lang, c.cnt,
+           LEAST(1000, (t.tgt_permille
+                        * ((SELECT CAST(sum(cnt) AS BIGINT) FROM counts)
+                           * 3 // 5) // 1000) * 1000 // c.cnt)
+               AS keep_permille
+    FROM counts c JOIN targets t ON c.lang = t.lang
+),
+kept AS (
+    SELECT d.lang, d.doc_id, r.cnt, r.keep_permille
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(d.lang || ':'
+               || CAST(d.doc_id AS STRING)), 1, 8)) AS BIGINT) % 1000
+          < r.keep_permille
+)
+SELECT lang,
+       CAST(MIN(cnt) AS BIGINT) AS n_before,
+       CAST(MIN(keep_permille) AS BIGINT) AS keep_permille,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY lang ORDER BY lang
+""",
+)
+def scale_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    targets = spark.sql(
+        "SELECT * FROM VALUES ('en', 400), ('zh', 200), ('de', 150), "
+        "('fr', 150), ('es', 100) AS t(lang, tgt_permille)"
+    )
+    counts = (
+        spark.table("documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    total = Window.partitionBy()
+    rates = (
+        counts.withColumn("total", F.sum("cnt").over(total))
+        .join(F.broadcast(targets), "lang")
+        .select(
+            "lang",
+            "cnt",
+            F.least(
+                F.lit(1000),
+                F.expr(
+                    "((tgt_permille * ((total * 3) div 5)) div 1000)"
+                    " * 1000 div cnt"
+                ),
+            ).alias("keep_permille"),
+        )
+    )
+    keep_hash = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("lang"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        spark.table("documents")
+        .join(F.broadcast(rates), "lang")
+        .filter(keep_hash < F.col("keep_permille"))
+        .groupBy("lang")
+        .agg(
+            F.min("cnt").cast("bigint").alias("n_before"),
+            F.min("keep_permille").cast("bigint").alias("keep_permille"),
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang")
     )
