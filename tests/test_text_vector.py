@@ -248,3 +248,41 @@ def test_batched_udfs_handle_empty_partitions(spark):
         dot_batched()(F.col("embedding"), F.col("embedding")).alias("d")
     )
     assert sorted(r.d for r in d.collect()) == [1.0, 1.0]
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants: per shard every sequence except the last is
+    exactly full (256 tokens), sequence ids are dense from 0, and the
+    packed token total equals the corpus token total (no token lost or
+    duplicated by boundary splits)."""
+    from conversation_with_vector_db_spark.plans.text_pipeline import (
+        t13_pack_sequences,
+    )
+    import pyspark.sql.functions as F
+
+    rows = t13_pack_sequences(spark, sf_dir).collect()
+    assert rows, "packing produced no sequences"
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in seqs] == list(range(len(seqs)))
+        for r in seqs[:-1]:
+            assert r.n_tokens == 256, (shard, r.seq_id, r.n_tokens)
+        assert 0 < seqs[-1].n_tokens <= 256
+
+    total_packed = sum(r.n_tokens for r in rows)
+    total_corpus = (
+        spark.table("documents")
+        .select(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+                )
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total_packed == total_corpus
