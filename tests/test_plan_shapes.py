@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: lock in the plan shapes the 100 TB
+posture depends on, so a refactor that silently reintroduces a global
+window, loses a pushed range, or falls back to sort-merge where hash
+was chosen fails CI — not a bench run three rounds later.
+
+These assert on ``sparkPlan`` (pre-AQE physical plan): it shows join
+strategy choices, pushed filters, and exchange placement
+deterministically, without executing the query.
+"""
+
+from __future__ import annotations
+
+from conversation_with_vector_db_spark.plans import load_all, registry
+from conversation_with_vector_db_spark.session import load_tables
+
+load_all()
+
+
+def _spark_plan(spark, sf_dir: str, name: str) -> str:
+    df = registry.all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_t5_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """VERDICT r1 #2: the RAG top-k must lower to TakeOrderedAndProject,
+    never a single-partition global-window rank over every scored doc."""
+    plan = _spark_plan(spark, sf_dir, "t5_rag_query_end_to_end")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_flagship_time_range_is_pushed_to_scan(spark, sf_dir):
+    """VERDICT r1 #4: the month range must reach the events parquet scan
+    as raw-nanos bounds (row-group pruning), not evaluate post-cast."""
+    plan = _spark_plan(spark, sf_dir, "flagship_usage_daily_by_user")
+    assert "GreaterThanOrEqual(ts," in plan, plan
+    assert "LessThan(ts," in plan, plan
+
+
+def test_ngram_jaccard_join_strategy(spark, sf_dir):
+    """The inverted-index self-join must stay a shuffled hash join (the
+    hinted choice — no wasted sort before a groupBy) and the DF cap must
+    stay a broadcast anti-join, not a shuffle of the full shingle table."""
+    plan = _spark_plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """t13's running token count must stay partitioned by shard — a
+    global (single-partition) window would serialize packing."""
+    df = registry.all_queries()["t13_pack_sequences"](spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_v1_scan_prunes_to_needed_columns(spark, sf_dir):
+    """V1's corpus scan must read only the columns the query needs —
+    a scan materializing the full row defeats column pruning at 100 TB."""
+    load_tables(spark, sf_dir)
+    plan = _spark_plan(spark, sf_dir, "v1_topk_cosine")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    emb_scans = [ln for ln in scans if "embeddings.parquet" in ln]
+    assert emb_scans, plan
+    assert all("ReadSchema" in ln for ln in emb_scans)
+    # The embeddings table also carries a label column the query never
+    # touches; a pruned ReadSchema must not include it.
+    assert all("label" not in ln.split("ReadSchema")[1] for ln in emb_scans)
