@@ -110,30 +110,24 @@ def topk_per_query(
     score_col: str = "sim",
     tiebreak_col: str = "vec_id",
 ) -> DataFrame:
-    """Top-k rows per query from a scored DataFrame, two-phase.
+    """Top-k rows per query from a scored DataFrame.
 
-    Phase 1 keeps k rows per (query, input-partition) — a map-side
-    window with no shuffle beyond the local sort. Phase 2 ranks the
-    survivors globally per query. With P partitions the global shuffle
-    sees at most P*k rows per query instead of the full corpus —
-    the difference between shuffling ~100 TB of scored rows and a few
-    thousand at cluster scale.
+    A single ``row_number() OVER (PARTITION BY query)`` window plus a
+    ``rank <= k`` filter: Spark's WindowGroupLimit rewrite (3.5+)
+    inserts a *Partial* group-limit on the map side, so each map
+    partition forwards at most k rows per query into the exchange —
+    the shuffle carries ~P*k rows per query, not the scored corpus.
+    That is exactly the hand-rolled two-phase top-k (per-partition k,
+    then global k), but with one Exchange instead of two; the plan
+    shape is pinned by ``tests/test_plan_shapes.py``.
     """
     from pyspark.sql import Window
 
-    phase1 = Window.partitionBy(
-        query_col, F.spark_partition_id()
-    ).orderBy(F.desc(score_col), tiebreak_col)
-    survivors = (
-        scored.withColumn("_local_rank", F.row_number().over(phase1))
-        .filter(F.col("_local_rank") <= k)
-        .drop("_local_rank")
-    )
-    phase2 = Window.partitionBy(query_col).orderBy(
+    w = Window.partitionBy(query_col).orderBy(
         F.desc(score_col), tiebreak_col
     )
     return (
-        survivors.withColumn("rank", F.row_number().over(phase2))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

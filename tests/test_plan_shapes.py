@@ -55,6 +55,28 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_v1_topk_shuffle_is_group_limited(spark, sf_dir):
+    """topk_per_query relies on Spark's WindowGroupLimit rewrite for its
+    bounded-shuffle shape: a *Partial* group-limit must sit on the map
+    side of the per-query rank window (each map partition forwards at
+    most k rows per query), and the corpus must cross exactly one
+    hash exchange on the way to the rank."""
+    plan = _spark_plan(spark, sf_dir, "v1_topk_cosine")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    # Exchanges only materialize after EnsureRequirements, so count them
+    # on the executed plan: one hash exchange (the rank window), and no
+    # second one from a hand-rolled per-partition pre-rank.
+    df = registry.all_queries()["v1_topk_cosine"](spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = [
+        ln
+        for ln in executed.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, executed
+
+
 def test_v1_scan_prunes_to_needed_columns(spark, sf_dir):
     """V1's corpus scan must read only the columns the query needs —
     a scan materializing the full row defeats column pruning at 100 TB."""
