@@ -948,3 +948,88 @@ def t13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+@query(
+    "text_quality_quantile_filter",
+    driver=False,
+    doc="""Global-quantile quality filtering: drop the bottom ~20% of
+    documents by a composite quality score, where the cutoff is a
+    data-dependent corpus quantile, not a hand-tuned constant. The
+    scalable two-pass shape: (1) quantize scores to 4 decimals and
+    build a score histogram (one map-side-combined groupBy; bucket
+    count is bounded by the quantization, not the corpus), (2) a
+    cumulative-count window over the tiny histogram finds the smallest
+    score whose cumulative count covers 20% of the corpus, (3) the
+    scalar threshold broadcasts back into a stateless filter over the
+    corpus scan. The only window runs over the histogram — never the
+    100 TB corpus — and the integer guard 5*cum >= total sidesteps
+    float quantile arithmetic entirely.""",
+    oracle="""
+WITH stats AS (
+    SELECT doc_id,
+           round(
+               CAST(length(regexp_extract_all(lower(text),
+                    '\\b(the|a|of|and|to|in|is|for)\\b')) AS DOUBLE)
+               / greatest(CAST(length(regexp_extract_all(lower(text),
+                    '[a-z0-9]+')) AS BIGINT), 1)
+               - CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                      AS DOUBLE)
+                 / greatest(n_chars, 1), 4) AS score
+    FROM documents
+),
+hist AS (SELECT score, count(*) AS cnt FROM stats GROUP BY score),
+cum AS (
+    SELECT score, sum(cnt) OVER (ORDER BY score) AS cum FROM hist
+),
+tot AS (SELECT sum(cnt) AS total FROM hist),
+thr AS (
+    SELECT min(score) AS thr FROM cum, tot WHERE 5 * cum >= total
+)
+SELECT s.doc_id AS doc_id, s.score AS score, t.thr AS threshold
+FROM stats s, thr t
+WHERE s.score >= t.thr
+ORDER BY doc_id
+""",
+)
+def text_quality_quantile_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = spark.table("documents")
+    n_words = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    ).cast("long")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(the|a|of|and|to|in|is|for)\b"),
+            0,
+        )
+    ).cast("long")
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0)
+    ).cast("long")
+    score = F.round(
+        n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+        - n_sym.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)),
+        4,
+    )
+    stats = docs.select("doc_id", score.alias("score"))
+    hist = stats.groupBy("score").agg(F.count("*").alias("cnt"))
+    # Default (RANGE) frame to match the oracle's default frame; the
+    # window input is the bounded histogram, not the corpus.
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("score"))
+    )
+    total = hist.agg(F.sum("cnt").alias("total"))
+    thr = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * 5 >= F.col("total"))
+        .agg(F.min("score").alias("thr"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "score", F.col("thr").alias("threshold"))
+        .orderBy("doc_id")
+    )

@@ -18,3 +18,42 @@ def test_connected_components_toy(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_incremental_minhash_flags_exact_plants(spark, sf_dir):
+    """Every +100000 planted doc is an exact copy of an existing doc, so
+    the incremental ingest check must reject all of them with jaccard
+    1.0 against their source."""
+    from conversation_with_vector_db_spark.plans import load_all, registry
+
+    load_all()
+    rows = (
+        registry.all_queries()["dedup_incremental_minhash"](spark, sf_dir)
+        .collect()
+    )
+    by_id = {r["new_id"]: r for r in rows}
+    exact = [i for i in by_id if 100000 <= i < 200000]
+    assert exact, "no exact plants matched"
+    for i in exact:
+        assert by_id[i]["best_jaccard"] == 1.0
+        assert by_id[i]["matched_id"] == i - 100000
+    # Matches must point INTO the existing corpus, never batch-internal.
+    assert all(r["matched_id"] < 100000 for r in rows)
+
+
+def test_quality_quantile_filter_keep_rate(spark, sf_dir):
+    """The data-dependent threshold must keep >=80% of docs (ties at the
+    cutoff are kept) and every surviving score must clear it."""
+    from conversation_with_vector_db_spark.plans import load_all, registry
+
+    load_all()
+    docs = spark.table("documents").count()
+    rows = (
+        registry.all_queries()["text_quality_quantile_filter"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert len(rows) >= 0.8 * docs
+    assert len(rows) < docs  # something was actually dropped
+    thr = rows[0]["threshold"]
+    assert all(r["score"] >= thr for r in rows)
