@@ -66,3 +66,35 @@ def build_filter(spec: dict) -> Column:
     for c in clauses[1:]:
         acc = acc & c
     return acc
+
+
+def quantile_threshold(
+    scored: "DataFrame",
+    score_col: str,
+    p: int,
+    q: int,
+) -> "DataFrame":
+    """1-row DataFrame ``(thr)``: the smallest score whose cumulative
+    count covers at least p/q of the rows — i.e. the exact lower
+    p/q-quantile of ``score_col`` under <=-counting.
+
+    The scalable global-quantile shape: a score histogram (map-side
+    combined groupBy whose cardinality is bounded by score
+    quantization, not row count), a cumulative-sum window over that
+    bounded histogram, and an integer guard ``q*cum >= p*total`` —
+    no corpus-wide sort, no float quantile arithmetic, and the 1-row
+    result broadcasts into a stateless filter. Callers quantize the
+    score (e.g. ``F.round(expr, 4)``) so the histogram stays small.
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(score_col).agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy(score_col))
+    )
+    total = hist.agg(F.sum("cnt").alias("total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * q >= F.col("total") * p)
+        .agg(F.min(score_col).alias("thr"))
+    )

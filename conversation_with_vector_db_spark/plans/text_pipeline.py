@@ -1014,19 +1014,10 @@ def text_quality_quantile_filter(
         - n_sym.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)),
         4,
     )
+    from ..operators.filters import quantile_threshold
+
     stats = docs.select("doc_id", score.alias("score"))
-    hist = stats.groupBy("score").agg(F.count("*").alias("cnt"))
-    # Default (RANGE) frame to match the oracle's default frame; the
-    # window input is the bounded histogram, not the corpus.
-    cum = hist.withColumn(
-        "cum", F.sum("cnt").over(Window.orderBy("score"))
-    )
-    total = hist.agg(F.sum("cnt").alias("total"))
-    thr = (
-        cum.crossJoin(F.broadcast(total))
-        .filter(F.col("cum") * 5 >= F.col("total"))
-        .agg(F.min("score").alias("thr"))
-    )
+    thr = quantile_threshold(stats, "score", 1, 5)
     return (
         stats.crossJoin(F.broadcast(thr))
         .filter(F.col("score") >= F.col("thr"))

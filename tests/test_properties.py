@@ -129,3 +129,34 @@ class TestRangePushdown:
         # And the range really is in the scan's pushed data filters.
         plan = pushed._jdf.queryExecution().executedPlan().toString()
         assert "1704844800000000000" in plan  # 2024-01-10 as epoch nanos
+
+
+class TestQuantileThresholdProperties:
+    @given(
+        scores=st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=1,
+            max_size=60,
+        ),
+        pq=st.sampled_from([(1, 5), (1, 2), (3, 4), (1, 10), (9, 10)]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_exact_rank_quantile(self, spark, scores, pq):
+        """The histogram threshold must equal the exact lower p/q
+        quantile: the smallest score s with #(scores <= s)*q >= N*p."""
+        import math
+
+        from conversation_with_vector_db_spark.operators.filters import (
+            quantile_threshold,
+        )
+
+        p, q = pq
+        df = spark.createDataFrame(
+            [(float(s),) for s in scores], ["score"]
+        )
+        got = quantile_threshold(df, "score", p, q).collect()[0]["thr"]
+        want = sorted(scores)[math.ceil(len(scores) * p / q) - 1]
+        assert got == want
+        # The keep side always covers at least the complement fraction.
+        kept = sum(1 for s in scores if s >= got)
+        assert kept * q >= (q - p) * len(scores) - q  # ties slack
