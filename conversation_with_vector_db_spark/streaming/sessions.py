@@ -23,6 +23,11 @@ TTL session state. The Spark-native equivalents:
 * :func:`append_sink_query` — X8/S9/S11: foreachBatch writer appending
   finalized rows to a parquet table idempotently (batch id recorded —
   reruns of a batch overwrite instead of duplicating).
+* :func:`streaming_minhash_dedup_sink` — ingest-time NEAR-dup gate:
+  each micro-batch is checked against the accepted corpus through a
+  persistent MinHash band index (parquet store, not stream state —
+  the index grows with the corpus, not a watermark horizon), with
+  batch-id-scoped writes for exactly-once replay.
 
 tests/test_streaming.py drives each against the batch equivalents in
 plans/streaming_batch.py.
@@ -290,5 +295,148 @@ def append_sink_query(
     return (
         result_stream.writeStream.outputMode("update")
         .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def streaming_minhash_dedup_sink(
+    doc_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+):
+    """Streaming NEAR-dup ingest gate: each arriving micro-batch of
+    documents is checked against every previously-accepted document via
+    the MinHash band index, and only non-duplicates enter the corpus.
+
+    The exact-dup gate (:func:`streaming_exact_dedup`) keys stream
+    state by content hash; near-dup state cannot live in stream state
+    (the index grows with the corpus, not a watermark horizon), so the
+    index is an external parquet store — the same
+    persisted-signature-index design as the batch
+    ``dedup_incremental_minhash`` query, fed incrementally:
+
+    * ``store_dir/bands``     — (doc_id, band, band_key) of accepted docs
+    * ``store_dir/accepted``  — (doc_id, text) of accepted docs
+    * ``store_dir/decisions`` — per-doc verdicts with provenance
+
+    Per batch: band keys of the new docs hash-join the stored index
+    (directional — the store never self-pairs), candidates get exact
+    word-3-gram Jaccard verification (uncapped shingles: the pairwise
+    score is corpus-independent, so verdicts don't depend on arrival
+    order beyond which side is "already in"), and the accepted
+    remainder appends to all three stores. Every write lands in a
+    ``batch_id=N`` subdirectory with overwrite, and store reads filter
+    to ``batch_id < N``, so a replayed batch after a crash neither
+    double-appends nor sees its own partial output — exactly-once
+    end to end. Batch-internal near-dups are NOT cross-checked here
+    (each doc is judged against the accepted corpus only); at 100 TB
+    the arriving shard is deduped by the batch operators before
+    ingest, and the gate's job is shard-vs-corpus.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (
+        df_capped_shingles,
+        jaccard_verify,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+    from pyspark.sql import Window
+
+    def _read_store(
+        spark: SparkSession, path: str, before_batch: int
+    ) -> DataFrame | None:
+        try:
+            df = spark.read.option("basePath", path).parquet(path)
+        except AnalysisException:
+            return None
+        return df.filter(F.col("batch_id") < before_batch)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text").dropDuplicates(
+            ["doc_id"]
+        )
+        sh_new = df_capped_shingles(docs)
+        keys_new = lsh_band_keys(minhash_signatures(docs, shingles=sh_new))
+        old_keys = _read_store(spark, f"{store_dir}/bands", batch_id)
+        rejected = None
+        if old_keys is not None:
+            cands = (
+                old_keys.select(F.col("doc_id").alias("a"), "band", "band_key")
+                .join(
+                    keys_new.select(
+                        F.col("doc_id").alias("b"), "band", "band_key"
+                    ).hint("shuffle_hash"),
+                    ["band", "band_key"],
+                )
+                .select("a", "b")
+                .distinct()
+            )
+            accepted_docs = _read_store(
+                spark, f"{store_dir}/accepted", batch_id
+            ).select("doc_id", "text")
+            # Only candidate-matched accepted docs are re-shingled: the
+            # semi-join pushes the candidate id set into the store scan.
+            old_cand = accepted_docs.join(
+                cands.select(F.col("a").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            verified = jaccard_verify(
+                old_cand.unionByName(docs), cands, threshold=threshold
+            )
+            w = Window.partitionBy("b").orderBy(F.desc("jaccard"), "a")
+            rejected = (
+                verified.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.col("b").alias("doc_id"),
+                    F.col("a").alias("matched_id"),
+                    F.col("jaccard").alias("best_jaccard"),
+                )
+            )
+        if rejected is None:
+            rejected = spark.createDataFrame(
+                [],
+                "doc_id long, matched_id long, best_jaccard double",
+            )
+        rejected = rejected.cache()
+        accepted = docs.join(rejected, "doc_id", "left_anti")
+        decisions = docs.select("doc_id").join(
+            rejected, "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.col("matched_id").isNotNull().alias("is_dup"),
+            "matched_id",
+            "best_jaccard",
+        )
+        for name, df in (
+            ("accepted", accepted),
+            (
+                "bands",
+                keys_new.join(
+                    rejected.select("doc_id"), "doc_id", "left_anti"
+                ),
+            ),
+            ("decisions", decisions),
+        ):
+            df.write.mode("overwrite").parquet(
+                f"{store_dir}/{name}/batch_id={batch_id}"
+            )
+        rejected.unpersist()
+
+    return (
+        doc_stream.writeStream.outputMode("update")
+        .foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -335,3 +335,93 @@ def test_streaming_exact_dedup_converges(spark, conv_stream_dir, tmp_path):
         .count()
         == n_distinct
     )
+
+
+def test_streaming_minhash_dedup_gate(spark, sf_dir, tmp_path):
+    """Streaming NEAR-dup ingest: base docs arrive first, then the
+    planted variants batch by batch; every exact plant must be rejected
+    against the store, matches must point at accepted docs only, and
+    accepted + rejected must partition the stream."""
+    import shutil as _sh
+
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        DOCUMENT_SCHEMA,
+        stream_parquet_dir,
+        streaming_minhash_dedup_sink,
+    )
+
+    load_tables(spark, sf_dir)
+    fixtures.register_derived_views(spark)
+    corpus = spark.table("corpus")
+    root = tmp_path / "doc_stream"
+    root.mkdir()
+    # One file per id range, written in arrival order (mtime order =
+    # FileStreamSource order): base corpus, then the planted variants.
+    for i, (lo, hi) in enumerate(
+        [(0, 100000), (100000, 200000), (200000, 300000), (300000, 400000)]
+    ):
+        part = root / f"part{i}"
+        (
+            corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(part))
+        )
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / f"file{i}.parquet"))
+        _sh.rmtree(part)
+
+    store = str(tmp_path / "store")
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA),
+        store,
+        str(tmp_path / "ckpt_gate"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = spark.read.option("basePath", store + "/decisions").parquet(
+        store + "/decisions"
+    )
+    n_corpus = corpus.count()
+    assert dec.count() == n_corpus
+    by_id = {r["doc_id"]: r for r in dec.collect()}
+    base = [i for i in by_id if i < 100000]
+    exact = [i for i in by_id if 100000 <= i < 200000]
+    # Base batch: nothing in the store yet -> all accepted.
+    assert all(not by_id[i]["is_dup"] for i in base)
+    # Exact plants: all rejected with jaccard 1.0 against their source.
+    assert exact
+    for i in exact:
+        assert by_id[i]["is_dup"], i
+        assert by_id[i]["matched_id"] == i - 100000
+        assert by_id[i]["best_jaccard"] == 1.0
+    # Perturbed plants: the near-dup signal must fire broadly.
+    tails = [i for i in by_id if 200000 <= i < 300000]
+    assert tails
+    n_tail_dups = sum(bool(by_id[i]["is_dup"]) for i in tails)
+    assert n_tail_dups >= 0.8 * len(tails)
+    # Accepted store + rejected decisions partition the stream, and
+    # every match points at an ACCEPTED doc.
+    accepted_ids = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", store + "/accepted")
+        .parquet(store + "/accepted")
+        .select("doc_id")
+        .collect()
+    }
+    rejected_ids = {i for i in by_id if by_id[i]["is_dup"]}
+    assert accepted_ids | rejected_ids == set(by_id)
+    assert not (accepted_ids & rejected_ids)
+    assert all(
+        by_id[i]["matched_id"] in accepted_ids for i in rejected_ids
+    )
+    # The band index holds exactly 4 keys per accepted doc.
+    bands = spark.read.option("basePath", store + "/bands").parquet(
+        store + "/bands"
+    )
+    assert bands.count() == 4 * len(accepted_ids)
