@@ -136,21 +136,50 @@ def _with_floor(report: DataFrame) -> DataFrame:
 @query(
     "ann_recall_suite",
     doc="""All three ANN strategies (multi-probe hyperplane LSH, IVF,
-    MLlib BRP-LSH) recall-certified against exact brute force in one
-    report: (method, recall@10, floor, meets_floor). Rows-only for the
-    driver by design — LSH banding / KMeans internals aren't ANSI-SQL —
-    but the result self-asserts its quality floors. The sublinear
-    stand-ins for Pinecone's HNSW read path
-    (controllers/conversationController.js:32-36).""",
-    oracle=None,
+    MLlib BRP-LSH) recall-certified against exact brute force. LSH
+    banding / KMeans internals aren't ANSI-SQL, so the driver-checked
+    result is the self-asserting form: one (method, meets_floor) row
+    per strategy, hash-compared against the expected all-true VALUES —
+    a recall regression flips a boolean and fails the gate. The full
+    numeric report (recall, floor, candidate economics) is
+    ``ann_recall_detail``. The sublinear stand-ins for Pinecone's HNSW
+    read path (controllers/conversationController.js:32-36).""",
+    oracle="""
+SELECT * FROM (VALUES
+    ('hyperplane_lsh_24b6band_mp1', TRUE),
+    ('ivf_kmeans_16c6probe', TRUE),
+    ('mllib_brp_lsh_4tables', TRUE)
+) AS t(method, meets_floor)
+ORDER BY method
+""",
 )
 def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _recall_report(spark)
+        .select("method", "meets_floor")
+        .orderBy("method")
+    )
+
+
+def _recall_report(spark: SparkSession) -> DataFrame:
     report = (
         lsh_recall_report(spark)
         .unionByName(ivf_recall_report(spark))
         .unionByName(brp_recall_report(spark))
     )
-    return _with_floor(report).orderBy("method")
+    return _with_floor(report)
+
+
+@query(
+    "ann_recall_detail",
+    driver=False,
+    doc="""The numeric form of ``ann_recall_suite``: (method, recall@10,
+    floor, meets_floor) per strategy. Rows-only — the recall values are
+    Spark-side measurements, not SQL-derivable.""",
+    oracle=None,
+)
+def ann_recall_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_report(spark).orderBy("method")
 
 
 @query(

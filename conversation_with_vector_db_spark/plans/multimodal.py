@@ -42,9 +42,27 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""Arrow-batched decode/feature-extract via mapInPandas with the
     deterministic fake decoder (real decoders aren't in this
     environment; schema, batch shape, and partitioning are the real
-    plumbing). Rows-only: md5-byte-derived dims/features aren't
-    ANSI-SQL-expressible.""",
-    oracle=None,
+    plumbing). The surrogate is md5-byte-derived, so the oracle
+    re-derives every width/height/feature value in SQL from the same
+    digest — full value-level parity through the Python UDF path
+    (round(b/255, 6) verified identical across engines for all 256
+    byte values).""",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS kind,
+       CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64
+            AS INT) AS width,
+       CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64
+            AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       list_transform(generate_series(0, 7), i ->
+           round(CAST(('0x' || substr(md5(text), 5 + 2 * i, 2)) AS INT)
+                 / 255.0, 6)) AS features
+FROM documents
+ORDER BY media_id
+""",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_documents(spark.table("documents"))

@@ -63,3 +63,21 @@ def test_p1_excludes_secret_columns(spark, sf_dir):
     df = registry.REGISTRY["p1_column_exclusion"].fn(spark, sf_dir)
     assert "email" not in df.columns
     assert "deleted_email" not in df.columns
+
+
+def test_hostile_driver_session_timezone(spark, sf_dir):
+    """The driver owns the SparkSession and sets NO session timezone or
+    nano-parquet conf; load_tables must force both at runtime so
+    time-derived results don't shift. newSession() shares the JVM but
+    has an independent SQLConf — the closest stand-in for the driver's
+    plain session."""
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+    hostile.conf.unset("spark.cvdb.registered.sfdir")
+    name = "flagship_usage_daily_by_user"
+    q = registry.all_queries()[name]
+    want = [tuple(r) for r in q(spark, sf_dir).collect()]
+    got = [tuple(r) for r in q(hostile, sf_dir).collect()]
+    assert got == want
+    # load_tables must have forced the hostile session back to UTC.
+    assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
