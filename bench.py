@@ -28,6 +28,7 @@ HEADLINE = [
     "v1_topk_cosine",
     "t5_rag_query_end_to_end",
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_char_ngram",
