@@ -23,6 +23,10 @@ def normalize(v):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
         return ("t", v.isoformat())
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # Spark collects BinaryType as bytearray, DuckDB returns bytes —
+        # compare the byte content, not the container repr.
+        return ("y", bytes(v))
     if isinstance(v, (list, tuple)):
         return ("l", tuple(normalize(x) for x in v))
     if isinstance(v, dict):
