@@ -626,7 +626,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_minhash",
-    driver=False,
     doc="""Incremental ingest-time near-dup: a NEW batch (the planted
     variants, doc_id >= 100000) is checked against the EXISTING corpus
     (doc_id < 100000) without ever pairing the existing corpus with

@@ -228,6 +228,10 @@ def m4_field_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m5_upsert_by_key_config",
+    # Local tier: the upsert shape is driver-covered by s5_upsert_by_key
+    # (same key-wise merge); the freed driver slot showcases
+    # dedup_incremental_minhash instead.
+    driver=False,
     doc="""M5: findOne-then-update-else-create config upsert (pattern x8,
     controllers/configController.js:27-104) as merge: union + last-
     writer-wins dedup by key.""",
