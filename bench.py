@@ -114,12 +114,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Min of two runs for every query: first-run numbers at this scale
-    # are dominated by whole-stage-codegen compilation and scheduler
-    # jitter, not the plan; steady-state is what scales.
+    # Min of three runs for every query: the first run pays
+    # whole-stage-codegen compilation, and single steady-state samples
+    # still carry ~±30% scheduler jitter at sub-second scale (observed
+    # session-to-session); two steady samples tighten the floor.
+    # Steady-state is what scales.
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(min(run_spark(name), run_spark(name)), 4)
+        timings[name] = round(
+            min(run_spark(name) for _ in range(3)), 4
+        )
 
     con = duckdb.connect()
     for t in BASE_TABLES:
