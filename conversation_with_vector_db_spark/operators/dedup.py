@@ -356,8 +356,21 @@ def minhash_lsh_candidates(
     n: int = 3,
     max_df: int | None = None,
     shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band (a < b)."""
+    """Candidate pairs sharing at least one LSH band (a < b).
+
+    ``max_bucket`` caps the per-(band, band_key) bucket size before the
+    self-join — the band-level analogue of the shingle DF cap: pair
+    fan-out is quadratic in bucket size, and on a boilerplate-heavy
+    corpus one degenerate bucket (a million near-identical headers) is
+    the whole job's runtime. Default None because the right pipeline
+    ordering makes giant buckets impossible: run EXACT dedup first
+    (one linear pass) so band buckets only collect genuine near-dups,
+    which are bounded per document. Turn the cap on when minhash runs
+    over un-exact-deduped input; capped buckets drop ALL their pairs
+    (their members still pair through their other, uncapped bands —
+    the same graceful-degradation shape as the DF cap)."""
     rows_per_band = num_perm // bands
     keys = lsh_band_keys(
         minhash_signatures(
@@ -367,6 +380,19 @@ def minhash_lsh_candidates(
         bands,
         rows_per_band,
     )
+    if max_bucket is not None:
+        keys = scoped_cache(keys)
+        # Broadcast anti-join against the tiny over-cap bucket list —
+        # identical shape to df_capped_shingles' frequent-shingle cap.
+        over = (
+            keys.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "band_key")
+        )
+        keys = keys.join(
+            F.broadcast(over), ["band", "band_key"], "left_anti"
+        )
     a = keys.select(F.col(id_col).alias("a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("b"), "band", "band_key")
     return (

@@ -57,3 +57,22 @@ def test_quality_quantile_filter_keep_rate(spark, sf_dir):
     assert len(rows) < docs  # something was actually dropped
     thr = rows[0]["threshold"]
     assert all(r["score"] >= thr for r in rows)
+
+
+def test_minhash_bucket_cap_bounds_fanout(spark, sf_dir):
+    """max_bucket must drop pairs from degenerate band buckets while
+    uncapped runs keep them — the quadratic-fanout guard for minhash
+    over un-exact-deduped input."""
+    from conversation_with_vector_db_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    # 30 identical docs (one degenerate bucket per band) + 2 distinct.
+    rows = [(i, "the same boilerplate header text again") for i in range(30)]
+    rows += [(100, "something entirely different"), (101, "another one")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = minhash_lsh_candidates(df, num_perm=12, bands=4)
+    capped = minhash_lsh_candidates(df, num_perm=12, bands=4, max_bucket=8)
+    n_unc = uncapped.count()
+    assert n_unc >= 30 * 29 // 2  # the clone clique fully pairs
+    assert capped.count() == 0  # every clique bucket exceeds the cap
