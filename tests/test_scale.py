@@ -132,3 +132,28 @@ def test_ivf_partitioned_write_prunes_cells(spark, sf_dir, tmp_path):
     got = probed.count()
     want = cells.filter(F.col("cell").isin(1, 3)).count()
     assert got == want and 0 < got < cells.count()
+
+
+def test_domain_mixture_tracks_target_shares(spark, sf_dir):
+    """The achieved mix must track the target permille shares within
+    sampling noise, and per-domain keeps must respect the computed
+    rates (n_kept ~ cnt * keep_permille / 1000)."""
+    from conversation_with_vector_db_spark.plans import load_all, registry
+
+    load_all()
+    rows = registry.all_queries()["scale_domain_mixture"](
+        spark, sf_dir
+    ).collect()
+    targets = {"en": 400, "zh": 200, "de": 150, "fr": 150, "es": 100}
+    assert {r["lang"] for r in rows} == set(targets)
+    total_kept = sum(r["n_kept"] for r in rows)
+    for r in rows:
+        # Rate application: binomial(cnt, p) stays within 5 sigma.
+        exp = r["n_before"] * r["keep_permille"] / 1000
+        sd = max((exp * (1 - r["keep_permille"] / 1000)) ** 0.5, 1.0)
+        assert abs(r["n_kept"] - exp) <= 5 * sd, (r, exp)
+        # Un-capped domains must land near their target share of the
+        # achieved total (capped ones keep everything they have).
+        if r["keep_permille"] < 1000:
+            share = r["n_kept"] / total_kept
+            assert abs(share - targets[r["lang"]] / 1000) < 0.1, r
