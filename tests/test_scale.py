@@ -157,3 +157,30 @@ def test_domain_mixture_tracks_target_shares(spark, sf_dir):
         if r["keep_permille"] < 1000:
             share = r["n_kept"] / total_kept
             assert abs(share - targets[r["lang"]] / 1000) < 0.1, r
+
+
+def test_deterministic_split_is_stable_and_partitioning(spark, sf_dir):
+    """80/10/10 split invariants: the three splits partition the corpus
+    exactly (counts and id-checksums sum to the whole), proportions
+    hold within binomial noise, and re-running yields the identical
+    assignment (append-stable hashing, no rand())."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.plans import load_all, registry
+
+    load_all()
+    q = registry.all_queries()["scale_deterministic_split"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    docs = spark.table("documents").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("ids")
+    ).collect()[0]
+    by = {r["split"]: r for r in a}
+    assert set(by) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in a) == docs["n"]
+    assert sum(r["id_checksum"] for r in a) == docs["ids"]
+    for split, frac in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        exp = docs["n"] * frac
+        sd = max((docs["n"] * frac * (1 - frac)) ** 0.5, 1.0)
+        assert abs(by[split]["n_docs"] - exp) <= 5 * sd, (split, exp)
