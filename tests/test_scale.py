@@ -184,3 +184,27 @@ def test_deterministic_split_is_stable_and_partitioning(spark, sf_dir):
         exp = docs["n"] * frac
         sd = max((docs["n"] * frac * (1 - frac)) ** 0.5, 1.0)
         assert abs(by[split]["n_docs"] - exp) <= 5 * sd, (split, exp)
+
+
+def test_stratified_sample_rate_per_stratum(spark, sf_dir):
+    """~20% of every label stratum survives (binomial noise bound) and
+    the assignment is rerun-stable."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.plans import load_all, registry
+
+    load_all()
+    q = registry.all_queries()["scale_stratified_sample"]
+    a = q(spark, sf_dir).collect()
+    assert a == q(spark, sf_dir).collect()
+    full = {
+        r["label"]: r["n"]
+        for r in spark.table("embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sampled = {r["label"]: r["n_sampled"] for r in a}
+    for label, n in full.items():
+        exp, sd = n * 0.2, max((n * 0.2 * 0.8) ** 0.5, 1.0)
+        assert abs(sampled.get(label, 0) - exp) <= 5 * sd, (label, exp)
