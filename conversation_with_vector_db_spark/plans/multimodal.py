@@ -46,7 +46,51 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every width/height/feature value in SQL from the same
     digest — full value-level parity through the Python UDF path
     (round(b/255, 6) verified identical across engines for all 256
-    byte values).""",
+    byte values). The feature vector is serialized to a fixed-precision
+    CSV string here because the driver's pandas canonicalizer cannot
+    sort/hash list cells; the typed array<double> form is the
+    ``driver=False`` twin below.""",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS kind,
+       CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64
+            AS INT) AS width,
+       CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64
+            AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       array_to_string(list_transform(generate_series(0, 7), i ->
+           printf('%.6f',
+               round(CAST(('0x' || substr(md5(text), 5 + 2 * i, 2))
+                          AS INT) / 255.0, 6))), ',') AS features_csv
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table_from_documents(spark.table("documents"))
+    decoded = decode_media(media, fake=True)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.format_string("%.6f", x)),
+        ).alias("features_csv"),
+    ).orderBy("media_id")
+
+
+@query(
+    "mm_decode_features_typed",
+    driver=False,
+    doc="""Typed array<double> form of mm_decode_features — the shape a
+    downstream embedding consumer reads. Local-parity-only: the driver's
+    canonicalizer cannot hash list cells, so the serialized twin above
+    is the driver-tier representative.""",
     oracle="""
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT)
@@ -64,7 +108,7 @@ FROM documents
 ORDER BY media_id
 """,
 )
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_decode_features_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_documents(spark.table("documents"))
     return decode_media(media, fake=True).orderBy("media_id")
 

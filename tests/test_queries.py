@@ -58,6 +58,28 @@ def test_driver_tier_covers_every_family():
     assert not missing, f"families without a driver-tier query: {missing}"
 
 
+DRIVER_TIER = sorted(n for n, q in registry.REGISTRY.items() if q.driver)
+
+
+@pytest.mark.parametrize("name", DRIVER_TIER)
+def test_driver_tier_schemas_are_atomic(spark, sf_dir, name):
+    """The driver canonicalizes results through pandas sort_values,
+    which crashes on ANY list/dict cell (observed: mm_decode_features
+    err in CORRECTNESS_r02.json). Lint it permanently: every driver-tier
+    query must emit only atomic columns; array/map/struct outputs belong
+    in driver=False twins with a serialized driver-tier representative
+    (the to_json/concat_ws idiom of j3 and mm_decode_features)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = registry.REGISTRY[name].fn(spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name} emits non-atomic driver-facing columns: {bad}"
+
+
 def test_p1_excludes_secret_columns(spark, sf_dir):
     # P1's point is the column is GONE, not just unread.
     df = registry.REGISTRY["p1_column_exclusion"].fn(spark, sf_dir)
