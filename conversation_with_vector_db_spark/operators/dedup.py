@@ -144,6 +144,57 @@ def exact_duplicate_groups(
     )
 
 
+def pair_counts_from_postings(
+    sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pair intersection counts from per-shingle posting lists.
+
+    ``groupBy(shingle).collect_list(id)`` builds each shingle's posting
+    list in ONE shuffle of the (capped) shingle table; candidate pairs
+    then explode JVM-side from each list. Versus the classic
+    inverted-index SELF-join this removes a full second shuffle of the
+    shingle table plus the hash-join probe — the pair volume
+    (sum over shingles of df*(df-1)/2) is identical, but it is born
+    directly into the counting aggregate.
+
+    ONLY safe downstream of a document-frequency cap: list length — and
+    therefore reducer memory per key — is bounded by ``max_df``. An
+    uncapped mega-frequent shingle ('the'-class, df ~ corpus size at
+    100 TB) would materialize its whole posting list on one reducer;
+    that is why :func:`df_capped_shingles` keeps its count-pass +
+    broadcast anti-join as a separate pre-pass instead of folding the
+    cap into this aggregation.
+
+    Pairs pack into ONE long (a < b in high/low 32 bits): hashing a
+    single 8-byte key measured ~20% faster on the pair explosion, the
+    biggest row count in the plan. Valid while ids fit 32 bits — the
+    fixture contract.
+    """
+    pair_longs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + F.lit(2), F.size("_ids")),
+                lambda y: F.least(x, y) * F.lit(1 << 32)
+                + F.greatest(x, y),
+            ),
+        )
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.explode(pair_longs).alias("_ab"))
+        .groupBy("_ab")
+        .agg(F.count("*").alias("common"))
+        .select(
+            F.shiftright("_ab", 32).alias("a"),
+            (F.col("_ab") % F.lit(1 << 32)).alias("b"),
+            "common",
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -152,16 +203,17 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard via inverted-index join.
+    """Near-dup pairs by exact n-gram Jaccard via an inverted index.
 
-    |A ∩ B| comes from the shingle self-join; |A ∪ B| = |A|+|B|-|A∩B|.
+    |A ∩ B| comes from per-shingle posting lists (capped path) or the
+    shingle self-join (uncapped fallback); |A ∪ B| = |A|+|B|-|A∩B|.
     Only ordered pairs (a < b) are produced. ``max_df`` drops
-    non-discriminative frequent shingles before the join (the pair
+    non-discriminative frequent shingles before pairing (the pair
     count is quadratic in per-shingle document frequency).
     """
-    # The shingle table feeds three consumers (sizes + both join
-    # sides); cache it so tokenize+hash runs once, not three times —
-    # at cluster scale this persist would be a checkpoint to storage.
+    # The shingle table feeds two consumers (sizes + pairing); cache it
+    # so tokenize+hash runs once — at cluster scale this persist would
+    # be a checkpoint to storage.
     sh = scoped_cache(df_capped_shingles(df, text_col, id_col, n, max_df))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -169,14 +221,13 @@ def jaccard_pairs(
     # shuffle_hash: the inverted-index self-join needs no sorted output
     # and its per-partition build side is the capped shingle table slice
     # (bounded by max_df), so hash join beats sort-merge — measured 2.2x
-    # on this stage; at cluster scale the same bound keeps the build
-    # side partition-memory-sized.
-    # Pack the ordered pair into ONE long before the count groupBy:
-    # hashing/equality on a single 8-byte key measured ~20% faster than
-    # the two-column key over the pair-explosion (the biggest row count
-    # in the plan). Valid while ids fit 32 bits — the fixture contract;
-    # with a wider id domain keep the two-column key (the packing is a
-    # constant-factor trim, not a plan-shape change).
+    # on this stage. The posting-list alternative
+    # (pair_counts_from_postings) was A/B-measured SLOWER here (+25%):
+    # word 3-grams have a huge shingle domain with near-singleton
+    # posting lists, so collect_list pays object-aggregation overhead on
+    # millions of tiny groups while the codegen'd join stays cheap. The
+    # char 5-gram plan, whose shingles are few and dense, uses the
+    # posting-list shape instead.
     common = (
         a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("a") < F.col("b"))

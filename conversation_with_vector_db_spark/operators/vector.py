@@ -103,6 +103,70 @@ def cosine_with_norms_batched(
     )
 
 
+#: Past this (on-disk parquet) size the vector table stops being
+#: broadcast into candidate rescoring. Parquet double columns decode
+#: ~2-4x larger in memory, so 64 MB on disk keeps the driver-side
+#: broadcast comfortably under typical `maxResultSize`/executor-memory
+#: budgets; above it the candidates shuffle instead — they are the
+#: small side once the corpus is large.
+RESCORE_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def rescore_candidates(
+    cands: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_bytes: int | None = None,
+    broadcast_max_bytes: int = RESCORE_BROADCAST_MAX_BYTES,
+) -> DataFrame:
+    """Exact cosine over candidate (a, b) pairs, size-aware.
+
+    Joins the pair list back to the vector table twice, precomputing
+    each vector's norm once so per-pair work is a single Arrow-batched
+    dot fold. The join strategy follows the vector-table size:
+
+    * ``vec_bytes <= broadcast_max_bytes`` (or unknown): broadcast both
+      vector sides — candidate pairs never shuffle.
+    * larger: shuffle-hash join on ``a`` / ``b`` — at 100 TB the vector
+      table IS the big table and can never ship to every executor; the
+      candidate list (already sub-quadratic after LSH banding) is the
+      side that moves.
+
+    Output: (a, b, sim) with sim rounded to 4 digits (cross-engine
+    ordering stability).
+    """
+    ea = vectors.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("ea"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    eb = vectors.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("eb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    small = vec_bytes is None or vec_bytes <= broadcast_max_bytes
+    if small:
+        joined = cands.join(F.broadcast(ea), "a").join(
+            F.broadcast(eb), "b"
+        )
+    else:
+        joined = cands.join(ea.hint("shuffle_hash"), "a").join(
+            eb.hint("shuffle_hash"), "b"
+        )
+    return joined.select(
+        "a",
+        "b",
+        F.round(
+            cosine_with_norms_batched(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ),
+            4,
+        ).alias("sim"),
+    )
+
+
 def topk_per_query(
     scored: DataFrame,
     k: int,

@@ -20,6 +20,7 @@ from ..operators.dedup import (
     jaccard_verify,
     minhash_lsh_candidates,
     minhash_perm_constants,
+    pair_counts_from_postings,
     simhash_near_pairs,
 )
 from ..operators.cache import scoped_cache
@@ -319,35 +320,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    # The vector table is small relative to the candidate-pair fan-out:
-    # broadcast BOTH sides (pairs never shuffle) and precompute each
-    # vector's norm once so the per-pair work is a single dot fold.
-    from ..operators.vector import cosine_with_norms_batched, l2_norm
+    # Size-aware rescore join: the fixture vector table is MBs, so the
+    # on-disk estimate keeps it broadcast (pairs never shuffle); past
+    # the byte threshold the vector table IS the big table and both
+    # lookups flip to shuffle-hash joins on a/b instead — a 100 TB
+    # embedding table can never ship to every executor.
+    import os
 
-    ea = emb.select(
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("b"),
-        F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
-    )
-    scored = (
-        cands.join(F.broadcast(ea), "a")
-        .join(F.broadcast(eb), "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                cosine_with_norms_batched(
-                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-                ),
-                4,
-            ).alias("sim"),
-        )
-    )
+    from ..operators.vector import rescore_candidates
+    from ..session import table_path
+
+    try:
+        vec_bytes = os.path.getsize(table_path(sf_dir, "embeddings"))
+    except OSError:
+        vec_bytes = None
+    scored = rescore_candidates(cands, emb, vec_bytes=vec_bytes)
     # Two-phase top-k (TakeOrderedAndProject), then rank the 30
     # survivors — no corpus-sized single-partition window.
     return (
@@ -434,8 +421,8 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh0 = scoped_cache(sh0)
     # DF cap via broadcast anti-join against the tiny over-cap shingle
     # list (same shape as operators.dedup.df_capped_shingles): sizes and
-    # the inverted-index join both see the capped table, so Jaccard
-    # stays consistent between engines.
+    # the pairing stage both see the capped table, so Jaccard stays
+    # consistent between engines.
     frequent = (
         sh0.groupBy("shingle")
         .agg(F.count("*").alias("_df"))
@@ -444,23 +431,10 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sh0.join(F.broadcast(frequent), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    # Single-long packed pair key for the count groupBy (see
-    # operators.dedup.jaccard_pairs — ~20% on the pair explosion;
-    # valid while ids fit 32 bits, the fixture contract).
-    common = (
-        a.join(b.hint("shuffle_hash"), "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .select((F.col("a") * F.lit(1 << 32) + F.col("b")).alias("_ab"))
-        .groupBy("_ab")
-        .agg(F.count("*").alias("common"))
-        .select(
-            F.shiftright("_ab", 32).alias("a"),
-            (F.col("_ab") % F.lit(1 << 32)).alias("b"),
-            "common",
-        )
-    )
+    # Capped posting lists -> JVM-side pair explosion: one shuffle of
+    # the shingle table instead of the self-join's two (see
+    # operators.dedup.pair_counts_from_postings for the scale bound).
+    common = pair_counts_from_postings(sh, "doc_id")
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
     return (

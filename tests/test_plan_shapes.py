@@ -46,6 +46,36 @@ def test_ngram_jaccard_join_strategy(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_rescore_join_is_size_aware(spark, sf_dir):
+    """VERDICT r2 #3: candidate rescoring must broadcast the vector
+    table only under the size threshold; past it the vector sides flip
+    to shuffle-hash joins (a 100 TB embedding table can never ship to
+    every executor)."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.vector import (
+        rescore_candidates,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    cands = emb.select(F.col("vec_id").alias("a")).crossJoin(
+        emb.select(F.col("vec_id").alias("b"))
+    ).filter(F.col("a") + 1 == F.col("b")).limit(10)
+
+    small = rescore_candidates(cands, emb, vec_bytes=1 << 20)
+    plan_small = small._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan_small, plan_small
+
+    big = rescore_candidates(cands, emb, vec_bytes=1 << 40)
+    plan_big = big._jdf.queryExecution().sparkPlan().toString()
+    # BOTH vector-side lookups must flip to shuffle-hash joins (the
+    # candidate-building cross join above may still broadcast — it is
+    # not part of the operator under test).
+    assert plan_big.count("ShuffledHashJoin") == 2, plan_big
+
+
 def test_pack_sequences_window_is_sharded(spark, sf_dir):
     """t13's running token count must stay partitioned by shard — a
     global (single-partition) window would serialize packing."""
