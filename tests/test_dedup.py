@@ -76,3 +76,26 @@ def test_minhash_bucket_cap_bounds_fanout(spark, sf_dir):
     n_unc = uncapped.count()
     assert n_unc >= 30 * 29 // 2  # the clone clique fully pairs
     assert capped.count() == 0  # every clique bucket exceeds the cap
+
+
+def test_connected_components_high_diameter_path(spark):
+    """VERDICT r2 #5: a high-diameter chain must converge without
+    plan-size blowup — min-label propagation moves one hop per round,
+    so a 48-node path needs 47 rounds, crossing several checkpoint
+    cycles; without localCheckpoint the final plan would embed every
+    round's joins."""
+    from conversation_with_vector_db_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 48
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+    )
+    lbl = connected_components(pairs, max_iters=64)
+    rows = {(r["id"], r["lbl"]) for r in lbl.collect()}
+    assert rows == {(i, 0) for i in range(n)}
+    # The returned plan must be rooted at a checkpoint, not at 47
+    # stacked join rounds: a blown-up lineage stringifies to megabytes.
+    plan = lbl._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, len(plan)

@@ -126,9 +126,28 @@ class TestRangePushdown:
         assert pushed.count() == plain.count()
         assert pushed.exceptAll(plain).isEmpty()
         assert plain.exceptAll(pushed).isEmpty()
-        # And the range really is in the scan's pushed data filters.
+        # And the range really is in the scan's pushed data filters, in
+        # whichever physical representation the file stores: raw epoch
+        # nanos when ts is TIMESTAMP(NANOS) (read as long, filtered
+        # pre-cast), native timestamp pushdown otherwise (the driver
+        # has generated both layouts across rounds).
+        import pyarrow.parquet as pq
+
+        from conversation_with_vector_db_spark.session import table_path
+
+        ts_type = str(
+            pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+        )
         plan = pushed._jdf.queryExecution().executedPlan().toString()
-        assert "1704844800000000000" in plan  # 2024-01-10 as epoch nanos
+        if ts_type == "timestamp[ns]":
+            assert "1704844800000000000" in plan  # 2024-01-10 epoch nanos
+        else:
+            assert "PushedFilters" in plan, plan
+            pushed_line = next(
+                ln for ln in plan.splitlines() if "PushedFilters" in ln
+            )
+            assert "GreaterThanOrEqual(ts," in pushed_line, plan
+            assert "LessThan(ts," in pushed_line, plan
 
 
 class TestQuantileThresholdProperties:
