@@ -188,36 +188,118 @@ def read_merge_on_read(
     return merge_overlay(base, log, [partition_col, key])
 
 
+class SimulatedCrash(RuntimeError):
+    """Raised by compact_change_log at a requested failpoint — test
+    machinery for crash-consistency checks, never raised in normal
+    operation."""
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _marker_path(base_path: str) -> str:
+    return base_path.rstrip("/") + "/_compaction_inprogress"
+
+
+def compaction_in_progress(spark: SparkSession, base_path: str) -> bool:
+    """True while a compaction marker exists — a prior compaction is
+    running or died mid-run. Readers stay correct either way (see
+    compact_change_log's crash analysis); ops tooling uses this to
+    trigger a re-run, which completes the fold idempotently."""
+    fs, hpath = _hadoop_fs(spark, _marker_path(base_path))
+    return fs.exists(hpath)
+
+
+def _truncate_log(
+    spark: SparkSession, log_path: str, folded_max: int
+) -> None:
+    """Drop log entries with ``_seq <= folded_max``, KEEPING later
+    appends: a concurrent writer may have appended a new batch while
+    compaction ran, and blindly deleting the log directory would lose
+    it. Remainder is materialized before the overwrite (the plan reads
+    the path it rewrites)."""
+    remainder = spark.read.parquet(log_path).filter(
+        F.col("_seq") > folded_max
+    )
+    remainder = remainder.localCheckpoint(eager=True)
+    if remainder.isEmpty():
+        fs, hpath = _hadoop_fs(spark, log_path)
+        fs.delete(hpath, True)
+    else:
+        remainder.write.mode("overwrite").parquet(log_path)
+
+
 def compact_change_log(
     spark: SparkSession,
     base_path: str,
     log_path: str,
     key: str,
     partition_col: str = "namespace",
+    failpoint: str | None = None,
 ) -> None:
     """Fold the log into the base: rewrite ONLY the partitions the log
-    touches (dynamic overwrite), then truncate the log. The merged
-    result is read_merge_on_read restricted to touched partitions,
-    unioned back over untouched base partitions implicitly (they are
-    never read or written)."""
+    touches (dynamic overwrite), then truncate the folded log entries.
+    The merged result is read_merge_on_read restricted to touched
+    partitions, unioned back over untouched base partitions implicitly
+    (they are never read or written).
+
+    Crash consistency on bare parquet (a table format would make the
+    whole fold one transactional commit; without one, the protocol
+    leans on the overlay being IDEMPOTENT — re-applying folded log
+    entries over an already-compacted base reproduces the same rows):
+
+    1. write ``_compaction_inprogress`` marker (records folded_max)
+    2. dynamic-overwrite the touched base partitions
+    3. truncate log entries with ``_seq <= folded_max``
+    4. remove the marker
+
+    * die between 1-2 or mid-2: base has some partitions rewritten,
+      log intact — readers overlay the full log and see exactly the
+      pre-compaction rows (idempotence); re-running compaction
+      completes the fold.
+    * die between 2-3: base fully compacted, log intact — overlay is a
+      no-op by idempotence; readers consistent; re-run completes.
+    * die between 3-4: fully consistent, only the marker lingers;
+      re-run (or any compaction) clears it.
+
+    The residual non-atomic window is step 2's per-partition file swap
+    and step 3's log rewrite — both directory-rename-sized, the gap a
+    real deployment closes with Delta/Iceberg commit metadata (see the
+    module design note). ``failpoint`` ('after_marker' |
+    'after_overwrite') raises :class:`SimulatedCrash` at the named
+    step boundary so tests can exercise each window.
+    """
     try:
         log = spark.read.parquet(log_path)
     except Exception:
         return  # nothing to compact
-    merged = read_merge_on_read(spark, base_path, log_path, key, partition_col)
-    touched = log.select(partition_col).distinct()
+    folded_max = log.agg(F.max("_seq")).first()[0]
+    if folded_max is None:
+        return
+    fs, marker = _hadoop_fs(spark, _marker_path(base_path))
+    out = fs.create(marker, True)
+    out.write(str(folded_max).encode("utf-8"))
+    out.close()
+    if failpoint == "after_marker":
+        raise SimulatedCrash("after_marker")
+    bounded = log.filter(F.col("_seq") <= folded_max)
+    base = spark.read.parquet(base_path)
+    merged = merge_overlay(base, bounded, [partition_col, key])
+    touched = bounded.select(partition_col).distinct()
     merged_touched = merged.join(
         F.broadcast(touched), partition_col, "left_semi"
     )
     # Materialize before writing: the merged plan READS base_path, which
-    # the dynamic overwrite is about to rewrite (a table format makes
-    # this step a transactional commit instead).
+    # the dynamic overwrite is about to rewrite.
     merged_touched = merged_touched.localCheckpoint(eager=True)
     _dynamic_overwrite(merged_touched, base_path, partition_col)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(log_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    if failpoint == "after_overwrite":
+        raise SimulatedCrash("after_overwrite")
+    _truncate_log(spark, log_path, folded_max)
+    fs.delete(marker, False)
 
 
 def read_text_documents(
