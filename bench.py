@@ -47,6 +47,99 @@ HEADLINE = [
 # a different engine than the one shipped.
 
 
+def ann_economics(spark, sf: float) -> dict:
+    """ANN candidate economics at bench scale (VERDICT r2 #8): wall
+    clock + recall + scan fraction for each ANN method vs the exact
+    baseline, on a CLUSTERED synthetic corpus sized with sf (the
+    fixture embeddings are uniform — the LSH-worst case; clustered is
+    what real embeddings look like and where pruning pays). Deterministic
+    generator (seeded), 20 clusters, ~0.08 intra-cluster noise —
+    the same distribution the recall test pins at sf0.01.
+    """
+    import time
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.ann import (
+        exact_baseline,
+        hyperplane_lsh_topk,
+        ivf_topk,
+        recall_at_k,
+        with_lsh_bands,
+    )
+    from conversation_with_vector_db_spark.operators.vector import (
+        collect_query_vectors,
+        matmul_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters = 64, 20
+    per_cluster = max(50, int(5000 * sf))  # sf0.1 -> 500/cluster = 10k
+    centroids = rng.normal(size=(n_clusters, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    noise = rng.normal(size=(n_clusters * per_cluster, dim)) * 0.08
+    rows = [
+        (int(i), [float(x) for x in centroids[i // per_cluster] + noise[i]])
+        for i in range(n_clusters * per_cluster)
+    ]
+    # Round-trip through parquet: a createDataFrame LocalRelation embeds
+    # the vectors in the plan itself (measured 6x slower first-run);
+    # reading back from storage is also what a real corpus looks like.
+    import shutil
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="cvdb_ann_bench_")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.mode(
+        "overwrite"
+    ).parquet(tmpdir)
+    corpus = spark.read.parquet(tmpdir).cache()
+    n = corpus.count()
+    queries = corpus.filter(F.col("vec_id") % 997 == 0)
+    n_q = queries.count()
+
+    out: dict = {"n_vectors": n, "n_queries": n_q, "dim": dim}
+
+    def timed(label, df):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[label] = round(best, 4)
+        return df
+
+    exact = timed("exact_matmul_sec", matmul_topk(
+        corpus, collect_query_vectors(queries), k=10
+    ))
+    timed("exact_hof_sec", exact_baseline(corpus, queries, k=10))
+    lsh = timed("lsh_48b6band_mp1_sec", hyperplane_lsh_topk(
+        corpus, queries, k=10, n_bits=48, n_bands=6, dim=dim, probe_bits=1
+    ))
+    # IVF's KMeans fit is the write-time index build at scale; report it
+    # separately from the probe-time query.
+    t0 = time.perf_counter()
+    ivf = ivf_topk(corpus, queries, k=10, nlist=32, nprobe=8)
+    out["ivf_fit_sec"] = round(time.perf_counter() - t0, 4)
+    ivf = timed("ivf_32c8probe_sec", ivf)
+    out["lsh_recall"] = recall_at_k(lsh, exact, k=10).first().recall
+    out["ivf_recall"] = recall_at_k(ivf, exact, k=10).first().recall
+    c = with_lsh_bands(corpus, n_bits=48, n_bands=6, dim=dim)
+    q = with_lsh_bands(
+        queries, n_bits=48, n_bands=6, dim=dim, probe_bits=1
+    ).select(F.col("vec_id").alias("qid"), "band", "band_key")
+    n_cand = (
+        c.join(q, ["band", "band_key"]).select("qid", "vec_id")
+        .distinct().count()
+    )
+    out["lsh_candidate_fraction"] = round(n_cand / (n_q * n), 4)
+    out["ivf_scan_fraction"] = round(8 / 32, 4)
+    corpus.unpersist()
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -153,6 +246,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         duck_timings[name] = round(best, 4)
 
+    ann = ann_economics(spark, sf)
+
     ratios = {
         n: round(timings[n] / duck_timings[n], 2)
         for n in duck_timings
@@ -177,6 +272,7 @@ def main() -> None:
                 "duckdb_oracle_sec": duck_timings,
                 "spark_over_duckdb_ratio": ratios,
                 "spark_exec_over_duckdb_ratio": exec_ratios,
+                "ann_economics": ann,
             }
         )
     )

@@ -573,6 +573,10 @@ def u6_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a15_approx_distinct_sketch",
+    # Local-tier since r3: demoted to make room for
+    # scale_deterministic_split under the driver-tier cap (the
+    # aggregate family keeps driver rows via a3/a8b/a11).
+    driver=False,
     doc="""Approximate distinct sketch (engine extra — the reference has
     no sketches): HyperLogLog approx_count_distinct next to the exact
     count, with the relative error asserted under the configured 2%

@@ -98,7 +98,9 @@ def ann_brp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scale_deterministic_split",
-    driver=False,
+    # Driver-tier since r3 (VERDICT r2 #7): the split/mixture family is
+    # first-class pipeline surface; a15's sketch family stays covered
+    # locally and by a8b/a11 driver rows.
     doc="""Train/val/test splitting for a training corpus: assignment is
     a pure function of the document id (md5 bucket mod 100 -> 80/10/10),
     so the split is reproducible on any engine, any cluster size, any
