@@ -118,11 +118,31 @@ def mm_decode_features_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,
     doc="""Per-video frame sampling via mapInPandas (4 deterministic
     payload slices per video under the fake decoder) — the
-    one-row-to-many-frames UDTF shape for video pipelines.""",
-    oracle=None,
+    one-row-to-many-frames UDTF shape for video pipelines. Frames are
+    digested to (md5, n_bytes) so the byte-level slicing through the
+    Python path is value-checked against SQL (was rows-only in r2);
+    payloads are ASCII by fixture contract, so the oracle's character
+    offsets equal the operator's byte offsets.""",
+    oracle="""
+WITH vids AS (
+    SELECT doc_id AS media_id, text,
+           greatest(CAST(floor(length(text) / 4) AS INT), 1) AS step
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+)
+SELECT media_id, f.i AS frame_idx,
+       md5(substring(text, i * step + 1, step)) AS frame_md5,
+       CAST(least(greatest(length(text) - i * step, 0), step)
+            AS BIGINT) AS n_bytes
+FROM vids, unnest(generate_series(0, 3)) AS f(i)
+ORDER BY media_id, frame_idx
+""",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_documents(spark.table("documents"))
-    return frame_sample(media, n_frames=4, fake=True).orderBy(
-        "media_id", "frame_idx"
-    )
+    frames = frame_sample(media, n_frames=4, fake=True)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
+    ).orderBy("media_id", "frame_idx")
