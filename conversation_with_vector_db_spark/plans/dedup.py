@@ -710,3 +710,110 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id")
     )
+
+
+@query(
+    "dedup_passage_boilerplate",
+    driver=False,
+    doc="""Passage-level (sub-document) dedup — the boilerplate-removal
+    pass a training pipeline runs besides whole-doc dedup: split each
+    document into non-overlapping 10-token passages, hash each to a
+    60-bit key, flag passages appearing in >= 2 distinct documents,
+    and report each document's shared-passage fraction (planted corpus
+    copies surface as fraction 1.0; near-copies as high fractions).
+    Scale shape: one explode -> distinct(doc, passage) shuffle, a
+    map-combined passage-frequency aggregate whose >= 2 survivors
+    broadcast back as a semi-join probe, then one per-doc aggregate —
+    no self-join, 8-byte keys, work linear in corpus tokens.""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS t
+    FROM corpus
+),
+passages AS (
+    SELECT DISTINCT doc_id,
+           CAST(('0x' || substr(md5(array_to_string(
+               t[i * 10 + 1 : i * 10 + 10], ' ')), 1, 15)) AS BIGINT)
+               AS phash
+    FROM toks,
+         unnest(generate_series(0, CAST(len(t) // 10 AS INT) - 1)) AS s(i)
+    WHERE len(t) >= 10
+),
+shared AS (
+    SELECT phash FROM passages GROUP BY phash
+    HAVING count(*) >= 2
+)
+SELECT p.doc_id AS doc_id,
+       count(*) AS n_passages,
+       CAST(sum(CASE WHEN s.phash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN s.phash IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS shared_fraction
+FROM passages p LEFT JOIN shared s USING (phash)
+GROUP BY p.doc_id
+HAVING sum(CASE WHEN s.phash IS NOT NULL THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+""",
+)
+def dedup_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hash60, normalized_text
+
+    toks = spark.table("corpus").select(
+        "doc_id",
+        F.regexp_extract_all(
+            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t"),
+    ).filter(F.size("t") >= 10)
+    passages = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), (F.size("t") / 10).cast("int") - 1
+                        ),
+                        lambda i: hash60(
+                            F.concat_ws(
+                                " ", F.slice("t", i * 10 + 1, 10)
+                            )
+                        ),
+                    )
+                )
+            ).alias("phash"),
+        )
+    )
+    passages = scoped_cache(passages)
+    shared = (
+        passages.groupBy("phash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("phash")
+    )
+    marked = passages.join(
+        F.broadcast(shared).withColumn("_hit", F.lit(1)),
+        "phash",
+        "left",
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_shared"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+                )
+                / F.count("*").cast("double"),
+                4,
+            ).alias("shared_fraction"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .orderBy("doc_id")
+    )

@@ -99,3 +99,42 @@ def test_connected_components_high_diameter_path(spark):
     # stacked join rounds: a blown-up lineage stringifies to megabytes.
     plan = lbl._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 20_000, len(plan)
+
+
+def test_posting_pairs_equal_self_join_pairs(spark):
+    """The char path pairs via posting lists, the word path via the
+    inverted-index self-join — both must produce identical (a, b,
+    common) sets on any capped shingle table (randomized corpora,
+    seeded)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        pair_counts_from_postings,
+    )
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = sorted(
+            {
+                (rng.randrange(40), rng.randrange(60))
+                for _ in range(300)
+            }
+        )
+        sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+        got = {
+            tuple(r)
+            for r in pair_counts_from_postings(sh, "doc_id").collect()
+        }
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        want = {
+            tuple(r)
+            for r in a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+            .collect()
+        }
+        assert got == want, f"seed {seed}"
