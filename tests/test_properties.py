@@ -179,3 +179,47 @@ class TestQuantileThresholdProperties:
         # The keep side always covers at least the complement fraction.
         kept = sum(1 for s in scores if s >= got)
         assert kept * q >= (q - p) * len(scores) - q  # ties slack
+
+
+class TestNanoLayoutPushdown:
+    def test_nano_typed_file_still_takes_raw_nanos_path(
+        self, spark, tmp_path
+    ):
+        """The r3 fixtures store timestamp[us], so the nanos branch no
+        longer runs against driver data — pin it with a synthetic
+        TIMESTAMP(NANOS) file (the r1/r2 layout): range rows must match
+        the post-cast filter and the bound must reach the scan as raw
+        nano longs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        from conversation_with_vector_db_spark.session import (
+            load_table,
+            load_table_in_range,
+        )
+
+        base = 1704844800  # 2024-01-10T00:00:00Z
+        ts = pa.array(
+            [(base + i * 86400) * 1_000_000_000 for i in range(-3, 4)],
+            type=pa.timestamp("ns"),
+        )
+        tbl = pa.table({"event_id": list(range(7)), "ts": ts})
+        sf = tmp_path / "sfnano"
+        sf.mkdir()
+        pq.write_table(tbl, sf / "events.parquet")
+
+        lo, hi = "2024-01-10", "2024-01-12"
+        pushed = load_table_in_range(
+            spark, str(sf), "events", "ts", lo, hi
+        )
+        plain = load_table(spark, str(sf), "events").filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+        )
+        assert sorted(r.event_id for r in pushed.collect()) == sorted(
+            r.event_id for r in plain.collect()
+        )
+        assert pushed.count() == 2  # Jan 10 + Jan 11
+        plan = pushed._jdf.queryExecution().executedPlan().toString()
+        assert "1704844800000000000" in plan  # raw-nanos bound on scan
