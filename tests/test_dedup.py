@@ -138,3 +138,38 @@ def test_posting_pairs_equal_self_join_pairs(spark):
             .collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_char_window_shingles_ascii_and_unicode_agree(spark):
+    """The byte-sliced ASCII fast path and the char-correct fallback
+    must produce the same shingle identities a pure char-based
+    extraction would — including for non-ASCII text, where byte
+    offsets and char offsets diverge."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        char_window_shingles,
+    )
+
+    def char_windows(s, n=5, stride=3):
+        out = set()
+        for i in range(0, max(len(s) - (n - 1), 1), stride):
+            out.add(s[i : i + n])
+        return out
+
+    docs = [
+        (1, "hello world this is ascii"),
+        (2, "hello world this is ascii"),          # exact dup of 1
+        (3, "caf\u00e9 na\u00efve r\u00e9sum\u00e9 text"),  # non-ascii
+        (4, "caf\u00e9 na\u00efve r\u00e9sum\u00e9 text"),  # dup of 3
+        (5, "short"),
+    ]
+    norm = spark.createDataFrame(docs, ["doc_id", "ntext"])
+    got = {
+        (r["doc_id"], bytes(r["shingle"]).decode("utf-8"))
+        for r in char_window_shingles(norm).collect()
+    }
+    want = {
+        (doc_id, w) for doc_id, s in docs for w in char_windows(s)
+    }
+    assert got == want
