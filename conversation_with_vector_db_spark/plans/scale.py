@@ -301,3 +301,74 @@ def scale_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "scale_epoch_shuffle",
+    driver=False,
+    doc="""Deterministic per-epoch corpus reshuffle — the data-loader
+    op that gives every training epoch a different but REPRODUCIBLE
+    document order with no RNG state to ship: order key =
+    md5(epoch:doc_id). Scale shape: the corpus is never ranked in one
+    corpus-sized window — documents hash into 64 buckets (top bits of
+    the order key) and ranking happens within (epoch, bucket), so the
+    total order is (bucket, position) and each window partition is
+    ~1/64th of an epoch; a loader streams buckets in order. Adding
+    documents perturbs only the buckets they land in.""",
+    oracle="""
+WITH keyed AS (
+    SELECT e.epoch AS epoch, d.doc_id,
+           CAST(('0x' || substr(md5(e.epoch || ':' || d.doc_id), 1, 15))
+                AS BIGINT) AS okey
+    FROM (SELECT unnest(generate_series(0, 1)) AS epoch) e
+    CROSS JOIN documents d
+),
+bucketed AS (
+    SELECT epoch, doc_id, okey,
+           CAST(okey % 64 AS INT) AS bucket
+    FROM keyed
+)
+SELECT epoch, bucket,
+       row_number() OVER (PARTITION BY epoch, bucket
+                          ORDER BY okey, doc_id) AS position,
+       doc_id
+FROM bucketed
+ORDER BY epoch, bucket, position
+""",
+)
+def scale_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    okey = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    keyed = (
+        spark.table("documents")
+        .select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .select("epoch", "doc_id", okey.alias("okey"))
+        .withColumn("bucket", (F.col("okey") % 64).cast("int"))
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("okey", "doc_id")
+    return (
+        keyed.select(
+            "epoch",
+            "bucket",
+            F.row_number().over(w).alias("position"),
+            "doc_id",
+        )
+        .orderBy("epoch", "bucket", "position")
+    )
