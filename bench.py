@@ -82,6 +82,7 @@ def ann_economics(spark, sf: float) -> dict:
 
     rng = np.random.default_rng(7)
     dim, n_clusters = 64, 20
+    nlist, nprobe = 32, 8
     per_cluster = max(50, int(5000 * sf))  # sf0.1 -> 500/cluster = 10k
     centroids = rng.normal(size=(n_clusters, dim))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -97,53 +98,58 @@ def ann_economics(spark, sf: float) -> dict:
     import tempfile
 
     tmpdir = tempfile.mkdtemp(prefix="cvdb_ann_bench_")
-    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.mode(
-        "overwrite"
-    ).parquet(tmpdir)
-    corpus = spark.read.parquet(tmpdir).cache()
-    n = corpus.count()
-    queries = corpus.filter(F.col("vec_id") % 997 == 0)
-    n_q = queries.count()
+    corpus = None
+    try:
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).write.mode(
+            "overwrite"
+        ).parquet(tmpdir)
+        corpus = spark.read.parquet(tmpdir).cache()
+        n = corpus.count()
+        queries = corpus.filter(F.col("vec_id") % 997 == 0)
+        n_q = queries.count()
 
-    out: dict = {"n_vectors": n, "n_queries": n_q, "dim": dim}
+        out: dict = {"n_vectors": n, "n_queries": n_q, "dim": dim}
 
-    def timed(label, df):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out[label] = round(best, 4)
-        return df
+        def timed(label, df):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best, 4)
+            return df
 
-    exact = timed("exact_matmul_sec", matmul_topk(
-        corpus, collect_query_vectors(queries), k=10
-    ))
-    timed("exact_hof_sec", exact_baseline(corpus, queries, k=10))
-    lsh = timed("lsh_48b6band_mp1_sec", hyperplane_lsh_topk(
-        corpus, queries, k=10, n_bits=48, n_bands=6, dim=dim, probe_bits=1
-    ))
-    # IVF's KMeans fit is the write-time index build at scale; report it
-    # separately from the probe-time query.
-    t0 = time.perf_counter()
-    ivf = ivf_topk(corpus, queries, k=10, nlist=32, nprobe=8)
-    out["ivf_fit_sec"] = round(time.perf_counter() - t0, 4)
-    ivf = timed("ivf_32c8probe_sec", ivf)
-    out["lsh_recall"] = recall_at_k(lsh, exact, k=10).first().recall
-    out["ivf_recall"] = recall_at_k(ivf, exact, k=10).first().recall
-    c = with_lsh_bands(corpus, n_bits=48, n_bands=6, dim=dim)
-    q = with_lsh_bands(
-        queries, n_bits=48, n_bands=6, dim=dim, probe_bits=1
-    ).select(F.col("vec_id").alias("qid"), "band", "band_key")
-    n_cand = (
-        c.join(q, ["band", "band_key"]).select("qid", "vec_id")
-        .distinct().count()
-    )
-    out["lsh_candidate_fraction"] = round(n_cand / (n_q * n), 4)
-    out["ivf_scan_fraction"] = round(8 / 32, 4)
-    corpus.unpersist()
-    shutil.rmtree(tmpdir, ignore_errors=True)
-    return out
+        exact = timed("exact_matmul_sec", matmul_topk(
+            corpus, collect_query_vectors(queries), k=10
+        ))
+        timed("exact_hof_sec", exact_baseline(corpus, queries, k=10))
+        lsh = timed("lsh_48b6band_mp1_sec", hyperplane_lsh_topk(
+            corpus, queries, k=10, n_bits=48, n_bands=6, dim=dim,
+            probe_bits=1,
+        ))
+        # IVF's KMeans fit is the write-time index build at scale;
+        # report it separately from the probe-time query.
+        t0 = time.perf_counter()
+        ivf = ivf_topk(corpus, queries, k=10, nlist=nlist, nprobe=nprobe)
+        out["ivf_fit_sec"] = round(time.perf_counter() - t0, 4)
+        ivf = timed(f"ivf_{nlist}c{nprobe}probe_sec", ivf)
+        out["lsh_recall"] = recall_at_k(lsh, exact, k=10).first().recall
+        out["ivf_recall"] = recall_at_k(ivf, exact, k=10).first().recall
+        c = with_lsh_bands(corpus, n_bits=48, n_bands=6, dim=dim)
+        q = with_lsh_bands(
+            queries, n_bits=48, n_bands=6, dim=dim, probe_bits=1
+        ).select(F.col("vec_id").alias("qid"), "band", "band_key")
+        n_cand = (
+            c.join(q, ["band", "band_key"]).select("qid", "vec_id")
+            .distinct().count()
+        )
+        out["lsh_candidate_fraction"] = round(n_cand / (n_q * n), 4)
+        out["ivf_scan_fraction"] = round(nprobe / nlist, 4)
+        return out
+    finally:
+        if corpus is not None:
+            corpus.unpersist()
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def main() -> None:

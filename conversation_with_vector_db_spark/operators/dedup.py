@@ -165,31 +165,34 @@ def char_window_shingles(
     """
     is_ascii = F.octet_length(text_col) == F.length(text_col)
 
-    def windows(col, length_fn):
-        return F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(length_fn - (n - 1), F.lit(1)),
-                        F.lit(stride),
-                    ),
-                    lambda i: F.substring(col, i, n),
-                )
+    def window_array(col, length_expr):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(length_expr - (n - 1), F.lit(1)),
+                    F.lit(stride),
+                ),
+                lambda i: F.substring(col, i, n),
             )
         )
 
-    ascii_sh = norm.filter(is_ascii).select(
-        id_col, F.encode(text_col, "utf-8").alias("_nb")
-    ).select(
-        id_col,
-        windows(F.col("_nb"), F.octet_length("_nb")).alias("shingle"),
+    # ONE scan: CASE WHEN evaluates only the selected branch per row,
+    # so ASCII rows never pay the char-offset scans and non-ASCII rows
+    # never mis-slice bytes — versus filter+union, which plans two full
+    # passes over the input.
+    nb = F.encode(F.col(text_col), "utf-8")
+    windows = F.when(
+        is_ascii, window_array(nb, F.octet_length(nb))
+    ).otherwise(
+        F.transform(
+            window_array(F.col(text_col), F.length(text_col)),
+            lambda s: F.encode(s, "utf-8"),
+        )
     )
-    char_sh = norm.filter(~is_ascii).select(
-        id_col,
-        windows(F.col(text_col), F.length(text_col)).alias("_s"),
-    ).select(id_col, F.encode("_s", "utf-8").alias("shingle"))
-    return ascii_sh.unionByName(char_sh)
+    return norm.select(
+        id_col, F.explode(windows).alias("shingle")
+    )
 
 
 def pair_counts_from_postings(
@@ -702,8 +705,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
         )
         if (i + 1) % CHECKPOINT_EVERY == 0:
             # Truncate the iterative lineage; eager so the cut is real
-            # before the next round builds on it.
+            # before the next round builds on it. Release the
+            # pre-checkpoint cache explicitly — rebinding `new` would
+            # otherwise orphan one pinned table per checkpoint cycle.
+            pre = new
             new = new.localCheckpoint(eager=True)
+            try:
+                pre.unpersist(False)
+            except Exception:
+                pass
         prev, lbl = lbl, new
         try:
             prev.unpersist(False)

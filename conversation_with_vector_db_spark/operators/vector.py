@@ -126,12 +126,15 @@ def rescore_candidates(
     each vector's norm once so per-pair work is a single Arrow-batched
     dot fold. The join strategy follows the vector-table size:
 
-    * ``vec_bytes <= broadcast_max_bytes`` (or unknown): broadcast both
-      vector sides — candidate pairs never shuffle.
-    * larger: shuffle-hash join on ``a`` / ``b`` — at 100 TB the vector
-      table IS the big table and can never ship to every executor; the
-      candidate list (already sub-quadratic after LSH banding) is the
-      side that moves.
+    * ``vec_bytes <= broadcast_max_bytes``: broadcast both vector
+      sides — candidate pairs never shuffle.
+    * larger or UNKNOWN (``vec_bytes=None``): shuffle-hash join on
+      ``a`` / ``b`` — at 100 TB the vector table IS the big table and
+      can never ship to every executor; the candidate list (already
+      sub-quadratic after LSH banding) is the side that moves.
+      Unknown defaults to the safe strategy: on object stores with no
+      local path — exactly where tables are most likely huge — a
+      missing size must not select broadcast.
 
     Output: (a, b, sim) with sim rounded to 4 digits (cross-engine
     ordering stability).
@@ -146,7 +149,7 @@ def rescore_candidates(
         F.col(vec_col).alias("eb"),
         l2_norm(F.col(vec_col)).alias("nb"),
     )
-    small = vec_bytes is None or vec_bytes <= broadcast_max_bytes
+    small = vec_bytes is not None and vec_bytes <= broadcast_max_bytes
     if small:
         joined = cands.join(F.broadcast(ea), "a").join(
             F.broadcast(eb), "b"
@@ -215,7 +218,7 @@ def matmul_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = (),
-    round_digits: int = 4,
+    round_digits: int | None = 4,
 ) -> DataFrame:
     """Exact cosine top-k with the scoring stage vectorized via
     ``mapInPandas``: each Arrow batch of corpus vectors is scored
@@ -232,11 +235,24 @@ def matmul_topk(
     ``extra_cols`` pass through the scoring stage unchanged (metadata
     columns a filtered search reports). Top-k still lowers to the
     WindowGroupLimit single-exchange shape via :func:`topk_per_query`.
+
+    Quantization happens JVM-side with ``F.round`` on the raw float64
+    the UDF emits — NOT ``np.round`` inside the batch: numpy rounds
+    half-to-even on the binary value while Spark/DuckDB round
+    HALF_UP on the decimal rendering, so a sim landing exactly on a
+    4th-decimal tie (e.g. 0.03125) would diverge across engines and
+    flip a driver-gate hash.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if not query_vectors:
+        raise ValueError(
+            "matmul_topk: query_vectors is empty — callers should "
+            "short-circuit the no-query case (V3 empty-result guard) "
+            "rather than score against a 0-row query matrix"
+        )
     qids = [q[0] for q in query_vectors]
     qmat = np.array([q[1] for q in query_vectors], dtype=np.float64)
     nq, dim = qmat.shape
@@ -278,12 +294,16 @@ def matmul_topk(
                 out = {"qid": qids[j], id_col: pdf[id_col]}
                 for col in extra_cols:
                     out[col] = pdf[col]
-                out["sim"] = np.round(sim, round_digits)
+                out["sim"] = sim
                 yield pd.DataFrame(out)
 
     scored = corpus.select(id_col, vec_col, *extra_cols).mapInPandas(
         score, schema
     )
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "sim", F.round("sim", round_digits)
+        )
     return topk_per_query(scored, k, tiebreak_col=id_col)
 
 

@@ -322,18 +322,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Size-aware rescore join: the fixture vector table is MBs, so the
     # on-disk estimate keeps it broadcast (pairs never shuffle); past
-    # the byte threshold the vector table IS the big table and both
-    # lookups flip to shuffle-hash joins on a/b instead — a 100 TB
-    # embedding table can never ship to every executor.
-    import os
-
+    # the byte threshold — or when the size is unknowable — the vector
+    # table IS (or may be) the big table and both lookups flip to
+    # shuffle-hash joins on a/b instead: a 100 TB embedding table can
+    # never ship to every executor.
     from ..operators.vector import rescore_candidates
     from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
 
-    try:
-        vec_bytes = os.path.getsize(table_path(sf_dir, "embeddings"))
-    except OSError:
-        vec_bytes = None
+    vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
     scored = rescore_candidates(cands, emb, vec_bytes=vec_bytes)
     # Two-phase top-k (TakeOrderedAndProject), then rank the 30
     # survivors — no corpus-sized single-partition window.

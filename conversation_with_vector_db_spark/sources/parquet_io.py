@@ -134,6 +134,27 @@ def drop_partition(
 # API change.
 
 
+def parquet_bytes_on_disk(path: str) -> int | None:
+    """Total bytes of a parquet table at ``path`` — a single file OR a
+    directory of part-files (``os.path.getsize`` on a directory
+    returns the ~4 KB inode size, which would silently classify any
+    multi-file table as broadcastable). ``None`` when the path isn't
+    locally stat-able (object stores) — callers must treat unknown as
+    LARGE, never as small."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total if total > 0 else None
+    except OSError:
+        return None
+
+
 def append_change_log(
     df: DataFrame, log_path: str, op: str, seq: int
 ) -> None:
@@ -213,23 +234,23 @@ def compaction_in_progress(spark: SparkSession, base_path: str) -> bool:
     return fs.exists(hpath)
 
 
-def _truncate_log(
-    spark: SparkSession, log_path: str, folded_max: int
-) -> None:
-    """Drop log entries with ``_seq <= folded_max``, KEEPING later
-    appends: a concurrent writer may have appended a new batch while
-    compaction ran, and blindly deleting the log directory would lose
-    it. Remainder is materialized before the overwrite (the plan reads
-    the path it rewrites)."""
-    remainder = spark.read.parquet(log_path).filter(
-        F.col("_seq") > folded_max
-    )
-    remainder = remainder.localCheckpoint(eager=True)
-    if remainder.isEmpty():
+def _log_data_files(spark: SparkSession, log_path: str) -> list[str]:
+    """Snapshot the log's current data files (skipping _SUCCESS-style
+    metadata). The fold reads exactly this set and truncation deletes
+    exactly this set, so an append landing mid-compaction — which
+    always creates NEW files — is never read half-folded and never
+    deleted."""
+    try:
         fs, hpath = _hadoop_fs(spark, log_path)
-        fs.delete(hpath, True)
-    else:
-        remainder.write.mode("overwrite").parquet(log_path)
+        statuses = fs.listStatus(hpath)
+    except Exception:
+        return []
+    out = []
+    for s in statuses:
+        name = s.getPath().getName()
+        if s.isFile() and not name.startswith(("_", ".")):
+            out.append(s.getPath().toString())
+    return out
 
 
 def compact_change_log(
@@ -241,41 +262,50 @@ def compact_change_log(
     failpoint: str | None = None,
 ) -> None:
     """Fold the log into the base: rewrite ONLY the partitions the log
-    touches (dynamic overwrite), then truncate the folded log entries.
-    The merged result is read_merge_on_read restricted to touched
-    partitions, unioned back over untouched base partitions implicitly
-    (they are never read or written).
+    touches (dynamic overwrite), explicitly drop partitions the fold
+    EMPTIED (dynamic overwrite writes nothing for a zero-row
+    partition, which would resurrect deleted rows once the log is
+    gone), then delete exactly the log files that were folded.
 
     Crash consistency on bare parquet (a table format would make the
     whole fold one transactional commit; without one, the protocol
-    leans on the overlay being IDEMPOTENT — re-applying folded log
-    entries over an already-compacted base reproduces the same rows):
+    leans on two properties: the overlay is IDEMPOTENT — re-applying
+    folded log entries over an already-compacted base reproduces the
+    same rows — and the fold operates on a FILE SNAPSHOT of the log,
+    so concurrent appends, which create new files, are invisible to
+    the fold and survive truncation untouched):
 
-    1. write ``_compaction_inprogress`` marker (records folded_max)
-    2. dynamic-overwrite the touched base partitions
-    3. truncate log entries with ``_seq <= folded_max``
-    4. remove the marker
+    1. snapshot the log's data files; write the
+       ``_compaction_inprogress`` marker (records the folded max
+       ``_seq``)
+    2. dynamic-overwrite the touched base partitions from the merge of
+       base + snapshot
+    3. drop base partitions the fold emptied (all their rows deleted)
+    4. delete the snapshot's log files (newer files stay)
+    5. remove the marker
 
-    * die between 1-2 or mid-2: base has some partitions rewritten,
-      log intact — readers overlay the full log and see exactly the
-      pre-compaction rows (idempotence); re-running compaction
-      completes the fold.
-    * die between 2-3: base fully compacted, log intact — overlay is a
-      no-op by idempotence; readers consistent; re-run completes.
-    * die between 3-4: fully consistent, only the marker lingers;
-      re-run (or any compaction) clears it.
+    * die in 1-2 or mid-2: some partitions rewritten, snapshot intact —
+      readers overlay the full log and see exactly the
+      pre-compaction rows (idempotence); a re-run completes the fold.
+    * die in 2-4: base partly/fully compacted, snapshot files (or a
+      subset) intact — overlaying them again is a no-op by
+      idempotence; emptied partitions still read as deleted because
+      the surviving delete entries keep masking them; re-run
+      completes.
+    * die in 4-5: fully consistent; only the marker lingers; any
+      later compaction clears it.
 
-    The residual non-atomic window is step 2's per-partition file swap
-    and step 3's log rewrite — both directory-rename-sized, the gap a
-    real deployment closes with Delta/Iceberg commit metadata (see the
-    module design note). ``failpoint`` ('after_marker' |
-    'after_overwrite') raises :class:`SimulatedCrash` at the named
-    step boundary so tests can exercise each window.
+    The residual non-atomic window is step 2's per-partition file
+    swap — directory-rename-sized, the gap a real deployment closes
+    with Delta/Iceberg commit metadata (see the module design note).
+    ``failpoint`` ('after_marker' | 'after_overwrite') raises
+    :class:`SimulatedCrash` at the named step boundary so tests can
+    exercise each window.
     """
-    try:
-        log = spark.read.parquet(log_path)
-    except Exception:
+    snapshot = _log_data_files(spark, log_path)
+    if not snapshot:
         return  # nothing to compact
+    log = spark.read.parquet(*snapshot)
     folded_max = log.agg(F.max("_seq")).first()[0]
     if folded_max is None:
         return
@@ -285,21 +315,32 @@ def compact_change_log(
     out.close()
     if failpoint == "after_marker":
         raise SimulatedCrash("after_marker")
-    bounded = log.filter(F.col("_seq") <= folded_max)
     base = spark.read.parquet(base_path)
-    merged = merge_overlay(base, bounded, [partition_col, key])
-    touched = bounded.select(partition_col).distinct()
+    merged = merge_overlay(base, log, [partition_col, key])
+    touched = log.select(partition_col).distinct()
     merged_touched = merged.join(
         F.broadcast(touched), partition_col, "left_semi"
     )
     # Materialize before writing: the merged plan READS base_path, which
     # the dynamic overwrite is about to rewrite.
     merged_touched = merged_touched.localCheckpoint(eager=True)
+    touched_vals = [r[0] for r in touched.collect()]
+    surviving = {
+        r[0]
+        for r in merged_touched.select(partition_col).distinct().collect()
+    }
     _dynamic_overwrite(merged_touched, base_path, partition_col)
     if failpoint == "after_overwrite":
         raise SimulatedCrash("after_overwrite")
-    _truncate_log(spark, log_path, folded_max)
+    for v in touched_vals:
+        if v not in surviving:
+            drop_partition(spark, base_path, partition_col, v)
+    log_fs, _ = _hadoop_fs(spark, log_path)
+    jvm = spark._jvm
+    for f in snapshot:
+        log_fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     fs.delete(marker, False)
+    merged_touched.unpersist(False)
 
 
 def read_text_documents(

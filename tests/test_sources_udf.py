@@ -241,6 +241,51 @@ class TestParquetMaintenance:
         with pytest.raises(Exception):
             spark.read.parquet(log).collect()
 
+    def test_mor_compaction_drops_fully_deleted_partition(
+        self, spark, vector_store, tmp_path
+    ):
+        """Deletes that empty an entire partition must NOT resurrect
+        after compaction: dynamic overwrite writes nothing for a
+        zero-row partition, so compaction must drop the emptied
+        partition directory explicitly before discarding the folded
+        delete entries."""
+        from conversation_with_vector_db_spark.sources.parquet_io import (
+            append_change_log,
+            compact_change_log,
+            read_merge_on_read,
+        )
+
+        log = str(tmp_path / "log")
+        store = spark.read.parquet(vector_store)
+        schema = store.schema
+        ns1 = store.filter(F.col("namespace") == 1).select(
+            "vec_id", "label", "namespace"
+        )
+        assert ns1.count() > 0
+        append_change_log(ns1.select("vec_id", "label", "namespace")
+                          .selectExpr(*schema.fieldNames()), log,
+                          "delete", 1)
+        # Overlay read already hides the namespace.
+        assert (
+            read_merge_on_read(spark, vector_store, log, "vec_id")
+            .filter(F.col("namespace") == 1).count() == 0
+        )
+        compact_change_log(spark, vector_store, log, "vec_id")
+        # After compaction + log truncation the rows must STAY deleted.
+        assert (
+            spark.read.parquet(vector_store)
+            .filter(F.col("namespace") == 1).count() == 0
+        )
+        assert (
+            read_merge_on_read(spark, vector_store, log, "vec_id")
+            .filter(F.col("namespace") == 1).count() == 0
+        )
+        # Untouched partitions survive.
+        assert (
+            spark.read.parquet(vector_store)
+            .filter(F.col("namespace") == 0).count() > 0
+        )
+
     def test_drop_partition(self, spark, vector_store):
         drop_partition(spark, vector_store, "namespace", 1)
         after = spark.read.parquet(vector_store)
