@@ -7,12 +7,12 @@ identity.
 The reference's streaming is socket-level token delivery plus Redis
 TTL session state. The Spark-native equivalents:
 
-* :func:`stream_events` — file-source stream over parquet (tests split
-  the fixture into multiple files so maxFilesPerTrigger=1 produces a
-  real multi-batch stream; in production this is the object-store drop
-  directory or Kafka).
-* :func:`running_counts` — X2: running per-key counters with a
-  watermark bounding state.
+* :func:`stream_parquet_dir` — file-source stream over parquet (tests
+  split the fixture into multiple files so maxFilesPerTrigger=1
+  produces a real multi-batch stream; in production this is the
+  object-store drop directory or Kafka).
+* :func:`running_counts` — X2: running per-key counters (state is one
+  row per key — see its docstring for the boundedness caveat).
 * :func:`session_accumulator` — X1+X3: per-conversation accumulation
   with a 15-minute idle TTL via ``applyInPandasWithState`` and
   event-time timeout — the faithful port of the Redis ``EX 900``
@@ -115,7 +115,17 @@ def streaming_exact_dedup(
 def running_counts(
     stream: DataFrame, key: str = "user_id", watermark: str = "30 minutes"
 ) -> DataFrame:
-    """X2: per-key running counter (tokenCount++ per chunk)."""
+    """X2: per-key running counter (tokenCount++ per chunk).
+
+    Boundedness caveat: a NON-windowed grouped aggregate keeps one
+    state row per distinct key forever — the watermark does not evict
+    it (watermark eviction applies to event-time-windowed aggregates,
+    dropDuplicates*, and stream-stream joins), and complete-mode
+    output ignores watermarks entirely. That matches X2's semantics
+    (the reference's per-user lifetime counter over a bounded user
+    population); for an unbounded key domain use a windowed aggregate
+    (`F.window("ts", ...)`) so state expires with the watermark.
+    """
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(key)
@@ -181,7 +191,11 @@ def _accumulate_session(
             transcript, n_chunks = "", 0
         transcript = f"{transcript} {message}".strip()
         n_chunks += 1
-        last_micros = t_us
+        # Out-of-order delivery across batches (rows within a batch are
+        # sorted above): a not-late row older than stored last activity
+        # must NOT rewind the idle clock — rewinding would fire the TTL
+        # early and split one real session into two.
+        last_micros = max(last_micros, t_us)
     state.update((transcript, n_chunks, last_micros))
     # TTL: expire when event time passes last activity + 900 s —
     # activity resets the clock exactly like Redis SET ... EX 900.
@@ -206,6 +220,14 @@ def session_accumulator(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _write_batch_dir(df: DataFrame, root: str, batch_id: int) -> None:
+    """THE idempotent-replay write convention, defined once: every
+    foreachBatch sink in this module lands each micro-batch in a
+    ``batch_id=N`` subdirectory with overwrite, so a replayed batch
+    rewrites its own directory instead of double-appending."""
+    df.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
 
 
 CONTINUATION_SCHEMA = StructType(
@@ -261,10 +283,10 @@ def continuation_sink(
             F.lit(0).cast("long").alias("tokens"),
             "depth",
         )
-        (
-            batch_df.filter(F.col("kind") != "tool_call")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/batch_id={batch_id}")
+        _write_batch_dir(
+            batch_df.filter(F.col("kind") != "tool_call"),
+            out_dir,
+            batch_id,
         )
         feedback = results.unionByName(next_calls)
         if not feedback.isEmpty():
@@ -278,22 +300,31 @@ def continuation_sink(
 
 
 def append_sink_query(
-    result_stream: DataFrame, target_dir: str, checkpoint_dir: str
+    result_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
 ):
-    """X8/S9: idempotent append sink via foreachBatch — each micro-batch
+    """X8/S9: idempotent sink via foreachBatch — each micro-batch
     writes to a batch-id subdirectory with overwrite, so a replayed
     batch after failure cannot double-append (the engine's answer to
-    the reference's non-transactional Mongo double-write)."""
+    the reference's non-transactional Mongo double-write).
+
+    With the default ``output_mode="update"`` over an AGGREGATING
+    upstream, the target is a table VERSIONED BY BATCH, not an append
+    log: every updating batch lands its current per-key values in its
+    own ``batch_id=N`` directory, and a reader wanting latest state
+    must take each key's row from its max batch_id (the convention
+    tests/test_streaming.py uses). Pass ``output_mode="append"`` for
+    finalized-rows upstreams (watermark-expired windows, append-only
+    streams), where the directories together form a true append log.
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("overwrite").parquet(
-                f"{target_dir}/batch_id={batch_id}"
-            )
-        )
+        _write_batch_dir(batch_df, target_dir, batch_id)
 
     return (
-        result_stream.writeStream.outputMode("update")
+        result_stream.writeStream.outputMode(output_mode)
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -366,6 +397,37 @@ def streaming_minhash_dedup_sink(
         docs = batch_df.select("doc_id", "text").dropDuplicates(
             ["doc_id"]
         )
+        accepted_prev = _read_store(
+            spark, f"{store_dir}/accepted", batch_id
+        )
+        if accepted_prev is not None:
+            # Checkpoint/store pairing guard: exactly-once replay
+            # couples the stream checkpoint to the store's batch-id
+            # numbering. A FRESH checkpoint pointed at an existing
+            # store restarts ids at 0, which would both hide the
+            # accepted corpus (reads filter batch_id < N) and
+            # overwrite stored batches — refuse loudly instead of
+            # silently destroying corpus state. (Legit crash-replay
+            # re-runs the LAST batch: batch_id == stored max is fine.)
+            stored_max = accepted_prev.agg(
+                F.max("batch_id")
+            ).first()[0]
+            if stored_max is not None and batch_id < stored_max:
+                raise ValueError(
+                    f"streaming_minhash_dedup_sink: batch_id "
+                    f"{batch_id} < stored max {stored_max} — this "
+                    f"checkpoint does not own store {store_dir!r}; "
+                    f"reuse the original checkpoint dir or start a "
+                    f"fresh store"
+                )
+            # At-least-once re-delivery guard: a doc_id already in the
+            # accepted corpus is a no-op — without this, its band keys
+            # match its own stored keys and the degenerate self-pair
+            # (union=0 -> NULL jaccard; DIVIDE_BY_ZERO under ANSI)
+            # would re-accept it as a permanent duplicate.
+            docs = docs.join(
+                accepted_prev.select("doc_id"), "doc_id", "left_anti"
+            )
         sh_new = df_capped_shingles(docs)
         keys_new = lsh_band_keys(minhash_signatures(docs, shingles=sh_new))
         old_keys = _read_store(spark, f"{store_dir}/bands", batch_id)
@@ -382,9 +444,7 @@ def streaming_minhash_dedup_sink(
                 .select("a", "b")
                 .distinct()
             )
-            accepted_docs = _read_store(
-                spark, f"{store_dir}/accepted", batch_id
-            ).select("doc_id", "text")
+            accepted_docs = accepted_prev.select("doc_id", "text")
             # Only candidate-matched accepted docs are re-shingled: the
             # semi-join pushes the candidate id set into the store scan.
             old_cand = accepted_docs.join(
@@ -393,7 +453,14 @@ def streaming_minhash_dedup_sink(
                 "left_semi",
             )
             verified = jaccard_verify(
-                old_cand.unionByName(docs), cands, threshold=threshold
+                old_cand.unionByName(docs),
+                cands,
+                threshold=threshold,
+                # Reuse the batch's already-computed shingles: shingling
+                # (tokenize + per-n-gram md5) is the dominant per-doc
+                # cost, and without this hook the union side re-pays it
+                # for every new doc.
+                shingles=df_capped_shingles(old_cand).unionByName(sh_new),
             )
             w = Window.partitionBy("b").orderBy(F.desc("jaccard"), "a")
             rejected = (
@@ -430,9 +497,7 @@ def streaming_minhash_dedup_sink(
             ),
             ("decisions", decisions),
         ):
-            df.write.mode("overwrite").parquet(
-                f"{store_dir}/{name}/batch_id={batch_id}"
-            )
+            _write_batch_dir(df, f"{store_dir}/{name}", batch_id)
         rejected.unpersist()
 
     return (

@@ -425,3 +425,56 @@ def test_streaming_minhash_dedup_gate(spark, sf_dir, tmp_path):
         store + "/bands"
     )
     assert bands.count() == 4 * len(accepted_ids)
+
+
+def test_streaming_minhash_gate_redelivery_is_noop(spark, tmp_path):
+    """At-least-once sources re-deliver docs: a doc_id already in the
+    accepted corpus must be a no-op — not a self-pair that NULLs its
+    own Jaccard and re-enters the corpus as a permanent duplicate."""
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        DOCUMENT_SCHEMA,
+        stream_parquet_dir,
+        streaming_minhash_dedup_sink,
+    )
+
+    root = tmp_path / "redeliver"
+    root.mkdir()
+    batch0 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    batch1 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # again
+        (3, "totally different content about spark streams here"),
+    ]
+    for i, rows in enumerate((batch0, batch1)):
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+        part = root / f"stage{i}"
+        df.write.mode("overwrite").parquet(str(part))
+        import shutil as _sh
+
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / f"file{i}.parquet"))
+        _sh.rmtree(part)
+
+    store = str(tmp_path / "store_rd")
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA),
+        store,
+        str(tmp_path / "ckpt_rd"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    accepted = spark.read.option("basePath", store + "/accepted").parquet(
+        store + "/accepted"
+    )
+    rows = accepted.select("doc_id").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == [1, 2, 3]  # doc 1 exactly once, no duplicate
+    bands = spark.read.option("basePath", store + "/bands").parquet(
+        store + "/bands"
+    )
+    assert bands.count() == 4 * 3
