@@ -92,16 +92,25 @@ def compile_definition(name: str, source: str | None = None) -> Callable:
 
 # --- D5/D6: validated SQL passthrough -----------------------------------
 
-_SELECT_RE = re.compile(r"^\s*SELECT\b", re.IGNORECASE)
-_INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+(\w+)", re.IGNORECASE)
-_UPDATE_RE = re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\b", re.IGNORECASE)
-_DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+(\w+)", re.IGNORECASE)
+#: Read-only statements may open with SELECT, a CTE (WITH ... SELECT),
+#: or a parenthesized SELECT — all are pure reads.
+_SELECT_RE = re.compile(r"^\s*\(*\s*(SELECT|WITH)\b", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+(?:\.\w+)*)", re.IGNORECASE
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+(?:\.\w+)*)\s+SET\b", re.IGNORECASE
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+(?:\.\w+)*)", re.IGNORECASE
+)
 
 
 def sql_passthrough(spark: SparkSession, sql: str) -> DataFrame:
-    """D5: SELECT-only passthrough over the registered views — the
+    """D5: read-only passthrough over the registered views — the
     engine's true SQL entry point (service/postgreService.js:49-63
-    validated the same way by regex)."""
+    validated the same way by regex). Accepts SELECT, WITH-CTE, and
+    parenthesized SELECT forms; everything else is rejected."""
     if not _SELECT_RE.match(sql):
         raise ValueError("only SELECT statements pass through")
     return spark.sql(sql)
@@ -119,7 +128,9 @@ def classify_write_statement(sql: str) -> tuple[str, str]:
     ):
         m = rx.match(sql)
         if m:
-            return op, m.group(1)
+            # Qualified names (db.tbl) dispatch on the table component;
+            # the engine's catalog is single-namespace temp views.
+            return op, m.group(1).rsplit(".", 1)[-1]
     raise ValueError("statement is not a recognized INSERT/UPDATE/DELETE")
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .vector import (
     brute_force_topk,
     cosine_similarity,
-    cosine_with_norms,
+    cosine_with_norms_batched,
     l2_norm,
     topk_per_query,
 )
@@ -99,12 +99,19 @@ def _signature_udf(planes: list[list[float]]):
     def sig(vecs):
         if len(vecs) == 0:  # empty Arrow batch (empty partition)
             return pd.Series([], dtype="object")
-        mat = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
-        acc = np.zeros((mat.shape[0], wt.shape[1]), dtype=np.float64)
-        for d in range(wt.shape[0]):
-            acc += mat[:, d : d + 1] * wt[d]
-        bits = np.where(acc > 0, "1", "0")
-        return pd.Series(["".join(row) for row in bits])
+        arr = vecs.to_numpy()
+        # Null embeddings yield a null signature (the behavior of the
+        # expression form) instead of crashing np.stack and the stage.
+        mask = np.array([v is not None for v in arr])
+        out = np.full(len(arr), None, dtype=object)
+        if mask.any():
+            mat = np.stack(arr[mask]).astype(np.float64, copy=False)
+            acc = np.zeros((mat.shape[0], wt.shape[1]), dtype=np.float64)
+            for d in range(wt.shape[0]):
+                acc += mat[:, d : d + 1] * wt[d]
+            bits = np.where(acc > 0, "1", "0")
+            out[mask] = ["".join(row) for row in bits]
+        return pd.Series(out)
 
     return sig
 
@@ -130,6 +137,14 @@ def with_lsh_bands(
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
+    if n_bands <= 0 or n_bits % n_bands != 0:
+        # A silent non-divisible split would ignore trailing signature
+        # bits (stats no longer match the stated config); n_bands >
+        # n_bits would make every band_key '' and degenerate the band
+        # join into a cross join.
+        raise ValueError(
+            f"n_bands ({n_bands}) must evenly divide n_bits ({n_bits})"
+        )
     planes = hyperplane_planes(n_bits, dim, seed)
     sig = _signature_udf(planes)(F.col(vec_col))
     per_band = n_bits // n_bands
@@ -188,33 +203,44 @@ def hyperplane_lsh_topk(
     """Approximate cosine top-k: candidates share >=1 LSH band with the
     query (optionally multi-probed with ``probe_bits`` single-bit
     flips on the query side), exact-rescored, ranked.
-    Returns (qid, vec_id, sim, rank)."""
-    c = with_lsh_bands(corpus, vec_col, n_bits, n_bands, seed, dim).select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_cn"),
-        "band",
-        "band_key",
-    )
+    Returns (qid, vec_id, sim, rank).
+
+    Norms are computed ONCE per vector BEFORE banding (the band explode
+    multiplies each row n_bands times — and a multi-probed query side
+    (per_band+1)x more — so a post-explode norm fold would repeat the
+    interpreted array fold per band row); candidate dedup groups on
+    the (qid, id) key pair instead of distinct-ing rows that carry full
+    embedding arrays; rescoring is Arrow-batched (bit-identical to the
+    HOF fold, ~100x less CPU on the candidate bulk)."""
+    c = with_lsh_bands(
+        corpus.withColumn("_cn", l2_norm(F.col(vec_col))),
+        vec_col, n_bits, n_bands, seed, dim,
+    ).select(F.col(id_col), F.col(vec_col), "_cn", "band", "band_key")
     q = with_lsh_bands(
-        queries, vec_col, n_bits, n_bands, seed, dim, probe_bits
+        queries.withColumn("_qn", l2_norm(F.col(vec_col))),
+        vec_col, n_bits, n_bands, seed, dim, probe_bits,
     ).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+        "_qn",
         "band",
         "band_key",
     )
     cands = (
         c.join(F.broadcast(q), ["band", "band_key"])
-        .select("qid", "_qvec", "_qn", id_col, vec_col, "_cn")
-        .distinct()
+        .groupBy("qid", id_col)
+        .agg(
+            F.first("_qvec").alias("_qvec"),
+            F.first("_qn").alias("_qn"),
+            F.first(vec_col).alias(vec_col),
+            F.first("_cn").alias("_cn"),
+        )
     )
     scored = cands.select(
         "qid",
         id_col,
         F.round(
-            cosine_with_norms(
+            cosine_with_norms_batched(
                 F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
             ),
             4,
@@ -281,7 +307,9 @@ def ivf_topk(
         "qid",
         id_col,
         F.round(
-            cosine_with_norms(
+            # Arrow-batched: the probe fan-out makes this the bulk-pair
+            # stage (bit-identical values to the HOF fold).
+            cosine_with_norms_batched(
                 F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
             ),
             4,
@@ -299,7 +327,14 @@ def recall_at_k(
     Pure plan — a left join + one aggregate, no driver-side actions —
     so it composes into larger plans and runs as a single Spark job.
     """
-    marked = approx.select("qid", "vec_id").withColumn("_hit", F.lit(1))
+    # Dedupe defensively: a duplicate (qid, vec_id) in approx (e.g.
+    # multi-probe candidates ranked without a prior distinct) would fan
+    # out the join and inflate both n_hits and n_exact.
+    marked = (
+        approx.select("qid", "vec_id").distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+    )
     joined = exact.select("qid", "vec_id").join(
         marked, ["qid", "vec_id"], "left"
     )

@@ -180,7 +180,11 @@ def merge_overlay(
     anti-join on the base."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*identity).orderBy(F.desc("_seq"))
+    # Tiebreak equal _seq deterministically with _op ascending
+    # ('delete' < 'upsert' -> delete wins), exactly as the m8 oracle
+    # does — an arbitrary winner on seq conflicts would make the read
+    # nondeterministic run to run.
+    w = Window.partitionBy(*identity).orderBy(F.desc("_seq"), "_op")
     latest = (
         log.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

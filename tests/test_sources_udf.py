@@ -361,6 +361,13 @@ class TestUdfGovernance:
         load_tables(spark, sf_dir)
         fixtures.register_derived_views(spark)
         assert sql_passthrough(spark, "SELECT 1 AS x").first().x == 1
+        # CTEs and parenthesized SELECTs are pure reads too.
+        assert (
+            sql_passthrough(
+                spark, "WITH t AS (SELECT 2 AS x) SELECT x FROM t"
+            ).first().x == 2
+        )
+        assert sql_passthrough(spark, "(SELECT 3 AS x)").first().x == 3
         for bad in (
             "DROP TABLE prompts",
             "INSERT INTO prompts VALUES (1)",
@@ -379,5 +386,55 @@ class TestUdfGovernance:
         assert classify_write_statement(
             "DELETE FROM favorites WHERE fav_id = 1"
         ) == ("delete", "favorites")
+        # Qualified names dispatch on the TABLE component, not the db.
+        assert classify_write_statement(
+            "INSERT INTO analytics.prompts VALUES (1)"
+        ) == ("insert", "prompts")
+        assert classify_write_statement(
+            "UPDATE db.favorites SET x = 0"
+        ) == ("update", "favorites")
         with pytest.raises(ValueError):
             classify_write_statement("TRUNCATE TABLE prompts")
+
+
+def test_signature_expr_and_udf_paths_agree(spark, sf_dir):
+    """_signature_bits (the expression reference form) and
+    _signature_udf (the live Arrow-batched path) must produce the same
+    sign bits — the bit-identical claim both docstrings make, pinned
+    instead of asserted in comments. Also: null embeddings yield a
+    null signature, not a stage crash."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.ann import (
+        _signature_bits,
+        _signature_udf,
+        hyperplane_planes,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].limit(40)
+    planes = hyperplane_planes(n_bits=12, dim=64)
+    expr_sig = F.concat(
+        *[
+            b.cast("string")
+            for b in _signature_bits("embedding", planes)
+        ]
+    )
+    udf_sig = _signature_udf(planes)(F.col("embedding"))
+    rows = emb.select(
+        "vec_id", expr_sig.alias("e"), udf_sig.alias("u")
+    ).collect()
+    assert rows and all(r["e"] == r["u"] for r in rows)
+
+    withnull = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+    out = withnull.select(
+        "vec_id", _signature_udf(planes)(F.col("embedding")).alias("s")
+    ).collect()
+    assert all(
+        (r["s"] is None) == (r["vec_id"] % 2 != 0) for r in out
+    )
