@@ -722,3 +722,104 @@ def connected_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
         if changed == 0:
             break
     return lbl
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered membership (decontamination at scale)
+# --------------------------------------------------------------------------
+
+#: Bits per inserted key (16) and probe count (6): FPR ~= 2e-4 per the
+#: standard (1 - e^(-k*n/m))^k bound -- at 100 TB corpus scale, a few
+#: false positives per ten thousand shingles reach the exact verify
+#: join and are discarded there; correctness never depends on the FPR.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_NUM_HASHES = 6
+
+
+def _splitmix64(x):
+    """splitmix64 finalizer over a uint64 numpy array — the public
+    mixing constant set (Steele et al., 'Fast splittable pseudorandom
+    number generators')."""
+    import numpy as np
+
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def build_bloom(keys, bits_per_key: int = BLOOM_BITS_PER_KEY,
+                n_hashes: int = BLOOM_NUM_HASHES):
+    """Build a Bloom filter over integer keys; returns (bits, n_hashes)
+    where ``bits`` is a packed uint64 numpy word array whose length is a
+    power of two.
+
+    Driver-side by design: the INSERTED side is small by contract (an
+    eval set's shingles — MBs against a 100 TB corpus), the same tiny-
+    side contract under which ``dedup_decontaminate`` broadcasts the
+    exact shingle list. The bloom form is the next rung up: at ~10^7+
+    eval shingles the exact 8-byte-per-key broadcast set (plus JVM hash
+    table overhead) stops fitting comfortably, while 16 bits/key of
+    bloom stays a ~20 MB broadcast with FPR ~2e-4.
+
+    Positions use Kirsch-Mitzenmacher double hashing: two splitmix64
+    streams h1, h2 and probe i at ``(h1 + i*h2) mod m`` — k independent
+    probes from two hash evaluations.
+    """
+    import numpy as np
+
+    keys = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    n = max(len(keys), 1)
+    m = 1 << max(int(n * bits_per_key - 1).bit_length(), 6)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = _splitmix64(keys)
+        h2 = _splitmix64(keys ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        for i in range(n_hashes):
+            pos = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    return words, n_hashes
+
+
+def bloom_might_contain(spark, words, n_hashes: int = BLOOM_NUM_HASHES):
+    """Boolean pandas UDF: probable membership of a BIGINT column in the
+    bloom filter built by :func:`build_bloom`.
+
+    The word array ships to executors once via a Spark broadcast (NOT a
+    per-task closure copy), and each Arrow batch is probed with
+    vectorized numpy bit tests — the per-row cost is k word reads, no
+    Python loop. False positives only; callers follow with the exact
+    verify join, so plans using this stay exactly correct.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(words)
+    m = len(words) * 64
+
+    @pandas_udf("boolean")
+    def _probe(col):
+        if len(col) == 0:
+            return pd.Series([], dtype="bool")
+        w = bc.value
+        x = col.to_numpy(dtype=np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = _splitmix64(x)
+            h2 = (
+                _splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+                | np.uint64(1)
+            )
+            hit = np.ones(len(x), dtype=bool)
+            for i in range(n_hashes):
+                pos = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+                word = w[(pos >> np.uint64(6)).astype(np.int64)]
+                hit &= (
+                    word >> (pos & np.uint64(63)) & np.uint64(1)
+                ).astype(bool)
+        return pd.Series(hit)
+
+    return _probe

@@ -441,20 +441,10 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_decontaminate",
-    doc="""Benchmark decontamination — the GPT-3/Pile-style n-gram
-    overlap sweep a training pipeline runs before every release: flag
-    training documents sharing >= 5 word-3-gram shingles with any doc
-    of a held-out eval set (here the deterministic ~2% slice
-    doc_id % 53 = 0 of `documents`; planted near-copies in `corpus`
-    are the known contaminations). The eval side is tiny by nature
-    (benchmarks are MBs against a 100 TB corpus), so its shingle set
-    BROADCASTS and contamination detection is one map-side join over
-    the training shingle index — the corpus is scanned once and never
-    shuffled.""",
-    fixtures_used=("corpus",),
-    oracle="""
+# Shared by the exact and bloom-prefiltered decontamination queries —
+# the bloom pass is a prefilter followed by the exact verify join, so
+# both compute the identical relation.
+_DECON_ORACLE = """
 WITH btok AS (
     SELECT doc_id,
            regexp_extract_all(
@@ -489,9 +479,17 @@ FROM tsh t JOIN bsh b USING (shingle)
 GROUP BY 1, 2
 HAVING count(*) >= 5
 ORDER BY train_id, bench_id
-""",
-)
-def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _decon_shingle_sides(
+    spark: SparkSession,
+) -> tuple[DataFrame, DataFrame]:
+    """(bench shingles, train shingles) for the decontamination sweep:
+    eval set = the deterministic ~2% slice doc_id % 53 = 0 of
+    `documents`; training corpus = everything else in `corpus` (which
+    contains planted near-copies of eval docs — the known
+    contaminations)."""
     from ..operators.dedup import exploded_shingles
 
     bench = spark.table("documents").filter(F.col("doc_id") % 53 == 0)
@@ -502,8 +500,66 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsh = exploded_shingles(train).select(
         F.col("doc_id").alias("train_id"), "shingle"
     )
+    return bsh, tsh
+
+
+@query(
+    "dedup_decontaminate",
+    doc="""Benchmark decontamination — the GPT-3/Pile-style n-gram
+    overlap sweep a training pipeline runs before every release: flag
+    training documents sharing >= 5 word-3-gram shingles with any doc
+    of a held-out eval set (here the deterministic ~2% slice
+    doc_id % 53 = 0 of `documents`; planted near-copies in `corpus`
+    are the known contaminations). The eval side is tiny by nature
+    (benchmarks are MBs against a 100 TB corpus), so its shingle set
+    BROADCASTS and contamination detection is one map-side join over
+    the training shingle index — the corpus is scanned once and never
+    shuffled.""",
+    fixtures_used=("corpus",),
+    oracle=_DECON_ORACLE,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bsh, tsh = _decon_shingle_sides(spark)
     return (
         tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy("train_id", "bench_id")
+    )
+
+
+@query(
+    "dedup_decontaminate_bloom",
+    driver=False,
+    doc="""Bloom-prefiltered decontamination — the same relation as
+    `dedup_decontaminate` (same oracle), computed the way it must be
+    once the eval set outgrows an exact broadcast hash side: a Bloom
+    filter over the eval shingles (16 bits/key, k=6, FPR ~2e-4 —
+    operators.dedup.build_bloom) ships to executors as a ~bits/8-byte
+    broadcast and prunes the corpus shingle stream map-side with
+    vectorized bit probes; only probable hits (true matches + ~2e-4
+    false positives) reach the exact verify join, which removes the
+    false positives — results are exactly correct regardless of FPR
+    (equivalence pinned by test). At 10^7+ eval shingles the exact
+    8-byte-key broadcast set plus JVM hash-table overhead stops
+    fitting, while the bloom stays ~20 MB.""",
+    fixtures_used=("corpus",),
+    oracle=_DECON_ORACLE,
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bloom_might_contain, build_bloom
+
+    bsh, tsh = _decon_shingle_sides(spark)
+    # Driver-side collect of the DISTINCT eval shingles mirrors the
+    # tiny-eval-side contract the exact variant's broadcast relies on;
+    # the corpus side streams through the probe untouched.
+    keys = [r[0] for r in bsh.select("shingle").distinct().collect()]
+    words, k = build_bloom(keys)
+    probe = bloom_might_contain(spark, words, k)
+    return (
+        tsh.filter(probe(F.col("shingle")))
+        .join(F.broadcast(bsh), "shingle")
         .groupBy("train_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)

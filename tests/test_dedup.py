@@ -173,3 +173,77 @@ def test_char_window_shingles_ascii_and_unicode_agree(spark):
         (doc_id, w) for doc_id, s in docs for w in char_windows(s)
     }
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_fpr_bound():
+    import numpy as np
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        _splitmix64,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**60, size=50_000)
+    words, k = build_bloom(keys)
+    m = len(words) * 64
+
+    def probe(x):
+        x = np.asarray(x, dtype=np.int64).view(np.uint64)
+        h1 = _splitmix64(x)
+        h2 = _splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        hit = np.ones(len(x), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+            word = words[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(
+                bool
+            )
+        return hit
+
+    # Bloom contract: NO false negatives, ever.
+    assert probe(keys).all()
+    # FPR on disjoint non-members stays within ~5x of the design 2e-4
+    # (sampling noise allowance on 100k probes).
+    non_members = rng.integers(2**60, 2**61, size=100_000)
+    assert probe(non_members).mean() < 1e-3
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    """The bloom pass is prefilter + exact verify: its output relation
+    must equal the exact broadcast variant's, row for row."""
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    exact = REGISTRY["dedup_decontaminate"].fn(spark, sf_dir)
+    bloom = REGISTRY["dedup_decontaminate_bloom"].fn(spark, sf_dir)
+    assert [tuple(r) for r in exact.collect()] == [
+        tuple(r) for r in bloom.collect()
+    ]
+
+
+def test_bloom_prefilter_prunes_corpus_stream(spark, sf_dir):
+    """The probe must actually prune: corpus shingles surviving the
+    bloom should be a small fraction of the stream (the eval set is ~2%
+    of docs), otherwise the 'map-side pruning' claim is hollow."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        bloom_might_contain,
+        build_bloom,
+    )
+    from conversation_with_vector_db_spark.plans.dedup import (
+        _decon_shingle_sides,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    from conversation_with_vector_db_spark import fixtures
+
+    fixtures.register_derived_views(spark)
+    bsh, tsh = _decon_shingle_sides(spark)
+    keys = [r[0] for r in bsh.select("shingle").distinct().collect()]
+    words, k = build_bloom(keys)
+    probe = bloom_might_contain(spark, words, k)
+    total = tsh.count()
+    survivors = tsh.filter(probe(F.col("shingle"))).count()
+    assert survivors < total * 0.5
