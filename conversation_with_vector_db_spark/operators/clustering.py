@@ -1,0 +1,154 @@
+"""Deterministic embedding clustering for corpus organization.
+
+A training-data pipeline clusters document embeddings to drive topic
+balancing, mixture weighting, and diversity-aware sampling. MLlib's
+KMeans (used by the ANN/IVF index, :mod:`.ann`) is the right tool when
+approximate cells are fine, but its float accumulation order varies
+with partitioning — reruns of the same corpus can emit different
+assignments, which poisons any downstream join keyed on cluster id.
+
+:func:`quantized_lloyd` is the reproducible alternative: embeddings are
+quantized to integers (``floor(x * scale + 0.5)``) and every Lloyd
+step — distances, argmin, centroid means — is exact integer or
+integer-derived arithmetic with a fixed tie rule, so the assignment is
+a pure function of the input set, independent of partitioning, task
+order, or engine. That makes it oracle-checkable value-for-value in
+SQL (``scale_kmeans_topics``) and stable across pipeline reruns.
+
+Scale shape (100 TB corpus, k in the hundreds):
+* Assignment is a stateless map over the corpus: centroids are a
+  driver-held model (k x dim integers — KBs) folded into the plan as
+  literals; no join, no shuffle of vectors.
+* Each update is one map-side-combined ``groupBy(cluster, pos)`` over
+  the exploded quantized vectors: the shuffle carries k x dim partial
+  (sum, count) rows per map partition, never the corpus.
+* The driver collects k x dim aggregates per round (the model, not
+  data) — the same Pregel-lite loop as
+  :func:`~..operators.dedup.connected_components`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cache import scoped_cache
+
+#: Fixed-point scale for embedding quantization: 6 decimal digits keeps
+#: full float32 precision (~7 significant digits) while bounding the
+#: integer range so squared distances stay in BIGINT.
+QUANT_SCALE = 1_000_000
+
+
+def _half_up(x: float) -> int:
+    """``floor(x + 0.5)`` — the one rounding rule used everywhere in
+    this module (quantization, centroid means), chosen because it is
+    trivially identical across Python, Spark, and DuckDB doubles."""
+    return math.floor(x + 0.5)
+
+
+def quantize_vectors(
+    df: DataFrame, vec_col: str = "embedding", scale: int = QUANT_SCALE
+) -> DataFrame:
+    """Add ``q``: the vector as ``array<bigint>`` fixed-point values,
+    ``q[i] = floor(v[i] * scale + 0.5)``."""
+    return df.withColumn(
+        "q",
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+        ),
+    )
+
+
+def _packed_argmin(centroids: list[tuple[int, list[int]]], k: int):
+    """``min(sq_dist * k + c)`` over the centroid set: one BIGINT whose
+    ``% k`` is the best cluster and ``div k`` the best squared
+    distance, with distance ties breaking to the smallest cluster id —
+    a total order, so the argmin is deterministic. Range check: with
+    |q| <= ~scale * |v|max and dim d, sq_dist <= d * (2 * scale *
+    |v|max)^2; at d=64, scale=1e6, |v|max~4 that is ~4e15, and * k=8
+    stays well inside BIGINT."""
+    dists = []
+    for c, vec in centroids:
+        lits = F.array(*[F.lit(int(v)).cast("bigint") for v in vec])
+        d = F.aggregate(
+            F.zip_with(F.col("q"), lits, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d * k + F.lit(c).cast("bigint"))
+    return F.array_min(F.array(*dists))
+
+
+def assign_clusters(
+    q: DataFrame, centroids: list[tuple[int, list[int]]], k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, sq_dist) under the given centroid model — a
+    stateless, shuffle-free map over the quantized corpus."""
+    packed = _packed_argmin(centroids, k)
+    return q.withColumn("_packed", packed).select(
+        id_col,
+        "q",
+        (F.col("_packed") % k).cast("int").alias("cluster"),
+        F.expr(f"_packed div {k}").alias("sq_dist"),
+    )
+
+
+def quantized_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = QUANT_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means over an embedding column.
+
+    ``iters`` assignment passes with ``iters - 1`` interleaved centroid
+    updates (so the output is the assignment under the last updated
+    model). Initial centroids are the quantized vectors of the ``k``
+    smallest ids — deterministic and oracle-expressible (k-means++ style
+    seeding would add randomness for no correctness gain here; at scale
+    seed with a hash-stratified sample instead).
+
+    Centroid update: per-cluster per-dimension mean of the quantized
+    values, rounded half-up — exact integer sums (order-independent,
+    unlike float accumulation) divided on the driver. A cluster that
+    loses all members drops out of the model; surviving ids keep their
+    original cluster numbers.
+
+    Returns (id, cluster, sq_dist) ordered by id.
+    """
+    q = scoped_cache(
+        quantize_vectors(vectors, vec_col, scale).select(id_col, "q")
+    )
+    init = q.orderBy(id_col).limit(k).collect()
+    centroids = [(i, [int(v) for v in r["q"]]) for i, r in enumerate(init)]
+    for it in range(iters):
+        assigned = assign_clusters(q, centroids, k, id_col)
+        if it == iters - 1:
+            return assigned.select(id_col, "cluster", "sq_dist").orderBy(
+                id_col
+            )
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                _half_up(int(r["s"]) / int(r["n"]))
+            )
+        centroids = [
+            (c, [dims[p] for p in sorted(dims)])
+            for c, dims in sorted(by_cluster.items())
+        ]
+    raise AssertionError("unreachable: iters >= 1")

@@ -372,3 +372,91 @@ def scale_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "bucket", "position")
     )
+
+
+@query(
+    "scale_kmeans_topics",
+    driver=False,
+    doc="""Deterministic k-means topic assignment over the embedding
+    table (k=8, 3 assignment passes, 2 centroid updates) — the corpus
+    organization step behind topic-balanced mixtures and
+    diversity-aware sampling. Unlike MLlib KMeans (whose float
+    accumulation order varies with partitioning), every step here is
+    quantized-integer arithmetic with a fixed tie rule
+    (operators/clustering.py), so assignments are a pure function of
+    the input set and the oracle replays the identical 3 unrolled Lloyd
+    iterations in SQL — value-level parity through an ITERATIVE
+    algorithm. Scale shape: assignment is a shuffle-free stateless map
+    (centroids are driver-held literals); each update shuffles k x dim
+    partial sums per map partition, never the corpus.""",
+    oracle="""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS q
+    FROM embeddings
+),
+qe AS (
+    SELECT vec_id, CAST(t.i AS INT) AS pos, q[CAST(t.i AS INT)] AS v
+    FROM q, unnest(generate_series(1, len(q))) AS t(i)
+),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, q
+    FROM q ORDER BY vec_id LIMIT 8
+),
+c0e AS (
+    SELECT c, CAST(t.i AS INT) AS pos, q[CAST(t.i AS INT)] AS cv
+    FROM c0, unnest(generate_series(1, len(q))) AS t(i)
+),
+d1 AS (
+    SELECT qe.vec_id, ce.c,
+           sum((qe.v - ce.cv) * (qe.v - ce.cv)) AS d
+    FROM qe JOIN c0e ce USING (pos)
+    GROUP BY 1, 2
+),
+a1 AS (
+    SELECT vec_id, CAST(min(d * 8 + c) % 8 AS INT) AS cluster
+    FROM d1 GROUP BY vec_id
+),
+c1e AS (
+    SELECT a.cluster AS c, qe.pos,
+           CAST(floor(sum(qe.v) / count(*) + 0.5) AS BIGINT) AS cv
+    FROM a1 a JOIN qe USING (vec_id)
+    GROUP BY 1, 2
+),
+d2 AS (
+    SELECT qe.vec_id, ce.c,
+           sum((qe.v - ce.cv) * (qe.v - ce.cv)) AS d
+    FROM qe JOIN c1e ce USING (pos)
+    GROUP BY 1, 2
+),
+a2 AS (
+    SELECT vec_id, CAST(min(d * 8 + c) % 8 AS INT) AS cluster
+    FROM d2 GROUP BY vec_id
+),
+c2e AS (
+    SELECT a.cluster AS c, qe.pos,
+           CAST(floor(sum(qe.v) / count(*) + 0.5) AS BIGINT) AS cv
+    FROM a2 a JOIN qe USING (vec_id)
+    GROUP BY 1, 2
+),
+d3 AS (
+    SELECT qe.vec_id, ce.c,
+           sum((qe.v - ce.cv) * (qe.v - ce.cv)) AS d
+    FROM qe JOIN c2e ce USING (pos)
+    GROUP BY 1, 2
+),
+a3 AS (
+    SELECT vec_id, min(d * 8 + c) AS m FROM d3 GROUP BY vec_id
+)
+SELECT vec_id, CAST(m % 8 AS INT) AS cluster,
+       CAST(m // 8 AS BIGINT) AS sq_dist
+FROM a3 ORDER BY vec_id
+""",
+)
+def scale_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import quantized_lloyd
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return quantized_lloyd(emb, k=8, iters=3)

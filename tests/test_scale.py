@@ -208,3 +208,53 @@ def test_stratified_sample_rate_per_stratum(spark, sf_dir):
     for label, n in full.items():
         exp, sd = n * 0.2, max((n * 0.2 * 0.8) ** 0.5, 1.0)
         assert abs(sampled.get(label, 0) - exp) <= 5 * sd, (label, exp)
+
+
+def test_quantized_lloyd_recovers_planted_clusters(spark):
+    """Three well-separated synthetic clusters must come out as three
+    assignment groups aligned with the plant, regardless of which ids
+    seeded the centroids."""
+    import numpy as np
+
+    from conversation_with_vector_db_spark.operators.clustering import (
+        quantized_lloyd,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = np.array(
+        [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0], [0.0, 0.0, 5.0, 0.0]]
+    )
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.05, size=4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = quantized_lloyd(df, k=3, iters=4).collect()
+    by_plant: dict[int, set[int]] = {}
+    for r in got:
+        by_plant.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    # every planted cluster maps to exactly one assignment id, and the
+    # three assignment ids are distinct
+    assert all(len(s) == 1 for s in by_plant.values())
+    assert len({next(iter(s)) for s in by_plant.values()}) == 3
+
+
+def test_quantized_lloyd_is_deterministic_across_runs(spark, sf_dir):
+    from conversation_with_vector_db_spark.operators.clustering import (
+        quantized_lloyd,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    a = [tuple(r) for r in quantized_lloyd(emb, k=8, iters=3).collect()]
+    # different partitioning must not change a single assignment
+    b = [
+        tuple(r)
+        for r in quantized_lloyd(
+            emb.repartition(13), k=8, iters=3
+        ).collect()
+    ]
+    assert a == b
+    assert len({c for _, c, _ in a}) > 1
