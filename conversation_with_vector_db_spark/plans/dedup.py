@@ -567,20 +567,14 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    doc="""Duplicate clustering: connected components over the near-dup
-    pair graph (word-3-gram Jaccard >= 0.5), assigning every clustered
-    doc its component's min doc_id as the canonical copy to keep — the
-    final 'drop all but one' step of a dedup pipeline. Spark side runs
-    iterative min-label propagation (each round one join + groupBy,
-    driver-coordinated loop, converges in graph-diameter rounds — the
-    Pregel-lite idiom for iterative algorithms on DataFrames); the
-    oracle computes the same components with a genuine WITH RECURSIVE
-    transitive closure. Fixture CTEs are inlined because RECURSIVE
-    cannot pass through the fixture CTE merge.""",
-    oracle=f"""
-WITH RECURSIVE corpus AS ({{corpus_sql}}),
+# Recursive transitive-closure CTEs shared by the clustering queries:
+# near-dup pairs (word-3-gram Jaccard >= 0.5) -> undirected edges ->
+# WITH RECURSIVE reachability -> per-doc canonical (min reachable id).
+# The corpus CTE is inlined (RECURSIVE cannot pass the fixture CTE
+# merge), so consumers are registered WITHOUT fixtures_used and call
+# fixtures.register_derived_views themselves.
+_CLOSURE_CTES = f"""
+WITH RECURSIVE corpus AS ({fixtures.CORPUS_SQL}),
 {_SHINGLES_CTE.lstrip()},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
@@ -611,13 +605,30 @@ canon AS (
     SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
     FROM reach GROUP BY src
 )
+"""
+
+
+@query(
+    "dedup_clusters",
+    doc="""Duplicate clustering: connected components over the near-dup
+    pair graph (word-3-gram Jaccard >= 0.5), assigning every clustered
+    doc its component's min doc_id as the canonical copy to keep — the
+    final 'drop all but one' step of a dedup pipeline. Spark side runs
+    iterative min-label propagation (each round one join + groupBy,
+    driver-coordinated loop, converges in graph-diameter rounds — the
+    Pregel-lite idiom for iterative algorithms on DataFrames); the
+    oracle computes the same components with a genuine WITH RECURSIVE
+    transitive closure. Fixture CTEs are inlined because RECURSIVE
+    cannot pass through the fixture CTE merge.""",
+    oracle=_CLOSURE_CTES
+    + """
 SELECT c.doc_id AS doc_id, c.canonical_id AS canonical_id,
        CAST(s.n AS BIGINT) AS cluster_size
 FROM canon c
 JOIN (SELECT canonical_id, count(*) AS n
       FROM canon GROUP BY canonical_id) s USING (canonical_id)
 ORDER BY doc_id
-""".replace("{corpus_sql}", fixtures.CORPUS_SQL),
+""",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
@@ -636,6 +647,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"),
             F.col("lbl").alias("canonical_id"),
             "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    driver=False,
+    doc="""Quality-aware canonical selection: within each near-dup
+    cluster keep the LONGEST document (ties to the smallest doc_id) —
+    the policy real curation pipelines apply (the min-id rule of
+    `dedup_clusters` is arbitrary; near-dup groups usually contain
+    truncated/boilerplate variants and the longest normalized text is
+    the standard keep heuristic). Composition: the same Pregel-lite
+    connected components, a per-doc quality signal, and one bounded
+    per-cluster window (cluster sizes are small by construction, so the
+    window never sees corpus-scale partitions). Oracle: the shared
+    WITH RECURSIVE closure + the same window in SQL.""",
+    oracle=_CLOSURE_CTES
+    + """,
+qual AS (
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                'g')) AS BIGINT) AS quality
+    FROM corpus
+),
+ranked AS (
+    SELECT m.doc_id, m.canonical_id, q.quality,
+           row_number() OVER (PARTITION BY m.canonical_id
+                              ORDER BY q.quality DESC, m.doc_id) AS rn
+    FROM canon m JOIN qual q USING (doc_id)
+)
+SELECT r.doc_id AS doc_id, k.doc_id AS keep_id,
+       r.doc_id = k.doc_id AS kept, r.quality AS quality
+FROM ranked r
+JOIN (SELECT canonical_id, doc_id FROM ranked WHERE rn = 1) k
+     USING (canonical_id)
+ORDER BY doc_id
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, normalized_text
+
+    fixtures.register_derived_views(spark)
+    corpus = spark.table("corpus")
+    pairs = jaccard_pairs(
+        corpus, threshold=0.5, max_df=MAX_DF
+    ).select("a", "b")
+    lbl = connected_components(pairs)
+    qual = corpus.select(
+        "doc_id",
+        F.length(normalized_text(F.col("text")))
+        .cast("bigint")
+        .alias("quality"),
+    )
+    members = lbl.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    ).join(qual, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    keep = ranked.filter(F.col("rn") == 1).select(
+        "canonical_id", F.col("doc_id").alias("keep_id")
+    )
+    return (
+        ranked.join(keep, "canonical_id")
+        .select(
+            "doc_id",
+            "keep_id",
+            (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+            "quality",
         )
         .orderBy("doc_id")
     )

@@ -212,7 +212,10 @@ def test_bloom_no_false_negatives_and_fpr_bound():
 def test_bloom_decontaminate_equals_exact(spark, sf_dir):
     """The bloom pass is prefilter + exact verify: its output relation
     must equal the exact broadcast variant's, row for row."""
+    from conversation_with_vector_db_spark import plans
     from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    plans.load_all()
 
     exact = REGISTRY["dedup_decontaminate"].fn(spark, sf_dir)
     bloom = REGISTRY["dedup_decontaminate_bloom"].fn(spark, sf_dir)
@@ -247,3 +250,23 @@ def test_bloom_prefilter_prunes_corpus_stream(spark, sf_dir):
     total = tsh.count()
     survivors = tsh.filter(probe(F.col("shingle"))).count()
     assert survivors < total * 0.5
+
+
+def test_keep_best_selects_longest_per_cluster(spark, sf_dir):
+    """Exactly one kept doc per cluster, and no member outranks it
+    under the (quality DESC, doc_id) policy."""
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    plans.load_all()
+
+    rows = REGISTRY["dedup_keep_best"].fn(spark, sf_dir).collect()
+    assert rows, "fixture plants guarantee near-dup clusters exist"
+    by_keep: dict[int, list] = {}
+    for r in rows:
+        by_keep.setdefault(r["keep_id"], []).append(r)
+    for keep_id, members in by_keep.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1 and kept[0]["doc_id"] == keep_id
+        best = min((-r["quality"], r["doc_id"]) for r in members)
+        assert (-kept[0]["quality"], kept[0]["doc_id"]) == best
