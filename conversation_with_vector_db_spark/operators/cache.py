@@ -21,6 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LIVE: list[tuple[int, DataFrame]] = []
+#: SparkContext broadcasts created by operators (e.g. the bloom word
+#: array) — same generational lifecycle as the caches: unlike
+#: ``F.broadcast`` (engine-managed), a raw ``sc.broadcast`` keeps
+#: executor-side blocks alive until the driver GCs the handle, so a
+#: long-lived session invoking broadcast-building operators repeatedly
+#: would accumulate them without this.
+_LIVE_BC: list[tuple[int, object]] = []
 _GEN = 0
 
 
@@ -48,6 +55,15 @@ def scoped_cache(df: DataFrame) -> DataFrame:
     return cached
 
 
+def scoped_broadcast(bc) -> object:
+    """Register a ``sc.broadcast`` handle for generational release
+    (released once it is two generations old, like :func:`scoped_cache`
+    — still-running queries from the previous generation keep their
+    blocks)."""
+    _LIVE_BC.append((_GEN, bc))
+    return bc
+
+
 def next_generation() -> int:
     """Advance the generation; release caches two or more generations
     old (the previous generation survives for plan-identity reuse).
@@ -63,16 +79,31 @@ def next_generation() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     _LIVE[:] = keep
+    keep_bc, drop_bc = [], []
+    for gen, bc in _LIVE_BC:
+        (keep_bc if gen >= _GEN - 1 else drop_bc).append((gen, bc))
+    for _, bc in drop_bc:
+        try:
+            bc.unpersist(False)
+        except Exception:
+            pass
+    _LIVE_BC[:] = keep_bc
     return len(drop)
 
 
 def release_all() -> int:
     """Unpersist every scoped cache (non-blocking); returns the count."""
-    n = len(_LIVE)
+    n = len(_LIVE) + len(_LIVE_BC)
     for _, df in _LIVE:
         try:
             df.unpersist(False)
         except Exception:
             pass
     _LIVE.clear()
+    for _, bc in _LIVE_BC:
+        try:
+            bc.unpersist(False)
+        except Exception:
+            pass
+    _LIVE_BC.clear()
     return n

@@ -44,8 +44,10 @@ QUANT_SCALE = 1_000_000
 
 def _half_up(x: float) -> int:
     """``floor(x + 0.5)`` — the one rounding rule used everywhere in
-    this module (quantization, centroid means), chosen because it is
-    trivially identical across Python, Spark, and DuckDB doubles."""
+    this module (quantization, centroid means). Identical across
+    Python, Spark, and DuckDB as long as ``x`` is the same IEEE
+    double; centroid means therefore mirror the oracle's exact
+    evaluation path (see :func:`quantized_lloyd`)."""
     return math.floor(x + 0.5)
 
 
@@ -117,9 +119,21 @@ def quantized_lloyd(
 
     Centroid update: per-cluster per-dimension mean of the quantized
     values, rounded half-up — exact integer sums (order-independent,
-    unlike float accumulation) divided on the driver. A cluster that
-    loses all members drops out of the model; surviving ids keep their
-    original cluster numbers.
+    unlike float accumulation) divided on the driver. The division
+    mirrors the SQL oracle's evaluation path exactly (sum converted to
+    double FIRST, then divided — ``float(s) / n``), so parity holds
+    whenever the sum itself is double-exact, i.e. |sum| < 2^53: at
+    scale=1e6 and |v|<=~4 that allows ~10^9 members per cluster per
+    dimension; past it, both the claim and the oracle would need a
+    scaled-down quantization. A cluster that loses all members drops
+    out of the model; surviving ids keep their original cluster
+    numbers.
+
+    Input contract: every vector has the model's dimension. Rows whose
+    quantized vector length differs from the seed centroids' (ragged
+    or empty embeddings) are DROPPED up front — zip_with would
+    null-pad them into NULL distances and NULL cluster assignments
+    that silently poison downstream joins.
 
     Returns (id, cluster, sq_dist) ordered by id.
     """
@@ -128,6 +142,10 @@ def quantized_lloyd(
     )
     init = q.orderBy(id_col).limit(k).collect()
     centroids = [(i, [int(v) for v in r["q"]]) for i, r in enumerate(init)]
+    if not centroids:
+        raise ValueError("quantized_lloyd: input has no vectors")
+    dim = len(centroids[0][1])
+    q = q.filter(F.size("q") == dim)
     for it in range(iters):
         assigned = assign_clusters(q, centroids, k, id_col)
         if it == iters - 1:
@@ -144,8 +162,12 @@ def quantized_lloyd(
         )
         by_cluster: dict[int, dict[int, int]] = {}
         for r in sums:
+            # float(s) FIRST (sum -> double, then divide): the oracle's
+            # exact path — int/int would round the rational once, the
+            # oracle rounds sum-to-double then divides, and the two can
+            # differ 1 ulp when |s| nears 2^53 (see docstring).
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
-                _half_up(int(r["s"]) / int(r["n"]))
+                _half_up(float(int(r["s"])) / int(r["n"]))
             )
         centroids = [
             (c, [dims[p] for p in sorted(dims)])

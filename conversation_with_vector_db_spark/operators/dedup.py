@@ -728,10 +728,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
 # Bloom-prefiltered membership (decontamination at scale)
 # --------------------------------------------------------------------------
 
-#: Bits per inserted key (16) and probe count (6): FPR ~= 2e-4 per the
-#: standard (1 - e^(-k*n/m))^k bound -- at 100 TB corpus scale, a few
-#: false positives per ten thousand shingles reach the exact verify
-#: join and are discarded there; correctness never depends on the FPR.
+#: Bits per inserted key (16) and probe count (6): the standard
+#: (1 - e^(-k*n/m))^k bound gives FPR ~9.4e-4 at exactly 16 bits/key;
+#: power-of-two sizing of m usually lands higher bits/key in practice
+#: (e.g. ~2e-4 measured at ~21 effective bits/key). Either way a few
+#: false positives per thousand shingles reach the exact verify join
+#: and are discarded there; correctness never depends on the FPR.
 BLOOM_BITS_PER_KEY = 16
 BLOOM_NUM_HASHES = 6
 
@@ -760,7 +762,7 @@ def build_bloom(keys, bits_per_key: int = BLOOM_BITS_PER_KEY,
     exact shingle list. The bloom form is the next rung up: at ~10^7+
     eval shingles the exact 8-byte-per-key broadcast set (plus JVM hash
     table overhead) stops fitting comfortably, while 16 bits/key of
-    bloom stays a ~20 MB broadcast with FPR ~2e-4.
+    bloom stays a ~20 MB broadcast with FPR under ~1e-3.
 
     Positions use Kirsch-Mitzenmacher double hashing: two splitmix64
     streams h1, h2 and probe i at ``(h1 + i*h2) mod m`` — k independent
@@ -789,16 +791,21 @@ def bloom_might_contain(spark, words, n_hashes: int = BLOOM_NUM_HASHES):
     bloom filter built by :func:`build_bloom`.
 
     The word array ships to executors once via a Spark broadcast (NOT a
-    per-task closure copy), and each Arrow batch is probed with
-    vectorized numpy bit tests — the per-row cost is k word reads, no
-    Python loop. False positives only; callers follow with the exact
+    per-task closure copy) registered for generational release through
+    :func:`~.cache.scoped_broadcast` — a raw ``sc.broadcast`` otherwise
+    keeps executor blocks alive until driver GC, accumulating across
+    repeated invocations in a long session. Each Arrow batch is probed
+    with vectorized numpy bit tests — the per-row cost is k word reads,
+    no Python loop. False positives only; callers follow with the exact
     verify join, so plans using this stay exactly correct.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bc = spark.sparkContext.broadcast(words)
+    from .cache import scoped_broadcast
+
+    bc = scoped_broadcast(spark.sparkContext.broadcast(words))
     m = len(words) * 64
 
     @pandas_udf("boolean")

@@ -535,15 +535,20 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""Bloom-prefiltered decontamination — the same relation as
     `dedup_decontaminate` (same oracle), computed the way it must be
     once the eval set outgrows an exact broadcast hash side: a Bloom
-    filter over the eval shingles (16 bits/key, k=6, FPR ~2e-4 —
+    filter over the eval shingles (16 bits/key, k=6, FPR <~1e-3 —
     operators.dedup.build_bloom) ships to executors as a ~bits/8-byte
     broadcast and prunes the corpus shingle stream map-side with
-    vectorized bit probes; only probable hits (true matches + ~2e-4
+    vectorized bit probes; only probable hits (true matches + <~1e-3
     false positives) reach the exact verify join, which removes the
     false positives — results are exactly correct regardless of FPR
     (equivalence pinned by test). At 10^7+ eval shingles the exact
     8-byte-key broadcast set plus JVM hash-table overhead stops
-    fitting, while the bloom stays ~20 MB.""",
+    fitting, while the bloom stays ~20 MB. Consistently, the verify
+    join is a SHUFFLE-hash join (not broadcast — that would rebuild
+    the very eval-side hash table the bloom exists to avoid): the
+    bloom-pruned stream is tiny (true matches + FPR of the corpus), so
+    partitioning both sides on the shingle key is cheap at any
+    scale.""",
     fixtures_used=("corpus",),
     oracle=_DECON_ORACLE,
 )
@@ -559,7 +564,7 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = bloom_might_contain(spark, words, k)
     return (
         tsh.filter(probe(F.col("shingle")))
-        .join(F.broadcast(bsh), "shingle")
+        .join(bsh.hint("shuffle_hash"), "shingle")
         .groupBy("train_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)

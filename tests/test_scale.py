@@ -258,3 +258,22 @@ def test_quantized_lloyd_is_deterministic_across_runs(spark, sf_dir):
     ]
     assert a == b
     assert len({c for _, c, _ in a}) > 1
+
+
+def test_quantized_lloyd_drops_ragged_vectors(spark):
+    """Rows whose embedding dimension differs from the model's are
+    dropped up front, never silently assigned NULL clusters."""
+    from conversation_with_vector_db_spark.operators.clustering import (
+        quantized_lloyd,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]),
+        (4, [1.0]),          # ragged: wrong dim
+        (5, []),             # ragged: empty
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = quantized_lloyd(df, k=2, iters=2).collect()
+    assert {r["vec_id"] for r in got} == {0, 1, 2, 3}
+    assert all(r["cluster"] is not None for r in got)
