@@ -730,6 +730,108 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_training_manifest",
+    driver=False,
+    doc="""End-to-end training-set manifest: the composed curation
+    pipeline a user runs before a training job — near-dup clustering
+    (word-3-gram Jaccard >= 0.5, Pregel-lite components) with the
+    keep-longest canonical policy, a minimum-quality gate (normalized
+    length >= 100), and the deterministic hash split (md5 bucket ->
+    80/10/10) — emitting one audit row per document: its fate
+    ('kept' / 'dup_dropped' / 'quality_dropped'), its split ('none'
+    when dropped), and its quality signal. Every stage is the
+    already-verified operator (dedup_keep_best's closure + window,
+    scale_deterministic_split's bucket idiom) composed into ONE plan;
+    the oracle replays the full composition, so the pipeline is
+    value-checked end to end, not just stage by stage.""",
+    oracle=_CLOSURE_CTES
+    + """,
+qual AS (
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                'g')) AS BIGINT) AS quality
+    FROM corpus
+),
+ranked AS (
+    SELECT m.doc_id, m.canonical_id, q.quality,
+           row_number() OVER (PARTITION BY m.canonical_id
+                              ORDER BY q.quality DESC, m.doc_id) AS rn
+    FROM canon m JOIN qual q USING (doc_id)
+),
+fate AS (
+    SELECT q.doc_id, q.quality,
+           CASE WHEN r.rn > 1 THEN 'dup_dropped'
+                WHEN q.quality < 100 THEN 'quality_dropped'
+                ELSE 'kept' END AS status
+    FROM qual q LEFT JOIN ranked r ON r.doc_id = q.doc_id
+)
+SELECT doc_id, status,
+       CASE WHEN status = 'kept' THEN
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)),
+                           1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)),
+                           1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END
+       ELSE 'none' END AS split,
+       quality
+FROM fate ORDER BY doc_id
+""",
+)
+def pipeline_training_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import connected_components, normalized_text
+
+    fixtures.register_derived_views(spark)
+    corpus = spark.table("corpus")
+    qual = corpus.select(
+        "doc_id",
+        F.length(normalized_text(F.col("text")))
+        .cast("bigint")
+        .alias("quality"),
+    )
+    pairs = jaccard_pairs(
+        corpus, threshold=0.5, max_df=MAX_DF
+    ).select("a", "b")
+    lbl = connected_components(pairs)
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    ranked = (
+        lbl.select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("canonical_id"),
+        )
+        .join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rn")
+    )
+    status = F.when(F.col("rn") > 1, "dup_dropped").when(
+        F.col("quality") < 100, "quality_dropped"
+    ).otherwise("kept")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(
+        F.col("status") == "kept",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test"),
+    ).otherwise("none")
+    return (
+        qual.join(ranked, "doc_id", "left")
+        .withColumn("status", status)
+        .select("doc_id", "status", split.alias("split"), "quality")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_incremental_minhash",
     doc="""Incremental ingest-time near-dup: a NEW batch (the planted
     variants, doc_id >= 100000) is checked against the EXISTING corpus

@@ -270,3 +270,24 @@ def test_keep_best_selects_longest_per_cluster(spark, sf_dir):
         assert len(kept) == 1 and kept[0]["doc_id"] == keep_id
         best = min((-r["quality"], r["doc_id"]) for r in members)
         assert (-kept[0]["quality"], kept[0]["doc_id"]) == best
+
+
+def test_training_manifest_partitions_every_doc(spark, sf_dir):
+    """Every corpus doc gets exactly one fate; kept docs get a real
+    split, dropped docs get 'none'; the near-dup plants do get
+    dropped."""
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    plans.load_all()
+    rows = REGISTRY["pipeline_training_manifest"].fn(spark, sf_dir).collect()
+    n_corpus = spark.table("corpus").count()
+    assert len(rows) == n_corpus
+    fates = {r["status"] for r in rows}
+    assert fates <= {"kept", "dup_dropped", "quality_dropped"}
+    assert any(r["status"] == "dup_dropped" for r in rows)
+    for r in rows:
+        if r["status"] == "kept":
+            assert r["split"] in ("train", "val", "test")
+        else:
+            assert r["split"] == "none"
