@@ -307,6 +307,55 @@ def matmul_topk(
     return topk_per_query(scored, k, tiebreak_col=id_col)
 
 
+#: Below this on-disk corpus size, exact top-k scores with the JVM HOF
+#: fold: the Arrow path's fixed Python-worker round-trip exceeds what
+#: batched numpy saves on a small corpus (A/B at sf0.1, 5k x 64-d x 5
+#: queries: HOF 0.31 s vs matmul 0.40 s); past the threshold the ~100x
+#: per-pair CPU advantage dominates (ann_economics keeps the measured
+#: crossover honest per round). UNKNOWN size picks the Arrow path —
+#: the safe choice is the one that scales.
+EXACT_TOPK_ARROW_MIN_BYTES = 32 << 20
+
+
+def exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+    corpus_bytes: int | None = None,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Size-aware exact cosine top-k: :func:`brute_force_topk` (JVM
+    interpreted fold, no Python round-trip) under
+    :data:`EXACT_TOPK_ARROW_MIN_BYTES`, :func:`matmul_topk`
+    (driver-folded query matrix x Arrow-batched numpy) above or when
+    the size is unknown. The two paths are bit-identical (pinned by
+    ``test_matmul_topk_bit_identical_to_brute_force``), so the gate is
+    pure cost, never semantics — the same cost-on-input-size discipline
+    as the rescore broadcast threshold and the AQE gate."""
+    small = (
+        corpus_bytes is not None
+        and corpus_bytes < EXACT_TOPK_ARROW_MIN_BYTES
+    )
+    if small:
+        out = brute_force_topk(
+            corpus, queries, k, id_col, vec_col, round_digits
+        )
+    else:
+        out = matmul_topk(
+            corpus,
+            collect_query_vectors(queries, id_col, vec_col),
+            k,
+            id_col,
+            vec_col,
+            extra_cols,
+            round_digits,
+        )
+    return out.select("qid", id_col, *extra_cols, "sim", "rank")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -56,18 +56,22 @@ ORDER BY qid, rank
 """,
 )
 def v1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.vector import collect_query_vectors, matmul_topk
+    from ..operators.vector import exact_topk
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
 
     emb = spark.table("embeddings")
-    # Query side driver-folded (5 vectors by contract), scoring
-    # vectorized per Arrow batch — bit-identical to brute_force_topk
-    # (pinned by test) at ~100x less CPU per pair on the corpus scan.
-    qvecs = collect_query_vectors(emb.filter(F.col("vec_id") < 5))
-    return (
-        matmul_topk(emb, qvecs, k=K)
-        .select("qid", "vec_id", "sim", "rank")
-        .orderBy("qid", "rank")
-    )
+    # Size-aware exact scoring (bit-identical either way, pinned by
+    # test): JVM HOF fold while the corpus is small enough that the
+    # Arrow path's Python-worker round-trip dominates; driver-folded
+    # query matrix x Arrow-batched numpy once it is not.
+    vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+    return exact_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=K,
+        corpus_bytes=vec_bytes,
+    ).orderBy("qid", "rank")
 
 
 @query(
@@ -391,12 +395,17 @@ ORDER BY qid, rank
 """,
 )
 def v1c_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.vector import collect_query_vectors, matmul_topk
+    from ..operators.vector import exact_topk
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
 
     emb = spark.table("embeddings")
     filtered = emb.filter(F.col("label").isin(2, 5, 7))
-    qvecs = collect_query_vectors(emb.filter(F.col("vec_id") < 3))
-    topk = matmul_topk(filtered, qvecs, k=K, extra_cols=("label",))
-    return topk.select("qid", "vec_id", "label", "sim", "rank").orderBy(
-        "qid", "rank"
-    )
+    vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+    return exact_topk(
+        filtered,
+        emb.filter(F.col("vec_id") < 3),
+        k=K,
+        extra_cols=("label",),
+        corpus_bytes=vec_bytes,
+    ).orderBy("qid", "rank")

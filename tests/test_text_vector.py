@@ -319,3 +319,32 @@ def test_matmul_topk_bit_identical_to_brute_force(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_exact_topk_size_gate_flips_strategy(spark, sf_dir):
+    """Below the byte threshold exact_topk scores JVM-side (no Python
+    eval in the plan); above (or unknown) it uses the Arrow batch path.
+    Results are identical either way."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.vector import (
+        exact_topk,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    small = exact_topk(emb, q, k=5, corpus_bytes=1024)
+    large = exact_topk(emb, q, k=5, corpus_bytes=1 << 40)
+    unknown = exact_topk(emb, q, k=5, corpus_bytes=None)
+    def has_python_eval(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return any(
+            s in plan for s in ("MapInPandas", "ArrowEval", "Python")
+        )
+    assert not has_python_eval(small)
+    assert has_python_eval(large)
+    assert has_python_eval(unknown)
+    rows = lambda df: [tuple(r) for r in df.orderBy("qid", "rank").collect()]
+    assert rows(small) == rows(large) == rows(unknown)
