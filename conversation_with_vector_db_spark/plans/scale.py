@@ -374,22 +374,11 @@ def scale_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scale_kmeans_topics",
-    driver=False,
-    doc="""Deterministic k-means topic assignment over the embedding
-    table (k=8, 3 assignment passes, 2 centroid updates) — the corpus
-    organization step behind topic-balanced mixtures and
-    diversity-aware sampling. Unlike MLlib KMeans (whose float
-    accumulation order varies with partitioning), every step here is
-    quantized-integer arithmetic with a fixed tie rule
-    (operators/clustering.py), so assignments are a pure function of
-    the input set and the oracle replays the identical 3 unrolled Lloyd
-    iterations in SQL — value-level parity through an ITERATIVE
-    algorithm. Scale shape: assignment is a shuffle-free stateless map
-    (centroids are driver-held literals); each update shuffles k x dim
-    partial sums per map partition, never the corpus.""",
-    oracle="""
+# Unrolled quantized-Lloyd oracle CTEs (3 assignment passes, 2 centroid
+# updates, k=8) ending in a3(vec_id, m) where m = min(sq_dist*8 +
+# cluster). Shared by the assignment query and the topic-mixture
+# composition below.
+_KMEANS_CTES = """
 WITH q AS (
     SELECT vec_id,
            list_transform(embedding,
@@ -450,6 +439,26 @@ d3 AS (
 a3 AS (
     SELECT vec_id, min(d * 8 + c) AS m FROM d3 GROUP BY vec_id
 )
+"""
+
+
+@query(
+    "scale_kmeans_topics",
+    driver=False,
+    doc="""Deterministic k-means topic assignment over the embedding
+    table (k=8, 3 assignment passes, 2 centroid updates) — the corpus
+    organization step behind topic-balanced mixtures and
+    diversity-aware sampling. Unlike MLlib KMeans (whose float
+    accumulation order varies with partitioning), every step here is
+    quantized-integer arithmetic with a fixed tie rule
+    (operators/clustering.py), so assignments are a pure function of
+    the input set and the oracle replays the identical 3 unrolled Lloyd
+    iterations in SQL — value-level parity through an ITERATIVE
+    algorithm. Scale shape: assignment is a shuffle-free stateless map
+    (centroids are driver-held literals); each update shuffles k x dim
+    partial sums per map partition, never the corpus.""",
+    oracle=_KMEANS_CTES
+    + """
 SELECT vec_id, CAST(m % 8 AS INT) AS cluster,
        CAST(m // 8 AS BIGINT) AS sq_dist
 FROM a3 ORDER BY vec_id
@@ -460,3 +469,98 @@ def scale_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings").select("vec_id", "embedding")
     return quantized_lloyd(emb, k=8, iters=3)
+
+
+@query(
+    "scale_topic_mixture",
+    driver=False,
+    doc="""Topic-balanced rebalancing: compose the deterministic k-means
+    topics with the permille-hash resampler — every topic downsampled
+    to (approximately, floor-permille) the smallest topic's size, the
+    diversity-flattening step a mixture pipeline applies when one topic
+    dominates the crawl. Rates are data-dependent (computed from the
+    observed topic histogram — k rows, broadcast back), the corpus is
+    scanned once for assignment and once for the gated aggregate, and
+    all rate arithmetic is integer permille — exact on both engines.
+    The oracle replays the full composition: 3 unrolled Lloyd
+    iterations, the histogram, the rate formula, and the md5 permille
+    gate.""",
+    oracle=_KMEANS_CTES
+    + """,
+assign AS (
+    SELECT vec_id, CAST(m % 8 AS INT) AS cluster FROM a3
+),
+counts AS (
+    SELECT cluster, CAST(count(*) AS BIGINT) AS cnt
+    FROM assign GROUP BY cluster
+),
+rates AS (
+    SELECT cluster, cnt,
+           LEAST(1000,
+                 (SELECT CAST(min(cnt) AS BIGINT) FROM counts) * 1000
+                 // cnt) AS keep_permille
+    FROM counts
+),
+kept AS (
+    SELECT a.cluster, a.vec_id, r.cnt, r.keep_permille
+    FROM assign a JOIN rates r USING (cluster)
+    WHERE CAST(('0x' || substr(md5(CAST(a.cluster AS STRING) || ':'
+               || CAST(a.vec_id AS STRING)), 1, 8)) AS BIGINT) % 1000
+          < r.keep_permille
+)
+SELECT cluster,
+       CAST(MIN(cnt) AS BIGINT) AS n_before,
+       CAST(MIN(keep_permille) AS BIGINT) AS keep_permille,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY cluster ORDER BY cluster
+""",
+)
+def scale_topic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import quantized_lloyd
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    assign = quantized_lloyd(emb, k=8, iters=3).select(
+        "vec_id", "cluster"
+    )
+    counts = assign.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy()
+    rates = counts.withColumn("m", F.min("cnt").over(w)).select(
+        "cluster",
+        "cnt",
+        F.least(
+            F.lit(1000), F.expr("(m * 1000) div cnt")
+        ).alias("keep_permille"),
+    )
+    keep_hash = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("cluster").cast("string"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        assign.join(F.broadcast(rates), "cluster")
+        .filter(keep_hash < F.col("keep_permille"))
+        .groupBy("cluster")
+        .agg(
+            F.min("cnt").cast("bigint").alias("n_before"),
+            F.min("keep_permille").cast("bigint").alias("keep_permille"),
+            F.count("*").alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("cluster")
+    )

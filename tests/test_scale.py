@@ -277,3 +277,22 @@ def test_quantized_lloyd_drops_ragged_vectors(spark):
     got = quantized_lloyd(df, k=2, iters=2).collect()
     assert {r["vec_id"] for r in got} == {0, 1, 2, 3}
     assert all(r["cluster"] is not None for r in got)
+
+
+def test_topic_mixture_flattens_to_smallest_topic(spark, sf_dir):
+    """Every topic's kept share must land near the smallest topic's
+    size (floor-permille sampling: n_kept <= n_before, and the implied
+    rate matches the formula); the smallest topic keeps everything."""
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    plans.load_all()
+    rows = REGISTRY["scale_topic_mixture"].fn(spark, sf_dir).collect()
+    assert rows
+    m = min(r["n_before"] for r in rows)
+    for r in rows:
+        assert r["keep_permille"] == min(1000, m * 1000 // r["n_before"])
+        assert r["n_kept"] <= r["n_before"]
+        if r["n_before"] == m:
+            assert r["keep_permille"] == 1000
+            assert r["n_kept"] == m
