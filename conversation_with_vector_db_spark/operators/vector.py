@@ -334,7 +334,24 @@ def exact_topk(
     the size is unknown. The two paths are bit-identical (pinned by
     ``test_matmul_topk_bit_identical_to_brute_force``), so the gate is
     pure cost, never semantics — the same cost-on-input-size discipline
-    as the rescore broadcast threshold and the AQE gate."""
+    as the rescore broadcast threshold and the AQE gate.
+
+    ``corpus_bytes`` may be an UPPER BOUND on the scored corpus (e.g.
+    the full table's on-disk size when ``corpus`` is a filtered subset,
+    as in v1c): overestimates only bias toward the Arrow branch — the
+    one that scales — never change results.
+
+    An empty query set raises ``ValueError`` on BOTH branches (the V3
+    empty-result guard is the caller's job); without the explicit
+    check, the small branch would silently return an empty frame while
+    the large branch raised — behavior flipping on data size, which
+    the gate contract forbids."""
+    if queries.isEmpty():
+        raise ValueError(
+            "exact_topk: queries is empty — callers should short-circuit "
+            "the no-query case (V3 empty-result guard) rather than "
+            "score against a 0-row query set"
+        )
     small = (
         corpus_bytes is not None
         and corpus_bytes < EXACT_TOPK_ARROW_MIN_BYTES

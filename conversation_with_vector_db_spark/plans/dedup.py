@@ -657,6 +657,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keep-longest policy CTEs shared by dedup_keep_best and the training
+# manifest: per-doc normalized-length quality + the per-cluster
+# (quality DESC, doc_id) ranking over the closure's `canon`. Appended
+# after _CLOSURE_CTES.
+_QUAL_RANKED_CTES = """,
+qual AS (
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                'g')) AS BIGINT) AS quality
+    FROM corpus
+),
+ranked AS (
+    SELECT m.doc_id, m.canonical_id, q.quality,
+           row_number() OVER (PARTITION BY m.canonical_id
+                              ORDER BY q.quality DESC, m.doc_id) AS rn
+    FROM canon m JOIN qual q USING (doc_id)
+)
+"""
+
+
+def _quality_ranked(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of :data:`_QUAL_RANKED_CTES`: (qual, ranked) where
+    qual = (doc_id, quality) over the whole corpus and ranked adds the
+    per-cluster keep rank for clustered docs. One definition so the
+    keep policy can never diverge between the operator and the
+    composed pipeline."""
+    from ..operators.dedup import connected_components, normalized_text
+
+    fixtures.register_derived_views(spark)
+    corpus = spark.table("corpus")
+    qual = corpus.select(
+        "doc_id",
+        F.length(normalized_text(F.col("text")))
+        .cast("bigint")
+        .alias("quality"),
+    )
+    pairs = jaccard_pairs(
+        corpus, threshold=0.5, max_df=MAX_DF
+    ).select("a", "b")
+    lbl = connected_components(pairs)
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    ranked = (
+        lbl.select(
+            F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id")
+        )
+        .join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return qual, ranked
+
+
 @query(
     "dedup_keep_best",
     driver=False,
@@ -671,19 +724,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     window never sees corpus-scale partitions). Oracle: the shared
     WITH RECURSIVE closure + the same window in SQL.""",
     oracle=_CLOSURE_CTES
-    + """,
-qual AS (
-    SELECT doc_id,
-           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ',
-                'g')) AS BIGINT) AS quality
-    FROM corpus
-),
-ranked AS (
-    SELECT m.doc_id, m.canonical_id, q.quality,
-           row_number() OVER (PARTITION BY m.canonical_id
-                              ORDER BY q.quality DESC, m.doc_id) AS rn
-    FROM canon m JOIN qual q USING (doc_id)
-)
+    + _QUAL_RANKED_CTES
+    + """
 SELECT r.doc_id AS doc_id, k.doc_id AS keep_id,
        r.doc_id = k.doc_id AS kept, r.quality AS quality
 FROM ranked r
@@ -693,27 +735,7 @@ ORDER BY doc_id
 """,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, normalized_text
-
-    fixtures.register_derived_views(spark)
-    corpus = spark.table("corpus")
-    pairs = jaccard_pairs(
-        corpus, threshold=0.5, max_df=MAX_DF
-    ).select("a", "b")
-    lbl = connected_components(pairs)
-    qual = corpus.select(
-        "doc_id",
-        F.length(normalized_text(F.col("text")))
-        .cast("bigint")
-        .alias("quality"),
-    )
-    members = lbl.select(
-        F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id")
-    ).join(qual, "doc_id")
-    w = Window.partitionBy("canonical_id").orderBy(
-        F.desc("quality"), "doc_id"
-    )
-    ranked = members.withColumn("rn", F.row_number().over(w))
+    _, ranked = _quality_ranked(spark)
     keep = ranked.filter(F.col("rn") == 1).select(
         "canonical_id", F.col("doc_id").alias("keep_id")
     )
@@ -745,19 +767,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the full composition, so the pipeline is
     value-checked end to end, not just stage by stage.""",
     oracle=_CLOSURE_CTES
+    + _QUAL_RANKED_CTES
     + """,
-qual AS (
-    SELECT doc_id,
-           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ',
-                'g')) AS BIGINT) AS quality
-    FROM corpus
-),
-ranked AS (
-    SELECT m.doc_id, m.canonical_id, q.quality,
-           row_number() OVER (PARTITION BY m.canonical_id
-                              ORDER BY q.quality DESC, m.doc_id) AS rn
-    FROM canon m JOIN qual q USING (doc_id)
-),
 fate AS (
     SELECT q.doc_id, q.quality,
            CASE WHEN r.rn > 1 THEN 'dup_dropped'
@@ -780,43 +791,14 @@ FROM fate ORDER BY doc_id
 def pipeline_training_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import connected_components, normalized_text
+    from ..functions.embedding import bucket_expr
 
-    fixtures.register_derived_views(spark)
-    corpus = spark.table("corpus")
-    qual = corpus.select(
-        "doc_id",
-        F.length(normalized_text(F.col("text")))
-        .cast("bigint")
-        .alias("quality"),
-    )
-    pairs = jaccard_pairs(
-        corpus, threshold=0.5, max_df=MAX_DF
-    ).select("a", "b")
-    lbl = connected_components(pairs)
-    w = Window.partitionBy("canonical_id").orderBy(
-        F.desc("quality"), "doc_id"
-    )
-    ranked = (
-        lbl.select(
-            F.col("id").alias("doc_id"),
-            F.col("lbl").alias("canonical_id"),
-        )
-        .join(qual, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .select("doc_id", "rn")
-    )
+    qual, ranked = _quality_ranked(spark)
+    ranked = ranked.select("doc_id", "rn")
     status = F.when(F.col("rn") > 1, "dup_dropped").when(
         F.col("quality") < 100, "quality_dropped"
     ).otherwise("kept")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = bucket_expr(F.col("doc_id").cast("string"), 100)
     split = F.when(
         F.col("status") == "kept",
         F.when(bucket < 80, "train")

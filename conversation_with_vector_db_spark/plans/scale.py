@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_aggregate, salted_join
+from ..functions.embedding import bucket_expr
 from .registry import query
 
 
@@ -128,12 +129,7 @@ FROM labeled GROUP BY split ORDER BY split
 """,
 )
 def scale_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 100
-    )
+    bucket = bucket_expr(F.col("doc_id").cast("string"), 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -172,22 +168,14 @@ FROM sampled GROUP BY label ORDER BY label
 )
 def scale_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("label").cast("string"),
-                        F.col("vec_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
+        bucket_expr(
+            F.concat_ws(
+                ":",
+                F.col("label").cast("string"),
+                F.col("vec_id").cast("string"),
             ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
+            100,
+        )
         < 20
     )
     return (
@@ -272,21 +260,9 @@ def scale_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_permille"),
         )
     )
-    keep_hash = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("lang"), F.col("doc_id").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000
+    keep_hash = bucket_expr(
+        F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string")),
+        1000,
     )
     return (
         spark.table("documents")
@@ -534,23 +510,13 @@ def scale_topic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000), F.expr("(m * 1000) div cnt")
         ).alias("keep_permille"),
     )
-    keep_hash = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("cluster").cast("string"),
-                        F.col("vec_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000
+    keep_hash = bucket_expr(
+        F.concat_ws(
+            ":",
+            F.col("cluster").cast("string"),
+            F.col("vec_id").cast("string"),
+        ),
+        1000,
     )
     return (
         assign.join(F.broadcast(rates), "cluster")

@@ -348,3 +348,32 @@ def test_exact_topk_size_gate_flips_strategy(spark, sf_dir):
     assert has_python_eval(unknown)
     rows = lambda df: [tuple(r) for r in df.orderBy("qid", "rank").collect()]
     assert rows(small) == rows(large) == rows(unknown)
+
+
+def test_matmul_extra_cols_passthrough_matches_brute_force(spark, sf_dir):
+    """The Arrow path's extra_cols plumbing (schema construction +
+    per-batch passthrough) must agree with the brute-force pass-through
+    — exercised explicitly because fixture-scale queries take the JVM
+    branch of the size gate and would otherwise never run it."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.vector import (
+        brute_force_topk,
+        collect_query_vectors,
+        matmul_topk,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    mm = matmul_topk(
+        emb, collect_query_vectors(q), k=7, extra_cols=("label",)
+    ).select("qid", "vec_id", "label", "sim", "rank")
+    bf = brute_force_topk(emb, q, k=7).select(
+        "qid", "vec_id", "label", "sim", "rank"
+    )
+    rows = lambda df: [
+        tuple(r) for r in df.orderBy("qid", "rank").collect()
+    ]
+    assert rows(mm) == rows(bf)
