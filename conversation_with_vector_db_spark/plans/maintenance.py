@@ -331,3 +331,69 @@ def m7_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("live_messages"))
         .orderBy("conversation_id")
     )
+
+
+@query(
+    "m9_snapshot_diff",
+    driver=False,
+    doc="""M9 (engine extra): dataset-version diff — the audit a data
+    pipeline runs between two corpus snapshots before promoting one
+    (what entered, what left, what changed in place). Here v1 =
+    `documents`, v2 = `corpus` (its superset with planted variants), so
+    the plants ARE the expected 'added' set and any in-place
+    perturbations the 'changed' set. One full-outer join on the key
+    comparing normalized content hashes, then a status rollup —
+    at 100 TB both sides shuffle once on doc_id (or zero times with
+    co-bucketed snapshots, the layout tested in test_scale.py); the
+    content hash is computed in the scan projection, so the join
+    carries (key, 16-byte hash), never document text.""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH v1 AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+    FROM documents
+),
+v2 AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+    FROM corpus
+),
+diff AS (
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h <> b.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM diff GROUP BY status ORDER BY status
+""",
+)
+def m9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import content_hash
+
+    v1 = spark.table("documents").select(
+        "doc_id", content_hash(F.col("text")).alias("h1")
+    )
+    v2 = spark.table("corpus").select(
+        "doc_id", content_hash(F.col("text")).alias("h2")
+    )
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("status")
+    )

@@ -438,3 +438,20 @@ def test_signature_expr_and_udf_paths_agree(spark, sf_dir):
     assert all(
         (r["s"] is None) == (r["vec_id"] % 2 != 0) for r in out
     )
+
+
+def test_snapshot_diff_flags_plants_as_added(spark, sf_dir):
+    """corpus = documents + planted variants: every original doc is
+    'unchanged', every plant 'added', and nothing is lost."""
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    plans.load_all()
+    rows = {
+        r["status"]: r
+        for r in REGISTRY["m9_snapshot_diff"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"added", "unchanged"}
+    assert rows["unchanged"]["n_docs"] == spark.table("documents").count()
+    n_corpus = spark.table("corpus").count()
+    assert rows["added"]["n_docs"] == n_corpus - rows["unchanged"]["n_docs"]
