@@ -397,3 +397,68 @@ def m9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "m10_profile_table_stats",
+    driver=False,
+    doc="""M10 (engine extra): per-column data-quality profile — row
+    count, null count, distinct count, min/max — the validation gate a
+    pipeline runs on every snapshot before promotion (the Deequ/
+    dbt-test shape). One row per profiled column; min/max are computed
+    on the native type and stringified afterward so one output schema
+    covers heterogeneous columns (profiled columns here are int/string;
+    floats would need rendering-stable formatting). Each column's
+    profile is a single map-side-combinable aggregate; the union of
+    per-column aggregates scans the table once per column group — at
+    100 TB you fuse them into one pass with grouping sets or
+    first-class sketches, trading exact distincts for HLL (the a15
+    sketch query is that variant).""",
+    oracle="""
+SELECT 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS STRING) AS min_v,
+       CAST(max(doc_id) AS STRING) AS max_v
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(min(lang) AS STRING), CAST(max(lang) AS STRING)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS STRING), CAST(max(n_chars) AS STRING)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(min(source) AS STRING), CAST(max(source) AS STRING)
+FROM documents
+ORDER BY col
+""",
+)
+def m10_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+
+    def profile(col: str) -> DataFrame:
+        return docs.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_null"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+        )
+
+    out = profile("doc_id")
+    for c in ("lang", "n_chars", "source"):
+        out = out.unionAll(profile(c))
+    return out.orderBy("col")
