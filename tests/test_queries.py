@@ -103,3 +103,22 @@ def test_hostile_driver_session_timezone(spark, sf_dir):
     assert got == want
     # load_tables must have forced the hostile session back to UTC.
     assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_scoped_broadcast_released_after_two_generations(spark):
+    """sc.broadcast handles registered via scoped_broadcast must drain
+    on the same two-generation schedule as scoped caches — a long
+    session invoking bloom queries repeatedly must not accumulate
+    executor-side broadcast blocks."""
+    import numpy as np
+
+    from conversation_with_vector_db_spark.operators import cache
+
+    bc = cache.scoped_broadcast(
+        spark.sparkContext.broadcast(np.zeros(4, dtype=np.uint64))
+    )
+    assert any(b is bc for _, b in cache._LIVE_BC)
+    cache.next_generation()
+    assert any(b is bc for _, b in cache._LIVE_BC)  # previous gen survives
+    cache.next_generation()
+    assert not any(b is bc for _, b in cache._LIVE_BC)
