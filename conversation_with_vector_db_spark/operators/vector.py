@@ -342,21 +342,25 @@ def exact_topk(
     one that scales — never change results.
 
     An empty query set raises ``ValueError`` on BOTH branches (the V3
-    empty-result guard is the caller's job); without the explicit
-    check, the small branch would silently return an empty frame while
-    the large branch raised — behavior flipping on data size, which
-    the gate contract forbids."""
-    if queries.isEmpty():
-        raise ValueError(
-            "exact_topk: queries is empty — callers should short-circuit "
-            "the no-query case (V3 empty-result guard) rather than "
-            "score against a 0-row query set"
-        )
+    empty-result guard is the caller's job): the large branch raises
+    from ``collect_query_vectors``/``matmul_topk``, and the small
+    branch probes emptiness explicitly — without that, it would
+    silently return an empty frame while the large branch raised, i.e.
+    behavior flipping on data size, which the gate contract forbids.
+    The probe is a limit-1 job on the (tiny by contract) query side
+    and runs ONLY on the small branch, whose whole point is toy-scale
+    cost — the large branch stays exactly as lazy as matmul_topk."""
     small = (
         corpus_bytes is not None
         and corpus_bytes < EXACT_TOPK_ARROW_MIN_BYTES
     )
     if small:
+        if queries.isEmpty():
+            raise ValueError(
+                "exact_topk: queries is empty — callers should "
+                "short-circuit the no-query case (V3 empty-result "
+                "guard) rather than score against a 0-row query set"
+            )
         out = brute_force_topk(
             corpus, queries, k, id_col, vec_col, round_digits
         )

@@ -338,32 +338,39 @@ def m7_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,
     doc="""M9 (engine extra): dataset-version diff — the audit a data
     pipeline runs between two corpus snapshots before promoting one
-    (what entered, what left, what changed in place). Here v1 =
-    `documents`, v2 = `corpus` (its superset with planted variants), so
-    the plants ARE the expected 'added' set and any in-place
-    perturbations the 'changed' set. One full-outer join on the key
-    comparing normalized content hashes, then a status rollup —
-    at 100 TB both sides shuffle once on doc_id (or zero times with
-    co-bucketed snapshots, the layout tested in test_scale.py); the
-    content hash is computed in the scan projection, so the join
-    carries (key, 16-byte hash), never document text.""",
+    (what entered, what left, what changed in place). v1 = `documents`;
+    v2 = `corpus` (superset with planted variants = the 'added' set)
+    minus a deterministic slice (doc_id % 97 = 3 — simulated removals)
+    with another slice perturbed in place (doc_id % 89 = 5 — simulated
+    edits), so ALL FOUR statuses are live and parity-checked, not just
+    the easy two. Presence is keyed on per-side markers (NOT hash
+    nullness — a NULL-text row present on both sides must read
+    'unchanged', never 'added') and change detection is null-safe
+    (IS DISTINCT FROM), so NULL-text transitions classify correctly.
+    One full-outer join on the key comparing normalized content
+    hashes — at 100 TB both sides shuffle once on doc_id (or zero
+    times with co-bucketed snapshots, the layout tested in
+    test_scale.py); the hash is computed in the scan projection, so
+    the join carries (key, 16-byte hash), never document text.""",
     fixtures_used=("corpus",),
     oracle="""
 WITH v1 AS (
-    SELECT doc_id,
+    SELECT doc_id, TRUE AS p,
            md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
     FROM documents
 ),
 v2 AS (
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
-    FROM corpus
+    SELECT doc_id, TRUE AS p,
+           md5(regexp_replace(trim(lower(
+               CASE WHEN doc_id % 89 = 5 THEN text || ' v2-edit'
+                    ELSE text END)), '\\s+', ' ', 'g')) AS h
+    FROM corpus WHERE doc_id % 97 <> 3
 ),
 diff AS (
     SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-           CASE WHEN a.doc_id IS NULL THEN 'added'
-                WHEN b.doc_id IS NULL THEN 'removed'
-                WHEN a.h <> b.h THEN 'changed'
+           CASE WHEN a.p IS NULL THEN 'added'
+                WHEN b.p IS NULL THEN 'removed'
+                WHEN a.h IS DISTINCT FROM b.h THEN 'changed'
                 ELSE 'unchanged' END AS status
     FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
 )
@@ -376,15 +383,26 @@ def m9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import content_hash
 
     v1 = spark.table("documents").select(
-        "doc_id", content_hash(F.col("text")).alias("h1")
+        "doc_id",
+        F.lit(True).alias("p1"),
+        content_hash(F.col("text")).alias("h1"),
     )
-    v2 = spark.table("corpus").select(
-        "doc_id", content_hash(F.col("text")).alias("h2")
+    v2_text = F.when(
+        F.col("doc_id") % 89 == 5, F.concat(F.col("text"), F.lit(" v2-edit"))
+    ).otherwise(F.col("text"))
+    v2 = (
+        spark.table("corpus")
+        .filter(F.col("doc_id") % 97 != 3)
+        .select(
+            "doc_id",
+            F.lit(True).alias("p2"),
+            content_hash(v2_text).alias("h2"),
+        )
     )
     status = (
-        F.when(F.col("h1").isNull(), "added")
-        .when(F.col("h2").isNull(), "removed")
-        .when(F.col("h1") != F.col("h2"), "changed")
+        F.when(F.col("p1").isNull(), "added")
+        .when(F.col("p2").isNull(), "removed")
+        .when(~F.col("h1").eqNullSafe(F.col("h2")), "changed")
         .otherwise("unchanged")
     )
     return (

@@ -440,9 +440,13 @@ def test_signature_expr_and_udf_paths_agree(spark, sf_dir):
     )
 
 
-def test_snapshot_diff_flags_plants_as_added(spark, sf_dir):
-    """corpus = documents + planted variants: every original doc is
-    'unchanged', every plant 'added', and nothing is lost."""
+def test_snapshot_diff_all_four_statuses_live(spark, sf_dir):
+    """All four diff branches must be exercised (a vacuously-green
+    branch would let a status bug ship): removed = the %97 slice of
+    v1, changed = the %89-edited docs that survive removal, added =
+    the plants that survive removal, and the totals partition v1."""
+    from pyspark.sql import functions as F
+
     from conversation_with_vector_db_spark import plans
     from conversation_with_vector_db_spark.plans.registry import REGISTRY
 
@@ -451,7 +455,24 @@ def test_snapshot_diff_flags_plants_as_added(spark, sf_dir):
         r["status"]: r
         for r in REGISTRY["m9_snapshot_diff"].fn(spark, sf_dir).collect()
     }
-    assert set(rows) == {"added", "unchanged"}
-    assert rows["unchanged"]["n_docs"] == spark.table("documents").count()
-    n_corpus = spark.table("corpus").count()
-    assert rows["added"]["n_docs"] == n_corpus - rows["unchanged"]["n_docs"]
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    docs = spark.table("documents")
+    n_docs = docs.count()
+    n_removed = docs.filter(F.col("doc_id") % 97 == 3).count()
+    n_changed = docs.filter(
+        (F.col("doc_id") % 89 == 5) & (F.col("doc_id") % 97 != 3)
+    ).count()
+    assert rows["removed"]["n_docs"] == n_removed
+    assert rows["changed"]["n_docs"] == n_changed
+    assert (
+        rows["unchanged"]["n_docs"] == n_docs - n_removed - n_changed
+    )
+    n_plants = spark.table("corpus").count() - n_docs
+    n_plants_removed = (
+        spark.table("corpus")
+        .filter(
+            (F.col("doc_id") >= 100000) & (F.col("doc_id") % 97 == 3)
+        )
+        .count()
+    )
+    assert rows["added"]["n_docs"] == n_plants - n_plants_removed
