@@ -98,3 +98,39 @@ def quantile_threshold(
         .filter(F.col("cum") * q >= F.col("total") * p)
         .agg(F.min(score_col).alias("thr"))
     )
+
+
+def budget_threshold(
+    scored: "DataFrame",
+    score_col: str,
+    weight_col: str,
+    p: int,
+    q: int,
+) -> "DataFrame":
+    """1-row DataFrame ``(thr)``: the largest score such that rows with
+    ``score >= thr`` carry at least p/q of the total ``weight_col``
+    mass — best-first selection under a weighted budget (tokens,
+    bytes), the "pick the highest-quality docs until the token budget
+    is met" primitive.
+
+    Same scale shape as :func:`quantile_threshold` — weighted score
+    histogram, one cumulative window over the bounded histogram
+    DESCENDING, integer guard ``q*cum >= p*total`` — except mass
+    accumulates from the TOP. Selection is bucket-granular: the bucket
+    that crosses the budget is included whole (deterministic
+    overshoot, never undershoot).
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(score_col).agg(
+        F.sum(weight_col).alias("mass")
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("mass").over(Window.orderBy(F.desc(score_col)))
+    )
+    total = hist.agg(F.sum("mass").alias("total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * q >= F.col("total") * p)
+        .agg(F.max(score_col).alias("thr"))
+    )

@@ -1025,3 +1025,78 @@ def text_quality_quantile_filter(
         .select("doc_id", "score", F.col("thr").alias("threshold"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_budget_selection",
+    driver=False,
+    doc="""Token-budget data selection: keep the highest-quality
+    documents until ~60% of the corpus's total token mass is covered —
+    the "best data under a budget" step of a pretraining build (the
+    quantile filter's sibling: that one cuts a fixed fraction of DOCS,
+    this one a fraction of TOKEN MASS, so long high-quality docs
+    consume budget faster). Scale shape (operators/filters.py
+    budget_threshold): weighted score histogram -> one cumulative
+    window DESCENDING over the bounded histogram -> broadcast scalar
+    threshold into a stateless corpus filter — no corpus-wide sort;
+    the integer guard 5*cum >= 3*total keeps float quantile math out.
+    Bucket-granular: the score bucket crossing the budget is kept
+    whole (deterministic overshoot).""",
+    oracle="""
+WITH stats AS (
+    SELECT doc_id,
+           round(
+               CAST(length(regexp_extract_all(lower(text),
+                    '\\b(the|a|of|and|to|in|is|for)\\b')) AS DOUBLE)
+               / greatest(CAST(length(regexp_extract_all(lower(text),
+                    '[a-z0-9]+')) AS BIGINT), 1)
+               - CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                      AS DOUBLE)
+                 / greatest(n_chars, 1), 4) AS score,
+           CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS BIGINT) AS toks
+    FROM documents
+),
+hist AS (SELECT score, sum(toks) AS mass FROM stats GROUP BY score),
+cum AS (
+    SELECT score, sum(mass) OVER (ORDER BY score DESC) AS cum FROM hist
+),
+tot AS (SELECT sum(mass) AS total FROM hist),
+thr AS (
+    SELECT max(score) AS thr FROM cum, tot WHERE 5 * cum >= 3 * total
+)
+SELECT s.doc_id AS doc_id, s.score AS score, s.toks AS toks,
+       t.thr AS threshold
+FROM stats s, thr t
+WHERE s.score >= t.thr
+ORDER BY doc_id
+""",
+)
+def text_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filters import budget_threshold
+
+    docs = spark.table("documents")
+    n_words = F.regexp_count(
+        F.lower("text"), F.lit("[a-z0-9]+")
+    ).cast("long")
+    n_stop = F.regexp_count(
+        F.lower("text"), F.lit(r"\b(the|a|of|and|to|in|is|for)\b")
+    ).cast("long")
+    n_sym = F.regexp_count(
+        F.col("text"), F.lit("[^a-zA-Z0-9 ]")
+    ).cast("long")
+    score = F.round(
+        n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+        - n_sym.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)),
+        4,
+    )
+    stats = docs.select(
+        "doc_id", score.alias("score"), n_words.alias("toks")
+    )
+    thr = budget_threshold(stats, "score", "toks", 3, 5)
+    return (
+        stats.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "score", "toks", F.col("thr").alias("threshold"))
+        .orderBy("doc_id")
+    )

@@ -291,3 +291,36 @@ def test_training_manifest_partitions_every_doc(spark, sf_dir):
             assert r["split"] in ("train", "val", "test")
         else:
             assert r["split"] == "none"
+
+
+def test_budget_selection_covers_budget_minimally(spark, sf_dir):
+    """Kept docs must carry >= 60% of total token mass, and removing
+    the lowest kept score bucket must drop coverage below 60% —
+    i.e. the threshold is tight to bucket granularity."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+    from conversation_with_vector_db_spark.session import load_tables
+
+    plans.load_all()
+    load_tables(spark, sf_dir)
+    rows = REGISTRY["text_budget_selection"].fn(spark, sf_dir).collect()
+    assert rows
+    total = (
+        spark.table("documents")
+        .select(
+            F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    kept = sum(r["toks"] for r in rows)
+    assert 5 * kept >= 3 * total
+    thr = rows[0]["threshold"]
+    without_last_bucket = sum(
+        r["toks"] for r in rows if r["score"] > thr
+    )
+    assert 5 * without_last_bucket < 3 * total
