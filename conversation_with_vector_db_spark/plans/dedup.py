@@ -189,6 +189,135 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_estimate",
+    driver=False,
+    doc="""Sketch-estimated Jaccard vs exact, per LSH candidate pair:
+    the estimator (fraction of agreeing minhash permutations) IS the
+    verify step once exact verification is too expensive — at 100 TB
+    the shingle sets are long gone and only the 12-column signature
+    index survives, so this query reports what that regime actually
+    computes, side by side with the exact value the fixture can still
+    afford (est_jaccard, jaccard, abs_err). The estimate is one
+    12-term integer comparison per pair over the already-built wide
+    signature table — no shingle shuffle at all on the estimate
+    path.""",
+    fixtures_used=("corpus",),
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+perms AS (
+    SELECT doc_id, p.i AS perm,
+           (p.a * (shingle % {MINHASH_P}) + p.b) % {MINHASH_P} AS h
+    FROM sh, (VALUES {", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_perm_constants(12))
+    )}) AS p(i, a, b)
+),
+sig AS (
+    SELECT doc_id, perm, min(h) AS minhash
+    FROM perms GROUP BY doc_id, perm
+),
+bandkeys AS (
+    SELECT doc_id, CAST(perm // 3 AS INT) AS band,
+           md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+    FROM sig GROUP BY doc_id, band
+),
+cands AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bandkeys x JOIN bandkeys y USING (band, band_key)
+    WHERE x.doc_id < y.doc_id
+),
+agree AS (
+    SELECT c.a, c.b,
+           sum(CASE WHEN sx.minhash = sy.minhash THEN 1 ELSE 0 END)
+               AS n_agree
+    FROM cands c
+    JOIN sig sx ON sx.doc_id = c.a
+    JOIN sig sy ON sy.doc_id = c.b AND sy.perm = sx.perm
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+    FROM sh x JOIN sh y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT g.a AS a, g.b AS b,
+       round(g.n_agree / 12.0, 4) AS est_jaccard,
+       round(CAST(COALESCE(m.common, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(m.common, 0)), 4) AS jaccard,
+       round(abs(g.n_agree / 12.0
+                 - CAST(COALESCE(m.common, 0) AS DOUBLE)
+                   / (sa.sz + sb.sz - COALESCE(m.common, 0))), 4)
+           AS abs_err
+FROM agree g
+LEFT JOIN common m ON m.a = g.a AND m.b = g.b
+JOIN sizes sa ON sa.doc_id = g.a
+JOIN sizes sb ON sb.doc_id = g.b
+ORDER BY a, b
+""",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import df_capped_shingles, minhash_signatures
+
+    corpus = spark.table("corpus")
+    sh = scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
+    sig = scoped_cache(minhash_signatures(corpus, shingles=sh))
+    cands = minhash_lsh_candidates(
+        corpus, num_perm=12, bands=4, shingles=sh
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(12)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"xb{i}") for i in range(12)],
+    )
+    n_agree = sum(
+        (F.col(f"xa{i}") == F.col(f"xb{i}")).cast("int")
+        for i in range(12)
+    )
+    est = (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", n_agree.alias("n_agree"))
+    )
+    # Exact side for the error column (fixture-affordable): shared
+    # shingle counts via the same posting join the verify path uses.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.select(F.col("doc_id").alias("a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        x.join(y.hint("shuffle_hash"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    szb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    sza = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    exact = F.coalesce(F.col("common"), F.lit(0)).cast("double") / (
+        F.col("sza") + F.col("szb") - F.coalesce(F.col("common"), F.lit(0))
+    )
+    return (
+        est.join(common, ["a", "b"], "left")
+        .join(sza, "a")
+        .join(szb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("n_agree") / 12.0, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("jaccard"),
+            F.round(F.abs(F.col("n_agree") / 12.0 - exact), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@query(
     "dedup_simhash",
     doc="""SimHash near-dup: 60-bit weighted-majority hash per doc
     (linear passes only), banded 4x15-bit exact-match blocking

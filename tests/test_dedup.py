@@ -324,3 +324,21 @@ def test_budget_selection_covers_budget_minimally(spark, sf_dir):
         r["toks"] for r in rows if r["score"] > thr
     )
     assert 5 * without_last_bucket < 3 * total
+
+
+def test_minhash_estimate_quality(spark, sf_dir):
+    """The 12-perm estimator must be unbiased enough to matter: exact
+    duplicates estimate 1.0 exactly, and the mean |est - exact| over
+    all candidate pairs stays under 0.2 (the 1/sqrt(12) sketch
+    error regime)."""
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    plans.load_all()
+    rows = REGISTRY["dedup_minhash_estimate"].fn(spark, sf_dir).collect()
+    assert rows
+    exact_dups = [r for r in rows if r["jaccard"] == 1.0]
+    assert exact_dups
+    assert all(r["est_jaccard"] == 1.0 for r in exact_dups)
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.2, mean_err

@@ -223,3 +223,37 @@ class TestNanoLayoutPushdown:
         assert pushed.count() == 2  # Jan 10 + Jan 11
         plan = pushed._jdf.queryExecution().executedPlan().toString()
         assert "1704844800000000000" in plan  # raw-nanos bound on scan
+
+
+class TestBudgetThreshold:
+    def test_budget_covers_and_is_tight(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from conversation_with_vector_db_spark.operators.filters import (
+            budget_threshold,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-50, max_value=50),  # score
+                    st.integers(min_value=1, max_value=100),   # weight
+                ),
+                min_size=1,
+                max_size=60,
+            )
+        )
+        def check(rows):
+            df = spark.createDataFrame(
+                [(i, s, w) for i, (s, w) in enumerate(rows)],
+                ["id", "score", "w"],
+            )
+            thr = budget_threshold(df, "score", "w", 3, 5).first()["thr"]
+            total = sum(w for _, w in rows)
+            kept = sum(w for s, w in rows if s >= thr)
+            above = sum(w for s, w in rows if s > thr)
+            assert 5 * kept >= 3 * total          # budget covered
+            assert 5 * above < 3 * total          # bucket-tight
+        check()

@@ -122,3 +122,19 @@ def test_scoped_broadcast_released_after_two_generations(spark):
     assert any(b is bc for _, b in cache._LIVE_BC)  # previous gen survives
     cache.next_generation()
     assert not any(b is bc for _, b in cache._LIVE_BC)
+
+
+def test_bench_headline_contract():
+    """Every bench headline query must exist in the registry WITH an
+    oracle — a demotion or rename must fail here, not in the driver's
+    per-round bench record."""
+    import bench
+
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans import registry
+
+    plans.load_all()
+    qs, oracles = registry.all_queries(), registry.all_oracles()
+    for name in bench.HEADLINE:
+        assert name in qs, name
+        assert name in oracles, f"{name} lost its oracle"
