@@ -1,8 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the engine's headline queries and prints ONE
-JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}`` (plus per-query DuckDB oracle timings and Spark/DuckDB
-ratios, since the target is within-2x of the oracle engine).
+COMPACT JSON line ``{"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}`` as the FINAL line of output.
+
+The driver records only a bounded tail of stdout, so the final line
+must stay small (r3 lesson: a single fat line overflowed the capture
+window and the round's official walls were lost — BENCH_r03.json
+``"parsed": null``). Everything bulky — per-query DuckDB oracle
+timings, Spark/DuckDB ratios, plan-build/exec decomposition, ANN
+economics, and the AQE-forced-on comparison run — goes to
+``BENCH_DETAIL.json`` next to this script instead.
 
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32).
@@ -261,6 +268,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         duck_timings[name] = round(best, 4)
 
+    # AQE-forced-on comparison pass (VERDICT r3 #6): the production
+    # session default is AQE=on; when the cost gate turned it off above,
+    # re-run the headliners with it forced on so the shipped default
+    # path keeps a measured wall and the gate's overhead claim stays
+    # current. DataFrames are rebuilt so execution picks up the conf.
+    aqe_on_timings: dict[str, float] = {}
+    if not adaptive:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            build = time.perf_counter() - t0
+            execs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                execs.append(time.perf_counter() - t0)
+            aqe_on_timings[name] = round(build + min(execs), 4)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     ann = ann_economics(spark, sf)
 
     ratios = {
@@ -274,6 +301,31 @@ def main() -> None:
         if duck_timings[n] > 0
     }
     total = round(sum(timings.values()), 4)
+    duck_total = round(sum(duck_timings.values()), 4)
+    aqe_on_total = (
+        round(sum(aqe_on_timings.values()), 4) if aqe_on_timings else None
+    )
+
+    detail = {
+        "plan_build_sec": build_sec,
+        "exec_sec": exec_sec,
+        "duckdb_oracle_sec": duck_timings,
+        "spark_over_duckdb_ratio": ratios,
+        "spark_exec_over_duckdb_ratio": exec_ratios,
+        "aqe_on_queries": aqe_on_timings,
+        "aqe_gated_off": not adaptive,
+        "ann_economics": ann,
+        "sf": sf,
+        "shuffle_partitions": int(parts),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # FINAL line: compact by contract (see module docstring). Keep it
+    # under ~1.5 KB so the driver's tail capture always sees the head.
     print(
         json.dumps(
             {
@@ -282,13 +334,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "plan_build_sec": build_sec,
-                "exec_sec": exec_sec,
-                "duckdb_oracle_sec": duck_timings,
-                "spark_over_duckdb_ratio": ratios,
-                "spark_exec_over_duckdb_ratio": exec_ratios,
-                "ann_economics": ann,
-            }
+                "duckdb_total_sec": duck_total,
+                "aqe_on_total_sec": aqe_on_total,
+                "detail_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -64,6 +64,10 @@ def get_spark(
         # Arrow for the few pandas-UDF operators (vector + multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Keep stdout machine-readable: the bench contract is a single
+        # compact JSON line as the FINAL output line, and the console
+        # progress bar interleaves \r frames into captured stdout.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if shuffle_partitions is not None:
         builder = builder.config(
