@@ -92,7 +92,8 @@ def next_generation() -> int:
 
 
 def release_all() -> int:
-    """Unpersist every scoped cache (non-blocking); returns the count."""
+    """Unpersist every scoped cache AND scoped broadcast (non-blocking);
+    returns the combined count of both kinds released."""
     n = len(_LIVE) + len(_LIVE_BC)
     for _, df in _LIVE:
         try:

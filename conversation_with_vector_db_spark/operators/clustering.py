@@ -129,23 +129,33 @@ def quantized_lloyd(
     out of the model; surviving ids keep their original cluster
     numbers.
 
-    Input contract: every vector has the model's dimension. Rows whose
-    quantized vector length differs from the seed centroids' (ragged
-    or empty embeddings) are DROPPED up front — zip_with would
-    null-pad them into NULL distances and NULL cluster assignments
-    that silently poison downstream joins.
+    Ragged input: the model dimension is the MODAL vector length among
+    non-empty vectors (ties to the smaller dim — deterministic), fixed
+    BEFORE seeding; rows of any other length are DROPPED, and seeds are
+    drawn from the filtered frame. Filtering first matters: a ragged or
+    empty vector among the k smallest ids would otherwise become a
+    malformed centroid (zip_with null-pads its distances so it never
+    wins members), and an empty FIRST seed would define dim=0 and drop
+    every well-formed row.
 
     Returns (id, cluster, sq_dist) ordered by id.
     """
     q = scoped_cache(
         quantize_vectors(vectors, vec_col, scale).select(id_col, "q")
     )
+    dim_row = (
+        q.filter(F.size("q") > 0)
+        .groupBy(F.size("q").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), "d")
+        .first()
+    )
+    if dim_row is None:
+        raise ValueError("quantized_lloyd: input has no non-empty vectors")
+    dim = dim_row["d"]
+    q = q.filter(F.size("q") == dim)
     init = q.orderBy(id_col).limit(k).collect()
     centroids = [(i, [int(v) for v in r["q"]]) for i, r in enumerate(init)]
-    if not centroids:
-        raise ValueError("quantized_lloyd: input has no vectors")
-    dim = len(centroids[0][1])
-    q = q.filter(F.size("q") == dim)
     for it in range(iters):
         assigned = assign_clusters(q, centroids, k, id_col)
         if it == iters - 1:

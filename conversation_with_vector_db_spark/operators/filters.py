@@ -88,6 +88,10 @@ def quantile_threshold(
     """
     from pyspark.sql import Window
 
+    # NULL scores can never satisfy the caller's threshold filter, so
+    # counting them in `total` would shift the quantile toward (or
+    # onto) the NULL bucket — drop them before the histogram.
+    scored = scored.filter(F.col(score_col).isNotNull())
     hist = scored.groupBy(score_col).agg(F.count("*").alias("cnt"))
     cum = hist.withColumn(
         "cum", F.sum("cnt").over(Window.orderBy(score_col))
@@ -122,6 +126,11 @@ def budget_threshold(
     """
     from pyspark.sql import Window
 
+    # NULL-score rows can never pass `score >= thr`; including their
+    # mass in `total` would make the crossing bucket the NULL one
+    # (thr = NULL -> empty selection) or under-cover the stated
+    # budget. Drop them from the histogram.
+    scored = scored.filter(F.col(score_col).isNotNull())
     hist = scored.groupBy(score_col).agg(
         F.sum(weight_col).alias("mass")
     )

@@ -355,12 +355,22 @@ def scale_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster). Shared by the assignment query and the topic-mixture
 # composition below.
 _KMEANS_CTES = """
-WITH q AS (
+WITH q0 AS (
     SELECT vec_id,
            list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                          AS BIGINT)) AS q
     FROM embeddings
+),
+-- Model dimension = modal non-empty vector length (ties to the
+-- smaller), fixed BEFORE seeding; ragged rows drop — mirrors
+-- operators/clustering.quantized_lloyd's seed path exactly.
+mdim AS (
+    SELECT len(q) AS d FROM q0 WHERE len(q) > 0
+    GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1
+),
+q AS (
+    SELECT * FROM q0 WHERE len(q) = (SELECT d FROM mdim)
 ),
 qe AS (
     SELECT vec_id, CAST(t.i AS INT) AS pos, q[CAST(t.i AS INT)] AS v

@@ -257,3 +257,27 @@ class TestBudgetThreshold:
             assert 5 * kept >= 3 * total          # budget covered
             assert 5 * above < 3 * total          # bucket-tight
         check()
+
+    def test_null_scores_carry_no_mass(self, spark):
+        """NULL-score rows can never pass ``score >= thr``, so their
+        weight must not count toward the budget denominator — even when
+        the NULL bucket carries most of the total mass (which would
+        otherwise make thr NULL or under-cover the budget)."""
+        from conversation_with_vector_db_spark.operators.filters import (
+            budget_threshold,
+            quantile_threshold,
+        )
+
+        rows = [
+            (0, None, 1000),  # dominant NULL-score mass
+            (1, 5.0, 10),
+            (2, 3.0, 10),
+            (3, 1.0, 10),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, score double, w long"
+        )
+        thr = budget_threshold(df, "score", "w", 2, 3).first()["thr"]
+        assert thr == 3.0  # 2/3 of the NON-NULL mass -> top two buckets
+        qthr = quantile_threshold(df, "score", 1, 3).first()["thr"]
+        assert qthr == 1.0  # lower third of 3 non-null scores

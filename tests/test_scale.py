@@ -279,6 +279,30 @@ def test_quantized_lloyd_drops_ragged_vectors(spark):
     assert all(r["cluster"] is not None for r in got)
 
 
+def test_quantized_lloyd_seeds_after_ragged_filter(spark):
+    """A ragged/empty vector among the k smallest ids must not become a
+    seed centroid: the model dimension is fixed from the modal length
+    BEFORE seeding, so an empty FIRST row cannot define dim=0 (which
+    would drop every well-formed row) and a wrong-dim row cannot turn
+    into a dead centroid."""
+    from conversation_with_vector_db_spark.operators.clustering import (
+        quantized_lloyd,
+    )
+
+    rows = [
+        (0, []),             # empty at the FIRST seed slot
+        (1, [9.0]),          # wrong dim at the second seed slot
+        (2, [1.0, 0.0]), (3, [0.9, 0.1]),
+        (4, [0.0, 1.0]), (5, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = quantized_lloyd(df, k=2, iters=2).collect()
+    assert {r["vec_id"] for r in got} == {2, 3, 4, 5}
+    # both seeds came from well-formed rows, so the two planted pairs
+    # separate into two distinct clusters
+    assert {r["cluster"] for r in got} == {0, 1}
+
+
 def test_topic_mixture_flattens_to_smallest_topic(spark, sf_dir):
     """Every topic's kept share must land near the smallest topic's
     size (floor-permille sampling: n_kept <= n_before, and the implied
