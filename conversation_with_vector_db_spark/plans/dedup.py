@@ -634,6 +634,10 @@ def _decon_shingle_sides(
 
 @query(
     "dedup_decontaminate",
+    # Local tier since r4: the decontamination family keeps bloom +
+    # incremental driver representatives; the slot funds promoting the
+    # composed end-to-end pipeline below (VERDICT r3 #5).
+    driver=False,
     doc="""Benchmark decontamination — the GPT-3/Pile-style n-gram
     overlap sweep a training pipeline runs before every release: flag
     training documents sharing >= 5 word-3-gram shingles with any doc
@@ -882,7 +886,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_training_manifest",
-    driver=False,
     doc="""End-to-end training-set manifest: the composed curation
     pipeline a user runs before a training job — near-dup clustering
     (word-3-gram Jaccard >= 0.5, Pregel-lite components) with the
