@@ -221,6 +221,19 @@ def pair_counts_from_postings(
     biggest row count in the plan. Valid while ids fit 32 bits — the
     fixture contract.
     """
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    return pair_counts_from_lists(postings)
+
+
+def pair_counts_from_lists(postings: DataFrame) -> DataFrame:
+    """(a, b, common) from a posting-list table ``(..., _ids)``: explode
+    each list's ordered pairs as packed longs (see
+    :func:`pair_counts_from_postings`) and count per pair — the shared
+    tail of both the two-pass and the fused capped-postings paths."""
     pair_longs = F.flatten(
         F.transform(
             "_ids",
@@ -232,9 +245,7 @@ def pair_counts_from_postings(
         )
     )
     return (
-        sh.groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
+        postings.filter(F.size("_ids") >= 2)
         .select(F.explode(pair_longs).alias("_ab"))
         .groupBy("_ab")
         .agg(F.count("*").alias("common"))
@@ -243,6 +254,39 @@ def pair_counts_from_postings(
             (F.col("_ab") % F.lit(1 << 32)).alias("b"),
             "common",
         )
+    )
+
+
+#: Fused-cap safety bound: folding the DF cap into the posting-list
+#: aggregation means an over-cap shingle's FULL list materializes on one
+#: reducer before the filter drops it. The worst-case list is one entry
+#: per document, so the fuse is only safe while the whole corpus is
+#: small enough that even a universal shingle's list fits comfortably in
+#: an aggregation buffer (~256 MB of source text ≈ ≤1M docs ≈ 8 MB of
+#: packed ids). Past the bound — or when size is unknowable — the
+#: two-pass count+anti-join shape bounds reducer memory by max_df.
+FUSED_CAP_MAX_BYTES = 256 << 20
+
+
+def fused_capped_postings(
+    sh: DataFrame, id_col: str = "doc_id", max_df: int = 64
+) -> DataFrame:
+    """Posting lists with the document-frequency cap applied to the
+    COLLECTED list length — cap + postings in ONE shuffle of the shingle
+    table, versus the two-pass form's separate count pass + broadcast
+    anti-join (a whole extra stage over the same rows).
+
+    ``size(collect_list(id)) == count(*)`` per shingle (same rows, no
+    nulls), so filtering the list length reproduces the two-pass cap
+    exactly; singleton lists are KEPT because per-doc set sizes must
+    count every under-cap shingle. Callers gate on
+    :data:`FUSED_CAP_MAX_BYTES` — see the constant's docstring for the
+    reducer-memory bound that makes the two-pass form the scale path.
+    """
+    return (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") <= max_df)
     )
 
 

@@ -524,33 +524,58 @@ ORDER BY a, b
 """,
 )
 def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import normalized_text
+    from ..operators.dedup import (
+        FUSED_CAP_MAX_BYTES,
+        char_window_shingles,
+        fused_capped_postings,
+        normalized_text,
+        pair_counts_from_lists,
+    )
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
 
     norm = spark.table("corpus").select(
         "doc_id", normalized_text(F.col("text")).alias("ntext")
     )
     # Byte-sliced ASCII fast path + char-correct fallback, both as
     # BINARY keys — see operators.dedup.char_window_shingles.
-    from ..operators.dedup import char_window_shingles
-
     sh0 = char_window_shingles(norm, "ntext", "doc_id", n=5, stride=3)
-    sh0 = scoped_cache(sh0)
-    # DF cap via broadcast anti-join against the tiny over-cap shingle
-    # list (same shape as operators.dedup.df_capped_shingles): sizes and
-    # the pairing stage both see the capped table, so Jaccard stays
-    # consistent between engines.
-    frequent = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > MAX_DF)
-        .select("shingle")
-    )
-    sh = sh0.join(F.broadcast(frequent), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # Capped posting lists -> JVM-side pair explosion: one shuffle of
-    # the shingle table instead of the self-join's two (see
-    # operators.dedup.pair_counts_from_postings for the scale bound).
-    common = pair_counts_from_postings(sh, "doc_id")
+    # Cost gate (same discipline as exact_topk / rescore_candidates):
+    # below the reducer-memory bound, DF cap + posting lists fuse into
+    # ONE groupBy(shingle) — no separate count pass, no anti-join stage
+    # (r4 A/B: -1 exchange, -2 stages); above it or unknown, the
+    # two-pass shape bounds reducer memory by MAX_DF. Results identical
+    # on both branches (pinned by test).
+    src_bytes = parquet_bytes_on_disk(table_path(sf_dir, "documents"))
+    if src_bytes is not None and src_bytes <= FUSED_CAP_MAX_BYTES:
+        postings = scoped_cache(
+            fused_capped_postings(sh0, "doc_id", MAX_DF)
+        )
+        sizes = (
+            postings.select(F.explode("_ids").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("sz"))
+        )
+        common = pair_counts_from_lists(postings)
+    else:
+        sh0 = scoped_cache(sh0)
+        # DF cap via broadcast anti-join against the tiny over-cap
+        # shingle list (operators.dedup.df_capped_shingles shape):
+        # sizes and pairing both see the capped table, so Jaccard
+        # stays consistent between engines.
+        frequent = (
+            sh0.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > MAX_DF)
+            .select("shingle")
+        )
+        sh = sh0.join(F.broadcast(frequent), "shingle", "left_anti")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        common = pair_counts_from_postings(sh, "doc_id")
+    if src_bytes is not None and src_bytes <= FUSED_CAP_MAX_BYTES:
+        # Same gate: one (sz) row per doc is broadcastable exactly when
+        # the corpus is; past the gate the pair-side joins shuffle.
+        sizes = F.broadcast(sizes)
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
     return (

@@ -140,6 +140,65 @@ def test_posting_pairs_equal_self_join_pairs(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_fused_cap_equals_two_pass_cap(spark):
+    """The fused capped-postings branch (cap applied to collected list
+    length, one shuffle) must reproduce the two-pass branch (count pass
+    + anti-join) EXACTLY — both the pair counts and the per-doc set
+    sizes, singletons included — on randomized shingle tables whose DF
+    distribution straddles the cap."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        fused_capped_postings,
+        pair_counts_from_lists,
+        pair_counts_from_postings,
+    )
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        # shingle 0 is super-frequent (over any small cap); the rest
+        # follow a light tail with plenty of singletons.
+        rows = sorted(
+            {(d, 0) for d in range(30)}
+            | {(rng.randrange(40), rng.randrange(2, 80))
+               for _ in range(250)}
+        )
+        sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+        cap = 6
+        postings = fused_capped_postings(sh, "doc_id", cap)
+        got_common = {
+            tuple(r) for r in pair_counts_from_lists(postings).collect()
+        }
+        got_sizes = {
+            tuple(r)
+            for r in postings.select(F.explode("_ids").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("sz"))
+            .collect()
+        }
+        frequent = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > cap)
+            .select("shingle")
+        )
+        capped = sh.join(F.broadcast(frequent), "shingle", "left_anti")
+        want_common = {
+            tuple(r)
+            for r in pair_counts_from_postings(capped, "doc_id").collect()
+        }
+        want_sizes = {
+            tuple(r)
+            for r in capped.groupBy("doc_id")
+            .agg(F.count("*").alias("sz"))
+            .collect()
+        }
+        assert got_common == want_common, f"seed {seed}"
+        assert got_sizes == want_sizes, f"seed {seed}"
+
+
 def test_char_window_shingles_ascii_and_unicode_agree(spark):
     """The byte-sliced ASCII fast path and the char-correct fallback
     must produce the same shingle identities a pure char-based
