@@ -51,6 +51,14 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
+        # Local mode only: PySpark's default 1g driver heap OOMs once
+        # fixtures pass ~sf0.3 (the whole "cluster" lives in one JVM).
+        # Takes effect on JVM launch, i.e. the first session in the
+        # process; on a real cluster the submit config owns memory.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     builder = (
         builder
         # Deterministic wall-clock-free semantics: oracle comparisons run
