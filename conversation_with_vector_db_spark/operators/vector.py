@@ -309,12 +309,16 @@ def matmul_topk(
 
 #: Below this on-disk corpus size, exact top-k scores with the JVM HOF
 #: fold: the Arrow path's fixed Python-worker round-trip exceeds what
-#: batched numpy saves on a small corpus (A/B at sf0.1, 5k x 64-d x 5
-#: queries: HOF 0.31 s vs matmul 0.40 s); past the threshold the ~100x
-#: per-pair CPU advantage dominates (ann_economics keeps the measured
-#: crossover honest per round). UNKNOWN size picks the Arrow path —
-#: the safe choice is the one that scales.
-EXACT_TOPK_ARROW_MIN_BYTES = 32 << 20
+#: batched numpy saves on a truly tiny corpus. Re-measured r4 against
+#: WARM Python workers (the realistic session state — every pipeline
+#: with any pandas-UDF stage has them running): the matmul overtakes
+#: far earlier than r3's cold-worker A/B suggested — sf0.1, 2k x 64-d:
+#: HOF 0.41 s vs matmul 0.29 s warm (1.8 s cold); sf1, 20k x 64-d:
+#: 0.97 vs 0.59 s — so the gate drops 32 MB -> 512 KB and only
+#: sub-MB corpora (unit fixtures, sf0.01's 190 KB) keep the
+#: worker-free fold. UNKNOWN size picks the Arrow path — the safe
+#: choice is the one that scales.
+EXACT_TOPK_ARROW_MIN_BYTES = 512 << 10
 
 
 def exact_topk(
