@@ -219,6 +219,16 @@ class SimulatedCrash(RuntimeError):
     operation."""
 
 
+class CompactionInProgressError(RuntimeError):
+    """A compaction marker already exists: another compactor may be
+    LIVE. Two live compactors are not safe on bare parquet — the
+    second can read a partition mid-file-swap and persist that torn
+    view (see compact_change_log's concurrency note) — so the marker
+    doubles as a create-exclusive fence. Re-run with ``takeover=True``
+    only after confirming the holder is dead (it crashed and left the
+    marker); the fold then completes idempotently."""
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -264,6 +274,7 @@ def compact_change_log(
     key: str,
     partition_col: str = "namespace",
     failpoint: str | None = None,
+    takeover: bool = False,
 ) -> None:
     """Fold the log into the base: rewrite ONLY the partitions the log
     touches (dynamic overwrite), explicitly drop partitions the fold
@@ -305,6 +316,20 @@ def compact_change_log(
     ``failpoint`` ('after_marker' | 'after_overwrite') raises
     :class:`SimulatedCrash` at the named step boundary so tests can
     exercise each window.
+
+    Concurrency invariant: AT MOST ONE LIVE COMPACTOR per table. The
+    crash analysis above covers a compactor that DIES; it does not
+    make two live compactors safe — the second can read a base
+    partition during the first's step-2 file swap and persist that
+    torn view, and its lazily-planned log snapshot can hit
+    files the first already truncated. The marker is therefore taken
+    with CREATE-EXCLUSIVE (atomic on local/HDFS filesystems; an
+    object-store deployment swaps in a conditional put or an external
+    coordinator): a second compactor gets
+    :class:`CompactionInProgressError` instead of a race.
+    ``takeover=True`` bypasses the fence for crash recovery — callers
+    assert the holder is dead exactly the way any lease-less protocol
+    must; the re-run then completes the fold idempotently.
     """
     snapshot = _log_data_files(spark, log_path)
     if not snapshot:
@@ -314,7 +339,16 @@ def compact_change_log(
     if folded_max is None:
         return
     fs, marker = _hadoop_fs(spark, _marker_path(base_path))
-    out = fs.create(marker, True)
+    try:
+        out = fs.create(marker, takeover)
+    except Exception as exc:
+        if not takeover and fs.exists(marker):
+            raise CompactionInProgressError(
+                f"compaction marker already present under {base_path}: "
+                "another compactor may be live; re-run with "
+                "takeover=True only after confirming it is dead"
+            ) from exc
+        raise
     out.write(str(folded_max).encode("utf-8"))
     out.close()
     if failpoint == "after_marker":

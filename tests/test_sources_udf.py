@@ -213,12 +213,26 @@ class TestParquetMaintenance:
             read_merge_on_read(spark, vector_store, log, "vec_id")
         ) == want
 
+        # A SECOND compactor arriving while the marker lingers is
+        # fenced out (create-exclusive) — two live compactors could
+        # persist a torn mid-swap read; only an explicit takeover (the
+        # caller asserting the holder is dead) may proceed.
+        from conversation_with_vector_db_spark.sources.parquet_io import (
+            CompactionInProgressError,
+        )
+
+        with pytest.raises(CompactionInProgressError):
+            compact_change_log(spark, vector_store, log, "vec_id")
+        assert rows(
+            read_merge_on_read(spark, vector_store, log, "vec_id")
+        ) == want
+
         # Die with the base fully compacted but the log not truncated:
         # readers re-apply the folded entries — idempotent, same rows.
         with pytest.raises(SimulatedCrash):
             compact_change_log(
                 spark, vector_store, log, "vec_id",
-                failpoint="after_overwrite",
+                failpoint="after_overwrite", takeover=True,
             )
         assert compaction_in_progress(spark, vector_store)
         assert rows(
@@ -232,8 +246,11 @@ class TestParquetMaintenance:
             "upsert", 9,
         )
 
-        # Recovery is a plain re-run: folds everything, clears marker.
-        compact_change_log(spark, vector_store, log, "vec_id")
+        # Recovery is a takeover re-run: folds everything, clears the
+        # marker; after that the fence is open again.
+        compact_change_log(
+            spark, vector_store, log, "vec_id", takeover=True
+        )
         assert not compaction_in_progress(spark, vector_store)
         got = rows(spark.read.parquet(vector_store))
         assert got == sorted(want + [(888888, 600, 2)])
