@@ -730,6 +730,106 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_decontaminate_fuzzy",
+    driver=False,
+    doc="""Fuzzy benchmark decontamination — the NEAR-duplicate form of
+    the eval-overlap sweep: the exact variant's >= 5-shared-shingle
+    rule misses paraphrased or lightly-edited benchmark leaks whose
+    absolute overlap is small relative to document size, so this pass
+    flags any training document whose word-3-gram JACCARD against an
+    eval doc reaches 0.5, using the SAME minhash band index every
+    other near-dup query shares (generationally cached / a persisted
+    table at cluster scale). Directional like the ingest check: eval
+    band keys probe the corpus index, candidates verify against exact
+    shingle sets — the eval side is benchmark-sized, so the band join
+    is eval-sized on one side and the corpus never self-pairs. Output:
+    every (train doc, eval doc) pair at or above the threshold.""",
+    fixtures_used=("corpus",),
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+perms AS (
+    SELECT doc_id, p.i AS perm,
+           (p.a * (shingle % {MINHASH_P}) + p.b) % {MINHASH_P} AS h
+    FROM sh, (VALUES {", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_perm_constants(12))
+    )}) AS p(i, a, b)
+),
+sig AS (
+    SELECT doc_id, perm, min(h) AS minhash
+    FROM perms GROUP BY doc_id, perm
+),
+bandkeys AS (
+    SELECT doc_id, CAST(perm // 3 AS INT) AS band,
+           md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+    FROM sig GROUP BY doc_id, band
+),
+cands AS (
+    SELECT DISTINCT x.doc_id AS bench_id, y.doc_id AS train_id
+    FROM bandkeys x JOIN bandkeys y USING (band, band_key)
+    WHERE x.doc_id % 53 = 0 AND x.doc_id < 100000
+      AND y.doc_id % 53 <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.train_id AS train_id, c.bench_id AS bench_id,
+           count(*) AS common
+    FROM cands c
+    JOIN sh x ON x.doc_id = c.bench_id
+    JOIN sh y ON y.doc_id = c.train_id AND y.shingle = x.shingle
+    GROUP BY 1, 2
+)
+SELECT m.train_id AS train_id, m.bench_id AS bench_id,
+       round(CAST(m.common AS DOUBLE)
+             / (sa.sz + sb.sz - m.common), 4) AS jaccard
+FROM common m
+JOIN sizes sa ON sa.doc_id = m.bench_id
+JOIN sizes sb ON sb.doc_id = m.train_id
+WHERE round(CAST(m.common AS DOUBLE)
+            / (sa.sz + sb.sz - m.common), 4) >= 0.5
+ORDER BY train_id, bench_id
+""",
+)
+def dedup_decontaminate_fuzzy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import (
+        df_capped_shingles,
+        jaccard_verify,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    corpus = spark.table("corpus")
+    # Identical derivation (and scoped cache) to dedup_minhash_lsh /
+    # dedup_incremental_minhash: the shared signature index is the
+    # point — decontamination rides the index the dedup passes already
+    # maintain.
+    sh = scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
+    keys = lsh_band_keys(
+        minhash_signatures(corpus, num_perm=12, shingles=sh)
+    )
+    bench = keys.filter(
+        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") < 100000)
+    ).select(F.col("doc_id").alias("a"), "band", "band_key")
+    train = keys.filter(F.col("doc_id") % 53 != 0).select(
+        F.col("doc_id").alias("b"), "band", "band_key"
+    )
+    cands = (
+        bench.join(train.hint("shuffle_hash"), ["band", "band_key"])
+        .select("a", "b")
+        .distinct()
+    )
+    verified = jaccard_verify(corpus, cands, threshold=0.5, shingles=sh)
+    return verified.select(
+        F.col("b").alias("train_id"),
+        F.col("a").alias("bench_id"),
+        "jaccard",
+    ).orderBy("train_id", "bench_id")
+
+
 # Recursive transitive-closure CTEs shared by the clustering queries:
 # near-dup pairs (word-3-gram Jaccard >= 0.5) -> undirected edges ->
 # WITH RECURSIVE reachability -> per-doc canonical (min reachable id).

@@ -540,3 +540,79 @@ def scale_topic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "scale_alpha_mixture",
+    driver=False,
+    doc="""Temperature (alpha=1/2) language rebalancing — the standard
+    multilingual-pretraining mixture: instead of flattening every
+    domain to the smallest (scale_topic_mixture's policy, alpha=0),
+    sample domain i at a rate proportional to n_i^(alpha-1), so head
+    languages are damped but still dominate proportionally to
+    sqrt(n_i). keep_rate_i = sqrt(min_n / n_i): the smallest language
+    keeps 100% and effective sizes flatten toward n_i^alpha. The rate
+    is computed INTEGER-EXACTLY on both engines —
+    floor(1000*sqrt(m/n)) == floor(sqrt((10^6*m) div n)) (floor of
+    sqrt commutes with floor of the radicand, and a correctly-rounded
+    double sqrt of an integer < 2^53 cannot cross an integer boundary
+    at permille scale) — so no float-parity risk; the per-row gate is
+    the same md5 permille used by every resampler here. Scale shape:
+    one k-row histogram (map-combined), rates broadcast back, one
+    stateless scan — rows are never shuffled to be sampled.""",
+    oracle="""
+WITH counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents GROUP BY lang
+),
+rates AS (
+    SELECT lang, cnt,
+           CAST(floor(sqrt(
+               ((SELECT min(cnt) FROM counts) * 1000000) // cnt
+           )) AS BIGINT) AS keep_permille
+    FROM counts
+),
+kept AS (
+    SELECT d.lang, d.doc_id, r.cnt, r.keep_permille
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substr(md5(d.lang || ':'
+               || CAST(d.doc_id AS STRING)), 1, 8)) AS BIGINT) % 1000
+          < r.keep_permille
+)
+SELECT lang,
+       CAST(MIN(cnt) AS BIGINT) AS n_before,
+       CAST(MIN(keep_permille) AS BIGINT) AS keep_permille,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY lang ORDER BY lang
+""",
+)
+def scale_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    counts = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy()
+    rates = counts.withColumn("m", F.min("cnt").over(w)).select(
+        "lang",
+        "cnt",
+        F.floor(F.sqrt(F.expr("(1000000 * m) div cnt")))
+        .cast("bigint")
+        .alias("keep_permille"),
+    )
+    keep_hash = bucket_expr(
+        F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string")),
+        1000,
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(keep_hash < F.col("keep_permille"))
+        .groupBy("lang")
+        .agg(
+            F.min("cnt").cast("bigint").alias("n_before"),
+            F.min("keep_permille").cast("bigint").alias("keep_permille"),
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -283,6 +283,46 @@ def test_bloom_decontaminate_equals_exact(spark, sf_dir):
     ]
 
 
+def test_fuzzy_decontaminate_catches_planted_eval_copies(spark, sf_dir):
+    """Every planted corpus copy of an eval-slice document (the exact
+    +100000 plants whose base id is in the doc_id % 53 = 0 eval set and
+    which land on the train side) must be flagged with jaccard 1.0 —
+    the leak the exact >= 5-shared-shingles sweep is allowed to catch
+    by absolute count, the fuzzy pass must catch by ratio."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.fixtures import (
+        register_derived_views,
+    )
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+    from conversation_with_vector_db_spark.session import load_tables
+
+    plans.load_all()
+    load_tables(spark, sf_dir)
+    register_derived_views(spark)
+    planted = {
+        r[0] + 100000
+        for r in spark.table("documents")
+        .filter((F.col("doc_id") % 53 == 0) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id")
+        .collect()
+        if (r[0] + 100000) % 53 != 0  # plant must land on the train side
+    }
+    assert planted  # fixture sanity: at least one planted eval copy
+    got = {
+        (r["train_id"], r["jaccard"])
+        for r in REGISTRY["dedup_decontaminate_fuzzy"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    flagged = {t for t, _ in got}
+    assert planted <= flagged
+    for t, j in got:
+        if t in planted:
+            assert j == 1.0
+
+
 def test_bloom_prefilter_prunes_corpus_stream(spark, sf_dir):
     """The probe must actually prune: corpus shingles surviving the
     bloom should be a small fraction of the stream (the eval set is ~2%

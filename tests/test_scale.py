@@ -320,3 +320,35 @@ def test_topic_mixture_flattens_to_smallest_topic(spark, sf_dir):
         if r["n_before"] == m:
             assert r["keep_permille"] == 1000
             assert r["n_kept"] == m
+
+
+def test_alpha_mixture_damps_head_languages(spark, sf_dir):
+    """Temperature sampling with alpha=1/2: every language's keep rate
+    is floor-permille of sqrt(min/n) (integer-exact), the smallest
+    language keeps everything, and — unlike the flatten-to-smallest
+    policy — head languages keep MORE than min (effective sizes
+    ~ sqrt-flattened, not equalized)."""
+    import math
+
+    from conversation_with_vector_db_spark import plans
+    from conversation_with_vector_db_spark.plans.registry import REGISTRY
+
+    plans.load_all()
+    rows = REGISTRY["scale_alpha_mixture"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5  # en/de/es/fr/zh
+    m = min(r["n_before"] for r in rows)
+    for r in rows:
+        want = math.isqrt(1_000_000 * m // r["n_before"])
+        assert r["keep_permille"] == want
+        assert r["n_kept"] <= r["n_before"]
+        # binomial tolerance around the permille rate
+        exp = r["n_before"] * want / 1000
+        sd = max(math.sqrt(exp), 1.0)
+        assert abs(r["n_kept"] - exp) <= 5 * sd
+        if r["n_before"] == m:
+            assert r["keep_permille"] == 1000
+            assert r["n_kept"] == m
+    head = max(rows, key=lambda r: r["n_before"])
+    if head["n_before"] > 2 * m:
+        # alpha=1/2 keeps ~sqrt(m*n) > m docs from the head language
+        assert head["n_kept"] > m
