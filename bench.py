@@ -325,7 +325,10 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
 
     # FINAL line: compact by contract (see module docstring). Keep it
-    # under ~1.5 KB so the driver's tail capture always sees the head.
+    # under ~1.5 KB so the driver's tail capture always sees the head,
+    # and print it AFTER spark.stop() so no JVM shutdown chatter can
+    # land below it on captured stdout.
+    spark.stop()
     print(
         json.dumps(
             {
@@ -341,7 +344,6 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
