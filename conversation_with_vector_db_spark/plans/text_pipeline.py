@@ -350,33 +350,47 @@ ORDER BY doc_id
 """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Global sort BELOW the regex projection: Sort's range-partitioner
-    # sampling pass evaluates its child at the RDD level (no column
-    # pruning), so sorting the projected stats would run every regex
-    # TWICE — measured 1.6x slower at sf0.1. Sorting the raw scan
-    # samples only doc_id-cheap rows and the projection runs once,
-    # post-exchange; Catalyst keeps Project above Sort (verified in the
-    # physical plan).
-    docs = spark.table("documents").orderBy("doc_id")
-    # regexp_count, not size(regexp_extract_all(...)): counts matches
-    # without materializing the match array — same values, no per-token
-    # UTF8String allocation on the scan.
-    n_words = F.regexp_count(
-        F.lower("text"), F.lit("[a-z0-9]+")
-    ).cast("long")
-    n_stop = F.regexp_count(
-        F.lower("text"), F.lit(r"\b(the|a|of|and|to|in|is|for)\b")
-    ).cast("long")
-    n_sym = F.regexp_count(
-        F.col("text"), F.lit("[^a-zA-Z0-9 ]")
-    ).cast("long")
-    stats = docs.select(
-        "doc_id",
-        "n_chars",
-        n_words.alias("n_words"),
-        n_stop.alias("n_stop"),
-        n_sym.alias("n_sym"),
-    )
+    # Regex counting is SIZE-GATED (operators/text.with_regex_counts,
+    # r4): below the byte threshold the JVM regexp_count branch counts
+    # matches without materializing match arrays or paying a Python
+    # round-trip; above it ONE mapInPandas pass evaluates the patterns
+    # with pyarrow's linear-time RE2 (~10x java.util.regex on these
+    # char-class scans at sf10 — the regex engine, not the plan, was
+    # the residual gap vs the oracle). Values identical on both
+    # branches (pinned by test_regex_counts_gate_flips_strategy).
+    from ..operators.cache import scoped_cache
+    from ..operators.text import ARROW_REGEX_MIN_BYTES, with_regex_counts
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    src_bytes = parquet_bytes_on_disk(table_path(sf_dir, "documents"))
+    small = src_bytes is not None and src_bytes < ARROW_REGEX_MIN_BYTES
+    docs = spark.table("documents").select("doc_id", "n_chars", "text")
+    if small:
+        # Global sort BELOW the regex projection: Sort's
+        # range-partitioner sampling pass evaluates its child at the
+        # RDD level (no column pruning), so sorting the projected
+        # stats would run every regex TWICE — measured 1.6x slower at
+        # sf0.1. Sorting the raw scan samples only doc_id-cheap rows
+        # and the projection runs once, post-exchange. (The Arrow
+        # branch instead sorts its small stats output at the end: a
+        # sort below a mapInPandas would not survive as a guaranteed
+        # output order.)
+        docs = docs.orderBy("doc_id")
+    stats = with_regex_counts(
+        docs,
+        [
+            ("n_words", "[a-z0-9]+", True),
+            ("n_stop", r"\b(the|a|of|and|to|in|is|for)\b", True),
+            ("n_sym", "[^a-zA-Z0-9 ]", False),
+        ],
+        src_bytes=src_bytes,
+    ).drop("text")
+    if not small:
+        # The final orderBy's range sampler executes the child twice;
+        # cache the NARROW stats (5 ints/doc) so the Arrow regex pass
+        # runs once.
+        stats = scoped_cache(stats)
     mean_word_len = F.col("n_chars").cast("double") / F.greatest(
         F.col("n_words"), F.lit(1)
     )
@@ -386,7 +400,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym_ratio = F.col("n_sym").cast("double") / F.greatest(
         F.col("n_chars"), F.lit(1)
     )
-    return stats.select(
+    out = stats.select(
         "doc_id",
         "n_words",
         F.round(mean_word_len, 4).alias("mean_word_len"),
@@ -397,7 +411,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stop_ratio >= 0.05)
             & (sym_ratio < 0.1)
         ).alias("keep"),
-    )  # already globally sorted: the orderBy sits below the projection
+    )
+    # Small branch: already globally sorted (orderBy below projection);
+    # Arrow branch: sort the narrow stats output.
+    return out if small else out.orderBy("doc_id")
 
 
 @query(
@@ -652,24 +669,34 @@ def text_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.dedup import content_hash
+    from ..operators.text import with_regex_counts
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
 
-    def nmatches(pattern: str, col=None):
-        src = F.lower("text") if col is None else col
-        return F.regexp_count(src, F.lit(pattern)).cast("long")
-
-    sig = spark.table("corpus").select(
+    # The six counts go through the size-gated regex scorer (JVM at
+    # fixture scale, Arrow/RE2 past it — operators/text.py); md5 +
+    # length stay JVM exprs either way. Gate on the documents file as
+    # the corpus-size proxy (corpus = documents + ~33% plants), like
+    # the char-ngram cap gate.
+    src_bytes = parquet_bytes_on_disk(table_path(sf_dir, "documents"))
+    base = spark.table("corpus").select(
         "doc_id",
         F.length("text").alias("n_chars"),
         content_hash(F.col("text")).alias("chash"),
-        nmatches("[a-z0-9]+").alias("n_words"),
-        nmatches(r"\b(the|a|of|and|to|in|is|for)\b").alias("n_stop"),
-        F.regexp_count(
-            F.col("text"), F.lit("[^a-zA-Z0-9 ]")
-        ).cast("long").alias("n_sym"),
-        nmatches(r"\b(the|and|of|to|is)\b").alias("en_score"),
-        nmatches(r"\b(el|la|de|que|los)\b").alias("es_score"),
-        nmatches(r"\b(der|die|und|das|ist)\b").alias("de_score"),
+        "text",
     )
+    sig = with_regex_counts(
+        base,
+        [
+            ("n_words", "[a-z0-9]+", True),
+            ("n_stop", r"\b(the|a|of|and|to|in|is|for)\b", True),
+            ("n_sym", "[^a-zA-Z0-9 ]", False),
+            ("en_score", r"\b(the|and|of|to|is)\b", True),
+            ("es_score", r"\b(el|la|de|que|los)\b", True),
+            ("de_score", r"\b(der|die|und|das|ist)\b", True),
+        ],
+        src_bytes=src_bytes,
+    ).drop("text")
     canon = sig.withColumn(
         "canonical_id", F.min("doc_id").over(W.partitionBy("chash"))
     )

@@ -321,6 +321,56 @@ def test_matmul_topk_bit_identical_to_brute_force(spark, sf_dir):
     assert got == want
 
 
+def test_regex_counts_gate_flips_strategy(spark):
+    """Below the byte threshold with_regex_counts counts JVM-side (no
+    Python stage in the plan); above or unknown it runs pyarrow's RE2
+    via mapInArrow. Values must be identical on both branches across
+    the Java/RE2 common subset — char classes, alternation, ASCII
+    word boundaries — including NULL text, empty text, unicode
+    content, and unicode-lowercasing inputs."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.text import (
+        with_regex_counts,
+    )
+
+    rows = [
+        (0, "The quick brown fox and the lazy dog"),
+        (1, ""),
+        (2, None),
+        (3, "ÅÄÖ Straße the naïve café AND THE"),
+        (4, "a" * 5000 + " the " + "b1c2" * 100),
+        (5, "punctuation!!! and, the; end."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = [
+        ("n_words", "[a-z0-9]+", True),
+        ("n_stop", r"\b(the|a|of|and|to|in|is|for)\b", True),
+        ("n_sym", "[^a-zA-Z0-9 ]", False),
+    ]
+    small = with_regex_counts(df, counts, src_bytes=1)
+    large = with_regex_counts(df, counts, src_bytes=1 << 40)
+    unknown = with_regex_counts(df, counts, src_bytes=None)
+
+    def has_python_eval(d):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        return any(s in plan for s in ("MapInArrow", "ArrowEval", "Python"))
+
+    assert not has_python_eval(small)
+    assert has_python_eval(large)
+    assert has_python_eval(unknown)
+    rows_of = lambda d: sorted(
+        tuple(r) for r in d.drop("text").collect()
+    )
+    assert rows_of(small) == rows_of(large) == rows_of(unknown)
+    # sanity on actual values, not just cross-branch agreement
+    got = {r["doc_id"]: r for r in small.collect()}
+    assert got[0]["n_stop"] == 3 and got[0]["n_words"] == 8
+    assert got[1]["n_words"] == 0
+    assert got[2]["n_words"] is None
+    assert got[5]["n_sym"] == 6  # ! ! ! , ; .
+
+
 def test_exact_topk_size_gate_flips_strategy(spark, sf_dir):
     """Below the byte threshold exact_topk scores JVM-side (no Python
     eval in the plan); above (or unknown) it uses the Arrow batch path.
