@@ -297,15 +297,55 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    src_bytes: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard via an inverted index.
 
-    |A ∩ B| comes from per-shingle posting lists (capped path) or the
-    shingle self-join (uncapped fallback); |A ∪ B| = |A|+|B|-|A∩B|.
-    Only ordered pairs (a < b) are produced. ``max_df`` drops
-    non-discriminative frequent shingles before pairing (the pair
-    count is quadratic in per-shingle document frequency).
+    |A ∩ B| comes from per-shingle posting lists (fused capped path)
+    or the shingle self-join; |A ∪ B| = |A|+|B|-|A∩B|. Only ordered
+    pairs (a < b) are produced. ``max_df`` drops non-discriminative
+    frequent shingles before pairing (the pair count is quadratic in
+    per-shingle document frequency).
+
+    Cost gate (r4): when ``max_df`` is set and ``src_bytes`` is known
+    to be under :data:`FUSED_CAP_MAX_BYTES`, cap + postings + sizes
+    fuse into ONE ``groupBy(shingle)`` and the pair stream explodes
+    from the capped lists — no count pass, no anti-join, no self-join
+    probe (A/B at sf1: cold 2.1 s vs 10.1 s, steady equal-or-better;
+    the r3 "+25% posting overhead" measurement was the TWO-shuffle
+    posting variant, which the fused form replaces). Above the gate or
+    unknown, the two-pass count+anti-join + self-join shape keeps
+    reducer memory bounded by ``max_df``.
     """
+    if (
+        max_df is not None
+        and src_bytes is not None
+        and src_bytes <= FUSED_CAP_MAX_BYTES
+    ):
+        sh0 = exploded_shingles(df, text_col, id_col, n)
+        postings = scoped_cache(fused_capped_postings(sh0, id_col, max_df))
+        sizes = F.broadcast(
+            postings.select(F.explode("_ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("sz"))
+        )
+        common = pair_counts_from_lists(postings)
+        sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+        sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+        return (
+            common.join(sa, "a")
+            .join(sb, "b")
+            .select(
+                "a",
+                "b",
+                F.round(
+                    F.col("common")
+                    / (F.col("sza") + F.col("szb") - F.col("common")),
+                    4,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     # The shingle table feeds two consumers (sizes + pairing); cache it
     # so tokenize+hash runs once — at cluster scale this persist would
     # be a checkpoint to storage.
@@ -316,13 +356,7 @@ def jaccard_pairs(
     # shuffle_hash: the inverted-index self-join needs no sorted output
     # and its per-partition build side is the capped shingle table slice
     # (bounded by max_df), so hash join beats sort-merge — measured 2.2x
-    # on this stage. The posting-list alternative
-    # (pair_counts_from_postings) was A/B-measured SLOWER here (+25%):
-    # word 3-grams have a huge shingle domain with near-singleton
-    # posting lists, so collect_list pays object-aggregation overhead on
-    # millions of tiny groups while the codegen'd join stays cheap. The
-    # char 5-gram plan, whose shingles are few and dense, uses the
-    # posting-list shape instead.
+    # on this stage.
     common = (
         a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("a") < F.col("b"))

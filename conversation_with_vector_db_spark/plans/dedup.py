@@ -118,7 +118,8 @@ ORDER BY a, b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
-        spark.table("corpus"), threshold=0.5, max_df=MAX_DF
+        spark.table("corpus"), threshold=0.5, max_df=MAX_DF,
+        src_bytes=_docs_bytes(sf_dir),
     ).orderBy("a", "b")
 
 
@@ -900,7 +901,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus CTE itself (WITH RECURSIVE cannot pass the CTE merge).
     fixtures.register_derived_views(spark)
     pairs = jaccard_pairs(
-        spark.table("corpus"), threshold=0.5, max_df=MAX_DF
+        spark.table("corpus"), threshold=0.5, max_df=MAX_DF,
+        src_bytes=_docs_bytes(sf_dir),
     ).select("a", "b")
     lbl = connected_components(pairs)
     sizes = lbl.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
@@ -935,7 +937,18 @@ ranked AS (
 """
 
 
-def _quality_ranked(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+def _docs_bytes(sf_dir: str) -> int | None:
+    """On-disk size of the documents file — the corpus-size proxy the
+    dedup cost gates key on (corpus = documents + ~33% plants)."""
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    return parquet_bytes_on_disk(table_path(sf_dir, "documents"))
+
+
+def _quality_ranked(
+    spark: SparkSession, sf_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Spark twin of :data:`_QUAL_RANKED_CTES`: (qual, ranked) where
     qual = (doc_id, quality) over the whole corpus and ranked adds the
     per-cluster keep rank for clustered docs. One definition so the
@@ -952,7 +965,8 @@ def _quality_ranked(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
         .alias("quality"),
     )
     pairs = jaccard_pairs(
-        corpus, threshold=0.5, max_df=MAX_DF
+        corpus, threshold=0.5, max_df=MAX_DF,
+        src_bytes=_docs_bytes(sf_dir) if sf_dir else None,
     ).select("a", "b")
     lbl = connected_components(pairs)
     w = Window.partitionBy("canonical_id").orderBy(
@@ -993,7 +1007,7 @@ ORDER BY doc_id
 """,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, ranked = _quality_ranked(spark)
+    _, ranked = _quality_ranked(spark, sf_dir)
     keep = ranked.filter(F.col("rn") == 1).select(
         "canonical_id", F.col("doc_id").alias("keep_id")
     )
@@ -1050,7 +1064,7 @@ def pipeline_training_manifest(
 ) -> DataFrame:
     from ..functions.embedding import bucket_expr
 
-    qual, ranked = _quality_ranked(spark)
+    qual, ranked = _quality_ranked(spark, sf_dir)
     ranked = ranked.select("doc_id", "rn")
     status = F.when(F.col("rn") > 1, "dup_dropped").when(
         F.col("quality") < 100, "quality_dropped"
