@@ -58,6 +58,52 @@ sh AS (
 MAX_DF = 64
 
 
+def _docs_bytes(sf_dir: str) -> int | None:
+    """On-disk size of the documents file — the corpus-size proxy the
+    dedup cost gates key on (corpus = documents + ~33% plants)."""
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    return parquet_bytes_on_disk(table_path(sf_dir, "documents"))
+
+
+def _capped_shingle_index(
+    spark: SparkSession, sf_dir: str | None
+) -> DataFrame:
+    """The dedup family's shared (doc_id, shingle) DF-capped index.
+
+    Below the fused-cap size gate the CACHED object is the capped
+    posting-list table (cap + postings in ONE groupBy — no count pass,
+    no anti-join; A/B at sf0.1: index build 5.9 -> 2.5 s) and the pair
+    view is a cheap explode over it; because every dedup query derives
+    the identical plan, the generational cache (`scoped_cache`
+    sameResult dedupe) shares ONE materialization across minhash /
+    incremental / fuzzy-decontamination / Jaccard-verify consumers in
+    a session. Above the gate — or when size is unknowable — the
+    two-pass broadcast anti-join shape bounds reducer memory by
+    ``MAX_DF`` (see `operators/dedup.FUSED_CAP_MAX_BYTES`).
+    """
+    from ..operators.dedup import (
+        FUSED_CAP_MAX_BYTES,
+        df_capped_shingles,
+        exploded_shingles,
+        fused_capped_postings,
+    )
+
+    corpus = spark.table("corpus")
+    b = _docs_bytes(sf_dir) if sf_dir else None
+    if b is not None and b <= FUSED_CAP_MAX_BYTES:
+        postings = scoped_cache(
+            fused_capped_postings(
+                exploded_shingles(corpus), "doc_id", MAX_DF
+            )
+        )
+        return postings.select(
+            "shingle", F.explode("_ids").alias("doc_id")
+        )
+    return scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
+
+
 @query(
     "dedup_exact",
     doc="""Exact dedup: hash-groupBy on normalized content — one shuffle
@@ -176,13 +222,11 @@ ORDER BY a, b
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import df_capped_shingles
-
     corpus = spark.table("corpus")
     # One materialized shingle table feeds signature building AND
     # verification (cache = this scale's stand-in for a storage
     # checkpoint of the shingle index).
-    sh = scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
+    sh = _capped_shingle_index(spark, sf_dir)
     cands = minhash_lsh_candidates(corpus, num_perm=12, bands=4, shingles=sh)
     return jaccard_verify(
         corpus, cands, threshold=0.5, shingles=sh
@@ -260,10 +304,10 @@ ORDER BY a, b
 """,
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import df_capped_shingles, minhash_signatures
+    from ..operators.dedup import minhash_signatures
 
     corpus = spark.table("corpus")
-    sh = scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
+    sh = _capped_shingle_index(spark, sf_dir)
     sig = scoped_cache(minhash_signatures(corpus, shingles=sh))
     cands = minhash_lsh_candidates(
         corpus, num_perm=12, bands=4, shingles=sh
@@ -797,7 +841,6 @@ def dedup_decontaminate_fuzzy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..operators.dedup import (
-        df_capped_shingles,
         jaccard_verify,
         lsh_band_keys,
         minhash_signatures,
@@ -808,7 +851,7 @@ def dedup_decontaminate_fuzzy(
     # dedup_incremental_minhash: the shared signature index is the
     # point — decontamination rides the index the dedup passes already
     # maintain.
-    sh = scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
+    sh = _capped_shingle_index(spark, sf_dir)
     keys = lsh_band_keys(
         minhash_signatures(corpus, num_perm=12, shingles=sh)
     )
@@ -935,15 +978,6 @@ ranked AS (
     FROM canon m JOIN qual q USING (doc_id)
 )
 """
-
-
-def _docs_bytes(sf_dir: str) -> int | None:
-    """On-disk size of the documents file — the corpus-size proxy the
-    dedup cost gates key on (corpus = documents + ~33% plants)."""
-    from ..session import table_path
-    from ..sources.parquet_io import parquet_bytes_on_disk
-
-    return parquet_bytes_on_disk(table_path(sf_dir, "documents"))
 
 
 def _quality_ranked(
@@ -1156,7 +1190,6 @@ ORDER BY new_id
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
-        df_capped_shingles,
         lsh_band_keys,
         minhash_signatures,
     )
@@ -1165,7 +1198,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same shingle/signature derivation (and scoped cache) as
     # dedup_minhash_lsh — back-to-back runs share the index by plan
     # identity, exactly how a stored LSH index amortizes across ingests.
-    sh = scoped_cache(df_capped_shingles(corpus, max_df=MAX_DF))
+    sh = _capped_shingle_index(spark, sf_dir)
     keys = lsh_band_keys(
         minhash_signatures(corpus, num_perm=12, shingles=sh)
     )
