@@ -261,11 +261,15 @@ def pair_counts_from_lists(postings: DataFrame) -> DataFrame:
 #: aggregation means an over-cap shingle's FULL list materializes on one
 #: reducer before the filter drops it. The worst-case list is one entry
 #: per document, so the fuse is only safe while the whole corpus is
-#: small enough that even a universal shingle's list fits comfortably in
-#: an aggregation buffer (~256 MB of source text ≈ ≤1M docs ≈ 8 MB of
-#: packed ids). Past the bound — or when size is unknowable — the
-#: two-pass count+anti-join shape bounds reducer memory by max_df.
-FUSED_CAP_MAX_BYTES = 256 << 20
+#: small enough that even a universal shingle's list fits comfortably
+#: in an aggregation buffer. Callers gate on the COMPRESSED on-disk
+#: size (`parquet_bytes_on_disk`); text compresses ~4× under zstd, so
+#: 64 MB compressed ≈ 256 MB raw ≈ ≤1 M short docs ≈ 8 MB of packed
+#: ids per worst-case list — and the same bound keeps the fused
+#: branch's broadcast per-doc `sizes` table driver-safe. Past the
+#: bound — or when size is unknowable — the two-pass count+anti-join
+#: shape bounds reducer memory by max_df.
+FUSED_CAP_MAX_BYTES = 64 << 20
 
 
 def fused_capped_postings(
@@ -287,6 +291,37 @@ def fused_capped_postings(
         sh.groupBy("shingle")
         .agg(F.collect_list(id_col).alias("_ids"))
         .filter(F.size("_ids") <= max_df)
+    )
+
+
+def jaccard_from_common(
+    common: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, jaccard >= threshold) from intersection counts and
+    per-doc set sizes: jaccard = common / (|A| + |B| - common), rounded
+    to 4 places exactly as every oracle computes it. The ONE
+    definition of the verify tail — shared by the fused and two-pass
+    pairing branches, candidate verification, and the char-ngram plan,
+    so a threshold/rounding change can never desynchronize branches
+    the tests assert identical."""
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -330,22 +365,7 @@ def jaccard_pairs(
             .agg(F.count("*").alias("sz"))
         )
         common = pair_counts_from_lists(postings)
-        sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
-        sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
-        return (
-            common.join(sa, "a")
-            .join(sb, "b")
-            .select(
-                "a",
-                "b",
-                F.round(
-                    F.col("common")
-                    / (F.col("sza") + F.col("szb") - F.col("common")),
-                    4,
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
+        return jaccard_from_common(common, sizes, threshold, id_col)
     # The shingle table feeds two consumers (sizes + pairing); cache it
     # so tokenize+hash runs once — at cluster scale this persist would
     # be a checkpoint to storage.
@@ -371,22 +391,7 @@ def jaccard_pairs(
             "common",
         )
     )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
-    return (
-        common.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("common")
-                / (F.col("sza") + F.col("szb") - F.col("common")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return jaccard_from_common(common, sizes, threshold, id_col)
 
 
 def jaccard_verify(
@@ -419,22 +424,7 @@ def jaccard_verify(
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
-    return (
-        common.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("common")
-                / (F.col("sza") + F.col("szb") - F.col("common")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return jaccard_from_common(common, sizes, threshold, id_col)
 
 
 # --------------------------------------------------------------------------

@@ -12,11 +12,16 @@ cost-gate discipline (PLANS.md "Cost gates"): JVM below, Arrow/RE2
 above, identical values on both branches (pinned by test).
 
 Pattern contract: callers use the common Java/RE2 subset — character
-classes, alternation, ``+``/``*``, ASCII ``\\b`` word boundaries (both
-engines define ``\\w`` as ASCII ``[A-Za-z0-9_]`` by default). No
-backreferences, no lookaround (RE2 has neither). Note the Arrow branch
-uses the SAME regex family as the DuckDB oracle (RE2), so oracle
-agreement is if anything tighter on that branch.
+classes, alternation, ``+``/``*``, and ``\\b`` word boundaries with
+**ASCII semantics** (word chars = ``[0-9A-Za-z_]``). ASCII is the only
+portable meaning: RE2 (and therefore the DuckDB oracle) has no
+Unicode ``\\b``, while java.util.regex's ``\\b`` IS Unicode-aware —
+'aé' is one Java word but two RE2 words. The JVM branch therefore
+REWRITES every top-level ``\\b`` into an explicit ASCII-boundary
+lookaround pair (verified value-identical to RE2 on
+accent-adjacent text by test); ``\\b`` inside a character class
+(backspace) is outside the contract. No backreferences, no caller
+lookaround (RE2 has neither).
 """
 
 from __future__ import annotations
@@ -35,6 +40,23 @@ from pyspark.sql import functions as F
 #: linear-time regex is the branch that survives scale.
 ARROW_REGEX_MIN_BYTES = 512 << 10
 
+#: Java lookaround pair emulating RE2's ASCII word boundary: a
+#: position either entering or leaving a run of ``[0-9A-Za-z_]``.
+#: Java's native ``\\b`` is Unicode-aware and counts differently next
+#: to accented letters (e.g. Java sees ONE word in 'aé'), which would
+#: break both cross-branch identity and oracle (RE2) agreement.
+_ASCII_B = (
+    "(?:(?<![0-9A-Za-z_])(?=[0-9A-Za-z_])"
+    "|(?<=[0-9A-Za-z_])(?![0-9A-Za-z_]))"
+)
+
+
+def uses_arrow_branch(src_bytes: int | None) -> bool:
+    """THE branch predicate for :func:`with_regex_counts` — exposed so
+    callers that must co-vary with the branch choice (e.g. sort
+    placement around the Python stage) cannot drift from it."""
+    return src_bytes is None or src_bytes >= ARROW_REGEX_MIN_BYTES
+
 
 def with_regex_counts(
     df: DataFrame,
@@ -48,19 +70,22 @@ def with_regex_counts(
     set — computed once and shared across all lowercase specs).
 
     Size-gated: below :data:`ARROW_REGEX_MIN_BYTES` (JVM
-    ``regexp_count``, no Python round-trip); above or unknown (ONE
-    ``mapInPandas`` pass evaluating every pattern with pyarrow's RE2
-    per Arrow batch). Both branches produce identical values for
-    patterns within the module's stated Java/RE2 common subset.
+    ``regexp_count``, no Python round-trip, ``\\b`` rewritten to the
+    ASCII emulation — see module docstring); above or unknown (ONE
+    ``mapInArrow`` pass evaluating every pattern with pyarrow's RE2
+    directly on the Arrow buffers). Both branches produce identical
+    values for patterns within the module's stated contract.
     """
-    small = src_bytes is not None and src_bytes < ARROW_REGEX_MIN_BYTES
-    if small:
+    if not counts:
+        return df
+    if not uses_arrow_branch(src_bytes):
         out = df
         lowered = F.lower(F.col(text_col))
         for name, pattern, lower in counts:
             src = lowered if lower else F.col(text_col)
+            jpat = pattern.replace(r"\b", _ASCII_B)
             out = out.withColumn(
-                name, F.regexp_count(src, F.lit(pattern)).cast("long")
+                name, F.regexp_count(src, F.lit(jpat)).cast("long")
             )
         return out
 

@@ -573,11 +573,10 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FUSED_CAP_MAX_BYTES,
         char_window_shingles,
         fused_capped_postings,
+        jaccard_from_common,
         normalized_text,
         pair_counts_from_lists,
     )
-    from ..session import table_path
-    from ..sources.parquet_io import parquet_bytes_on_disk
 
     norm = spark.table("corpus").select(
         "doc_id", normalized_text(F.col("text")).alias("ntext")
@@ -588,15 +587,18 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cost gate (same discipline as exact_topk / rescore_candidates):
     # below the reducer-memory bound, DF cap + posting lists fuse into
     # ONE groupBy(shingle) — no separate count pass, no anti-join stage
-    # (r4 A/B: -1 exchange, -2 stages); above it or unknown, the
-    # two-pass shape bounds reducer memory by MAX_DF. Results identical
-    # on both branches (pinned by test).
-    src_bytes = parquet_bytes_on_disk(table_path(sf_dir, "documents"))
+    # (r4 A/B: -1 exchange, -2 stages) — and the per-doc sizes table
+    # (doc-count rows, broadcastable exactly when the corpus is under
+    # the gate) broadcasts into the pair join; above it or unknown,
+    # the two-pass shape bounds reducer memory by MAX_DF and the
+    # pair-side joins shuffle. Results identical on both branches
+    # (pinned by test).
+    src_bytes = _docs_bytes(sf_dir)
     if src_bytes is not None and src_bytes <= FUSED_CAP_MAX_BYTES:
         postings = scoped_cache(
             fused_capped_postings(sh0, "doc_id", MAX_DF)
         )
-        sizes = (
+        sizes = F.broadcast(
             postings.select(F.explode("_ids").alias("doc_id"))
             .groupBy("doc_id")
             .agg(F.count("*").alias("sz"))
@@ -617,26 +619,8 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = sh0.join(F.broadcast(frequent), "shingle", "left_anti")
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         common = pair_counts_from_postings(sh, "doc_id")
-    if src_bytes is not None and src_bytes <= FUSED_CAP_MAX_BYTES:
-        # Same gate: one (sz) row per doc is broadcastable exactly when
-        # the corpus is; past the gate the pair-side joins shuffle.
-        sizes = F.broadcast(sizes)
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    return (
-        common.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("common")
-                / (F.col("sza") + F.col("szb") - F.col("common")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.6)
-        .orderBy("a", "b")
+    return jaccard_from_common(common, sizes, threshold=0.6).orderBy(
+        "a", "b"
     )
 
 

@@ -353,18 +353,20 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Regex counting is SIZE-GATED (operators/text.with_regex_counts,
     # r4): below the byte threshold the JVM regexp_count branch counts
     # matches without materializing match arrays or paying a Python
-    # round-trip; above it ONE mapInPandas pass evaluates the patterns
+    # round-trip; above it ONE mapInArrow pass evaluates the patterns
     # with pyarrow's linear-time RE2 (~10x java.util.regex on these
     # char-class scans at sf10 — the regex engine, not the plan, was
     # the residual gap vs the oracle). Values identical on both
     # branches (pinned by test_regex_counts_gate_flips_strategy).
     from ..operators.cache import scoped_cache
-    from ..operators.text import ARROW_REGEX_MIN_BYTES, with_regex_counts
+    from ..operators.text import uses_arrow_branch, with_regex_counts
     from ..session import table_path
     from ..sources.parquet_io import parquet_bytes_on_disk
 
     src_bytes = parquet_bytes_on_disk(table_path(sf_dir, "documents"))
-    small = src_bytes is not None and src_bytes < ARROW_REGEX_MIN_BYTES
+    # Sort placement must co-vary with the operator's branch choice, so
+    # it asks the operator's own predicate instead of re-deriving it.
+    small = not uses_arrow_branch(src_bytes)
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
     if small:
         # Global sort BELOW the regex projection: Sort's

@@ -290,9 +290,11 @@ def compact_change_log(
     so concurrent appends, which create new files, are invisible to
     the fold and survive truncation untouched):
 
-    1. snapshot the log's data files; write the
-       ``_compaction_inprogress`` marker (records the folded max
-       ``_seq``)
+    1. take the ``_compaction_inprogress`` marker (the fence — see
+       below), THEN snapshot the log's data files and record the
+       folded max ``_seq`` in the marker; fence-before-snapshot
+       matters: a snapshot taken outside the fence could list files a
+       finishing compactor is about to truncate
     2. dynamic-overwrite the touched base partitions from the merge of
        base + snapshot
     3. drop base partitions the fold emptied (all their rows deleted)
@@ -323,21 +325,18 @@ def compact_change_log(
     partition during the first's step-2 file swap and persist that
     torn view, and its lazily-planned log snapshot can hit
     files the first already truncated. The marker is therefore taken
-    with CREATE-EXCLUSIVE (atomic on local/HDFS filesystems; an
-    object-store deployment swaps in a conditional put or an external
-    coordinator): a second compactor gets
-    :class:`CompactionInProgressError` instead of a race.
-    ``takeover=True`` bypasses the fence for crash recovery — callers
-    assert the holder is dead exactly the way any lease-less protocol
-    must; the re-run then completes the fold idempotently.
+    with CREATE-EXCLUSIVE *before* the log snapshot or any other
+    read, so the whole read set sits inside the fence: a second
+    compactor gets :class:`CompactionInProgressError` instead of a
+    race. Exclusive create is atomic on HDFS; on the local
+    RawLocalFileSystem it is exists-then-create (a theoretical
+    simultaneous-create window — the single-machine deployments it
+    serves), and an object-store deployment swaps in a conditional
+    put or an external coordinator. ``takeover=True`` bypasses the
+    fence for crash recovery — callers assert the holder is dead
+    exactly the way any lease-less protocol must; the re-run then
+    completes the fold idempotently.
     """
-    snapshot = _log_data_files(spark, log_path)
-    if not snapshot:
-        return  # nothing to compact
-    log = spark.read.parquet(*snapshot)
-    folded_max = log.agg(F.max("_seq")).first()[0]
-    if folded_max is None:
-        return
     fs, marker = _hadoop_fs(spark, _marker_path(base_path))
     try:
         out = fs.create(marker, takeover)
@@ -349,6 +348,17 @@ def compact_change_log(
                 "takeover=True only after confirming it is dead"
             ) from exc
         raise
+    out.close()
+    snapshot = _log_data_files(spark, log_path)
+    if not snapshot:
+        fs.delete(marker, False)
+        return  # nothing to compact
+    log = spark.read.parquet(*snapshot)
+    folded_max = log.agg(F.max("_seq")).first()[0]
+    if folded_max is None:
+        fs.delete(marker, False)
+        return
+    out = fs.create(marker, True)  # we own the fence; record the fold
     out.write(str(folded_max).encode("utf-8"))
     out.close()
     if failpoint == "after_marker":

@@ -341,6 +341,12 @@ def test_regex_counts_gate_flips_strategy(spark):
         (3, "ÅÄÖ Straße the naïve café AND THE"),
         (4, "a" * 5000 + " the " + "b1c2" * 100),
         (5, "punctuation!!! and, the; end."),
+        # ASCII word char ABUTTING an accented letter at a match edge:
+        # Java's Unicode \b sees 'aé' as one word (no boundary between
+        # 'a' and 'é'), RE2's ASCII \b sees two — the divergence the
+        # JVM branch's lookaround rewrite exists to close. 'a' must
+        # count here on BOTH branches (= the RE2/DuckDB semantics).
+        (6, "el aé de"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     counts = [
@@ -369,6 +375,18 @@ def test_regex_counts_gate_flips_strategy(spark):
     assert got[1]["n_words"] == 0
     assert got[2]["n_words"] is None
     assert got[5]["n_sym"] == 6  # ! ! ! , ; .
+    # 'el aé de' under ASCII \b: the 'a' in 'aé' IS boundary-matched
+    # ('é' is not an ASCII word char) => 1 stopword hit. Java's native
+    # Unicode \b sees 'aé' as one word and says 0 — the lookaround
+    # rewrite must yield the RE2/DuckDB answer.
+    assert got[6]["n_stop"] == 1
+    # empty counts: identity on BOTH branches, no schema crash
+    from conversation_with_vector_db_spark.operators.text import (
+        with_regex_counts as wrc,
+    )
+
+    assert wrc(df, [], src_bytes=1).columns == df.columns
+    assert wrc(df, [], src_bytes=None).columns == df.columns
 
 
 def test_exact_topk_size_gate_flips_strategy(spark, sf_dir):
