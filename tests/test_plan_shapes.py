@@ -38,12 +38,33 @@ def test_flagship_time_range_is_pushed_to_scan(spark, sf_dir):
 
 
 def test_ngram_jaccard_join_strategy(spark, sf_dir):
-    """The inverted-index self-join must stay a shuffled hash join (the
-    hinted choice — no wasted sort before a groupBy) and the DF cap must
-    stay a broadcast anti-join, not a shuffle of the full shingle table."""
+    """Branch shapes of the size-gated Jaccard pairing (r4). Under the
+    fused-cap gate (fixture scale): ONE collect_list aggregation builds
+    cap+postings — no shingle self-join, no anti-join — and the
+    per-doc sizes broadcast into the pair join. Above the gate (forced
+    via unknown src_bytes): the two-pass scale shape — shuffled hash
+    self-join (no wasted sort before a groupBy) with the DF cap as a
+    broadcast anti-join, never a second full-shingle shuffle."""
     plan = _spark_plan(spark, sf_dir, "dedup_ngram_jaccard")
-    assert "ShuffledHashJoin" in plan, plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "collect_list" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "LeftAnti" not in plan, plan
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from conversation_with_vector_db_spark import fixtures
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    fixtures.register_derived_views(spark)
+    scale = jaccard_pairs(
+        spark.table("corpus"), threshold=0.5, max_df=64, src_bytes=None
+    )
+    plan2 = scale._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in plan2, plan2
+    assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2, plan2
 
 
 def test_rescore_join_is_size_aware(spark, sf_dir):
