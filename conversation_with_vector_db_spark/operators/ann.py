@@ -60,6 +60,14 @@ def _signature_bits(vec_col: str, planes: list[list[float]]) -> list:
     measured); a generated expr string parses in the JVM in one call.
     ``repr`` round-trips doubles exactly, so the expression — and the
     oracle parity — is bit-identical to the F.lit form.
+
+    A NULL embedding propagates to NULL bits (the aggregate fold
+    yields a NULL projection, and the when-chain passes it through
+    rather than defaulting to 0) — matching :func:`_signature_udf`'s
+    null signature. An ``otherwise(0)`` here would instead emit an
+    all-zero signature that equality-joins against REAL vectors whose
+    band bits are genuinely zero: spurious candidates from data that
+    should match nothing.
     """
     bits = []
     for plane in planes:
@@ -69,7 +77,9 @@ def _signature_bits(vec_col: str, planes: list[list[float]]) -> list:
             " (x, y) -> cast(x as double) * y),"
             " 0D, (acc, x) -> acc + x)"
         )
-        bits.append(F.when(proj > 0, 1).otherwise(0))
+        bits.append(
+            F.when(proj > 0, 1).when(proj.isNotNull(), 0)
+        )
     return bits
 
 

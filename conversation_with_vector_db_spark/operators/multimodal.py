@@ -89,7 +89,10 @@ def media_metadata(media: DataFrame) -> DataFrame:
         "media_id",
         "kind",
         F.octet_length("payload").cast("long").alias("n_bytes"),
-        F.md5(F.col("payload").cast("string")).alias("checksum"),
+        # md5 hashes the binary directly — a string round-trip would be
+        # LOSSY on real (non-UTF8) media payloads; identical digests on
+        # the utf-8 fixture payloads (parity-checked).
+        F.md5(F.col("payload")).alias("checksum"),
         "source",
     )
 
@@ -145,6 +148,9 @@ def frame_sample(
 ) -> DataFrame:
     """Sample n frames per video payload (mapInPandas; frame bytes are
     deterministic payload slices under the fake decoder)."""
+    if n_frames < 1:
+        # plan-time, not a ZeroDivisionError inside an executor task
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     if not fake:
         raise NotImplementedError(
             "real frame extraction requires ffmpeg; use fake=True"

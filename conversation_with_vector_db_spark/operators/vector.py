@@ -55,14 +55,44 @@ def dot_batched() -> "object":
     # pandas_udf's signature inference rejects.
     @pandas_udf("double")
     def _dot(a, b):
-        if len(a) == 0:  # empty Arrow batch (empty partition)
+        n = len(a)
+        if n == 0:  # empty Arrow batch (empty partition)
             return pd.Series([], dtype="float64")
-        va = np.stack(a.to_numpy()).astype(np.float64, copy=False)
-        vb = np.stack(b.to_numpy()).astype(np.float64, copy=False)
-        acc = np.zeros(va.shape[0], dtype=np.float64)
-        for d in range(va.shape[1]):
-            acc += va[:, d] * vb[:, d]
-        return pd.Series(acc)
+        an, bn = a.to_numpy(), b.to_numpy()
+        # NULL/ragged rows yield NULL, exactly like the HOF fold
+        # (zip_with null-pads -> aggregate propagates NULL). A pandas
+        # UDF runs UNCONDITIONALLY even under a F.when guard (Spark
+        # extracts it into its own ArrowEvalPython node), so the mask
+        # must live here — np.stack on a None row would kill the
+        # stage instead.
+        valid = np.fromiter(
+            (
+                x is not None and y is not None and len(x) == len(y)
+                for x, y in zip(an, bn)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        out = pd.array([None] * n, dtype="Float64")
+        idx = np.flatnonzero(valid)
+        if idx.size:
+            lens = {len(an[i]) for i in idx}
+            if len(lens) == 1:
+                va = np.stack(an[idx]).astype(np.float64, copy=False)
+                vb = np.stack(bn[idx]).astype(np.float64, copy=False)
+                acc = np.zeros(va.shape[0], dtype=np.float64)
+                for d in range(va.shape[1]):
+                    acc += va[:, d] * vb[:, d]
+                out[idx] = acc
+            else:
+                # mixed dims across rows (valid per-row, un-stackable):
+                # per-row left fold, same accumulation order
+                for i in idx:
+                    s = 0.0
+                    for xd, yd in zip(an[i], bn[i]):
+                        s += float(xd) * float(yd)
+                    out[i] = s
+        return pd.Series(out, dtype="Float64")
 
     return _dot
 
@@ -204,8 +234,25 @@ def collect_query_vectors(
 ) -> list[tuple[int, list[float]]]:
     """Driver-fold the (tiny by contract) query side into plain Python —
     the same constant-folding t5 applies to its single query vector.
-    Happens at plan-build time, NOT per executed batch."""
+    Happens at plan-build time, NOT per executed batch.
+
+    NULL or ragged query vectors raise ``ValueError``: the query
+    matrix needs uniform non-null rows, and a null query is a caller
+    bug better surfaced at plan time than as a column of NULL sims
+    (:func:`exact_topk` enforces the same on its JVM branch so
+    behavior never flips on data size)."""
     rows = queries.select(id_col, vec_col).collect()
+    if any(r[1] is None for r in rows):
+        raise ValueError(
+            "collect_query_vectors: NULL query embedding — filter or "
+            "fix the query side before scoring"
+        )
+    dims = {len(r[1]) for r in rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"collect_query_vectors: ragged query dimensions {dims} — "
+            "the query matrix needs one uniform dimension"
+        )
     return sorted(
         (int(r[0]), [float(x) for x in r[1]]) for r in rows
     )
@@ -276,25 +323,42 @@ def matmul_topk(
             n = len(pdf)
             if n == 0:
                 continue
-            c = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            vecs = pdf[vec_col].to_numpy()
+            # NULL or query-dim-mismatched corpus vectors score NULL —
+            # exactly the JVM branch's zip_with/aggregate propagation
+            # (they rank last under DESC NULLS LAST); np.stack on a
+            # None row would kill the stage instead.
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in vecs),
+                dtype=bool,
+                count=n,
             )
-            cn = np.zeros(n)
-            for d in range(dim):
-                cn += c[:, d] * c[:, d]
-            cn = np.sqrt(cn)
-            for j in range(nq):
-                acc = np.zeros(n)
+            idx = np.flatnonzero(valid)
+            c = cn = None
+            if idx.size:
+                c = np.stack(
+                    [np.asarray(vecs[i], dtype=np.float64) for i in idx]
+                )
+                cn = np.zeros(idx.size)
                 for d in range(dim):
-                    acc += c[:, d] * qmat[j, d]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sim = np.where(
-                        (qn[j] == 0) | (cn == 0), 0.0, acc / (qn[j] * cn)
-                    )
+                    cn += c[:, d] * c[:, d]
+                cn = np.sqrt(cn)
+            for j in range(nq):
+                sims = pd.array([None] * n, dtype="Float64")
+                if idx.size:
+                    acc = np.zeros(idx.size)
+                    for d in range(dim):
+                        acc += c[:, d] * qmat[j, d]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims[idx] = np.where(
+                            (qn[j] == 0) | (cn == 0),
+                            0.0,
+                            acc / (qn[j] * cn),
+                        )
                 out = {"qid": qids[j], id_col: pdf[id_col]}
                 for col in extra_cols:
                     out[col] = pdf[col]
-                out["sim"] = sim
+                out["sim"] = pd.Series(sims, dtype="Float64")
                 yield pd.DataFrame(out)
 
     scored = corpus.select(id_col, vec_col, *extra_cols).mapInPandas(
@@ -345,25 +409,40 @@ def exact_topk(
     as in v1c): overestimates only bias toward the Arrow branch — the
     one that scales — never change results.
 
-    An empty query set raises ``ValueError`` on BOTH branches (the V3
-    empty-result guard is the caller's job): the large branch raises
-    from ``collect_query_vectors``/``matmul_topk``, and the small
-    branch probes emptiness explicitly — without that, it would
-    silently return an empty frame while the large branch raised, i.e.
-    behavior flipping on data size, which the gate contract forbids.
-    The probe is a limit-1 job on the (tiny by contract) query side
-    and runs ONLY on the small branch, whose whole point is toy-scale
-    cost — the large branch stays exactly as lazy as matmul_topk."""
+    Degenerate query sets raise ``ValueError`` on BOTH branches (the
+    V3 empty-result guard is the caller's job): empty, NULL-vector, or
+    ragged-dimension queries — the large branch raises from
+    ``collect_query_vectors``/``matmul_topk``, and the small branch
+    probes the (tiny by contract) query side explicitly. Without the
+    probe the small branch would silently emit NULL-sim garbage ranks
+    while the large branch raised, i.e. behavior flipping on data
+    size, which the gate contract forbids. NULL or query-dim-
+    mismatched CORPUS vectors score NULL sims on both branches (DESC
+    NULLS LAST — they surface only when k exhausts real rows).
+    The probe jobs run ONLY on the small branch, whose whole point is
+    toy-scale cost — the large branch stays exactly as lazy as
+    matmul_topk."""
     small = (
         corpus_bytes is not None
         and corpus_bytes < EXACT_TOPK_ARROW_MIN_BYTES
     )
     if small:
-        if queries.isEmpty():
+        qrows = queries.select(vec_col).collect()
+        if not qrows:
             raise ValueError(
                 "exact_topk: queries is empty — callers should "
                 "short-circuit the no-query case (V3 empty-result "
                 "guard) rather than score against a 0-row query set"
+            )
+        if any(r[0] is None for r in qrows):
+            raise ValueError(
+                "exact_topk: NULL query embedding — filter or fix the "
+                "query side before scoring"
+            )
+        if len({len(r[0]) for r in qrows}) > 1:
+            raise ValueError(
+                "exact_topk: ragged query dimensions — the query side "
+                "needs one uniform dimension"
             )
         out = brute_force_topk(
             corpus, queries, k, id_col, vec_col, round_digits

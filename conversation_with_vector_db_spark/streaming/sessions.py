@@ -264,6 +264,12 @@ def continuation_sink(
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # Three actions consume this batch (out_dir write, the
+        # feedback emptiness probe, the feedback append) — without a
+        # persist each re-scans the batch's source files and re-derives
+        # the plan, tripling per-batch work (same pattern as the dedup
+        # sink's rejected.cache()).
+        batch_df = batch_df.persist()
         calls = batch_df.filter(F.col("kind") == "tool_call")
         results = calls.select(
             "run_id",
@@ -283,14 +289,17 @@ def continuation_sink(
             F.lit(0).cast("long").alias("tokens"),
             "depth",
         )
-        _write_batch_dir(
-            batch_df.filter(F.col("kind") != "tool_call"),
-            out_dir,
-            batch_id,
-        )
-        feedback = results.unionByName(next_calls)
-        if not feedback.isEmpty():
-            feedback.write.mode("append").parquet(input_dir)
+        try:
+            _write_batch_dir(
+                batch_df.filter(F.col("kind") != "tool_call"),
+                out_dir,
+                batch_id,
+            )
+            feedback = results.unionByName(next_calls)
+            if not feedback.isEmpty():
+                feedback.write.mode("append").parquet(input_dir)
+        finally:
+            batch_df.unpersist(False)
 
     return (
         stream.writeStream.outputMode("append")
@@ -383,12 +392,19 @@ def streaming_minhash_dedup_sink(
     )
     from pyspark.sql import Window
 
+    def _read_store_all(
+        spark: SparkSession, path: str
+    ) -> DataFrame | None:
+        try:
+            return spark.read.option("basePath", path).parquet(path)
+        except AnalysisException:
+            return None
+
     def _read_store(
         spark: SparkSession, path: str, before_batch: int
     ) -> DataFrame | None:
-        try:
-            df = spark.read.option("basePath", path).parquet(path)
-        except AnalysisException:
+        df = _read_store_all(spark, path)
+        if df is None:
             return None
         return df.filter(F.col("batch_id") < before_batch)
 
@@ -397,19 +413,21 @@ def streaming_minhash_dedup_sink(
         docs = batch_df.select("doc_id", "text").dropDuplicates(
             ["doc_id"]
         )
-        accepted_prev = _read_store(
-            spark, f"{store_dir}/accepted", batch_id
-        )
-        if accepted_prev is not None:
+        accepted_all = _read_store_all(spark, f"{store_dir}/accepted")
+        accepted_prev = None
+        if accepted_all is not None:
             # Checkpoint/store pairing guard: exactly-once replay
             # couples the stream checkpoint to the store's batch-id
             # numbering. A FRESH checkpoint pointed at an existing
             # store restarts ids at 0, which would both hide the
             # accepted corpus (reads filter batch_id < N) and
             # overwrite stored batches — refuse loudly instead of
-            # silently destroying corpus state. (Legit crash-replay
-            # re-runs the LAST batch: batch_id == stored max is fine.)
-            stored_max = accepted_prev.agg(
+            # silently destroying corpus state. The max MUST come from
+            # the UNFILTERED store: the batch_id < N view is exactly
+            # what a fresh checkpoint's small N would blind the guard
+            # with. (Legit crash-replay re-runs the LAST batch:
+            # batch_id == stored max is fine.)
+            stored_max = accepted_all.agg(
                 F.max("batch_id")
             ).first()[0]
             if stored_max is not None and batch_id < stored_max:
@@ -420,6 +438,9 @@ def streaming_minhash_dedup_sink(
                     f"reuse the original checkpoint dir or start a "
                     f"fresh store"
                 )
+            accepted_prev = accepted_all.filter(
+                F.col("batch_id") < batch_id
+            )
             # At-least-once re-delivery guard: a doc_id already in the
             # accepted corpus is a no-op — without this, its band keys
             # match its own stored keys and the degenerate self-pair

@@ -449,9 +449,15 @@ def test_signature_expr_and_udf_paths_agree(spark, sf_dir):
             "embedding"
         ),
     )
+    # Null rows must agree across forms too: a NULL signature on BOTH
+    # (an otherwise(0) in the expression form would emit an all-zero
+    # key that spurious-matches real all-zero-band vectors).
     out = withnull.select(
-        "vec_id", _signature_udf(planes)(F.col("embedding")).alias("s")
+        "vec_id",
+        expr_sig.alias("e"),
+        _signature_udf(planes)(F.col("embedding")).alias("s"),
     ).collect()
+    assert all(r["e"] == r["s"] for r in out)
     assert all(
         (r["s"] is None) == (r["vec_id"] % 2 != 0) for r in out
     )

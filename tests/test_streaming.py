@@ -478,3 +478,96 @@ def test_streaming_minhash_gate_redelivery_is_noop(spark, tmp_path):
         store + "/bands"
     )
     assert bands.count() == 4 * 3
+
+
+def test_streaming_minhash_gate_refuses_foreign_store(spark, tmp_path):
+    """A FRESH checkpoint pointed at an existing store restarts batch
+    ids at 0 — which would both hide the accepted corpus (reads filter
+    batch_id < N) and overwrite stored batches. The pairing guard must
+    refuse loudly, and it must compute the stored max from the
+    UNFILTERED store: the batch_id < 0 view of batch 0 is empty and
+    would blind a guard that reads through it (the r4 review's dead-
+    guard finding)."""
+    import pytest
+
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        DOCUMENT_SCHEMA,
+        stream_parquet_dir,
+        streaming_minhash_dedup_sink,
+    )
+
+    root = tmp_path / "foreign"
+    root.mkdir()
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    part = root / "stage"
+    df.write.mode("overwrite").parquet(str(part))
+    import shutil as _sh
+
+    for f in part.glob("*.parquet"):
+        _sh.move(str(f), str(root / "file0.parquet"))
+    _sh.rmtree(part)
+
+    store = str(tmp_path / "store_foreign")
+    # First owner processes batches 0..1 (two files -> maxFilesPerTrigger
+    # default processes availables; run once, then add a file and run
+    # again so the store's max batch_id reaches >= 1).
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA),
+        store,
+        str(tmp_path / "ckpt_owner"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    df2 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    part2 = root / "stage2"
+    df2.write.mode("overwrite").parquet(str(part2))
+    for f in part2.glob("*.parquet"):
+        _sh.move(str(f), str(root / "file1.parquet"))
+    _sh.rmtree(part2)
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA),
+        store,
+        str(tmp_path / "ckpt_owner"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored_max = (
+        spark.read.option("basePath", store + "/accepted")
+        .parquet(store + "/accepted")
+        .agg(F.max("batch_id"))
+        .first()[0]
+    )
+    assert stored_max >= 1  # precondition: store outran a fresh ckpt
+
+    # Fresh checkpoint, same store: batch 0 < stored max -> refuse.
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA),
+        store,
+        str(tmp_path / "ckpt_fresh"),
+    ).start()
+    try:
+        with pytest.raises(Exception, match="does not own store"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()
+    # The store survives untouched: doc ids 1 and 2 still accepted.
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", store + "/accepted")
+        .parquet(store + "/accepted")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == [1, 2]

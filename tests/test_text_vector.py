@@ -321,6 +321,44 @@ def test_matmul_topk_bit_identical_to_brute_force(spark, sf_dir):
     assert got == want
 
 
+def test_exact_topk_branches_agree_on_null_vectors(spark):
+    """The gate contract forbids behavior flipping on data size: a NULL
+    corpus embedding must score NULL sim on BOTH branches (ranked last,
+    surfacing only when k exhausts real rows — the JVM fold's natural
+    propagation; the Arrow branch used to crash np.stack), and a NULL
+    query embedding must raise on BOTH branches."""
+    import pytest
+
+    from conversation_with_vector_db_spark.operators.vector import (
+        exact_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, None),                    # null corpus vector
+        (4, [1.0, 0.0, 0.0]),         # query-dim mismatch
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = corpus.filter(F.col("vec_id") == 0)
+    collect = lambda df: sorted(
+        tuple(r) for r in df.select("qid", "vec_id", "sim").collect()
+    )
+    small = collect(exact_topk(corpus, q, k=5, corpus_bytes=1))
+    large = collect(exact_topk(corpus, q, k=5, corpus_bytes=1 << 40))
+    assert small == large
+    sims = {v: s for _, v, s in small}
+    assert sims[3] is None and sims[4] is None  # null/ragged -> NULL
+    assert sims[0] == 1.0
+
+    nullq = corpus.filter(F.col("vec_id").isin(0, 3))
+    with pytest.raises(ValueError, match="NULL query"):
+        exact_topk(corpus, nullq, k=5, corpus_bytes=1)
+    with pytest.raises(ValueError, match="NULL query"):
+        exact_topk(corpus, nullq, k=5, corpus_bytes=1 << 40)
+
+
 def test_regex_counts_gate_flips_strategy(spark):
     """Below the byte threshold with_regex_counts counts JVM-side (no
     Python stage in the plan); above or unknown it runs pyarrow's RE2
