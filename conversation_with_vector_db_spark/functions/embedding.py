@@ -109,12 +109,27 @@ def sparse_cosine(
 ) -> DataFrame:
     """All-pairs cosine between two sparse vector tables (already
     L2-normalized, so cosine = sum of weight products) — the scalable
-    inverted-index join: only shared buckets shuffle."""
+    inverted-index join: only shared buckets shuffle.
+
+    Inputs must carry exactly one id column besides ``idx``/``weight``
+    (any name, any position) — resolved BY NAME, and enforced: a
+    positional ``columns[0]`` guess would silently group by the wrong
+    key on a reordered select."""
+
+    def id_of(df: DataFrame) -> str:
+        ids = [c for c in df.columns if c not in ("idx", "weight")]
+        if len(ids) != 1:
+            raise ValueError(
+                "sparse_cosine: expected exactly one id column besides "
+                f"idx/weight, got {df.columns}"
+            )
+        return ids[0]
+
     left = a.select(
-        F.col(a.columns[0]).alias(a_id), "idx", F.col("weight").alias("wa")
+        F.col(id_of(a)).alias(a_id), "idx", F.col("weight").alias("wa")
     )
     right = b.select(
-        F.col(b.columns[0]).alias(b_id), "idx", F.col("weight").alias("wb")
+        F.col(id_of(b)).alias(b_id), "idx", F.col("weight").alias("wb")
     )
     return (
         left.join(right, "idx")

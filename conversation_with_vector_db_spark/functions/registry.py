@@ -109,10 +109,35 @@ _DELETE_RE = re.compile(
 def sql_passthrough(spark: SparkSession, sql: str) -> DataFrame:
     """D5: read-only passthrough over the registered views — the
     engine's true SQL entry point (service/postgreService.js:49-63
-    validated the same way by regex). Accepts SELECT, WITH-CTE, and
-    parenthesized SELECT forms; everything else is rejected."""
+    validated by regex there). Accepts SELECT, WITH-CTE, and
+    parenthesized SELECT forms; everything else is rejected.
+
+    The prefix regex alone is NOT a read-only guarantee: Spark's
+    grammar accepts CTE-prefixed DML (``WITH x AS (...) INSERT ...``),
+    which starts with WITH and would sail through a prefix check into
+    a real write. So after the cheap prefix reject, the statement is
+    PARSED (no execution) and the logical plan tree is walked: any
+    Command node or Insert* statement node anywhere in the tree —
+    root or nested under a CTE — is refused. Fail-closed by
+    construction: write nodes always appear as tree nodes; a false
+    positive would only reject a read, never admit a write."""
     if not _SELECT_RE.match(sql):
         raise ValueError("only SELECT statements pass through")
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    cmd_cls = spark._jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cname = node.getClass().getName().rsplit(".", 1)[-1]
+        if cmd_cls.isInstance(node) or cname.startswith("InsertInto"):
+            raise ValueError(
+                f"only SELECT statements pass through (found {cname})"
+            )
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
     return spark.sql(sql)
 
 

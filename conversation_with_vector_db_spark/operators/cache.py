@@ -65,9 +65,10 @@ def scoped_broadcast(bc) -> object:
 
 
 def next_generation() -> int:
-    """Advance the generation; release caches two or more generations
-    old (the previous generation survives for plan-identity reuse).
-    Returns the number released."""
+    """Advance the generation; release caches AND scoped broadcasts two
+    or more generations old (the previous generation survives for
+    plan-identity reuse). Returns the combined count released, matching
+    :func:`release_all`."""
     global _GEN
     _GEN += 1
     keep, drop = [], []
@@ -88,7 +89,7 @@ def next_generation() -> int:
         except Exception:
             pass
     _LIVE_BC[:] = keep_bc
-    return len(drop)
+    return len(drop) + len(drop_bc)
 
 
 def release_all() -> int:

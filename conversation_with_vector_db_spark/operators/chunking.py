@@ -107,10 +107,16 @@ def recursive_split(
 
     @F.pandas_udf(ArrayType(StringType()))
     def split_udf(texts: pd.Series) -> pd.Series:
+        # Empty/NULL text -> one empty chunk, never zero: posexplode of
+        # an empty array would DROP the document, while the declarative
+        # twin (chunk_fixed, greatest(...,1)) always emits a row — the
+        # two variants must agree on row count per doc or swapping them
+        # (the stated scale migration) changes downstream joins.
         return texts.map(
             lambda t: recursive_split_text(
                 t or "", chunk_size, chunk_overlap
             )
+            or [""]
         )
 
     return (

@@ -33,8 +33,11 @@ _OPS = {
     "ne": lambda c, v: c != v,
     "in": lambda c, v: c.isin(*v),
     # Mongo's {$regex: pat, $options:'i'} — substring-style match,
-    # case-insensitive (controllers/userController.js:29-31).
-    "regex": lambda c, v: F.lower(c).rlike(v.lower()),
+    # case-insensitive (controllers/userController.js:29-31). The (?i)
+    # flag, NOT lower() on both sides: lowercasing the PATTERN inverts
+    # uppercase class shorthands (\S becomes \s — the complement) and
+    # corrupts any case-sensitive metachar; oracles use the same (?i).
+    "regex": lambda c, v: c.rlike("(?i)" + v),
     "exists": lambda c, v: c.isNotNull() if v else c.isNull(),
 }
 

@@ -49,7 +49,11 @@ def salted_aggregate(
         op, _, col = spec.partition(":")
         p = f"__p_{out}"
         if op == "count":
-            partial_aggs.append(F.count("*").alias(p))
+            # count:* = row count; count:col = non-null count (the
+            # SQL count(col) semantics) — silently counting rows for a
+            # named column would diverge from the stated single-stage
+            # equivalence whenever the column has NULLs.
+            partial_aggs.append(F.count(col).alias(p))
             merge_aggs.append(F.sum(p).alias(out))
         elif op == "sum":
             partial_aggs.append(F.sum(col).alias(p))

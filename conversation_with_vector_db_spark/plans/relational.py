@@ -177,12 +177,14 @@ def f7_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,
     doc="""F8: {email: {$regex: search, $options:'i'}}
     (controllers/userController.js:29-31;
-    assistantController.js:324-326). Three fixed mixed-case probes.""",
+    assistantController.js:324-326). Two fixed mixed-case probes via
+    the (?i) flag — never lower() on the pattern, which would invert
+    uppercase class shorthands like \\S.""",
     fixtures_used=("users",),
     oracle="""
 SELECT email FROM users
-WHERE regexp_matches(lower(email), lower('CUSTomer#0000001'))
-   OR regexp_matches(lower(email), lower('0999'))
+WHERE regexp_matches(email, '(?i)CUSTomer#0000001')
+   OR regexp_matches(email, '(?i)0999')
 ORDER BY email
 """,
 )
@@ -190,8 +192,8 @@ def f8_regex_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = spark.table("users")
     return (
         users.filter(
-            F.lower("email").rlike("CUSTomer#0000001".lower())
-            | F.lower("email").rlike("0999")
+            F.col("email").rlike("(?i)CUSTomer#0000001")
+            | F.col("email").rlike("(?i)0999")
         )
         .select("email")
         .orderBy("email")
@@ -265,7 +267,7 @@ SELECT prompt_id, userid, tokenused, modelused
 FROM prompts
 WHERE tokenused >= 500 AND tokenused < 2000
   AND modelused IN ('gpt-4', 'gemini-pro')
-  AND regexp_matches(lower(description), lower('purchase'))
+  AND regexp_matches(description, '(?i)purchase')
 ORDER BY prompt_id
 """,
 )
@@ -423,11 +425,12 @@ def p4_computed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = users.join(
         prompts, prompts.userid == users.user_id, "left"
     ).groupBy("user_id").agg(
-        F.size(
-            F.filter(
-                F.collect_list("prompt_id"), lambda x: x.isNotNull()
-            )
-        ).cast("long").alias("prompts_count")
+        # count(col) = the oracle's NULL-skipping count(p.prompt_id) —
+        # a plain map-side-combinable aggregate; building a per-group
+        # array just to size it would buffer every id per user (and
+        # collect_list already drops NULLs, making an isNotNull filter
+        # over it dead code).
+        F.count("prompt_id").alias("prompts_count")
     )
     return nested.orderBy("user_id")
 
@@ -488,7 +491,10 @@ def p8_kv_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("config")
         .groupBy()
         .pivot("key", ["temperature", "tokens", "model", "top_p"])
-        .agg(F.first("value"))
+        # max, not first: first() is pick-any under parallelism, and
+        # the oracle's max(CASE...) is deterministic if a key ever had
+        # duplicate rows.
+        .agg(F.max("value"))
     )
 
 

@@ -389,6 +389,12 @@ class TestUdfGovernance:
             "DROP TABLE prompts",
             "INSERT INTO prompts VALUES (1)",
             "UPDATE prompts SET tokenused = 0",
+            # CTE-prefixed DML starts with WITH and passes any prefix
+            # regex — Spark's grammar allows it, so the gate must
+            # reject at the PARSED-TREE level, not the string level.
+            "WITH x AS (SELECT 1 AS a) "
+            "INSERT OVERWRITE DIRECTORY '/tmp/pwn' SELECT a FROM x",
+            "WITH x AS (SELECT 1 AS a) INSERT INTO prompts SELECT a",
         ):
             with pytest.raises(ValueError):
                 sql_passthrough(spark, bad)
