@@ -51,6 +51,14 @@ _ASCII_B = (
 )
 
 
+def java_ascii_pattern(pattern: str) -> str:
+    """Rewrite every ``\\b`` in a pattern to the explicit ASCII
+    boundary — for callers that stay on JVM regex expressions outside
+    :func:`with_regex_counts` but must agree with the RE2/DuckDB
+    ``\\b`` semantics (see module docstring)."""
+    return pattern.replace(r"\b", _ASCII_B)
+
+
 def uses_arrow_branch(src_bytes: int | None) -> bool:
     """THE branch predicate for :func:`with_regex_counts` — exposed so
     callers that must co-vary with the branch choice (e.g. sort
@@ -83,7 +91,7 @@ def with_regex_counts(
         lowered = F.lower(F.col(text_col))
         for name, pattern, lower in counts:
             src = lowered if lower else F.col(text_col)
-            jpat = pattern.replace(r"\b", _ASCII_B)
+            jpat = java_ascii_pattern(pattern)
             out = out.withColumn(
                 name, F.regexp_count(src, F.lit(jpat)).cast("long")
             )

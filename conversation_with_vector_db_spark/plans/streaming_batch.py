@@ -287,7 +287,8 @@ priced AS (
 SELECT u.user_id AS user_id,
        count(*) AS n_prompts,
        CAST(sum(p.tokens) AS BIGINT) AS tokens_spent,
-       floor(sum(p.tokens * p.price_in / 1000) * 10000) / 10000 AS cost,
+       sum(CAST(floor(p.tokens * p.price_in * 10 + 0.5) AS BIGINT))
+           / 10000.0 AS cost,
        CAST(u.max_user_tokens - sum(p.tokens) AS BIGINT)
            AS budget_remaining
 FROM priced p
@@ -323,12 +324,21 @@ def x8_finalize_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_prompts"),
             F.sum("tokens").alias("tokens_spent"),
+            # Quantize PER ROW (half-up to 1e-4 cost units, one IEEE
+            # product per row — identical doubles on both engines),
+            # then sum exact integers: flooring the float SUM sat
+            # within ulps of an integer boundary (token*price products
+            # are decimal multiples of 1e-4), where partition-order
+            # accumulation could land either side and flip the
+            # driver's value hash.
             (
-                F.floor(
-                    F.sum(F.col("tokens") * F.col("price_in") / 1000)
-                    * 10000
+                F.sum(
+                    F.floor(
+                        F.col("tokens") * F.col("price_in") * 10
+                        + F.lit(0.5)
+                    ).cast("bigint")
                 )
-                / 10000
+                / F.lit(10000.0)
             ).alias("cost"),
         )
         .join(

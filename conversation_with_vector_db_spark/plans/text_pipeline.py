@@ -247,7 +247,7 @@ def t5_rag_query_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish regex tokenizer: words + standalone non-space symbols.""",
     oracle="""
 SELECT doc_id,
-       CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+       CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\t\\n\\f\\r ]'))
             AS INT) AS n_tokens,
        n_chars
 FROM documents
@@ -263,7 +263,7 @@ def t11_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(
                 F.regexp_extract_all(
-                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\t\n\f\r ]"), 0
                 )
             ).alias("n_tokens"),
             "n_chars",
@@ -450,11 +450,16 @@ ORDER BY doc_id
 """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import java_ascii_pattern
+
     def score(words: str):
-        return F.size(
-            F.regexp_extract_all(
-                F.lower("text"), F.lit(rf"\b({words})\b"), 0
-            )
+        # ASCII-\b rewrite: Java's Unicode \b would absorb markers
+        # adjacent to accented letters into one word and under-count
+        # vs the RE2 oracle (and vs text_curation_verdict, which
+        # scores through the gated operator).
+        return F.regexp_count(
+            F.lower("text"),
+            F.lit(java_ascii_pattern(rf"\b({words})\b")),
         ).cast("long")
 
     scores = (
@@ -520,14 +525,18 @@ ORDER BY doc_id
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SAME canonicalization the dedup family keys on
+    # (operators/dedup.normalized_text) — these fingerprints are
+    # documented as join keys against that family, so the rule must
+    # have exactly one definition.
+    from ..operators.dedup import normalized_text
+
     norm = (
         spark.table("documents")
         .filter(F.col("doc_id") < 200)
         .select(
             "doc_id",
-            F.regexp_replace(
-                F.trim(F.lower("text")), r"\s+", " "
-            ).alias("ntext"),
+            normalized_text(F.col("text")).alias("ntext"),
         )
     )
     tok = norm.select(
@@ -898,7 +907,7 @@ WITH tok AS (
     SELECT doc_id,
            doc_id % 8 AS shard,
            CAST(length(regexp_extract_all(lower(text),
-                '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+                '[a-z0-9]+|[^a-z0-9\\t\\n\\f\\r ]')) AS BIGINT) AS n_tok
     FROM documents
 ),
 walked AS (
@@ -936,7 +945,7 @@ def t13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 8).alias("shard"),
             F.size(
                 F.regexp_extract_all(
-                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\t\n\f\r ]"), 0
                 )
             )
             .cast("bigint")
@@ -979,6 +988,42 @@ def t13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+def _quality_scored_stats(
+    spark: SparkSession, sf_dir: str, with_toks: bool = False
+) -> DataFrame:
+    """(doc_id, score[, toks]) for the threshold-selection queries —
+    the same three counts as text_quality_score, through the SAME
+    size-gated scorer (operators/text.with_regex_counts): the JVM
+    branch's ASCII-\\b rewrite keeps n_stop oracle-agreed on
+    accent-adjacent text, and past the gate the counts run on
+    Arrow/RE2 instead of paying the backtracking-Java cost."""
+    from ..operators.text import with_regex_counts
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    src_bytes = parquet_bytes_on_disk(table_path(sf_dir, "documents"))
+    counted = with_regex_counts(
+        spark.table("documents").select("doc_id", "n_chars", "text"),
+        [
+            ("n_words", "[a-z0-9]+", True),
+            ("n_stop", r"\b(the|a|of|and|to|in|is|for)\b", True),
+            ("n_sym", "[^a-zA-Z0-9 ]", False),
+        ],
+        src_bytes=src_bytes,
+    )
+    score = F.round(
+        F.col("n_stop").cast("double")
+        / F.greatest(F.col("n_words"), F.lit(1))
+        - F.col("n_sym").cast("double")
+        / F.greatest(F.col("n_chars"), F.lit(1)),
+        4,
+    )
+    cols = ["doc_id", score.alias("score")]
+    if with_toks:
+        cols.append(F.col("n_words").alias("toks"))
+    return counted.select(*cols)
 
 
 @query(
@@ -1026,27 +1071,9 @@ ORDER BY doc_id
 def text_quality_quantile_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = spark.table("documents")
-    # regexp_count, not size(regexp_extract_all(...)): counts matches
-    # without materializing the match array — same values, no per-token
-    # UTF8String allocation on the scan.
-    n_words = F.regexp_count(
-        F.lower("text"), F.lit("[a-z0-9]+")
-    ).cast("long")
-    n_stop = F.regexp_count(
-        F.lower("text"), F.lit(r"\b(the|a|of|and|to|in|is|for)\b")
-    ).cast("long")
-    n_sym = F.regexp_count(
-        F.col("text"), F.lit("[^a-zA-Z0-9 ]")
-    ).cast("long")
-    score = F.round(
-        n_stop.cast("double") / F.greatest(n_words, F.lit(1))
-        - n_sym.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)),
-        4,
-    )
     from ..operators.filters import quantile_threshold
 
-    stats = docs.select("doc_id", score.alias("score"))
+    stats = _quality_scored_stats(spark, sf_dir)
     thr = quantile_threshold(stats, "score", 1, 5)
     return (
         stats.crossJoin(F.broadcast(thr))
@@ -1104,24 +1131,7 @@ ORDER BY doc_id
 def text_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.filters import budget_threshold
 
-    docs = spark.table("documents")
-    n_words = F.regexp_count(
-        F.lower("text"), F.lit("[a-z0-9]+")
-    ).cast("long")
-    n_stop = F.regexp_count(
-        F.lower("text"), F.lit(r"\b(the|a|of|and|to|in|is|for)\b")
-    ).cast("long")
-    n_sym = F.regexp_count(
-        F.col("text"), F.lit("[^a-zA-Z0-9 ]")
-    ).cast("long")
-    score = F.round(
-        n_stop.cast("double") / F.greatest(n_words, F.lit(1))
-        - n_sym.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)),
-        4,
-    )
-    stats = docs.select(
-        "doc_id", score.alias("score"), n_words.alias("toks")
-    )
+    stats = _quality_scored_stats(spark, sf_dir, with_toks=True)
     thr = budget_threshold(stats, "score", "toks", 3, 5)
     return (
         stats.crossJoin(F.broadcast(thr))

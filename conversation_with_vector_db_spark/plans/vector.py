@@ -16,13 +16,50 @@ fixtures), standing in for the chunk-id -> metadata.pageContent mirror
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.vector import brute_force_topk, cosine_similarity
+from ..operators.vector import cosine_with_norms, l2_norm
 from .registry import query
 
 K = 10  # Pinecone topK (controllers/conversationController.js:34)
+
+
+def _vec_bytes(sf_dir: str) -> int | None:
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    return parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+
+
+def _scored_vs_queries(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """(qid, vec_id, sim) for every (query, corpus) pair — broadcast
+    queries over ONE corpus scan, with each side's L2 norm computed
+    once per VECTOR (cosine_with_norms), not re-folded per pair: with
+    Q queries the naive cosine_similarity re-runs every corpus norm Q
+    times. Bit-identical sims (same dot/(na*nb) doubles)."""
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    return (
+        emb.withColumn("_cn", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("qe"),
+                    F.col("embedding"),
+                    F.col("_qn"),
+                    F.col("_cn"),
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
 
 _V1_SCORED_CTE = """
 WITH q AS (
@@ -95,16 +132,7 @@ ORDER BY qid
 )
 def v3_empty_result_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "qid",
-        "vec_id",
-        F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias(
-            "sim"
-        ),
-    )
+    scored = _scored_vs_queries(emb, emb.filter(F.col("vec_id") < 5))
     hit = ((F.col("sim") >= 0.99) & (F.col("vec_id") != F.col("qid"))).cast(
         "int"
     )
@@ -147,9 +175,19 @@ ORDER BY qid
 """,
 )
 def v4_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import exact_topk
+
     emb = spark.table("embeddings")
     docs = spark.table("documents")
-    topk = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=K)
+    # Same size-gated scoring as v1/v1c (bit-identical branches) —
+    # pinning brute force here would leave this query on the
+    # interpreted fold at any corpus size.
+    topk = exact_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=K,
+        corpus_bytes=_vec_bytes(sf_dir),
+    )
     return (
         topk.join(docs, topk.vec_id == docs.doc_id)
         .groupBy("qid")
@@ -186,9 +224,17 @@ ORDER BY qid, rank
 """,
 )
 def v5_metadata_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import exact_topk
+
     emb = spark.table("embeddings")
     return (
-        brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=K)
+        exact_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 5),
+            k=K,
+            extra_cols=("label",),
+            corpus_bytes=_vec_bytes(sf_dir),
+        )
         .select("qid", "vec_id", "sim", "label", "rank")
         .orderBy("qid", "rank")
     )
@@ -220,24 +266,36 @@ ORDER BY namespace, rank
 """,
 )
 def w5_topk_per_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import topk_per_query
+
     emb = spark.table("embeddings").withColumn(
         "namespace", F.col("label") % 3
     )
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("_qn"),
     )
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "namespace",
-        "vec_id",
-        F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias(
-            "sim"
-        ),
+    scored = (
+        emb.withColumn("_cn", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "namespace",
+            "vec_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("qe"),
+                    F.col("embedding"),
+                    F.col("_qn"),
+                    F.col("_cn"),
+                ),
+                4,
+            ).alias("sim"),
+        )
     )
-    w = Window.partitionBy("namespace").orderBy(F.desc("sim"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= K)
-        .orderBy("namespace", "rank")
+    # topk_per_query lowers to the map-side WindowGroupLimit shape —
+    # the same single-exchange top-k v1 uses, per namespace.
+    return topk_per_query(scored, K, query_col="namespace").orderBy(
+        "namespace", "rank"
     )
 
 
@@ -351,16 +409,7 @@ ORDER BY qid, vec_id
 )
 def v1b_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "qid",
-        "vec_id",
-        F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias(
-            "sim"
-        ),
-    )
+    scored = _scored_vs_queries(emb, emb.filter(F.col("vec_id") < 5))
     return (
         scored.filter((F.col("sim") >= 0.35) & (F.col("vec_id") != F.col("qid")))
         .orderBy("qid", "vec_id")
