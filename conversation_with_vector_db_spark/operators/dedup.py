@@ -101,14 +101,21 @@ def df_capped_shingles(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Shingles with a document-frequency cap: shingles present in more
     than ``max_df`` documents are dropped BEFORE any join — they carry
     no near-dup signal (every doc shares them) yet generate the
     quadratic bulk of the inverted-index pairs. The cap applies to both
     the intersection counts and the set sizes, so Jaccard stays
-    internally consistent."""
-    sh = exploded_shingles(df, text_col, id_col, n)
+    internally consistent. ``shingles`` supplies a pre-built
+    (id, shingle) table (e.g. char windows) instead of the word-gram
+    explode."""
+    sh = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(df, text_col, id_col, n)
+    )
     if max_df is None:
         return sh
     # Frequent shingles are rare by construction (heavy tail), so the
@@ -272,6 +279,18 @@ def pair_counts_from_lists(postings: DataFrame) -> DataFrame:
 FUSED_CAP_MAX_BYTES = 64 << 20
 
 
+def fused_cap_applies(max_df: int | None, src_bytes: int | None) -> bool:
+    """THE gate predicate for the fused-vs-two-pass DF-cap choice —
+    one definition so jaccard_pairs, the shared shingle index, and any
+    plan-level caller can never drift apart. Unknown size or no cap →
+    the two-pass scale branch."""
+    return (
+        max_df is not None
+        and src_bytes is not None
+        and src_bytes <= FUSED_CAP_MAX_BYTES
+    )
+
+
 def fused_capped_postings(
     sh: DataFrame, id_col: str = "doc_id", max_df: int = 64
 ) -> DataFrame:
@@ -333,6 +352,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     src_bytes: int | None = None,
+    shingles0: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard via an inverted index.
 
@@ -340,24 +360,28 @@ def jaccard_pairs(
     or the shingle self-join; |A ∪ B| = |A|+|B|-|A∩B|. Only ordered
     pairs (a < b) are produced. ``max_df`` drops non-discriminative
     frequent shingles before pairing (the pair count is quadratic in
-    per-shingle document frequency).
+    per-shingle document frequency). ``shingles0`` supplies a
+    pre-built UNCAPPED (id, shingle) table (e.g. char windows) in
+    place of the word-gram explode — the char-5-gram plan rides this
+    instead of duplicating the gate.
 
-    Cost gate (r4): when ``max_df`` is set and ``src_bytes`` is known
-    to be under :data:`FUSED_CAP_MAX_BYTES`, cap + postings + sizes
-    fuse into ONE ``groupBy(shingle)`` and the pair stream explodes
-    from the capped lists — no count pass, no anti-join, no self-join
-    probe (A/B at sf1: cold 2.1 s vs 10.1 s, steady equal-or-better;
-    the r3 "+25% posting overhead" measurement was the TWO-shuffle
-    posting variant, which the fused form replaces). Above the gate or
-    unknown, the two-pass count+anti-join + self-join shape keeps
-    reducer memory bounded by ``max_df``.
+    Cost gate (r4, :func:`fused_cap_applies`): when ``max_df`` is set
+    and ``src_bytes`` is known to be under
+    :data:`FUSED_CAP_MAX_BYTES`, cap + postings + sizes fuse into ONE
+    ``groupBy(shingle)`` and the pair stream explodes from the capped
+    lists — no count pass, no anti-join, no self-join probe (A/B at
+    sf1: cold 2.1 s vs 10.1 s, steady equal-or-better; the r3 "+25%
+    posting overhead" measurement was the TWO-shuffle posting variant,
+    which the fused form replaces). Above the gate or unknown, the
+    two-pass count+anti-join + self-join shape keeps reducer memory
+    bounded by ``max_df``.
     """
-    if (
-        max_df is not None
-        and src_bytes is not None
-        and src_bytes <= FUSED_CAP_MAX_BYTES
-    ):
-        sh0 = exploded_shingles(df, text_col, id_col, n)
+    if fused_cap_applies(max_df, src_bytes):
+        sh0 = (
+            shingles0
+            if shingles0 is not None
+            else exploded_shingles(df, text_col, id_col, n)
+        )
         postings = scoped_cache(fused_capped_postings(sh0, id_col, max_df))
         sizes = F.broadcast(
             postings.select(F.explode("_ids").alias(id_col))
@@ -369,7 +393,11 @@ def jaccard_pairs(
     # The shingle table feeds two consumers (sizes + pairing); cache it
     # so tokenize+hash runs once — at cluster scale this persist would
     # be a checkpoint to storage.
-    sh = scoped_cache(df_capped_shingles(df, text_col, id_col, n, max_df))
+    sh = scoped_cache(
+        df_capped_shingles(
+            df, text_col, id_col, n, max_df, shingles=shingles0
+        )
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -789,7 +817,21 @@ def connected_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
             pass
         if changed == 0:
             break
-    return lbl
+    else:
+        # Exhausting max_iters without convergence means labels are
+        # only partially propagated — one component would surface as
+        # several "canonical" docs, silently corrupting every
+        # downstream keep/drop decision. Fail loudly; the caller can
+        # raise max_iters (rounds needed ~ graph diameter).
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iters for this graph's diameter"
+        )
+    # The final label table stays cached for its (possibly several)
+    # consumers, but under the GENERATIONAL registry — a bare .cache()
+    # here leaked one pinned table per call across a session.
+    return scoped_cache(lbl)
 
 
 # --------------------------------------------------------------------------

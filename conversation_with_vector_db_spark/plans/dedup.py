@@ -20,7 +20,6 @@ from ..operators.dedup import (
     jaccard_verify,
     minhash_lsh_candidates,
     minhash_perm_constants,
-    pair_counts_from_postings,
     simhash_near_pairs,
 )
 from ..operators.cache import scoped_cache
@@ -84,15 +83,15 @@ def _capped_shingle_index(
     ``MAX_DF`` (see `operators/dedup.FUSED_CAP_MAX_BYTES`).
     """
     from ..operators.dedup import (
-        FUSED_CAP_MAX_BYTES,
         df_capped_shingles,
         exploded_shingles,
+        fused_cap_applies,
         fused_capped_postings,
     )
 
     corpus = spark.table("corpus")
     b = _docs_bytes(sf_dir) if sf_dir else None
-    if b is not None and b <= FUSED_CAP_MAX_BYTES:
+    if fused_cap_applies(MAX_DF, b):
         postings = scoped_cache(
             fused_capped_postings(
                 exploded_shingles(corpus), "doc_id", MAX_DF
@@ -329,14 +328,18 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "b")
         .select("a", "b", n_agree.alias("n_agree"))
     )
-    # Exact side for the error column (fixture-affordable): shared
-    # shingle counts via the same posting join the verify path uses.
+    # Exact side for the error column, restricted to the CANDIDATE
+    # pairs actually reported (the jaccard_verify shape — 'work scales
+    # with candidates, not with every shingle-sharing pair'); the full
+    # shingle self-join would pay the corpus-wide quadratic pair
+    # explosion just to left-join 99% of it away. The left join +
+    # coalesce(0) below keeps zero-overlap candidates at jaccard 0.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     x = sh.select(F.col("doc_id").alias("a"), "shingle")
     y = sh.select(F.col("doc_id").alias("b"), "shingle")
     common = (
-        x.join(y.hint("shuffle_hash"), "shingle")
-        .filter(F.col("a") < F.col("b"))
+        cands.join(x.hint("shuffle_hash"), "a")
+        .join(y.hint("shuffle_hash"), ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
@@ -569,59 +572,25 @@ ORDER BY a, b
 """,
 )
 def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        FUSED_CAP_MAX_BYTES,
-        char_window_shingles,
-        fused_capped_postings,
-        jaccard_from_common,
-        normalized_text,
-        pair_counts_from_lists,
-    )
+    from ..operators.dedup import char_window_shingles, normalized_text
 
     norm = spark.table("corpus").select(
         "doc_id", normalized_text(F.col("text")).alias("ntext")
     )
     # Byte-sliced ASCII fast path + char-correct fallback, both as
-    # BINARY keys — see operators.dedup.char_window_shingles.
+    # BINARY keys — see operators.dedup.char_window_shingles. The
+    # size-gated cap/pairing (fused postings below the bound, two-pass
+    # anti-join above — operators.dedup.fused_cap_applies) is the SAME
+    # code path as the word-gram family: jaccard_pairs with the char
+    # windows plugged in as the pre-built shingle table.
     sh0 = char_window_shingles(norm, "ntext", "doc_id", n=5, stride=3)
-    # Cost gate (same discipline as exact_topk / rescore_candidates):
-    # below the reducer-memory bound, DF cap + posting lists fuse into
-    # ONE groupBy(shingle) — no separate count pass, no anti-join stage
-    # (r4 A/B: -1 exchange, -2 stages) — and the per-doc sizes table
-    # (doc-count rows, broadcastable exactly when the corpus is under
-    # the gate) broadcasts into the pair join; above it or unknown,
-    # the two-pass shape bounds reducer memory by MAX_DF and the
-    # pair-side joins shuffle. Results identical on both branches
-    # (pinned by test).
-    src_bytes = _docs_bytes(sf_dir)
-    if src_bytes is not None and src_bytes <= FUSED_CAP_MAX_BYTES:
-        postings = scoped_cache(
-            fused_capped_postings(sh0, "doc_id", MAX_DF)
-        )
-        sizes = F.broadcast(
-            postings.select(F.explode("_ids").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("sz"))
-        )
-        common = pair_counts_from_lists(postings)
-    else:
-        sh0 = scoped_cache(sh0)
-        # DF cap via broadcast anti-join against the tiny over-cap
-        # shingle list (operators.dedup.df_capped_shingles shape):
-        # sizes and pairing both see the capped table, so Jaccard
-        # stays consistent between engines.
-        frequent = (
-            sh0.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > MAX_DF)
-            .select("shingle")
-        )
-        sh = sh0.join(F.broadcast(frequent), "shingle", "left_anti")
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-        common = pair_counts_from_postings(sh, "doc_id")
-    return jaccard_from_common(common, sizes, threshold=0.6).orderBy(
-        "a", "b"
-    )
+    return jaccard_pairs(
+        norm,
+        threshold=0.6,
+        max_df=MAX_DF,
+        src_bytes=_docs_bytes(sf_dir),
+        shingles0=sh0,
+    ).orderBy("a", "b")
 
 
 # Shared by the exact and bloom-prefiltered decontamination queries —

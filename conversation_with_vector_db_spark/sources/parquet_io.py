@@ -80,15 +80,41 @@ def delete_by_key(
     partition_col: str = "namespace",
 ) -> None:
     """S6: deleteOne(ids) (models/embeddingmodel.js:14-24) as a
-    partition-scoped anti-join rewrite."""
+    partition-scoped anti-join rewrite.
+
+    Identity follows :func:`upsert_by_key`'s (partition_col, key)
+    semantics when ``ids`` carries the partition column — the same id
+    in two namespaces is two records and only the named one dies
+    (Pinecone deletes are namespace-scoped). An ``ids`` frame with
+    only the key column is the documented cross-namespace
+    delete-by-id.
+
+    Partitions the delete EMPTIES are dropped explicitly: dynamic
+    overwrite writes nothing for a zero-row partition, which would
+    leave the old files in place and silently resurrect every deleted
+    row — the same hazard compact_change_log handles."""
+    match_cols = (
+        [partition_col, key] if partition_col in ids.columns else [key]
+    )
     current = spark.read.parquet(path)
-    victims = current.join(F.broadcast(ids), key, "left_semi")
+    victims = current.join(F.broadcast(ids), match_cols, "left_semi")
     touched = victims.select(partition_col).distinct()
+    touched_vals = [r[0] for r in touched.collect()]
     survivors = (
         current.join(F.broadcast(touched), partition_col, "left_semi")
-        .join(F.broadcast(ids), key, "left_anti")
+        .join(F.broadcast(ids), match_cols, "left_anti")
     )
+    # Materialize before the overwrite (the plan reads `path`) and
+    # learn which touched partitions still have rows.
+    survivors = survivors.localCheckpoint(eager=True)
+    surviving = {
+        r[0] for r in survivors.select(partition_col).distinct().collect()
+    }
     _dynamic_overwrite(survivors, path, partition_col)
+    for v in touched_vals:
+        if v not in surviving:
+            drop_partition(spark, path, partition_col, v)
+    survivors.unpersist(False)
 
 
 def drop_partition(
@@ -205,11 +231,17 @@ def read_merge_on_read(
     """Current state of the table: base parquet overlaid with the side
     change log via :func:`merge_overlay` on the (partition, key)
     identity."""
+    from pyspark.errors import AnalysisException
+
     base = spark.read.parquet(base_path)
     try:
         log = spark.read.parquet(log_path)
-    except Exception:
-        return base  # no mutations yet
+    except AnalysisException:
+        # Missing log path = genuinely no mutations yet. ONLY that:
+        # a bare except here would also swallow corrupt footers or FS
+        # outages and silently serve stale pre-mutation data
+        # (resurrecting deleted rows) instead of erroring.
+        return base
     return merge_overlay(base, log, [partition_col, key])
 
 

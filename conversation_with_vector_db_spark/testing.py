@@ -16,7 +16,10 @@ def normalize(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, int):
-        return ("n", float(v))
+        # Keep the int (exactness marker): both engines compute BIGINTs
+        # exactly, and coercing to float would let rel_tol swallow real
+        # integer mismatches once values pass ~1e7 (1e7 * 1e-7 = 1).
+        return ("n", v)
     if isinstance(v, float):
         return ("n", v)
     if isinstance(v, dt.datetime):
@@ -41,6 +44,12 @@ def values_equal(a, b) -> bool:
         return False
     if a[0] == "n":
         x, y = a[1], b[1]
+        # int vs int: exact. Mixed int/float (one engine widened — e.g.
+        # DuckDB sum() of integers vs a Spark double expression) and
+        # float/float keep the tolerance.
+        if isinstance(x, int) and isinstance(y, int):
+            return x == y
+        x, y = float(x), float(y)
         if math.isnan(x) and math.isnan(y):
             return True
         return math.isclose(x, y, rel_tol=1e-7, abs_tol=1e-9)
@@ -51,10 +60,21 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _sort_key(row) -> str:
+    # Type-insensitive pairing key: an int on one engine and the
+    # equal float on the other must sort identically or the row
+    # pairing misaligns before values_equal ever runs.
+    return repr(
+        tuple(
+            ("n", repr(float(v[1]))) if v[0] == "n" else v for v in row
+        )
+    )
+
+
 def rows_match(spark_rows, duck_rows) -> tuple[bool, str]:
     if len(spark_rows) != len(duck_rows):
         return False, f"row count {len(spark_rows)} vs {len(duck_rows)}"
-    key = repr
+    key = _sort_key
     s = sorted(spark_rows, key=key)
     d = sorted(duck_rows, key=key)
     for i, (sr, dr) in enumerate(zip(s, d)):

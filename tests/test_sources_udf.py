@@ -104,6 +104,52 @@ class TestParquetMaintenance:
         assert after.count() == before - 2
         assert after.filter(F.col("vec_id").isin(5, 6)).count() == 0
 
+    def test_delete_emptying_a_partition_stays_deleted(
+        self, spark, tmp_path
+    ):
+        """Deleting every row of a partition must not resurrect them:
+        dynamic overwrite writes nothing for a zero-row partition, so
+        the emptied directory has to be dropped explicitly (the
+        compact_change_log hazard, verified live in review)."""
+        store = str(tmp_path / "tiny_store")
+        spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "vec_id long, namespace int"
+        ).write.partitionBy("namespace").parquet(store)
+        delete_by_key(
+            spark,
+            store,
+            spark.createDataFrame([(1,), (2,)], ["vec_id"]),
+            key="vec_id",
+        )
+        rows = sorted(
+            (r.vec_id, r.namespace)
+            for r in spark.read.parquet(store).collect()
+        )
+        assert rows == [(3, 1)]
+
+    def test_delete_by_key_is_namespace_scoped_when_ids_carry_it(
+        self, spark, tmp_path
+    ):
+        """ids carrying the partition column delete ONLY that identity
+        — the same key in another namespace survives (upsert_by_key's
+        (namespace, key) identity; Pinecone deletes are
+        namespace-scoped)."""
+        store = str(tmp_path / "ns_store")
+        spark.createDataFrame(
+            [(7, 0), (7, 1), (8, 0)], "vec_id long, namespace int"
+        ).write.partitionBy("namespace").parquet(store)
+        delete_by_key(
+            spark,
+            store,
+            spark.createDataFrame([(7, 1)], "vec_id long, namespace int"),
+            key="vec_id",
+        )
+        rows = sorted(
+            (r.vec_id, r.namespace)
+            for r in spark.read.parquet(store).collect()
+        )
+        assert rows == [(7, 0), (8, 0)]
+
     def test_merge_on_read_overlay_and_compaction(
         self, spark, vector_store, tmp_path
     ):

@@ -38,7 +38,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     df = registry.REGISTRY[args.name].fn(spark, args.sf_dir)
     if args.executed:
-        df.write.format("noop").mode("overwrite").save()
+        # Execute the DataFrame's OWN QueryExecution: a noop write
+        # wraps the logical plan in a separate QE, leaving df's
+        # executedPlan un-run (it would print `isFinalPlan=false` —
+        # the pre-AQE plan, review-verified).
+        df.collect()
         print(df._jdf.queryExecution().executedPlan().toString())
     else:
         df.explain("formatted")
