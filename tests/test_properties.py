@@ -258,6 +258,43 @@ class TestBudgetThreshold:
             assert 5 * above < 3 * total          # bucket-tight
         check()
 
+    def test_regex_count_branches_agree_on_random_text(self, spark):
+        """Property form of the gate-flip contract: on ARBITRARY text —
+        random ASCII, punctuation, accented letters, mixed word
+        boundaries — the JVM branch (ASCII-\\b rewritten java regex)
+        and the Arrow branch (RE2) must produce identical counts for
+        the quality-score pattern set."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from conversation_with_vector_db_spark.operators.text import (
+            with_regex_counts,
+        )
+
+        alphabet = st.sampled_from(
+            list("abz019 .!\t\néßÅ村_") + ["the", " a ", "aé", "é1"]
+        )
+        counts = [
+            ("n_words", "[a-z0-9]+", True),
+            ("n_stop", r"\b(the|a|of|and|to|in|is|for)\b", True),
+            ("n_sym", "[^a-zA-Z0-9 ]", False),
+        ]
+
+        @settings(max_examples=6, deadline=None)
+        @given(st.lists(st.lists(alphabet, max_size=30), min_size=1,
+                        max_size=8))
+        def check(texts):
+            rows = [(i, "".join(t)) for i, t in enumerate(texts)]
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            get = lambda d: sorted(
+                tuple(r) for r in d.drop("text").collect()
+            )
+            jvm = get(with_regex_counts(df, counts, src_bytes=1))
+            arrow = get(with_regex_counts(df, counts, src_bytes=None))
+            assert jvm == arrow
+
+        check()
+
     def test_null_scores_carry_no_mass(self, spark):
         """NULL-score rows can never pass ``score >= thr``, so their
         weight must not count toward the budget denominator — even when
