@@ -940,3 +940,97 @@ def bloom_might_contain(spark, words, n_hashes: int = BLOOM_NUM_HASHES):
         return pd.Series(hit)
 
     return _probe
+
+
+# --------------------------------------------------------------------------
+# exact-substring duplicated spans (rolling stride-1 windows)
+# --------------------------------------------------------------------------
+
+
+def duplicated_spans(docs: DataFrame, w: int = 12) -> DataFrame:
+    """Exact-substring duplicated-span detection — the distributed
+    analogue of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    token run of length >= ``w`` that occurs at least twice ANYWHERE in
+    the corpus (across documents or repeated within one) is a
+    duplicated span. Suffix arrays don't distribute; the MapReduce form
+    hashes every stride-1 ``w``-token window, keeps window hashes with
+    global frequency >= 2, and merges each document's surviving window
+    starts into maximal spans (two hits merge when the later start is
+    <= the earlier start + ``w``, i.e. their windows overlap or touch —
+    with equal-length windows the running span end is simply
+    ``prev_pos + w``, so a single ``lag`` decides the break).
+
+    Input: ``docs(doc_id, text)``. Output, one row per document that
+    contains at least one duplicated span: ``doc_id, n_tokens, n_spans,
+    dup_tokens, dup_fraction`` (fraction of the document's tokens lying
+    inside a duplicated span — the removal budget a cleaning pass would
+    reclaim).
+
+    Scale shape: window explosion is one row per token position
+    (linear); the frequency pass is a map-side-combined groupBy on
+    60-bit BIGINT window hashes; survivors rejoin the window stream via
+    a shuffle-hash join on the same 8-byte key (never broadcast — the
+    duplicated-window set is data-sized, and a hot hash is split by
+    AQE's skew join); span merge is two windows partitioned by doc_id
+    (bounded groups). No self-join, no all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t"),
+    ).filter(F.size("t") >= w)
+    wins = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - w),
+                lambda i: hash60(F.concat_ws(" ", F.slice("t", i + 1, w))),
+            )
+        ).alias("pos", "whash"),
+    )
+    wins = scoped_cache(wins)
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("whash")
+    )
+    hits = wins.join(dup.hint("shuffle_hash"), "whash").select(
+        "doc_id", "n_tokens", "pos"
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(by_pos)
+    hits = hits.withColumn(
+        "brk",
+        F.when(prev.isNull() | (F.col("pos") > prev + w), 1).otherwise(0),
+    )
+    islands = hits.withColumn(
+        "island",
+        F.sum("brk").over(
+            by_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + w).alias("e"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+            F.round(
+                F.sum(F.col("e") - F.col("s"))
+                / F.max("n_tokens").cast("double"),
+                4,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1289,3 +1289,78 @@ def dedup_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") > 0)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_substring_spans",
+    driver=False,
+    doc="""Exact-substring duplicated-span dedup — the distributed form
+    of suffix-array substring dedup (Lee et al. 2022): hash every
+    stride-1 12-token window, keep windows whose global frequency is
+    >= 2 (across documents OR repeated within one), merge each doc's
+    surviving window starts into maximal spans, and report per-doc
+    span count / duplicated-token budget. Complements
+    `dedup_passage_boilerplate` (non-overlapping blocks can straddle
+    a copied region and miss it; stride-1 windows cannot) and the
+    whole-doc near-dup family (which scores documents, not spans).
+    Planted corpus copies surface as full-doc spans; the
+    appended-tail / changed-head plants surface as spans covering
+    exactly the shared region. Scale shape: linear window explosion,
+    map-combined frequency groupBy on 60-bit keys, shuffle-hash
+    survivor rejoin (never broadcast), per-doc span-merge windows —
+    see `operators/dedup.duplicated_spans`.""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS t
+    FROM corpus
+),
+wins AS (
+    SELECT doc_id, len(t) AS n_tokens, i AS pos,
+           CAST(('0x' || substr(md5(array_to_string(
+               t[i + 1 : i + 12], ' ')), 1, 15)) AS BIGINT) AS whash
+    FROM toks,
+         unnest(generate_series(0, CAST(len(t) AS INT) - 12)) AS s(i)
+    WHERE len(t) >= 12
+),
+dup AS (
+    SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2
+),
+hits AS (
+    SELECT w.doc_id, w.n_tokens, w.pos,
+           CASE WHEN lag(w.pos) OVER
+                        (PARTITION BY w.doc_id ORDER BY w.pos) IS NULL
+                     OR w.pos > lag(w.pos) OVER
+                        (PARTITION BY w.doc_id ORDER BY w.pos) + 12
+                THEN 1 ELSE 0 END AS brk
+    FROM wins w JOIN dup d USING (whash)
+),
+islands AS (
+    SELECT doc_id, n_tokens, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM hits
+),
+spans AS (
+    SELECT doc_id, max(n_tokens) AS n_tokens, island,
+           min(pos) AS s, max(pos) + 12 AS e
+    FROM islands GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+       round(sum(e - s) / CAST(max(n_tokens) AS DOUBLE), 4)
+           AS dup_fraction
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicated_spans
+
+    return duplicated_spans(spark.table("corpus"), w=12)

@@ -441,3 +441,113 @@ def test_minhash_estimate_quality(spark, sf_dir):
     assert all(r["est_jaccard"] == 1.0 for r in exact_dups)
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err < 0.2, mean_err
+
+
+def _span_rows(spark, docs, w=12):
+    from conversation_with_vector_db_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r["doc_id"]: r.asDict() for r in duplicated_spans(df, w=w).collect()}
+
+
+def test_duplicated_spans_cross_doc_shared_region(spark):
+    """Two docs sharing exactly a 20-token run (unique elsewhere) each
+    get ONE merged span covering exactly those 20 tokens: window starts
+    s..s+8 inside the shared region survive the frequency filter, and
+    merging [s, s+8+12) reconstructs the full region boundary."""
+    shared = " ".join(f"common{i}" for i in range(20))
+    a = " ".join(f"lefta{i}" for i in range(5)) + " " + shared + " " + \
+        " ".join(f"taila{i}" for i in range(5))
+    b = " ".join(f"leftb{i}" for i in range(7)) + " " + shared + " " + \
+        " ".join(f"tailb{i}" for i in range(3))
+    got = _span_rows(spark, [(1, a), (2, b)])
+    assert set(got) == {1, 2}
+    for doc_id, n_tokens in ((1, 30), (2, 30)):
+        row = got[doc_id]
+        assert row["n_spans"] == 1
+        assert row["dup_tokens"] == 20
+        assert row["n_tokens"] == n_tokens
+        assert row["dup_fraction"] == round(20 / n_tokens, 4)
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    """A 12-token phrase repeated twice WITHIN one document is a
+    duplicate (global frequency 2 with no second doc) and, separated by
+    more than a window, yields two distinct spans."""
+    phrase = " ".join(f"rep{i}" for i in range(12))
+    gap = " ".join(f"mid{i}" for i in range(15))
+    got = _span_rows(spark, [(1, phrase + " " + gap + " " + phrase)])
+    assert got[1]["n_spans"] == 2
+    assert got[1]["dup_tokens"] == 24
+    assert got[1]["n_tokens"] == 39
+
+
+def test_duplicated_spans_no_false_positives(spark):
+    """All-unique corpora produce no rows, and docs shorter than the
+    window never participate."""
+    docs = [
+        (1, " ".join(f"u{i}" for i in range(30))),
+        (2, " ".join(f"v{i}" for i in range(25))),
+        (3, "short doc below window"),
+    ]
+    assert _span_rows(spark, docs) == {}
+
+
+def test_duplicated_spans_adjacent_windows_merge(spark):
+    """An exact full-doc copy merges every surviving window into ONE
+    span covering the whole document (dup_fraction 1.0)."""
+    text = " ".join(f"w{i % 7}x{i % 11}y{i}" for i in range(40))
+    got = _span_rows(spark, [(1, text), (2, text)])
+    for doc_id in (1, 2):
+        assert got[doc_id]["n_spans"] == 1
+        assert got[doc_id]["dup_tokens"] == 40
+        assert got[doc_id]["dup_fraction"] == 1.0
+
+
+def test_duplicated_spans_matches_bruteforce(spark):
+    """Pin the operator against an independent per-token reference: mark
+    every token covered by any w-window whose token tuple occurs >= 2
+    times corpus-wide, then count marked tokens and maximal runs."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"tok{i}" for i in range(9)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 40))))
+        for i in range(12)
+    ]
+    w = 5
+    toks = {i: t.split() for i, t in docs}
+    from collections import Counter
+
+    freq = Counter(
+        tuple(t[p : p + w])
+        for t in toks.values()
+        for p in range(len(t) - w + 1)
+        if len(t) >= w
+    )
+    expect = {}
+    for i, t in toks.items():
+        if len(t) < w:
+            continue
+        covered = [False] * len(t)
+        for p in range(len(t) - w + 1):
+            if freq[tuple(t[p : p + w])] >= 2:
+                for j in range(p, p + w):
+                    covered[j] = True
+        dup = sum(covered)
+        if not dup:
+            continue
+        spans = sum(
+            1
+            for j, c in enumerate(covered)
+            if c and (j == 0 or not covered[j - 1])
+        )
+        expect[i] = (len(t), spans, dup)
+    got = _span_rows(spark, docs, w=w)
+    assert {
+        i: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
+        for i, r in got.items()
+    } == expect
