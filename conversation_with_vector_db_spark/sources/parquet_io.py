@@ -157,7 +157,11 @@ def drop_partition(
 # This is exactly the Delta/Iceberg/Hudi MOR design re-expressed on
 # bare parquet; swapping a table format in replaces the log with commit
 # metadata and makes compaction transactional, with no caller-visible
-# API change.
+# API change. That commit layer exists: sources/snapshot_log.py is the
+# minimal versioned table format (CAS-committed manifests, snapshot
+# isolation, time travel, conflict-checked rewrites, age-gated vacuum)
+# for deployments that need multi-writer atomicity; the marker-fenced
+# helpers below remain the bare-parquet form.
 
 
 def parquet_bytes_on_disk(path: str) -> int | None:

@@ -1,0 +1,305 @@
+"""Minimal transactional table format on bare parquet — the commit
+layer the merge-on-read module points at ("swapping a table format in
+replaces the log with commit metadata and makes compaction
+transactional", parquet_io.py).
+
+Design (the Delta/Iceberg core, re-expressed in ~200 lines):
+
+* A table is a directory of IMMUTABLE data segments (each one Spark
+  parquet write to a fresh UUID path) plus a ``_commits/`` log of
+  numbered manifest files. Manifest N lists the FULL live segment set
+  at version N (Iceberg-style snapshot manifest; a petabyte deployment
+  swaps in delta manifests + periodic checkpoints, same protocol).
+* A segment is VISIBLE only once a committed manifest references it,
+  so a writer dying after its parquet write but before its commit
+  leaves an invisible orphan, never a torn table.
+* Commit = publish manifest ``N+1`` with an atomic compare-and-swap:
+  content is fully written to a temp file, then ``os.link``ed to the
+  final numbered name. The link either materializes the COMPLETE
+  manifest under the final name or fails ``EEXIST`` — no reader can
+  observe a half-written manifest, and exactly one of any number of
+  racing writers wins each version. (Object stores swap the hard link
+  for a conditional put / if-none-match; HDFS for create-exclusive.
+  The marker fence in parquet_io covers plain-FS deployments that
+  cannot CAS.)
+* Losers RETRY against the new head: appends always commute (replay =
+  new live set + my segment); rewrites revalidate that every segment
+  they intend to remove is still live — if a concurrent rewrite took
+  one first, the retry fails with :class:`CommitConflictError` instead
+  of resurrecting or double-folding data. Appends that landed during a
+  rewrite survive it (they're in the new head's live set).
+* Readers pin a version: ``read_snapshot`` resolves the manifest once
+  and reads exactly those immutable segments, so a concurrent
+  compaction (rewrite + vacuum of UNREFERENCED segments) never changes
+  or tears a running query — snapshot isolation by construction.
+  Older manifests remain readable (time travel) until vacuumed.
+
+Scale posture: the commit path touches only manifests (KBs) — data
+movement stays in Spark jobs; nothing here ever reads data rows on the
+driver. Concurrency tests in tests/test_snapshot_log.py race real
+threads through append/rewrite/vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "CommitConflictError",
+    "append_snapshot",
+    "compact_snapshots",
+    "create_table",
+    "latest_version",
+    "live_segments",
+    "read_snapshot",
+    "rewrite_snapshot",
+    "vacuum",
+    "versions",
+]
+
+_COMMITS = "_commits"
+_DATA = "data"
+_MANIFEST_RE = re.compile(r"^(\d{8})\.json$")
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's read set: a
+    segment this rewrite meant to remove is no longer live (another
+    rewrite folded it first). Retrying blindly would double-fold or
+    resurrect rows; the caller must re-plan from the current head."""
+
+
+def _commits_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _COMMITS)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_commits_dir(table_dir), f"{version:08d}.json")
+
+
+def create_table(table_dir: str) -> None:
+    """Initialize an empty table (version 0, no segments)."""
+    os.makedirs(_commits_dir(table_dir), exist_ok=True)
+    os.makedirs(os.path.join(table_dir, _DATA), exist_ok=True)
+    _try_commit(table_dir, 0, {"version": 0, "op": "create", "live": []})
+
+
+def versions(table_dir: str) -> list[int]:
+    """Committed versions, ascending. Ignores foreign files — a torn
+    tmp file or editor droppings in _commits/ must not corrupt the
+    version sequence."""
+    try:
+        names = os.listdir(_commits_dir(table_dir))
+    except FileNotFoundError:
+        return []
+    out = [int(m.group(1)) for n in names if (m := _MANIFEST_RE.match(n))]
+    return sorted(out)
+
+
+def latest_version(table_dir: str) -> int:
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no snapshot table at {table_dir}")
+    return vs[-1]
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def live_segments(table_dir: str, version: int | None = None) -> list[str]:
+    """Relative segment paths live at ``version`` (default: head)."""
+    if version is None:
+        version = latest_version(table_dir)
+    return list(_read_manifest(table_dir, version)["live"])
+
+
+def _try_commit(table_dir: str, version: int, manifest: dict) -> bool:
+    """Atomically publish ``manifest`` as ``version``. True on win,
+    False when the version was already taken (caller re-reads head and
+    retries). The temp file is fully written + flushed BEFORE the
+    hard-link CAS, so the numbered name never exposes partial JSON."""
+    cdir = _commits_dir(table_dir)
+    tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+    final = _manifest_path(table_dir, version)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _write_segment(df: DataFrame, table_dir: str) -> str:
+    """Write one immutable data segment; returns its relative path.
+    Invisible until a committed manifest references it."""
+    rel = os.path.join(_DATA, uuid.uuid4().hex)
+    df.write.parquet(os.path.join(table_dir, rel))
+    return rel
+
+
+def append_snapshot(
+    df: DataFrame, table_dir: str, max_retries: int = 64
+) -> int:
+    """Transactional append: write a segment, then CAS-commit it onto
+    the head. Appends commute, so losing a race just replays the same
+    segment onto the new head — every concurrent append lands exactly
+    once. Returns the committed version."""
+    rel = _write_segment(df, table_dir)
+    for _ in range(max_retries):
+        head = latest_version(table_dir)
+        manifest = {
+            "version": head + 1,
+            "op": "append",
+            "added": [rel],
+            "removed": [],
+            "live": live_segments(table_dir, head) + [rel],
+        }
+        if _try_commit(table_dir, head + 1, manifest):
+            return head + 1
+    raise CommitConflictError(
+        f"append lost {max_retries} straight CAS races at {table_dir}"
+    )
+
+
+def rewrite_snapshot(
+    df: DataFrame | None,
+    table_dir: str,
+    remove: list[str],
+    max_retries: int = 64,
+) -> int:
+    """Transactional rewrite: replace the ``remove`` segments with one
+    new segment holding ``df`` (None = pure delete). The remove set is
+    revalidated against the head on every CAS attempt — if a concurrent
+    rewrite already folded one of them, raises
+    :class:`CommitConflictError` (re-plan from the new head); appends
+    that landed meanwhile simply stay live. Returns the version."""
+    adds = [] if df is None else [_write_segment(df, table_dir)]
+    removed = set(remove)
+    for _ in range(max_retries):
+        head = latest_version(table_dir)
+        live = live_segments(table_dir, head)
+        if not removed.issubset(live):
+            raise CommitConflictError(
+                f"segments no longer live at v{head}: "
+                f"{sorted(removed - set(live))}"
+            )
+        manifest = {
+            "version": head + 1,
+            "op": "rewrite",
+            "added": adds,
+            "removed": sorted(removed),
+            "live": [s for s in live if s not in removed] + adds,
+        }
+        if _try_commit(table_dir, head + 1, manifest):
+            return head + 1
+    raise CommitConflictError(
+        f"rewrite lost {max_retries} straight CAS races at {table_dir}"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read: resolve the manifest once and scan
+    exactly its immutable segments. ``version`` pins time travel; the
+    default head resolution is the ONLY racy step, and it races to a
+    committed version or not at all. Empty tables need a caller-side
+    schema, so they read as an empty RDD-less DataFrame only when at
+    least one segment exists; an empty live set raises."""
+    if version is None:
+        version = latest_version(table_dir)
+    segs = live_segments(table_dir, version)
+    if not segs:
+        raise ValueError(
+            f"version {version} of {table_dir} has no segments; "
+            "schema-less empty reads are undefined on bare parquet"
+        )
+    return spark.read.parquet(
+        *[os.path.join(table_dir, s) for s in segs]
+    )
+
+
+def compact_snapshots(
+    spark: SparkSession, table_dir: str, max_retries: int = 8
+) -> int:
+    """Transactional small-file compaction: fold every segment live at
+    the pinned head into ONE segment. Runs as a rewrite, so concurrent
+    appends survive (they are in the post-CAS live set) and a
+    concurrent compactor loses cleanly with
+    :class:`CommitConflictError` instead of double-folding — the
+    multi-writer guarantee the marker-fenced bare-parquet compaction
+    cannot give. Retries re-plan from the current head."""
+    last: Exception | None = None
+    for _ in range(max_retries):
+        head = latest_version(table_dir)
+        segs = live_segments(table_dir, head)
+        if len(segs) <= 1:
+            return head
+        folded = read_snapshot(spark, table_dir, head).coalesce(1)
+        try:
+            return rewrite_snapshot(folded, table_dir, remove=segs)
+        except CommitConflictError as e:
+            last = e  # another rewrite moved the head; re-plan
+    raise last if last is not None else CommitConflictError(table_dir)
+
+
+def vacuum(
+    table_dir: str,
+    keep_versions: int = 1,
+    orphan_min_age_sec: float = 3600.0,
+) -> list[str]:
+    """Delete segments referenced ONLY by manifests older than the
+    last ``keep_versions`` (plus orphans from writers that died before
+    committing), then drop those manifests. Time travel remains exact
+    within the retained window; pinned readers older than it are the
+    retention trade every table format documents.
+
+    An unreferenced segment is indistinguishable from an IN-FLIGHT
+    append that hasn't CAS'd its manifest yet, so orphans are only
+    reclaimed once older than ``orphan_min_age_sec`` (Delta's retention
+    rule); segments dropped by a committed rewrite are safe at any age.
+    Returns the deleted relative paths."""
+    import time
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    vs = versions(table_dir)
+    keep = vs[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(live_segments(table_dir, v))
+    ever_committed: set[str] = set()
+    for v in vs:
+        ever_committed.update(live_segments(table_dir, v))
+    data_dir = os.path.join(table_dir, _DATA)
+    now = time.time()
+    deleted = []
+    for name in sorted(os.listdir(data_dir)):
+        rel = os.path.join(_DATA, name)
+        if rel in referenced:
+            continue
+        if rel not in ever_committed:
+            try:
+                age = now - os.path.getmtime(os.path.join(data_dir, name))
+            except OSError:
+                continue
+            if age < orphan_min_age_sec:
+                continue
+        shutil.rmtree(os.path.join(data_dir, name))
+        deleted.append(rel)
+    for v in vs[:-keep_versions]:
+        os.unlink(_manifest_path(table_dir, v))
+    return deleted

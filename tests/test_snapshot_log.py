@@ -1,0 +1,186 @@
+"""Transactional snapshot-log table format: multi-writer atomicity,
+snapshot isolation, time travel, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from conversation_with_vector_db_spark.sources.snapshot_log import (
+    CommitConflictError,
+    _write_segment,
+    append_snapshot,
+    compact_snapshots,
+    create_table,
+    latest_version,
+    live_segments,
+    read_snapshot,
+    rewrite_snapshot,
+    vacuum,
+    versions,
+)
+
+
+def _ids(df) -> list[int]:
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_read_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    create_table(t)
+    v1 = append_snapshot(spark.range(0, 10), t)
+    v2 = append_snapshot(spark.range(10, 15), t)
+    assert (v1, v2) == (1, 2)
+    assert _ids(read_snapshot(spark, t)) == list(range(15))
+    assert _ids(read_snapshot(spark, t, version=1)) == list(range(10))
+    with pytest.raises(ValueError):
+        read_snapshot(spark, t, version=0)  # empty table has no schema
+
+
+def test_concurrent_appends_land_exactly_once(spark, tmp_path):
+    """8 threads race 2 appends each through the CAS loop: every batch
+    must land exactly once and the version sequence must be contiguous
+    — the multi-writer guarantee bare parquet cannot give."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    errors = []
+
+    def worker(i):
+        try:
+            append_snapshot(spark.range(i * 100, i * 100 + 10), t)
+            append_snapshot(spark.range(i * 100 + 50, i * 100 + 60), t)
+        except Exception as e:  # noqa: BLE001 - surfaced via errors
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert versions(t) == list(range(17))  # v0 + 16 appends
+    expect = sorted(
+        x
+        for i in range(8)
+        for x in (*range(i * 100, i * 100 + 10),
+                  *range(i * 100 + 50, i * 100 + 60))
+    )
+    assert _ids(read_snapshot(spark, t)) == expect
+
+
+def test_rewrite_conflict_is_detected(spark, tmp_path):
+    """Two compactors planning against the same head: the second must
+    fail with CommitConflictError, not double-fold the segments the
+    first already rewrote."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)
+    append_snapshot(spark.range(5, 10), t)
+    stale_plan = live_segments(t)  # both compactors read this head
+    folded = read_snapshot(spark, t).coalesce(1)
+    rewrite_snapshot(folded, t, remove=stale_plan)  # compactor A wins
+    with pytest.raises(CommitConflictError):
+        rewrite_snapshot(folded, t, remove=stale_plan)  # B must abort
+    assert _ids(read_snapshot(spark, t)) == list(range(10))
+
+
+def test_appends_survive_compaction(spark, tmp_path):
+    """An append landing between a compactor's snapshot and its commit
+    stays live: the rewrite's CAS re-derives the live set from the new
+    head, removing only its own read set."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)
+    append_snapshot(spark.range(5, 10), t)
+    planned = live_segments(t)
+    folded = read_snapshot(spark, t).coalesce(1)
+    append_snapshot(spark.range(10, 15), t)  # lands mid-compaction
+    rewrite_snapshot(folded, t, remove=planned)
+    assert _ids(read_snapshot(spark, t)) == list(range(15))
+    assert len(live_segments(t)) == 2  # folded + the surviving append
+
+
+def test_concurrent_compactors_preserve_data(spark, tmp_path):
+    """Race two full compactors: at most one folds per head, losers
+    re-plan or abort, and the table never loses or duplicates a row."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    for i in range(4):
+        append_snapshot(spark.range(i * 10, i * 10 + 10), t)
+    outcomes = []
+
+    def compactor():
+        try:
+            outcomes.append(("ok", compact_snapshots(spark, t)))
+        except CommitConflictError:
+            outcomes.append(("conflict", None))
+
+    threads = [threading.Thread(target=compactor) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert any(o[0] == "ok" for o in outcomes)
+    assert _ids(read_snapshot(spark, t)) == list(range(40))
+
+
+def test_uncommitted_segment_is_invisible_and_age_gated(spark, tmp_path):
+    """A writer dying between its parquet write and its commit leaves
+    an orphan: readers never see it, vacuum spares it while it could be
+    an in-flight append, and reclaims it once past the age gate."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)
+    orphan = _write_segment(spark.range(100, 200), t)  # no commit
+    assert _ids(read_snapshot(spark, t)) == list(range(5))
+    assert vacuum(t, keep_versions=1) == []  # younger than the gate
+    full = os.path.join(t, orphan)
+    os.utime(full, (0, 0))  # forge old mtime on the segment dir
+    assert vacuum(t, keep_versions=1) == [orphan]
+    assert _ids(read_snapshot(spark, t)) == list(range(5))
+
+
+def test_vacuum_keeps_time_travel_window(spark, tmp_path):
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)       # v1
+    append_snapshot(spark.range(5, 10), t)      # v2
+    compact_snapshots(spark, t)                 # v3 folds v2's segments
+    deleted = vacuum(t, keep_versions=2)
+    assert versions(t) == [2, 3]
+    assert _ids(read_snapshot(spark, t, version=2)) == list(range(10))
+    assert _ids(read_snapshot(spark, t, version=3)) == list(range(10))
+    assert deleted == []  # v2 and v3 together still reference all segs
+    assert vacuum(t, keep_versions=1) != []  # dropping v2 frees its segs
+    assert _ids(read_snapshot(spark, t)) == list(range(10))
+
+
+def test_pinned_reader_unaffected_by_compaction(spark, tmp_path):
+    """Snapshot isolation: a reader pinned before a compaction sees
+    identical rows after it commits — segments are immutable and stay
+    on disk until vacuumed past the retention window."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)
+    append_snapshot(spark.range(5, 10), t)
+    pinned_v = latest_version(t)
+    pinned = read_snapshot(spark, t, version=pinned_v)
+    before = _ids(pinned)
+    compact_snapshots(spark, t)
+    append_snapshot(spark.range(10, 12), t)
+    assert _ids(read_snapshot(spark, t, version=pinned_v)) == before
+    assert _ids(pinned) == before  # the already-resolved plan too
+
+
+def test_foreign_files_in_commit_log_are_ignored(spark, tmp_path):
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 3), t)
+    cdir = os.path.join(t, "_commits")
+    for name in (".tmp-deadbeef", "README", "99999999.json.bak"):
+        with open(os.path.join(cdir, name), "w") as f:
+            f.write("{not json")
+    assert versions(t) == [0, 1]
+    assert _ids(read_snapshot(spark, t)) == [0, 1, 2]
