@@ -137,3 +137,92 @@ def with_regex_counts(
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return df.mapInArrow(score, schema=schema)
+
+
+def bigram_nll_scores(docs: DataFrame) -> DataFrame:
+    """CCNet-style statistical quality scoring: train an add-one-
+    smoothed bigram language model ON the corpus itself and score each
+    document by its average negative log-probability (nats) — low
+    scores mark formulaic/boilerplate-like text, high scores mark
+    out-of-distribution noise; curation keeps the middle band. (CCNet
+    scores against a pretrained KenLM; the self-trained corpus model is
+    the same mechanics with no external artifact, which also makes it
+    oracle-replayable.)
+
+    Cross-engine determinism: ``p = (c_bigram + 1) / (c_prev + V)`` is
+    one IEEE division of exact integers, identical everywhere; each
+    row's ``ln(p)`` is quantized to integer micro-nats (half-up) BEFORE
+    summing, so the per-doc aggregate is an exact integer sum — the
+    same per-row-quantize discipline as x8's cost column, because a
+    float sum's partition accumulation order is not reproducible.
+
+    Scale shape: bigram explosion is linear in corpus tokens and
+    feeds (a) one map-side-combined groupBy building the bigram count
+    table and (b) the scoring join — shuffle-hash on (prev, cur) /
+    (prev), never broadcast (count tables are data-sized; production
+    would dictionary-encode tokens to ints to shrink the shuffle); the
+    vocabulary size V is a broadcast one-row cross join. Output:
+    ``doc_id, n_bigrams, avg_nll`` per document with >= 2 tokens.
+    """
+    from .cache import scoped_cache
+    from .dedup import normalized_text
+
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t"),
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("t")),
+                lambda i: F.struct(
+                    F.element_at("t", i - 1).alias("prev"),
+                    F.element_at("t", i).alias("cur"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.cur")
+    bg = scoped_cache(bg)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_prev"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
+    scored = (
+        bg.join(bgc.hint("shuffle_hash"), ["prev", "cur"])
+        .join(
+            uni.hint("shuffle_hash"),
+            F.col("prev") == F.col("w"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("c_bg") + F.lit(1.0))
+                    / (F.col("c_prev") + F.col("v"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                (-F.sum("q")).cast("double")
+                / (F.count("*") * F.lit(1e6)),
+                4,
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

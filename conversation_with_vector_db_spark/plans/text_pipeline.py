@@ -1139,3 +1139,62 @@ def text_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "toks", F.col("thr").alias("threshold"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_perplexity_bigram",
+    driver=False,
+    doc="""Statistical (perplexity-style) quality scoring — the CCNet
+    filtering signal: train an add-one-smoothed bigram LM on the
+    corpus itself and score each doc by average negative log-prob in
+    nats (low = formulaic/boilerplate-like, high = out-of-distribution
+    noise; curation keeps the middle band). Per-row integer micro-nat
+    quantization before the sum keeps the aggregate exact across
+    engines — see operators/text.bigram_nll_scores for the scale
+    shape (linear bigram explosion, map-combined count tables,
+    shuffle-hash scoring joins, broadcast scalar vocabulary).""",
+    fixtures_used=("corpus",),
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS t
+    FROM corpus
+),
+docs2 AS (SELECT * FROM toks WHERE len(t) >= 2),
+bg AS (
+    SELECT doc_id, t[i - 1] AS prev, t[i] AS cur
+    FROM docs2,
+         unnest(generate_series(2, CAST(len(t) AS INT))) AS s(i)
+),
+uni AS (
+    SELECT w, count(*) AS c_prev
+    FROM (SELECT unnest(t) AS w FROM docs2)
+    GROUP BY w
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+bgc AS (
+    SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY prev, cur
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(floor(ln((c.c_bg + 1.0) / (u.c_prev + vocab.v)) * 1e6
+                      + 0.5) AS BIGINT) AS q
+    FROM bg b
+    JOIN bgc c USING (prev, cur)
+    JOIN uni u ON b.prev = u.w
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(-sum(q) AS DOUBLE) / (count(*) * 1e6), 4) AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_nll_scores
+
+    return bigram_nll_scores(spark.table("corpus"))

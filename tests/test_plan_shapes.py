@@ -140,3 +140,26 @@ def test_v1_scan_prunes_to_needed_columns(spark, sf_dir):
     # The embeddings table also carries a label column the query never
     # touches; a pruned ReadSchema must not include it.
     assert all("label" not in ln.split("ReadSchema")[1] for ln in emb_scans)
+
+
+def test_substring_spans_plan_shape(spark, sf_dir):
+    """The duplicated-span plan must keep its scale posture: the
+    survivor rejoin is a shuffled hash join on the window-hash key
+    (never broadcast — the duplicated-window set is data-sized), and
+    span merging partitions by doc_id, never a global window."""
+    plan = _spark_plan(spark, sf_dir, "dedup_substring_spans")
+    assert "ShuffledHashJoin [whash" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_perplexity_scoring_joins_are_shuffle_hash(spark, sf_dir):
+    """Both LM-count scoring joins must stay shuffled hash joins (count
+    tables are data-sized; a broadcast would be the 100 TB
+    scale-killer); the only broadcast is the one-row vocabulary
+    scalar."""
+    plan = _spark_plan(spark, sf_dir, "text_perplexity_bigram")
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row vocab scalar
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan

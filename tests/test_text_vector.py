@@ -483,3 +483,29 @@ def test_matmul_extra_cols_passthrough_matches_brute_force(spark, sf_dir):
         tuple(r) for r in df.orderBy("qid", "rank").collect()
     ]
     assert rows(mm) == rows(bf)
+
+
+def test_bigram_nll_separates_boilerplate_from_noise(spark):
+    """The self-trained bigram LM must score repeated boilerplate as
+    more probable (lower avg negative log-prob) than a one-off doc made
+    of tokens the corpus never repeats."""
+    from conversation_with_vector_db_spark.operators.text import (
+        bigram_nll_scores,
+    )
+
+    boiler = "terms of service apply to all users of this site"
+    docs = [(i, boiler) for i in range(10)] + [
+        (100, "zq xv wk jn pf bd gm lt rc hy"),
+        (101, "one short"),  # 1 bigram, still scored
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_nll_scores(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert set(rows) == set(range(10)) | {100, 101}
+    assert all(rows[i]["avg_nll"] == rows[0]["avg_nll"] for i in range(10))
+    assert rows[100]["avg_nll"] > rows[0]["avg_nll"] + 1.0
+    assert rows[100]["n_bigrams"] == 9
+    assert rows[0]["n_bigrams"] == 9
