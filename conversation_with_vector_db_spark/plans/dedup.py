@@ -1293,7 +1293,8 @@ def dedup_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_substring_spans",
-    driver=False,
+    # Driver tier since late r4 (rotated in as the family's newest
+    # capability).
     doc="""Exact-substring duplicated-span dedup — the distributed form
     of suffix-array substring dedup (Lee et al. 2022): hash every
     stride-1 12-token window, keep windows whose global frequency is

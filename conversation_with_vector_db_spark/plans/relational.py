@@ -887,6 +887,10 @@ def u5_array_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f3_month_window",
+    # Local tier since late r4 (rotated out for text_perplexity_bigram;
+    # the flagship is the driver-green month-window/pushdown
+    # representative, and the F family keeps f11 + f12).
+    driver=False,
     doc="""F3: createdAt {$gte: startOfMonth, $lt: endOfMonth} date
     bucketing (controllers/trackUsageController.js:42-59,160-180) —
     fixed-literal month window, per-day counts.""",

@@ -1143,7 +1143,8 @@ def text_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_perplexity_bigram",
-    driver=False,
+    # Driver tier since late r4 (rotated in as the family's newest
+    # capability).
     doc="""Statistical (perplexity-style) quality scoring — the CCNet
     filtering signal: train an add-one-smoothed bigram LM on the
     corpus itself and score each doc by average negative log-prob in

@@ -418,6 +418,9 @@ def v1b_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v1c_filtered_topk",
+    # Local tier since late r4 (rotated out for dedup_substring_spans;
+    # the vector family keeps v1, w5 and ann_recall_suite driver-green).
+    driver=False,
     doc="""Metadata-filtered top-k: the filter applies BEFORE scoring
     (filter-then-search, not search-then-filter), so pushdown prunes
     the candidate set at the scan — at scale this is partition pruning
