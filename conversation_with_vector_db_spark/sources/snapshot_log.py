@@ -160,12 +160,20 @@ def append_snapshot(
     rel = _write_segment(df, table_dir)
     for _ in range(max_retries):
         head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            # An aggressive concurrent vacuum (keep_versions=1 with a
+            # commit racing ahead) reaped `head` between our listing
+            # and the read; the head has necessarily advanced — retry
+            # against the new one rather than crash the CAS loop.
+            continue
         manifest = {
             "version": head + 1,
             "op": "append",
             "added": [rel],
             "removed": [],
-            "live": live_segments(table_dir, head) + [rel],
+            "live": live + [rel],
         }
         if _try_commit(table_dir, head + 1, manifest):
             return head + 1
@@ -190,7 +198,10 @@ def rewrite_snapshot(
     removed = set(remove)
     for _ in range(max_retries):
         head = latest_version(table_dir)
-        live = live_segments(table_dir, head)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue  # head vacuumed mid-read; re-resolve (see append)
         if not removed.issubset(live):
             raise CommitConflictError(
                 f"segments no longer live at v{head}: "
@@ -302,4 +313,18 @@ def vacuum(
         deleted.append(rel)
     for v in vs[:-keep_versions]:
         os.unlink(_manifest_path(table_dir, v))
+    # Reap aged commit temp files: a writer dying between its hard-link
+    # CAS and the unlink leaves a fully-written orphan tmp that nothing
+    # references. Same age gate — a LIVE writer's tmp exists only for
+    # the instant between write and link.
+    cdir = _commits_dir(table_dir)
+    for name in os.listdir(cdir):
+        if not name.startswith(".tmp-"):
+            continue
+        full = os.path.join(cdir, name)
+        try:
+            if now - os.path.getmtime(full) >= orphan_min_age_sec:
+                os.unlink(full)
+        except OSError:
+            pass  # already reaped by a concurrent vacuum
     return deleted

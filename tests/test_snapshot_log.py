@@ -184,3 +184,54 @@ def test_foreign_files_in_commit_log_are_ignored(spark, tmp_path):
             f.write("{not json")
     assert versions(t) == [0, 1]
     assert _ids(read_snapshot(spark, t)) == [0, 1, 2]
+
+
+def test_vacuum_reaps_aged_commit_tmp_files(spark, tmp_path):
+    """A writer dying between its CAS link and tmp unlink leaves a tmp
+    manifest: ignored by the version sequence, spared while young,
+    reaped once past the age gate."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 3), t)
+    cdir = os.path.join(t, "_commits")
+    stale = os.path.join(cdir, ".tmp-deadwriter")
+    with open(stale, "w") as f:
+        f.write('{"version": 99}')
+    vacuum(t, keep_versions=1)
+    assert os.path.exists(stale)  # younger than the gate
+    os.utime(stale, (0, 0))
+    vacuum(t, keep_versions=1)
+    assert not os.path.exists(stale)
+    assert versions(t) == [1]
+    assert _ids(read_snapshot(spark, t)) == [0, 1, 2]
+
+
+def test_append_survives_concurrent_aggressive_vacuum(spark, tmp_path):
+    """Appends racing a keep_versions=1 vacuum loop must neither crash
+    on a reaped head manifest nor lose a batch."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)
+    stop = threading.Event()
+    errors = []
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                vacuum(t, keep_versions=1)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    th = threading.Thread(target=vacuumer)
+    th.start()
+    try:
+        for i in range(1, 6):
+            append_snapshot(spark.range(i * 10, i * 10 + 5), t)
+    finally:
+        stop.set()
+        th.join()
+    assert errors == []
+    expect = sorted(
+        x for i in range(6) for x in range(i * 10, i * 10 + 5)
+    )
+    assert _ids(read_snapshot(spark, t)) == expect
