@@ -53,9 +53,20 @@ def hash60(value: Column) -> Column:
     return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
 
 
+def tokens(text: Column) -> Column:
+    """Canonical word tokenization: ``[a-z0-9]+`` runs of the
+    normalized text. The ONE Spark-side definition — every operator
+    that tokenizes words uses this, and each SQL oracle restates the
+    same ``regexp_extract_all(<normalized>, '[a-z0-9]+')`` so a
+    semantics change must land here and in the oracles together."""
+    return F.regexp_extract_all(
+        normalized_text(text), F.lit("[a-z0-9]+"), 0
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct 60-bit hashes of word n-grams of the normalized text."""
-    toks = F.regexp_extract_all(normalized_text(text), F.lit("[a-z0-9]+"), 0)
+    toks = tokens(text)
     return F.array_distinct(
         F.transform(
             F.sequence(
@@ -978,10 +989,7 @@ def duplicated_spans(docs: DataFrame, w: int = 12) -> DataFrame:
     from pyspark.sql import Window
 
     toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(
-            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
-        ).alias("t"),
+        "doc_id", tokens(F.col("text")).alias("t")
     ).filter(F.size("t") >= w)
     wins = toks.select(
         "doc_id",

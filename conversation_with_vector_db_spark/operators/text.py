@@ -165,14 +165,16 @@ def bigram_nll_scores(docs: DataFrame) -> DataFrame:
     ``doc_id, n_bigrams, avg_nll`` per document with >= 2 tokens.
     """
     from .cache import scoped_cache
-    from .dedup import normalized_text
+    from .dedup import tokens
 
-    toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(
-            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
-        ).alias("t"),
-    ).filter(F.size("t") >= 2)
+    # Cached: BOTH the bigram explode and the unigram/vocab branch
+    # re-traverse the tokenized corpus — without the cache the full
+    # scan + normalize + regexp extraction runs twice.
+    toks = scoped_cache(
+        docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+            F.size("t") >= 2
+        )
+    )
     bg = toks.select(
         "doc_id",
         F.explode(

@@ -1232,13 +1232,10 @@ ORDER BY doc_id
 """,
 )
 def dedup_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import hash60, normalized_text
+    from ..operators.dedup import hash60, tokens
 
     toks = spark.table("corpus").select(
-        "doc_id",
-        F.regexp_extract_all(
-            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
-        ).alias("t"),
+        "doc_id", tokens(F.col("text")).alias("t")
     ).filter(F.size("t") >= 10)
     passages = (
         toks.select(

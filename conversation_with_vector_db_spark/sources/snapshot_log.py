@@ -65,7 +65,11 @@ __all__ = [
 
 _COMMITS = "_commits"
 _DATA = "data"
-_MANIFEST_RE = re.compile(r"^(\d{8})\.json$")
+# 8+ digits, not exactly 8: ``{version:08d}`` grows past 8 digits at
+# version 10^8 and an exact-width match would silently wedge the table
+# there (every writer re-reading head 99999999 forever). Delta pads to
+# 20 for the same reason.
+_MANIFEST_RE = re.compile(r"^(\d{8,})\.json$")
 
 
 class CommitConflictError(RuntimeError):
@@ -135,11 +139,21 @@ def _try_commit(table_dir: str, version: int, manifest: dict) -> bool:
         os.fsync(f.fileno())
     try:
         os.link(tmp, final)
-        return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+    # The commit is acknowledged to the caller once we return True, so
+    # the directory entry itself must be durable: fsync the _commits
+    # directory, or a power cut after the ack could silently regress
+    # the head to the previous version (rename/link durability requires
+    # fsyncing the parent directory, not just the file contents).
+    dfd = os.open(cdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    return True
 
 
 def _write_segment(df: DataFrame, table_dir: str) -> str:
@@ -193,9 +207,19 @@ def rewrite_snapshot(
     revalidated against the head on every CAS attempt — if a concurrent
     rewrite already folded one of them, raises
     :class:`CommitConflictError` (re-plan from the new head); appends
-    that landed meanwhile simply stay live. Returns the version."""
+    that landed meanwhile simply stay live. On conflict the
+    already-written replacement segment is deleted before raising —
+    it is provably uncommitted and owned by this writer, and leaving
+    it would leak a table-sized orphan per aborted compaction until an
+    age-gated vacuum an hour later. Returns the version."""
     adds = [] if df is None else [_write_segment(df, table_dir)]
     removed = set(remove)
+
+    def _abort(msg: str) -> CommitConflictError:
+        for rel in adds:
+            shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+        return CommitConflictError(msg)
+
     for _ in range(max_retries):
         head = latest_version(table_dir)
         try:
@@ -203,7 +227,7 @@ def rewrite_snapshot(
         except FileNotFoundError:
             continue  # head vacuumed mid-read; re-resolve (see append)
         if not removed.issubset(live):
-            raise CommitConflictError(
+            raise _abort(
                 f"segments no longer live at v{head}: "
                 f"{sorted(removed - set(live))}"
             )
@@ -216,7 +240,7 @@ def rewrite_snapshot(
         }
         if _try_commit(table_dir, head + 1, manifest):
             return head + 1
-    raise CommitConflictError(
+    raise _abort(
         f"rewrite lost {max_retries} straight CAS races at {table_dir}"
     )
 
@@ -256,10 +280,13 @@ def compact_snapshots(
     last: Exception | None = None
     for _ in range(max_retries):
         head = latest_version(table_dir)
-        segs = live_segments(table_dir, head)
-        if len(segs) <= 1:
-            return head
-        folded = read_snapshot(spark, table_dir, head).coalesce(1)
+        try:
+            segs = live_segments(table_dir, head)
+            if len(segs) <= 1:
+                return head
+            folded = read_snapshot(spark, table_dir, head).coalesce(1)
+        except FileNotFoundError:
+            continue  # head vacuumed mid-read; re-plan (see append)
         try:
             return rewrite_snapshot(folded, table_dir, remove=segs)
         except CommitConflictError as e:
@@ -287,14 +314,34 @@ def vacuum(
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    vs = versions(table_dir)
-    keep = vs[-keep_versions:]
-    referenced: set[str] = set()
-    for v in keep:
-        referenced.update(live_segments(table_dir, v))
-    ever_committed: set[str] = set()
-    for v in vs:
-        ever_committed.update(live_segments(table_dir, v))
+    # Snapshot phase, retried as a whole if a RETAINED manifest
+    # vanishes mid-read (a concurrent vacuum with a commit racing ahead
+    # chose a newer window): skipping a keep manifest would
+    # under-populate `referenced` and delete LIVE segments, so only a
+    # consistent read of the keep window may proceed. A missing OLD
+    # manifest is fine — the other vacuum owned it; any segment it
+    # alone referenced is now covered by the orphan age gate.
+    for _ in range(8):
+        vs = versions(table_dir)
+        keep = vs[-keep_versions:]
+        referenced: set[str] = set()
+        ever_committed: set[str] = set()
+        try:
+            for v in keep:
+                referenced.update(live_segments(table_dir, v))
+        except FileNotFoundError:
+            continue
+        for v in vs[:-keep_versions]:
+            try:
+                ever_committed.update(live_segments(table_dir, v))
+            except FileNotFoundError:
+                pass
+        ever_committed.update(referenced)
+        break
+    else:
+        raise CommitConflictError(
+            f"vacuum lost 8 straight keep-window races at {table_dir}"
+        )
     data_dir = os.path.join(table_dir, _DATA)
     now = time.time()
     deleted = []
@@ -309,10 +356,16 @@ def vacuum(
                 continue
             if age < orphan_min_age_sec:
                 continue
-        shutil.rmtree(os.path.join(data_dir, name))
+        try:
+            shutil.rmtree(os.path.join(data_dir, name))
+        except FileNotFoundError:
+            continue  # a concurrent vacuum got there first
         deleted.append(rel)
     for v in vs[:-keep_versions]:
-        os.unlink(_manifest_path(table_dir, v))
+        try:
+            os.unlink(_manifest_path(table_dir, v))
+        except FileNotFoundError:
+            pass  # already dropped by a concurrent vacuum
     # Reap aged commit temp files: a writer dying between its hard-link
     # CAS and the unlink leaves a fully-written orphan tmp that nothing
     # references. Same age gate — a LIVE writer's tmp exists only for

@@ -235,3 +235,80 @@ def test_append_survives_concurrent_aggressive_vacuum(spark, tmp_path):
         x for i in range(6) for x in range(i * 10, i * 10 + 5)
     )
     assert _ids(read_snapshot(spark, t)) == expect
+
+
+def test_version_rollover_past_eight_digits(spark, tmp_path):
+    """{version:08d} grows to 9 digits at 10^8; the manifest pattern
+    must accept it or every writer wedges at head 99999999 forever."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        _try_commit,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 3), t)
+    assert _try_commit(
+        t,
+        99999999,
+        {
+            "version": 99999999,
+            "op": "append",
+            "added": [],
+            "removed": [],
+            "live": live_segments(t, 1),
+        },
+    )
+    assert latest_version(t) == 99999999
+    assert append_snapshot(spark.range(3, 6), t) == 100000000
+    assert latest_version(t) == 100000000
+    assert _ids(read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 5]
+
+
+def test_rewrite_conflict_does_not_leak_segment(spark, tmp_path):
+    """The loser of a rewrite race must delete its uncommitted
+    replacement segment instead of stranding a table-sized orphan."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)
+    append_snapshot(spark.range(5, 10), t)
+    stale = live_segments(t)
+    folded = read_snapshot(spark, t).coalesce(1)
+    rewrite_snapshot(folded, t, remove=stale)
+    n_before = len(os.listdir(os.path.join(t, "data")))
+    with pytest.raises(CommitConflictError):
+        rewrite_snapshot(folded, t, remove=stale)
+    assert len(os.listdir(os.path.join(t, "data"))) == n_before
+
+
+def test_concurrent_vacuums_and_appends(spark, tmp_path):
+    """Two vacuum loops racing each other AND a stream of appends:
+    nobody may crash on the other's deletions, and no committed row may
+    be lost."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)
+    stop = threading.Event()
+    errors = []
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                vacuum(t, keep_versions=1)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    threads = [threading.Thread(target=vacuumer) for _ in range(2)]
+    for th in threads:
+        th.start()
+    try:
+        for i in range(1, 5):
+            append_snapshot(spark.range(i * 10, i * 10 + 5), t)
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert errors == []
+    expect = sorted(
+        x for i in range(5) for x in range(i * 10, i * 10 + 5)
+    )
+    assert _ids(read_snapshot(spark, t)) == expect
