@@ -38,9 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver tier: 50 curated queries spanning every SURVEY §2
     family (the driver's correctness gate records the alphabetically
     first ~50, so the tier is capped there by design). The full
-    128-query registry — including redundant per-family variants —
-    is oracle-checked locally via ``tools/check_parity.py`` and the
-    sf0.001 parity pytest."""
+    registry — ``plans.registry.all_queries()``, including redundant
+    per-family variants — is oracle-checked locally via
+    ``tools/check_parity.py`` and the sf0.001 parity pytest."""
     return plans.registry.queries()
 
 

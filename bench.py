@@ -50,14 +50,17 @@ HEADLINE = [
 # Adaptive execution is COST-GATED on input size, like the shuffle
 # partition count below: AQE's value (skew splits, runtime
 # coalescing, join re-planning) scales with data, while its cost
-# (extra scheduler job rounds per query) is constant — at sf0.1 the
-# rounds are pure overhead, measured -27..38% across ALL headline
-# classes with AQE off (r3; the r2-era "AQE pays on the heavy dedups"
-# no longer holds now that those plans carry explicit shuffle-hash
-# hints and capped fan-outs). Above the byte threshold — any real
-# cluster input — AQE stays ON, which is also the engine's session
-# default everywhere outside bench (tests and the driver gate verify
-# correctness under AQE=on).
+# (extra scheduler job rounds per query) is constant. Threshold
+# history matters here: the r3/early-r4 "+30-40% AQE overhead"
+# figures came from an ASYMMETRICALLY-sampled comparison pass (one
+# cold build, one fewer exec sample on the AQE-on side); with
+# matched sampling (late r4) the measured crossover sits between
+# sf0.1 and sf1 — 50 MB input: AQE-on +8.5% (8.29 -> 9.00 s total);
+# 153 MB: AQE-on -24% (20.3 -> 15.4 s); 1.53 GB (sf10): AQE-on wins
+# 7 of 8 probed queries. Hence the ~100 MB threshold. Above it —
+# any real cluster input — AQE stays ON, which is also the engine's
+# session default everywhere outside bench (tests and the driver
+# gate verify correctness under AQE=on).
 
 
 def ann_economics(spark, sf: float) -> dict:
@@ -69,8 +72,6 @@ def ann_economics(spark, sf: float) -> dict:
     generator (seeded), 20 clusters, ~0.08 intra-cluster noise —
     the same distribution the recall test pins at sf0.01.
     """
-    import time
-
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -175,12 +176,20 @@ def main() -> None:
     )
 
     # Size shuffle partitions to the DATA, not the core count: target
-    # ~32 MB per partition, floor 8, cap 4x cores. At sf0.1 (~50 MB
-    # input) this lands at 8 — measured ~2x faster than 32 partitions
-    # (fewer task launches); at 100 TB the same rule yields ~3M
-    # partitions, which is what AQE would coalesce toward anyway.
+    # ~32 MB per partition, floor 8, cap 4x cores (the cap binds above
+    # ~4 GB of input on this box — a real cluster's cores scale with
+    # its data, so the 32 MB target governs there; below the cap AQE
+    # would coalesce toward the same count anyway). Table sizes go
+    # through parquet_bytes_on_disk: a bare getsize on a
+    # directory-layout parquet table stats the ~4 KB inode, which
+    # would silently hold the AQE cost gate below threshold on
+    # arbitrarily large input.
+    from conversation_with_vector_db_spark.sources.parquet_io import (
+        parquet_bytes_on_disk,
+    )
+
     input_bytes = sum(
-        os.path.getsize(table_path(sf_dir, t))
+        parquet_bytes_on_disk(table_path(sf_dir, t)) or 0
         for t in BASE_TABLES
         if os.path.exists(table_path(sf_dir, t))
     )
@@ -191,8 +200,9 @@ def main() -> None:
         shuffle_partitions=int(parts),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # See the cost-gating note above: AQE on only past ~1 GB of input.
-    adaptive = input_bytes > (1 << 30)
+    # See the cost-gating note above: AQE on past ~100 MB of input
+    # (the matched-sampling crossover sits between 50 and 153 MB).
+    adaptive = input_bytes > (100 << 20)
     spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
 
     # Bench times the full registry surface, not just the driver-facing
@@ -202,7 +212,13 @@ def main() -> None:
     from conversation_with_vector_db_spark.session import load_tables
 
     qs, oracles = registry.all_queries(), registry.all_oracles()
-    names = [n for n in HEADLINE if n in qs]
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        # Fail loudly: silently dropping a renamed/deleted headline
+        # query would shrink headline_queries_total_wall and record a
+        # fake round-over-round speedup.
+        raise SystemExit(f"headline queries missing from registry: {missing}")
+    names = list(HEADLINE)
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup.
     qs[names[0]](spark, sf_dir).count()
@@ -273,19 +289,27 @@ def main() -> None:
     # re-run the headliners with it forced on so the shipped default
     # path keeps a measured wall and the gate's overhead claim stays
     # current. DataFrames are rebuilt so execution picks up the conf.
+    # Sampling matches the gated-off pass above (min-of-2 builds,
+    # min-of-3 execs): with ~±30% single-sample jitter at sub-second
+    # scale, asymmetric sampling would systematically inflate the
+    # AQE-on walls and overstate the overhead the gate's off-decision
+    # rests on.
     aqe_on_timings: dict[str, float] = {}
     if not adaptive:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         for name in names:
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            build = time.perf_counter() - t0
-            execs = []
+            builds = []
+            df = None
             for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                builds.append(time.perf_counter() - t0)
+            execs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 execs.append(time.perf_counter() - t0)
-            aqe_on_timings[name] = round(build + min(execs), 4)
+            aqe_on_timings[name] = round(min(builds) + min(execs), 4)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     ann = ann_economics(spark, sf)

@@ -55,7 +55,15 @@ def main() -> int:
     from conversation_with_vector_db_spark.plans import registry
 
     qs, oracles = registry.all_queries(), registry.all_oracles()
-    assert set(e.queries()) <= set(qs)
+    # Falsifiable driver-contract guards (a subset check against the
+    # same REGISTRY dict would hold by construction): the exposed tier
+    # must respect the cap, and every driver-tier query must carry an
+    # oracle — a missing one silently downgrades the driver's gate row
+    # to rows-only.
+    driver_tier = e.queries()
+    assert len(driver_tier) <= registry.DRIVER_TIER_CAP, len(driver_tier)
+    missing_oracles = sorted(set(driver_tier) - set(e.oracle_sql()))
+    assert not missing_oracles, missing_oracles
     n_pass = n_fail = n_rows_only = 0
     failures = []
     for name, fn in qs.items():
