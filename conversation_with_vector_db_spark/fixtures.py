@@ -199,6 +199,12 @@ FROM events
 # known positives: every 10th doc gets an exact copy (+100000), every
 # 7th a near-copy with an appended tail (+200000), every 13th a
 # near-copy with a changed head (+300000).
+#
+# CONTRACT: base doc_id must stay < 100000 (driver fixtures top out at
+# 5000 docs at sf0.1) or plant ids alias real documents and the
+# "known positives" become ambiguous — both engines agree, so parity
+# can't catch it. tools/gen_sf.py enforces this at generation time;
+# the plans' `doc_id < 100000` plant/base discriminators assume it.
 CORPUS_SQL = """
 SELECT doc_id, text FROM documents
 UNION ALL
@@ -250,7 +256,22 @@ def with_fixtures(sql: str, *names: str) -> str:
         return sql
     ctes = ", ".join(f"{n} AS ({DERIVED_VIEWS[n]})" for n in names)
     stripped = sql.lstrip()
-    if stripped.upper().startswith("WITH"):
+    upper = stripped.upper()
+    if upper.startswith("WITH RECURSIVE"):
+        # The prefix merge would yield "WITH <ctes>, RECURSIVE x AS
+        # (...)" — a parse error (or worse, a silently non-recursive
+        # CTE). Until now this constraint lived only in comments; make
+        # it self-enforcing: recursive oracles must inline their
+        # fixtures by hand (see plans/dedup.py's closure CTEs).
+        raise ValueError(
+            "WITH RECURSIVE oracles cannot declare fixtures_used — "
+            "inline the fixture CTEs after the RECURSIVE keyword"
+        )
+    if upper.startswith("WITH") and (
+        len(stripped) == 4 or not stripped[4].isalnum()
+    ):
         # Merge with the query's own CTE list: WITH a AS (...), <rest>.
+        # The boundary check keeps a WITH-prefixed identifier (e.g.
+        # "WITHDRAWALS.x") from being mangled.
         return f"WITH {ctes}, {stripped[4:].lstrip()}"
     return f"WITH {ctes} {sql}"

@@ -104,16 +104,13 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = table_path(sf_dir, name)
-    nano_cols = _nano_ts_columns(path)
-    if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+def _convert_nano_cols(df: DataFrame, nano_cols) -> DataFrame:
+    """ns -> us by integer division (truncation), matching DuckDB's
+    conversion of nano parquet timestamps; NTZ keeps the value
+    timezone-independent. ONE definition — load_table and
+    load_table_in_range must stay in lockstep or the range-pushdown
+    equivalence property breaks."""
     for c in nano_cols:
-        # ns -> us by integer division (truncation), matching DuckDB's
-        # conversion of nano parquet timestamps; NTZ keeps the value
-        # timezone-independent.
         df = df.withColumn(
             c,
             F.expr(
@@ -124,10 +121,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = table_path(sf_dir, name)
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _convert_nano_cols(spark.read.parquet(path), nano_cols)
+
+
 def _iso_to_epoch_ns(iso_date: str) -> int:
     from datetime import datetime, timezone
 
-    dt = datetime.fromisoformat(iso_date).replace(tzinfo=timezone.utc)
+    dt = datetime.fromisoformat(iso_date)
+    # The raw-nanos pushdown is only exact at whole-second boundaries
+    # (the us-truncating cast can't move values across them), and a
+    # naive UTC stamp would silently discard an explicit offset. Both
+    # would return WRONG ROW SETS silently — reject instead.
+    if dt.microsecond:
+        raise ValueError(
+            f"range bound {iso_date!r} has sub-second precision; the "
+            "raw-nanos pushdown is whole-second-exact only"
+        )
+    if dt.tzinfo is not None and dt.utcoffset():
+        raise ValueError(
+            f"range bound {iso_date!r} carries a UTC offset; pass the "
+            "bound in UTC (fixture timestamps are NTZ/UTC)"
+        )
+    dt = dt.replace(tzinfo=timezone.utc)
     return int(dt.timestamp()) * 1_000_000_000
 
 
@@ -162,15 +182,7 @@ def load_table_in_range(
         (F.col(ts_col) >= F.lit(_iso_to_epoch_ns(lo_iso)))
         & (F.col(ts_col) < F.lit(_iso_to_epoch_ns(hi_iso)))
     )
-    for c in nano_cols:
-        df = df.withColumn(
-            c,
-            F.expr(
-                f"cast(timestamp_micros(cast({c} div 1000 as bigint))"
-                " as timestamp_ntz)"
-            ),
-        )
-    return df
+    return _convert_nano_cols(df, nano_cols)
 
 
 def load_tables(
@@ -198,6 +210,14 @@ def load_tables(
         BASE_TABLES
     ):
         return {name: spark.table(name) for name in names}
+    if spark.conf.get(marker, None) is not None:
+        # A (subset) registration for a DIFFERENT sf_dir is about to
+        # overwrite views the marker vouches for: a stale marker would
+        # make a later full call for the original sf_dir short-circuit
+        # onto mixed-scale views (and fool register_derived_views the
+        # same way). Invalidate first; only a full registration below
+        # re-establishes it.
+        spark.conf.unset(marker)
     out: dict[str, DataFrame] = {}
     for name in names:
         df = load_table(spark, sf_dir, name)

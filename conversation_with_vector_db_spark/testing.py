@@ -9,6 +9,7 @@ float tolerance.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 
 
@@ -22,6 +23,12 @@ def normalize(v):
         return ("n", v)
     if isinstance(v, float):
         return ("n", v)
+    if isinstance(v, decimal.Decimal):
+        # A DECIMAL column would otherwise fall to the generic str()
+        # branch, where scale differences (Decimal('1.50') vs
+        # Decimal('1.5')) — or one engine widening to double — fail
+        # spuriously. Compare as tolerant numerics like any float.
+        return ("n", float(v))
     if isinstance(v, dt.datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
@@ -57,18 +64,47 @@ def values_equal(a, b) -> bool:
         return len(a[1]) == len(b[1]) and all(
             values_equal(x, y) for x, y in zip(a[1], b[1])
         )
+    if a[0] == "m":
+        # Map values carry floats too: exact a == b here would demand
+        # bit-identical doubles inside maps while the scalar path is
+        # tolerant. Keys stay exact; values recurse.
+        return [k for k, _ in a[1]] == [k for k, _ in b[1]] and all(
+            values_equal(x, y)
+            for (_, x), (_, y) in zip(a[1], b[1])
+        )
     return a == b
 
 
-def _sort_key(row) -> str:
+def _cell_key(v):
+    # Numerics sort NUMERICALLY: sorting repr() strings paired 5.0
+    # against 10.0 across engines whenever tolerance-equal floats
+    # straddle a digit-count boundary ("10.0" < "5.0" lexically), so
+    # the row pairing misaligned before values_equal ever ran. The key
+    # is (tag, (nan?, number), structural) — cross-tag comparisons
+    # short-circuit on the tag, so the heterogeneous third slot never
+    # faces a different type at the same position.
+    tag = v[0]
+    if tag == "n":
+        x = float(v[1])
+        if math.isnan(x):
+            return (tag, (1, 0.0), "")
+        return (tag, (0, x), "")
+    if tag == "l":
+        return (tag, (0, 0.0), tuple(_cell_key(x) for x in v[1]))
+    if tag == "m":
+        return (
+            tag,
+            (0, 0.0),
+            tuple((k, _cell_key(x)) for k, x in v[1]),
+        )
+    return (tag, (0, 0.0), repr(v[1:]))
+
+
+def _sort_key(row):
     # Type-insensitive pairing key: an int on one engine and the
     # equal float on the other must sort identically or the row
     # pairing misaligns before values_equal ever runs.
-    return repr(
-        tuple(
-            ("n", repr(float(v[1]))) if v[0] == "n" else v for v in row
-        )
-    )
+    return tuple(_cell_key(v) for v in row)
 
 
 def rows_match(spark_rows, duck_rows) -> tuple[bool, str]:

@@ -318,3 +318,84 @@ class TestBudgetThreshold:
         assert thr == 3.0  # 2/3 of the NON-NULL mass -> top two buckets
         qthr = quantile_threshold(df, "score", 1, 3).first()["thr"]
         assert qthr == 1.0  # lower third of 3 non-null scores
+
+
+class TestHarnessComparator:
+    """The oracle comparator itself is gate infrastructure — its
+    defects ARE correctness defects (spurious passes or flaky fails)."""
+
+    def test_tolerance_equal_floats_pair_across_digit_boundary(self):
+        """Reproduces the repr-sort misalignment: 9.999999999 vs 10.0
+        are tolerance-equal, but "10.0" < "5.0" lexically misaligned
+        the row pairing and failed a correct result."""
+        from conversation_with_vector_db_spark.testing import rows_match
+
+        spark_rows = [(("n", 5.0),), (("n", 9.999999999),)]
+        duck_rows = [(("n", 5.0),), (("n", 10.0),)]
+        ok, why = rows_match(spark_rows, duck_rows)
+        assert ok, why
+        # And a REAL mismatch of the same shape still fails.
+        ok, _ = rows_match(spark_rows, [(("n", 5.0),), (("n", 10.1),)])
+        assert not ok
+
+    def test_decimal_normalizes_as_tolerant_numeric(self):
+        import decimal
+
+        from conversation_with_vector_db_spark.testing import (
+            normalize,
+            values_equal,
+        )
+
+        assert normalize(decimal.Decimal("1.50")) == ("n", 1.5)
+        assert values_equal(
+            normalize(decimal.Decimal("1.50")), normalize(1.5)
+        )
+
+    def test_map_values_respect_float_tolerance(self):
+        from conversation_with_vector_db_spark.testing import (
+            normalize,
+            values_equal,
+        )
+
+        a = normalize({"k": 0.3})
+        b = normalize({"k": 0.30000000000000004})
+        assert values_equal(a, b)
+        assert not values_equal(normalize({"k": 0.3}), normalize({"j": 0.3}))
+
+    def test_with_fixtures_rejects_recursive_and_spares_identifiers(self):
+        import pytest
+
+        from conversation_with_vector_db_spark.fixtures import with_fixtures
+
+        with pytest.raises(ValueError, match="RECURSIVE"):
+            with_fixtures("WITH RECURSIVE r AS (SELECT 1) SELECT 1", "users")
+        # A WITH-prefixed identifier must not be split as a CTE header.
+        out = with_fixtures("WITHDRAWN_SEL", "users")
+        assert out.endswith(" WITHDRAWN_SEL")
+
+    def test_range_bounds_reject_subsecond_and_offsets(self):
+        import pytest
+
+        from conversation_with_vector_db_spark.session import (
+            _iso_to_epoch_ns,
+        )
+
+        assert _iso_to_epoch_ns("2024-01-01T00:00:00") == 1704067200 * 10**9
+        with pytest.raises(ValueError, match="sub-second"):
+            _iso_to_epoch_ns("2024-01-01T00:00:00.500")
+        with pytest.raises(ValueError, match="offset"):
+            _iso_to_epoch_ns("2024-01-01T00:00:00+02:00")
+
+    def test_subset_load_for_other_sfdir_invalidates_marker(self, spark):
+        """A subset registration for a different sf_dir must not leave
+        the full-set marker vouching for mixed-scale views."""
+        from conversation_with_vector_db_spark.session import load_tables
+
+        a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+        load_tables(spark, a)
+        n_a = spark.table("events").count()
+        load_tables(spark, b, ("events",))
+        n_b = spark.table("events").count()
+        assert n_b != n_a  # different scale actually registered
+        load_tables(spark, a)
+        assert spark.table("events").count() == n_a  # not short-circuited
