@@ -98,15 +98,27 @@ def flagship_usage_daily_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     (controllers/trackUsageController.js:116-127).""",
     fixtures_used=("usage",),
     oracle="""
-SELECT round(sum(total_token_cost), 4) AS total_cost,
+SELECT round(CAST(sum(CAST(floor(total_token_cost * 10000000 + 0.5)
+                 AS BIGINT)) AS DOUBLE) / 10000000, 4) AS total_cost,
        CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
        count(*) AS usage_rows
 FROM usage
 """,
 )
 def a2_global_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row half-up quantization to 1e-7 cost units (costs are exact
+    # decimal multiples of 5e-7), then an exact integer sum — the x8
+    # discipline: rounding a cross-partition FLOAT sum sits on the
+    # half-boundary whenever the global sum is an odd multiple of
+    # 5e-5, where accumulation order could flip the driver's value
+    # hash.
+    q = F.floor(
+        F.col("total_token_cost") * F.lit(1e7) + F.lit(0.5)
+    ).cast("bigint")
     return spark.table("usage").agg(
-        F.round(F.sum("total_token_cost"), 4).alias("total_cost"),
+        F.round(F.sum(q).cast("double") / F.lit(1e7), 4).alias(
+            "total_cost"
+        ),
         F.sum("total_tokens").alias("total_tokens"),
         F.count("*").alias("usage_rows"),
     )
@@ -192,13 +204,15 @@ def a8_per_model_period_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p.provider AS provider,
        count(*) AS n_calls,
-       round(sum(CASE p.provider
+       round(CAST(sum(CAST(floor((CASE p.provider
            WHEN 'openai' THEN (u.input_token * p.input
                                + u.output_token * p.output) / 1000
            WHEN 'gemini' THEN u.input_token * p.input
                               + u.output_token * p.output
-           ELSE 0.0 END), 6) AS recomputed_cost,
-       round(sum(u.total_token_cost), 6) AS stored_cost
+           ELSE 0.0 END) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 10000000, 6) AS recomputed_cost,
+       round(CAST(sum(CAST(floor(u.total_token_cost * 10000000 + 0.5)
+           AS BIGINT)) AS DOUBLE) / 10000000, 6) AS stored_cost
 FROM usage u
 JOIN token_prices p ON u.model_used = p.model
 GROUP BY p.provider
@@ -222,12 +236,26 @@ def c14_cost_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
     )
+    # Same per-row quantize-then-integer-sum discipline as x8/a2:
+    # per-provider cost sums are exact multiples of 5e-7, so rounding
+    # a float SUM at 6 dp sits ON the half-boundary whenever the
+    # token-parity is odd (true at sf0.1) and partition order decides
+    # the hash.
+    def q7(col):
+        return F.floor(col * F.lit(1e7) + F.lit(0.5)).cast("bigint")
+
     return (
         joined.groupBy("provider")
         .agg(
             F.count("*").alias("n_calls"),
-            F.round(F.sum(cost), 6).alias("recomputed_cost"),
-            F.round(F.sum("total_token_cost"), 6).alias("stored_cost"),
+            F.round(F.sum(q7(cost)).cast("double") / F.lit(1e7), 6).alias(
+                "recomputed_cost"
+            ),
+            F.round(
+                F.sum(q7(F.col("total_token_cost"))).cast("double")
+                / F.lit(1e7),
+                6,
+            ).alias("stored_cost"),
         )
         .orderBy("provider")
     )
@@ -420,8 +448,12 @@ def a9_range_stats_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a14_emptiness_probes",
     driver=False,
     doc="""A14: init-setup invariant — four collections must all be
-    empty (controllers/initController.js:38-45); here the four
-    count()==0 probes over filtered slices, conjoined.""",
+    empty (controllers/initController.js:38-45); here four count()==0
+    probes over filtered slices. Only THREE feed clean_install: the
+    superadmin count is reported but deliberately excluded from the
+    conjunction (the fixture always seeds user 0 as superadmin, so
+    including it would pin clean_install false) — the exclusion is
+    load-bearing, mirror it in BOTH the plan and the oracle.""",
     fixtures_used=("users", "prompts", "assistants", "config"),
     oracle="""
 SELECT
