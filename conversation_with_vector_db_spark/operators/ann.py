@@ -110,9 +110,16 @@ def _signature_udf(planes: list[list[float]]):
         if len(vecs) == 0:  # empty Arrow batch (empty partition)
             return pd.Series([], dtype="object")
         arr = vecs.to_numpy()
-        # Null embeddings yield a null signature (the behavior of the
-        # expression form) instead of crashing np.stack and the stage.
-        mask = np.array([v is not None for v in arr])
+        # Null AND dim-mismatched embeddings yield a null signature
+        # (the behavior of the expression form, whose zip_with
+        # truncates/null-pads a ragged vector into a NULL fold)
+        # instead of crashing np.stack / the accumulate broadcast and
+        # killing the stage — same masking contract as dot_batched and
+        # matmul_topk.
+        dim = wt.shape[0]
+        mask = np.array(
+            [v is not None and len(v) == dim for v in arr]
+        )
         out = np.full(len(arr), None, dtype=object)
         if mask.any():
             mat = np.stack(arr[mask]).astype(np.float64, copy=False)

@@ -50,31 +50,40 @@ def _queries(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") < 5)
 
 
-def lsh_recall_report(spark: SparkSession) -> DataFrame:
-    """Multi-probe hyperplane LSH vs exact brute force."""
+def lsh_recall_report(
+    spark: SparkSession, exact: DataFrame | None = None
+) -> DataFrame:
+    """Multi-probe hyperplane LSH vs exact brute force. ``exact`` lets
+    the suite pass ONE shared baseline into all three reports."""
     emb = spark.table("embeddings")
     q = _queries(emb)
     approx = hyperplane_lsh_topk(
         emb, q, k=K, n_bits=24, n_bands=6, dim=EMB_DIM, probe_bits=1
     )
-    exact = exact_baseline(emb, q, k=K)
+    if exact is None:
+        exact = exact_baseline(emb, q, k=K)
     return recall_at_k(approx, exact, k=K).withColumn(
         "method", F.lit("hyperplane_lsh_24b6band_mp1")
     )
 
 
-def ivf_recall_report(spark: SparkSession) -> DataFrame:
+def ivf_recall_report(
+    spark: SparkSession, exact: DataFrame | None = None
+) -> DataFrame:
     """IVF (seeded KMeans cells, centroid probing) vs exact."""
     emb = spark.table("embeddings")
     q = _queries(emb)
     approx = ivf_topk(emb, q, k=K, nlist=16, nprobe=6)
-    exact = exact_baseline(emb, q, k=K)
+    if exact is None:
+        exact = exact_baseline(emb, q, k=K)
     return recall_at_k(approx, exact, k=K).withColumn(
         "method", F.lit("ivf_kmeans_16c6probe")
     )
 
 
-def brp_recall_report(spark: SparkSession) -> DataFrame:
+def brp_recall_report(
+    spark: SparkSession, exact: DataFrame | None = None
+) -> DataFrame:
     """T6 (MLlib fidelity): BucketedRandomProjectionLSH over
     L2-normalized vectors (Euclidean NN on the unit sphere == cosine
     NN), approxSimilarityJoin against the 5 query vectors, exact
@@ -83,13 +92,25 @@ def brp_recall_report(spark: SparkSession) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    from ..operators.vector import cosine_similarity, topk_per_query
+    from ..operators.vector import (
+        cosine_with_norms_batched,
+        l2_norm,
+        topk_per_query,
+    )
 
     emb = spark.table("embeddings")
     vecs = emb.withColumn("_raw", array_to_vector("embedding"))
     normed = Normalizer(
         inputCol="_raw", outputCol="_features", p=2.0
     ).transform(vecs)
+    # Precompute each vector's norm ONCE (carried through the LSH
+    # transform into both join sides): the candidate list is the
+    # bulk-pair stage (~0.88 of the corpus per query on the uniform
+    # fixture), and the per-pair cosine_similarity fold recomputed
+    # three HOF folds per pair — the exact pattern the Arrow-batched
+    # rescorer exists to avoid. Bit-identical values per
+    # cosine_with_norms_batched's contract.
+    normed = normed.withColumn("_norm", l2_norm(F.col("embedding")))
     lsh = BucketedRandomProjectionLSH(
         inputCol="_features",
         outputCol="_hashes",
@@ -108,14 +129,18 @@ def brp_recall_report(spark: SparkSession) -> DataFrame:
         F.col("datasetA.vec_id").alias("qid"),
         F.col("datasetB.vec_id").alias("vec_id"),
         F.round(
-            cosine_similarity(
-                F.col("datasetA.embedding"), F.col("datasetB.embedding")
+            cosine_with_norms_batched(
+                F.col("datasetA.embedding"),
+                F.col("datasetB.embedding"),
+                F.col("datasetA._norm"),
+                F.col("datasetB._norm"),
             ),
             4,
         ).alias("sim"),
     )
     approx = topk_per_query(joined, K, tiebreak_col="vec_id")
-    exact = exact_baseline(emb, _queries(emb), k=K)
+    if exact is None:
+        exact = exact_baseline(emb, _queries(emb), k=K)
     return recall_at_k(approx, exact, k=K).withColumn(
         "method", F.lit("mllib_brp_lsh_4tables")
     )
@@ -162,10 +187,18 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_report(spark: SparkSession) -> DataFrame:
+    from ..operators.cache import scoped_cache
+
+    # ONE exact brute-force baseline shared (and cached — union
+    # branches don't dedupe identical subplans) across all three
+    # method reports: the suite previously executed three full
+    # corpus-scan baselines per run.
+    emb = spark.table("embeddings")
+    exact = scoped_cache(exact_baseline(emb, _queries(emb), k=K))
     report = (
-        lsh_recall_report(spark)
-        .unionByName(ivf_recall_report(spark))
-        .unionByName(brp_recall_report(spark))
+        lsh_recall_report(spark, exact)
+        .unionByName(ivf_recall_report(spark, exact))
+        .unionByName(brp_recall_report(spark, exact))
     )
     return _with_floor(report)
 

@@ -94,15 +94,13 @@ ORDER BY qid, rank
 )
 def v1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import exact_topk
-    from ..session import table_path
-    from ..sources.parquet_io import parquet_bytes_on_disk
 
     emb = spark.table("embeddings")
     # Size-aware exact scoring (bit-identical either way, pinned by
     # test): JVM HOF fold while the corpus is small enough that the
     # Arrow path's Python-worker round-trip dominates; driver-folded
     # query matrix x Arrow-batched numpy once it is not.
-    vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+    vec_bytes = _vec_bytes(sf_dir)
     return exact_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -448,12 +446,10 @@ ORDER BY qid, rank
 )
 def v1c_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import exact_topk
-    from ..session import table_path
-    from ..sources.parquet_io import parquet_bytes_on_disk
 
     emb = spark.table("embeddings")
     filtered = emb.filter(F.col("label").isin(2, 5, 7))
-    vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+    vec_bytes = _vec_bytes(sf_dir)
     return exact_topk(
         filtered,
         emb.filter(F.col("vec_id") < 3),

@@ -250,6 +250,35 @@ def test_batched_udfs_handle_empty_partitions(spark):
     assert sorted(r.d for r in d.collect()) == [1.0, 1.0]
 
 
+def test_signature_udf_nulls_ragged_dims_like_expr_form(spark):
+    """A dim-mismatched embedding must yield a NULL signature on the
+    Arrow branch — matching the expression form, whose zip_with
+    null-pads a ragged vector into a NULL fold — never crash np.stack
+    or the accumulate broadcast, and never emit band keys that join."""
+    from conversation_with_vector_db_spark.operators.ann import (
+        with_lsh_bands,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0]),            # too short
+            (3, [1.0, 2.0, 3.0]),  # too long
+            (4, None),             # null
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    banded = with_lsh_bands(emb, n_bits=8, n_bands=2, dim=2)
+    rows = banded.collect()  # pre-fix: ValueError from np.stack here
+    keys = {}
+    for r in rows:
+        keys.setdefault(r.vec_id, []).append(r.band_key)
+    assert all(k is not None for k in keys[0] + keys[1])
+    for bad in (2, 3, 4):
+        assert keys[bad] == [None, None]  # NULL keys: never join-match
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """Packing invariants: per shard every sequence except the last is
     exactly full (256 tokens), sequence ids are dense from 0, and the
