@@ -188,12 +188,21 @@ def main() -> None:
         parquet_bytes_on_disk,
     )
 
-    input_bytes = sum(
-        parquet_bytes_on_disk(table_path(sf_dir, t)) or 0
+    sizes = [
+        parquet_bytes_on_disk(table_path(sf_dir, t))
         for t in BASE_TABLES
         if os.path.exists(table_path(sf_dir, t))
+    ]
+    # parquet_bytes_on_disk's contract: unknown size must be treated as
+    # LARGE, never small — a None folded to 0 would silently hold AQE
+    # off and floor the partition count on arbitrarily large input.
+    size_unknown = any(s is None for s in sizes)
+    input_bytes = sum(s for s in sizes if s is not None)
+    parts = (
+        4 * int(cpus)
+        if size_unknown
+        else max(8, min(4 * int(cpus), input_bytes // (32 << 20) or 8))
     )
-    parts = max(8, min(4 * int(cpus), input_bytes // (32 << 20) or 8))
     spark = get_spark(
         app_name="cvdb-spark-bench",
         master=f"local[{cpus}]",
@@ -202,7 +211,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # See the cost-gating note above: AQE on past ~100 MB of input
     # (the matched-sampling crossover sits between 50 and 153 MB).
-    adaptive = input_bytes > (100 << 20)
+    adaptive = size_unknown or input_bytes > (100 << 20)
     spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
 
     # Bench times the full registry surface, not just the driver-facing
@@ -219,9 +228,6 @@ def main() -> None:
         # fake round-over-round speedup.
         raise SystemExit(f"headline queries missing from registry: {missing}")
     names = list(HEADLINE)
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not session startup.
-    qs[names[0]](spark, sf_dir).count()
     # Hot storage tier: the headliners re-read the same small fixture
     # tables; pin them (and the derived corpus) in memory the way a
     # cluster would pin a hot table in the storage cache. DuckDB gets
@@ -238,6 +244,15 @@ def main() -> None:
         "prompts",
     ):
         spark.table(t).cache().count()
+    # Throwaway warm-up AFTER cache pinning (VERDICT r4 #1): build and
+    # execute the first headliner once untimed against the FINAL
+    # session state, so the first timed build measures the plan, not
+    # session/py4j/Catalyst warm-up or temp-view re-analysis over the
+    # just-cached tables (r4 recorded flagship build 0.92 s here vs
+    # 0.19 s in detail re-runs).
+    qs[names[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # Prepare-once / execute-thrice, timed separately: plan BUILD
     # (py4j DataFrame construction + Catalyst analysis, paid once per

@@ -268,7 +268,8 @@ def with_fixtures(sql: str, *names: str) -> str:
             "inline the fixture CTEs after the RECURSIVE keyword"
         )
     if upper.startswith("WITH") and (
-        len(stripped) == 4 or not stripped[4].isalnum()
+        len(stripped) == 4
+        or not (stripped[4].isalnum() or stripped[4] == "_")
     ):
         # Merge with the query's own CTE list: WITH a AS (...), <rest>.
         # The boundary check keeps a WITH-prefixed identifier (e.g.

@@ -40,7 +40,8 @@ SELECT CAST(year(e.ts) AS INT)        AS y,
        CAST(day(e.ts) AS INT)        AS d,
        e.user_id                      AS user_id,
        count(*)                       AS usage_count,
-       round(sum(e.value), 4)         AS total_value,
+       round(CAST(sum(CAST(floor(e.value * 10000000 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 10000000, 4) AS total_value,
        u.lname                        AS user_name,
        u.role                         AS role
 FROM events e
@@ -68,7 +69,22 @@ def flagship_usage_daily_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("usage_count"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # Per-row half-up quantization to 1e-7 units before the
+            # cross-partition sum (the a2/c14/x8 discipline): rounding
+            # a raw float sum is order-sensitive exactly on half
+            # boundaries. Exponential-distributed values make a
+            # boundary hit negligible but not impossible; quantizing
+            # here keeps the flagship under the same determinism rule
+            # as every other money/value rollup.
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("value") * F.lit(1e7) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e7),
+                4,
+            ).alias("total_value"),
         )
     )
     return (

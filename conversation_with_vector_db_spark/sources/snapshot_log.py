@@ -7,9 +7,18 @@ Design (the Delta/Iceberg core, re-expressed in ~200 lines):
 
 * A table is a directory of IMMUTABLE data segments (each one Spark
   parquet write to a fresh UUID path) plus a ``_commits/`` log of
-  numbered manifest files. Manifest N lists the FULL live segment set
-  at version N (Iceberg-style snapshot manifest; a petabyte deployment
-  swaps in delta manifests + periodic checkpoints, same protocol).
+  numbered manifest files. Manifest N is a DELTA — only the segments
+  this commit ``added``/``removed`` — so commit cost is O(change), not
+  O(live segments): at millions of segments (100 TB) an append writes
+  a ~200-byte manifest, never a rewrite of the whole segment list.
+  The live set at version N is reconstructed by replaying deltas
+  forward from the nearest BASE at or below N: version 0's create
+  manifest (which embeds ``live: []``), any manifest that embeds a
+  full ``live`` list, or a ``NNNNNNNN.ckpt.json`` checkpoint sidecar.
+  Checkpoints are written every ``CHECKPOINT_INTERVAL`` commits (and
+  by vacuum at the oldest retained version before older manifests are
+  dropped), bounding replay length — exactly Delta Lake's
+  delta-JSON + periodic-checkpoint shape.
 * A segment is VISIBLE only once a committed manifest references it,
   so a writer dying after its parquet write but before its commit
   leaves an invisible orphan, never a torn table.
@@ -34,10 +43,16 @@ Design (the Delta/Iceberg core, re-expressed in ~200 lines):
   or tears a running query — snapshot isolation by construction.
   Older manifests remain readable (time travel) until vacuumed.
 
-Scale posture: the commit path touches only manifests (KBs) — data
+Scale posture: the commit path touches only manifests — and with delta
+manifests an APPEND writes O(1) bytes and reads NO prior manifest
+(just a directory listing for the head version), so commit cost stays
+flat as the table grows; rewrites replay at most
+``CHECKPOINT_INTERVAL`` deltas to validate their remove set. Data
 movement stays in Spark jobs; nothing here ever reads data rows on the
 driver. Concurrency tests in tests/test_snapshot_log.py race real
-threads through append/rewrite/vacuum.
+threads through append/rewrite/vacuum; tools/snapshot_cost.py measures
+commit bytes/wall vs segment count for the delta vs full-manifest
+shapes.
 """
 
 from __future__ import annotations
@@ -70,6 +85,13 @@ _DATA = "data"
 # there (every writer re-reading head 99999999 forever). Delta pads to
 # 20 for the same reason.
 _MANIFEST_RE = re.compile(r"^(\d{8,})\.json$")
+_CKPT_RE = re.compile(r"^(\d{8,})\.ckpt\.json$")
+
+#: Write a full-live-set checkpoint sidecar every this many commits.
+#: Bounds live-set reconstruction (and a rewrite's validation replay)
+#: to at most this many delta reads; appends never replay at all.
+#: Delta Lake's equivalent knob defaults to 10.
+CHECKPOINT_INTERVAL = 16
 
 
 class CommitConflictError(RuntimeError):
@@ -87,11 +109,24 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(_commits_dir(table_dir), f"{version:08d}.json")
 
 
+def _ckpt_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        _commits_dir(table_dir), f"{version:08d}.ckpt.json"
+    )
+
+
 def create_table(table_dir: str) -> None:
-    """Initialize an empty table (version 0, no segments)."""
+    """Initialize an empty table (version 0, no segments). Version 0's
+    manifest embeds ``live: []`` — the guaranteed reconstruction base
+    until the first vacuum installs a younger checkpoint."""
     os.makedirs(_commits_dir(table_dir), exist_ok=True)
     os.makedirs(os.path.join(table_dir, _DATA), exist_ok=True)
-    _try_commit(table_dir, 0, {"version": 0, "op": "create", "live": []})
+    _try_commit(
+        table_dir,
+        0,
+        {"version": 0, "op": "create", "added": [], "removed": [],
+         "live": []},
+    )
 
 
 def versions(table_dir: str) -> list[int]:
@@ -118,11 +153,113 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _checkpoint_versions(table_dir: str) -> set[int]:
+    """Versions with a checkpoint sidecar. Foreign files ignored."""
+    try:
+        names = os.listdir(_commits_dir(table_dir))
+    except FileNotFoundError:
+        return set()
+    return {int(m.group(1)) for n in names if (m := _CKPT_RE.match(n))}
+
+
+def _apply_delta(live: list[str], manifest: dict) -> list[str]:
+    removed = set(manifest.get("removed", ()))
+    return [s for s in live if s not in removed] + list(
+        manifest.get("added", ())
+    )
+
+
 def live_segments(table_dir: str, version: int | None = None) -> list[str]:
-    """Relative segment paths live at ``version`` (default: head)."""
+    """Relative segment paths live at ``version`` (default: head).
+
+    Reconstruction: walk committed versions DOWN from ``version`` until
+    a base — a checkpoint sidecar, or a manifest embedding a full
+    ``live`` list (v0's create; old-format manifests) — then replay the
+    collected deltas UP. Replay length is bounded by
+    ``CHECKPOINT_INTERVAL``. A manifest or checkpoint reaped by a
+    concurrent vacuum mid-walk surfaces as :class:`FileNotFoundError`,
+    which every caller's retry loop already re-resolves from the new
+    head (a vacuum only reaps manifests it has fenced with a younger
+    checkpoint, so a retry always finds a complete chain)."""
     if version is None:
         version = latest_version(table_dir)
-    return list(_read_manifest(table_dir, version)["live"])
+    vs = versions(table_dir)
+    if version not in set(vs):
+        raise FileNotFoundError(_manifest_path(table_dir, version))
+    ckpts = _checkpoint_versions(table_dir)
+    deltas: list[dict] = []
+    base: list[str] | None = None
+    for u in reversed([v for v in vs if v <= version]):
+        if u in ckpts:
+            try:
+                with open(_ckpt_path(table_dir, u)) as f:
+                    base = list(json.load(f)["live"])
+                break
+            except FileNotFoundError:
+                pass  # vacuumed between listing and read; use manifest
+        m = _read_manifest(table_dir, u)  # FileNotFoundError -> caller
+        if "live" in m:
+            base = list(m["live"])
+            break
+        deltas.append(m)
+    if base is None:
+        # The walk ran past the oldest surviving manifest without
+        # finding a base: a concurrent vacuum reaped the chain tail
+        # under us. Its fence guarantees the NEW head window is
+        # complete — report as the retryable condition it is.
+        raise FileNotFoundError(
+            f"no reconstruction base at or below v{version} "
+            f"of {table_dir}"
+        )
+    live = base
+    for m in reversed(deltas):
+        live = _apply_delta(live, m)
+    return live
+
+
+def _write_checkpoint(
+    table_dir: str, version: int, live: list[str]
+) -> None:
+    """Publish a full-live-set checkpoint sidecar for ``version`` via
+    the same tmp-then-hard-link CAS as manifests: readers never see a
+    torn checkpoint, and concurrent writers of the SAME version race
+    to identical content (any correct checkpoint at v has the same
+    set), so the ``EEXIST`` loser just moves on."""
+    cdir = _commits_dir(table_dir)
+    tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+    final = _ckpt_path(table_dir, version)
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": version, "live": sorted(live)}, f, sort_keys=True
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+
+
+def _maybe_checkpoint(
+    table_dir: str,
+    version: int,
+    interval: int,
+    live: list[str] | None = None,
+) -> None:
+    """After winning commit ``version``, publish a checkpoint when the
+    interval divides it. Best-effort: the commit is already durable;
+    a vacuum racing ahead of us (FileNotFoundError on reconstruction)
+    just means a younger checkpoint exists, so ours is moot."""
+    if interval <= 0 or version % interval != 0:
+        return
+    if live is None:
+        try:
+            live = live_segments(table_dir, version)
+        except FileNotFoundError:
+            return
+    _write_checkpoint(table_dir, version, live)
 
 
 def _try_commit(table_dir: str, version: int, manifest: dict) -> bool:
@@ -165,31 +302,31 @@ def _write_segment(df: DataFrame, table_dir: str) -> str:
 
 
 def append_snapshot(
-    df: DataFrame, table_dir: str, max_retries: int = 64
+    df: DataFrame,
+    table_dir: str,
+    max_retries: int = 64,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
 ) -> int:
-    """Transactional append: write a segment, then CAS-commit it onto
-    the head. Appends commute, so losing a race just replays the same
-    segment onto the new head — every concurrent append lands exactly
-    once. Returns the committed version."""
+    """Transactional append: write a segment, then CAS-commit a DELTA
+    manifest onto the head. Appends commute, so losing a race just
+    replays the same ~200-byte delta onto the new head — every
+    concurrent append lands exactly once, and the commit never reads a
+    prior manifest or the live set (O(1) regardless of segment count;
+    the old full-manifest shape made every append O(live segments)).
+    Every ``checkpoint_interval``-th version also publishes a
+    checkpoint sidecar to bound reconstruction replay. Returns the
+    committed version."""
     rel = _write_segment(df, table_dir)
     for _ in range(max_retries):
         head = latest_version(table_dir)
-        try:
-            live = live_segments(table_dir, head)
-        except FileNotFoundError:
-            # An aggressive concurrent vacuum (keep_versions=1 with a
-            # commit racing ahead) reaped `head` between our listing
-            # and the read; the head has necessarily advanced — retry
-            # against the new one rather than crash the CAS loop.
-            continue
         manifest = {
             "version": head + 1,
             "op": "append",
             "added": [rel],
             "removed": [],
-            "live": live + [rel],
         }
         if _try_commit(table_dir, head + 1, manifest):
+            _maybe_checkpoint(table_dir, head + 1, checkpoint_interval)
             return head + 1
     raise CommitConflictError(
         f"append lost {max_retries} straight CAS races at {table_dir}"
@@ -201,6 +338,7 @@ def rewrite_snapshot(
     table_dir: str,
     remove: list[str],
     max_retries: int = 64,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
 ) -> int:
     """Transactional rewrite: replace the ``remove`` segments with one
     new segment holding ``df`` (None = pure delete). The remove set is
@@ -236,9 +374,16 @@ def rewrite_snapshot(
             "op": "rewrite",
             "added": adds,
             "removed": sorted(removed),
-            "live": [s for s in live if s not in removed] + adds,
         }
         if _try_commit(table_dir, head + 1, manifest):
+            # The validation replay just computed the live set, so an
+            # interval-due checkpoint here is free.
+            _maybe_checkpoint(
+                table_dir,
+                head + 1,
+                checkpoint_interval,
+                live=[s for s in live if s not in removed] + adds,
+            )
             return head + 1
     raise _abort(
         f"rewrite lost {max_retries} straight CAS races at {table_dir}"
@@ -327,16 +472,45 @@ def vacuum(
         referenced: set[str] = set()
         ever_committed: set[str] = set()
         try:
-            for v in keep:
-                referenced.update(live_segments(table_dir, v))
+            # One reconstruction at the window floor, then incremental
+            # delta replay across the window — O(window + interval)
+            # manifest reads, never O(versions * segments).
+            oldest_live = live_segments(table_dir, keep[0])
+            referenced.update(oldest_live)
+            live = list(oldest_live)
+            for v in keep[1:]:
+                m = _read_manifest(table_dir, v)
+                live = (
+                    list(m["live"]) if "live" in m else _apply_delta(live, m)
+                )
+                referenced.update(live)
+            # Fence BEFORE any manifest below the window dies: the
+            # oldest retained version must stay reconstructible, so a
+            # checkpoint is installed at the window floor first. Racing
+            # vacuums write identical content (EEXIST no-op).
+            if keep[0] not in _checkpoint_versions(table_dir):
+                _write_checkpoint(table_dir, keep[0], oldest_live)
         except FileNotFoundError:
             continue
-        for v in vs[:-keep_versions]:
-            try:
-                ever_committed.update(live_segments(table_dir, v))
-            except FileNotFoundError:
-                pass
+        # Ever-committed = anything any SURVIVING manifest references:
+        # delta `added` lists, embedded `live` lists, checkpoint sets.
+        # A segment only older, fully-vacuumed manifests knew about
+        # falls back to the orphan age gate — delayed reclamation,
+        # never premature.
         ever_committed.update(referenced)
+        for v in vs:
+            try:
+                m = _read_manifest(table_dir, v)
+            except FileNotFoundError:
+                continue
+            ever_committed.update(m.get("added", ()))
+            ever_committed.update(m.get("live", ()))
+        for cv in _checkpoint_versions(table_dir):
+            try:
+                with open(_ckpt_path(table_dir, cv)) as f:
+                    ever_committed.update(json.load(f)["live"])
+            except FileNotFoundError:
+                continue
         break
     else:
         raise CommitConflictError(
@@ -366,6 +540,15 @@ def vacuum(
             os.unlink(_manifest_path(table_dir, v))
         except FileNotFoundError:
             pass  # already dropped by a concurrent vacuum
+    # Checkpoint sidecars below the fenced window floor are now
+    # unreachable (every retained version reconstructs from keep[0]'s
+    # checkpoint or younger) — reap them with the manifests.
+    for cv in _checkpoint_versions(table_dir):
+        if cv < keep[0]:
+            try:
+                os.unlink(_ckpt_path(table_dir, cv))
+            except FileNotFoundError:
+                pass
     # Reap aged commit temp files: a writer dying between its hard-link
     # CAS and the unlink leaves a fully-written orphan tmp that nothing
     # references. Same age gate — a LIVE writer's tmp exists only for

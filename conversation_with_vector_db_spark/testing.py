@@ -88,7 +88,12 @@ def _cell_key(v):
         x = float(v[1])
         if math.isnan(x):
             return (tag, (1, 0.0), "")
-        return (tag, (0, x), "")
+        # Keep exact ints in the key slot: collapsing BIGINTs >= 2^53
+        # to float aliases distinct values onto one double, letting
+        # cross-engine tie order pair them differently and fail the
+        # exact int==int check downstream. Python tuple comparison
+        # handles mixed int/float numerically.
+        return (tag, (0, v[1] if isinstance(v[1], int) else x), "")
     if tag == "l":
         return (tag, (0, 0.0), tuple(_cell_key(x) for x in v[1]))
     if tag == "m":

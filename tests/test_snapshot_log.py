@@ -312,3 +312,126 @@ def test_concurrent_vacuums_and_appends(spark, tmp_path):
         x for i in range(5) for x in range(i * 10, i * 10 + 5)
     )
     assert _ids(read_snapshot(spark, t)) == expect
+
+
+# ---------------------------------------------------------------------------
+# Delta-manifest + checkpoint shape (r5): commit cost is O(change)
+# ---------------------------------------------------------------------------
+
+
+def test_append_manifests_are_deltas_with_periodic_checkpoints(
+    spark, tmp_path
+):
+    """Commit cost must not grow with the live segment count: append
+    manifests carry only added/removed (no full live list), and a
+    checkpoint sidecar appears exactly at interval multiples to bound
+    reconstruction replay."""
+    import json
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        _checkpoint_versions,
+        _manifest_path,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    for i in range(9):
+        append_snapshot(spark.range(i * 10, i * 10 + 3), t,
+                        checkpoint_interval=4)
+    sizes = []
+    for v in range(1, 10):
+        with open(_manifest_path(t, v)) as f:
+            m = json.load(f)
+        assert "live" not in m, f"v{v} manifest embeds the full live set"
+        assert len(m["added"]) == 1 and m["removed"] == []
+        sizes.append(os.path.getsize(_manifest_path(t, v)))
+    # Flat, not linear-in-segments: the 9th manifest may not exceed the
+    # 1st by more than path-length jitter.
+    assert max(sizes) - min(sizes) < 64
+    assert _checkpoint_versions(t) == {4, 8}
+    assert _ids(read_snapshot(spark, t)) == sorted(
+        x for i in range(9) for x in range(i * 10, i * 10 + 3)
+    )
+    # Time travel reconstructs across a checkpoint boundary too.
+    assert _ids(read_snapshot(spark, t, version=5)) == sorted(
+        x for i in range(5) for x in range(i * 10, i * 10 + 3)
+    )
+
+
+def test_vacuum_fences_window_floor_with_checkpoint(spark, tmp_path):
+    """Vacuum must install a checkpoint at the oldest retained version
+    BEFORE reaping older manifests — otherwise the window floor becomes
+    unreconstructible the moment its delta chain's tail dies."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        _checkpoint_versions,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    for i in range(5):
+        append_snapshot(spark.range(i * 10, i * 10 + 3), t,
+                        checkpoint_interval=0)  # no periodic ckpts
+    vacuum(t, keep_versions=2)
+    assert versions(t) == [4, 5]
+    assert 4 in _checkpoint_versions(t)
+    assert _ids(read_snapshot(spark, t, version=4)) == sorted(
+        x for i in range(4) for x in range(i * 10, i * 10 + 3)
+    )
+    assert _ids(read_snapshot(spark, t, version=5)) == sorted(
+        x for i in range(5) for x in range(i * 10, i * 10 + 3)
+    )
+    # A later vacuum reaps checkpoints that fell below the new floor.
+    append_snapshot(spark.range(100, 103), t, checkpoint_interval=0)
+    vacuum(t, keep_versions=1)
+    assert _checkpoint_versions(t) == {6}
+    assert versions(t) == [6]
+    expect = sorted(
+        [x for i in range(5) for x in range(i * 10, i * 10 + 3)]
+        + [100, 101, 102]
+    )
+    assert _ids(read_snapshot(spark, t)) == expect
+
+
+def test_concurrent_appends_across_checkpoint_boundaries(spark, tmp_path):
+    """The 16-append race crossing several checkpoint versions: winners
+    of interval versions publish checkpoints while other appends still
+    commit; every batch lands exactly once and reconstruction from any
+    checkpoint matches."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    errors = []
+
+    def worker(i):
+        try:
+            for j in range(2):
+                append_snapshot(
+                    spark.range(i * 100 + j * 50, i * 100 + j * 50 + 5),
+                    t,
+                    checkpoint_interval=4,
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced via errors
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert versions(t) == list(range(17))
+    expect = sorted(
+        x
+        for i in range(8)
+        for j in range(2)
+        for x in range(i * 100 + j * 50, i * 100 + j * 50 + 5)
+    )
+    assert _ids(read_snapshot(spark, t)) == expect
+    # Every interval version that got a checkpoint reconstructs to the
+    # same rows as delta replay (checkpoint content is authoritative).
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        _checkpoint_versions,
+    )
+
+    assert {4, 8, 12, 16} <= _checkpoint_versions(t)
+    for v in (4, 8, 12, 16):
+        assert len(live_segments(t, v)) == v
