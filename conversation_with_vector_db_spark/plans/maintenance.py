@@ -480,3 +480,83 @@ def m10_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("lang", "n_chars", "source"):
         out = out.unionAll(profile(c))
     return out.orderBy("col")
+
+
+@query(
+    "s14_snapshot_log_lifecycle",
+    doc="""S14 (engine extra; the unified transactional write path):
+    the full Pinecone vector-store lifecycle — upsert
+    (models/embeddingmodel.js:4-12), delete-by-id (:14-24), and
+    drop-namespace deleteAll (:26-35) — executed PHYSICALLY through
+    snapshot-log CAS commits (sources/transactional.py): partition-
+    tagged segments, manifest-level partition pruning, a metadata-only
+    namespace drop, and a time-traveled read of the pre-drop version.
+    Every mutation is an atomic version; the oracle replays the same
+    semantics in SQL over the raw fixture.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 3 AS INT) AS namespace
+    FROM embeddings
+),
+after_upsert AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 40 = 0 THEN label + 1000
+                ELSE label END AS label,
+           namespace
+    FROM base
+),
+after_delete AS (SELECT * FROM after_upsert WHERE vec_id % 50 <> 0),
+after_drop AS (SELECT * FROM after_delete WHERE namespace <> 2)
+SELECT (SELECT count(*) FROM after_drop) AS n_rows,
+       (SELECT CAST(sum(label) AS BIGINT) FROM after_drop) AS label_sum,
+       (SELECT CAST(sum(CASE WHEN label >= 1000 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM after_drop) AS n_patched,
+       (SELECT count(*) FROM after_delete) AS predrop_rows
+""",
+)
+def s14_snapshot_log_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+    from ..sources.snapshot_log import latest_version
+
+    # Fresh deterministic store per call; the previous call's dir is
+    # reaped first so repeated parity/bench runs don't accumulate junk.
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_snaplog_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t)
+    tx.upsert_by_key(
+        spark,
+        t,
+        base.filter(F.col("vec_id") % 40 == 0).select(
+            "vec_id", (F.col("label") + 1000).alias("label"), "namespace"
+        ),
+        key="vec_id",
+    )
+    tx.delete_by_key(
+        spark,
+        t,
+        base.filter(F.col("vec_id") % 50 == 0).select("vec_id"),
+        key="vec_id",
+    )
+    v_predrop = latest_version(t)
+    tx.drop_partition(spark, t, "namespace", 2)
+    head = tx.read_table(spark, t)
+    predrop = tx.read_table(spark, t, version=v_predrop)
+    return head.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+        F.sum((F.col("label") >= 1000).cast("int"))
+        .cast("long")
+        .alias("n_patched"),
+    ).crossJoin(predrop.agg(F.count("*").alias("predrop_rows")))

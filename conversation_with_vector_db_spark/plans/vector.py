@@ -304,6 +304,12 @@ def w5_topk_per_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s5_upsert_by_key",
+    # r5 rotation: demoted to hold the 50-query driver cap while
+    # s14_snapshot_log_lifecycle takes the S-family driver slot — it
+    # exercises this same upsert PHYSICALLY through the transactional
+    # snapshot log (plus delete/drop/time-travel), a strict superset
+    # of this logical-shape check.
+    driver=False,
     doc="""S5/T10: Pinecone upsert (models/embeddingmodel.js:4-12) as a
     key-wise overwrite: new records win, untouched old rows survive —
     old ANTI-JOIN new, UNION new. Updated rows carry a bumped label.""",

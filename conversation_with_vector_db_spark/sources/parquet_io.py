@@ -157,11 +157,14 @@ def drop_partition(
 # This is exactly the Delta/Iceberg/Hudi MOR design re-expressed on
 # bare parquet; swapping a table format in replaces the log with commit
 # metadata and makes compaction transactional, with no caller-visible
-# API change. That commit layer exists: sources/snapshot_log.py is the
-# minimal versioned table format (CAS-committed manifests, snapshot
-# isolation, time travel, conflict-checked rewrites, age-gated vacuum)
-# for deployments that need multi-writer atomicity; the marker-fenced
-# helpers below remain the bare-parquet form.
+# API change. That swap is DONE: sources/transactional.py routes the
+# same S5-S7 rewrites and this MOR protocol through
+# sources/snapshot_log.py's CAS-committed delta manifests — atomic
+# multi-partition commits, conflict-checked compaction with NO marker
+# fence, snapshot isolation, time travel. It is the engine's primary
+# write path; the marker-fenced helpers below remain ONLY as the
+# documented plain-FS fallback for filesystems that cannot CAS
+# (no hard links / no create-exclusive / no conditional put).
 
 
 def parquet_bytes_on_disk(path: str) -> int | None:

@@ -66,8 +66,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
+    "CHECKPOINT_INTERVAL",
     "CommitConflictError",
     "append_snapshot",
+    "commit_segments",
     "compact_snapshots",
     "create_table",
     "latest_version",
@@ -301,6 +303,60 @@ def _write_segment(df: DataFrame, table_dir: str) -> str:
     return rel
 
 
+def commit_segments(
+    table_dir: str,
+    added: list[str],
+    removed: list[str],
+    op: str = "append",
+    max_retries: int = 64,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
+    """CAS-commit already-written segments as one atomic version: the
+    primitive every write path shares (appends, keyed upserts/deletes,
+    partition drops, MOR compactions — sources/transactional.py).
+
+    With an empty ``removed`` this is an append-shaped commit: it
+    commutes, so CAS losers replay the same delta blindly and no prior
+    manifest is ever read. With a non-empty ``removed`` it is a
+    rewrite-shaped commit: every attempt revalidates that the remove
+    set is still fully live at the head and raises
+    :class:`CommitConflictError` the moment a concurrent rewrite took
+    one of its segments (the caller owns cleanup of ``added`` and must
+    re-plan from the new head — blind retry would double-fold or
+    resurrect rows)."""
+    for _ in range(max_retries):
+        head = latest_version(table_dir)
+        new_live: list[str] | None = None
+        if removed:
+            try:
+                live = live_segments(table_dir, head)
+            except FileNotFoundError:
+                continue  # head vacuumed mid-read; re-resolve
+            missing = set(removed) - set(live)
+            if missing:
+                raise CommitConflictError(
+                    f"segments no longer live at v{head}: "
+                    f"{sorted(missing)}"
+                )
+            new_live = [s for s in live if s not in set(removed)] + list(
+                added
+            )
+        manifest = {
+            "version": head + 1,
+            "op": op,
+            "added": list(added),
+            "removed": sorted(removed),
+        }
+        if _try_commit(table_dir, head + 1, manifest):
+            _maybe_checkpoint(
+                table_dir, head + 1, checkpoint_interval, live=new_live
+            )
+            return head + 1
+    raise CommitConflictError(
+        f"commit lost {max_retries} straight CAS races at {table_dir}"
+    )
+
+
 def append_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -317,19 +373,13 @@ def append_snapshot(
     checkpoint sidecar to bound reconstruction replay. Returns the
     committed version."""
     rel = _write_segment(df, table_dir)
-    for _ in range(max_retries):
-        head = latest_version(table_dir)
-        manifest = {
-            "version": head + 1,
-            "op": "append",
-            "added": [rel],
-            "removed": [],
-        }
-        if _try_commit(table_dir, head + 1, manifest):
-            _maybe_checkpoint(table_dir, head + 1, checkpoint_interval)
-            return head + 1
-    raise CommitConflictError(
-        f"append lost {max_retries} straight CAS races at {table_dir}"
+    return commit_segments(
+        table_dir,
+        added=[rel],
+        removed=[],
+        op="append",
+        max_retries=max_retries,
+        checkpoint_interval=checkpoint_interval,
     )
 
 
@@ -351,43 +401,19 @@ def rewrite_snapshot(
     it would leak a table-sized orphan per aborted compaction until an
     age-gated vacuum an hour later. Returns the version."""
     adds = [] if df is None else [_write_segment(df, table_dir)]
-    removed = set(remove)
-
-    def _abort(msg: str) -> CommitConflictError:
+    try:
+        return commit_segments(
+            table_dir,
+            added=adds,
+            removed=list(remove),
+            op="rewrite",
+            max_retries=max_retries,
+            checkpoint_interval=checkpoint_interval,
+        )
+    except CommitConflictError:
         for rel in adds:
             shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
-        return CommitConflictError(msg)
-
-    for _ in range(max_retries):
-        head = latest_version(table_dir)
-        try:
-            live = live_segments(table_dir, head)
-        except FileNotFoundError:
-            continue  # head vacuumed mid-read; re-resolve (see append)
-        if not removed.issubset(live):
-            raise _abort(
-                f"segments no longer live at v{head}: "
-                f"{sorted(removed - set(live))}"
-            )
-        manifest = {
-            "version": head + 1,
-            "op": "rewrite",
-            "added": adds,
-            "removed": sorted(removed),
-        }
-        if _try_commit(table_dir, head + 1, manifest):
-            # The validation replay just computed the live set, so an
-            # interval-due checkpoint here is free.
-            _maybe_checkpoint(
-                table_dir,
-                head + 1,
-                checkpoint_interval,
-                live=[s for s in live if s not in removed] + adds,
-            )
-            return head + 1
-    raise _abort(
-        f"rewrite lost {max_retries} straight CAS races at {table_dir}"
-    )
+        raise
 
 
 def read_snapshot(

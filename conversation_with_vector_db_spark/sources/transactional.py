@@ -1,0 +1,495 @@
+"""Snapshot-log-backed table maintenance — ONE write path (VERDICT r4
+#2): the S5-S7 keyed rewrites, partition drops, and the merge-on-read
+change log all commit through :mod:`.snapshot_log`'s CAS manifests, so
+every mutation is an atomic version with snapshot isolation, conflict
+detection, and time travel. The marker-fenced bare-parquet helpers in
+:mod:`.parquet_io` remain the documented plain-FS fallback for
+deployments that cannot CAS (see compact_change_log's fence note
+there); everything new should use this module.
+
+Layout invariants (how partition semantics survive on an opaque
+segment store):
+
+* Base segments are PARTITION-PURE and partition-TAGGED: every write
+  path stages one Spark ``partitionBy`` job, then registers each
+  partition directory as its own segment named
+  ``data/seg-<uuid>-<col>=<urlencoded value>``. The partition column
+  stays IN the data (the staging job partitions on a string copy), so
+  reads never reconstruct it from paths.
+* The tag makes partition operations manifest-level: S7 drop-namespace
+  is a pure metadata commit removing the tagged segments (the
+  Iceberg ``DROP PARTITION`` shape — no data read, no rewrite), and
+  keyed upserts/deletes prune to touched partitions by SEGMENT LIST
+  filtering before any file is opened — partition pruning above the
+  parquet layer, exactly what manifests buy at 100 TB.
+* Merge-on-read log segments are named ``data/log-<uuid>`` and carry
+  ``_op``/``_seq`` columns (same row protocol as parquet_io's
+  change log; the overlay plan is shared via
+  :func:`..sources.parquet_io.merge_overlay`). Compaction folds log +
+  touched base segments into fresh tagged segments in ONE
+  conflict-checked commit — concurrent appends survive, a racing
+  compactor loses cleanly with :class:`CommitConflictError`, and no
+  marker fence is needed.
+
+Copy-on-write ops (upsert/delete/drop) and the MOR log are both
+supported on one table, but CoW ops refuse to run while un-compacted
+log segments exist — silently ignoring the log would resurrect
+overwritten rows; compact first.
+
+Reference parity: S5 upsert models/embeddingmodel.js:4-12, S6 delete
+models/embeddingmodel.js:14-24, S7 drop-namespace
+models/embeddingmodel.js:26-35 — same (namespace, id) identity
+semantics as plans/vector.py documents.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .parquet_io import merge_overlay
+from .snapshot_log import (
+    CommitConflictError,
+    commit_segments,
+    create_table,
+    latest_version,
+    live_segments,
+)
+
+__all__ = [
+    "append_change_segment",
+    "append_partitioned",
+    "compact_change_log",
+    "create_partitioned_table",
+    "delete_by_key",
+    "drop_partition",
+    "read_merge_on_read",
+    "read_table",
+    "upsert_by_key",
+]
+
+_PART_TMP = "__cvdb_part"
+_LOG_PREFIX = "data/log-"
+
+
+def _is_log(rel: str) -> bool:
+    return rel.startswith(_LOG_PREFIX)
+
+
+def _partition_of(rel: str, partition_col: str) -> str | None:
+    """Partition value a tagged base segment holds, None for log or
+    untagged segments."""
+    marker = f"-{partition_col}="
+    name = os.path.basename(rel)
+    i = name.find(marker)
+    if _is_log(rel) or i < 0:
+        return None
+    return unquote(name[i + len(marker):])
+
+
+def _stage_partition_segments(
+    df: DataFrame, table_dir: str, partition_col: str
+) -> list[str]:
+    """ONE ``partitionBy`` Spark job into a staging directory, then a
+    per-partition directory rename registers each partition's files as
+    an immutable tagged segment. Renames are metadata ops on local/HDFS
+    (object stores substitute a copy — same protocol). The staging dir
+    lives under ``data/`` so a writer dying mid-stage leaves junk the
+    age-gated vacuum reaps like any uncommitted segment. Partitioning
+    runs on a STRING COPY of the column so the original stays in the
+    data files."""
+    stage_rel = os.path.join("data", f".stage-{uuid.uuid4().hex}")
+    stage = os.path.join(table_dir, stage_rel)
+    (
+        df.withColumn(_PART_TMP, F.col(partition_col).cast("string"))
+        .write.partitionBy(_PART_TMP)
+        .parquet(stage)
+    )
+    rels = []
+    prefix = _PART_TMP + "="
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith(prefix):
+            continue
+        val = unquote(name[len(prefix):])
+        rel = os.path.join(
+            "data",
+            f"seg-{uuid.uuid4().hex}-{partition_col}="
+            f"{quote(val, safe='')}",
+        )
+        os.rename(os.path.join(stage, name), os.path.join(table_dir, rel))
+        rels.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)  # _SUCCESS droppings
+    return rels
+
+
+def _cleanup(table_dir: str, rels: list[str]) -> None:
+    for rel in rels:
+        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+
+
+def create_partitioned_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str = "namespace",
+) -> int:
+    """Initialize a snapshot-log table from ``df``, one tagged segment
+    per partition, committed as version 1."""
+    create_table(table_dir)
+    rels = _stage_partition_segments(df, table_dir, partition_col)
+    return commit_segments(table_dir, added=rels, removed=[], op="append")
+
+
+def append_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str = "namespace",
+) -> int:
+    """S9 insert/insertMany: stage tagged segments, commit atomically —
+    a multi-partition insert is ONE version, never a torn subset."""
+    rels = _stage_partition_segments(df, table_dir, partition_col)
+    return commit_segments(table_dir, added=rels, removed=[], op="append")
+
+
+def _read_segments(
+    spark: SparkSession, table_dir: str, rels: list[str]
+) -> DataFrame:
+    return spark.read.parquet(*[os.path.join(table_dir, r) for r in rels])
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    partitions: set[str] | None = None,
+    partition_col: str = "namespace",
+) -> DataFrame:
+    """Snapshot-isolated read of the base table (MOR overlay excluded —
+    use :func:`read_merge_on_read` for current-state reads on tables
+    with a live change log). ``partitions`` prunes at the SEGMENT LIST:
+    only tagged segments matching the requested values are opened
+    (untagged segments, which could hold any partition, are always
+    included and filtered row-wise)."""
+    segs = [s for s in live_segments(table_dir, version) if not _is_log(s)]
+    if partitions is not None:
+        wanted = {str(v) for v in partitions}
+        segs = [
+            s
+            for s in segs
+            if (tag := _partition_of(s, partition_col)) is None
+            or tag in wanted
+        ]
+    if not segs:
+        raise ValueError(
+            f"no base segments selected at {table_dir} "
+            f"(version={version}, partitions={partitions})"
+        )
+    df = _read_segments(spark, table_dir, segs)
+    if partitions is not None:
+        df = df.filter(
+            F.col(partition_col).cast("string").isin(*sorted(wanted))
+        )
+    return df
+
+
+def _guard_no_log(live: list[str], table_dir: str, op: str) -> None:
+    logs = [s for s in live if _is_log(s)]
+    if logs:
+        raise ValueError(
+            f"{op} on {table_dir} with {len(logs)} un-compacted change-"
+            "log segments would silently ignore logged mutations and "
+            "resurrect overwritten rows; run compact_change_log first"
+        )
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str = "namespace",
+    max_replans: int = 4,
+) -> int:
+    """S5 transactional upsert, identity (partition_col, key): new
+    records win. Only touched partitions' segments are read or
+    rewritten — untouched partitions never appear in the commit, so
+    concurrent writers on disjoint partitions both land; a conflict on
+    the SAME partition re-plans from the new head."""
+    touched = {
+        str(r[0]) for r in updates.select(partition_col).distinct().collect()
+    }
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue
+        _guard_no_log(live, table_dir, "upsert_by_key")
+        old = [
+            s
+            for s in live
+            if (tag := _partition_of(s, partition_col)) is not None
+            and tag in touched
+        ]
+        if old:
+            current = _read_segments(spark, table_dir, old)
+            merged = current.join(
+                updates.select(partition_col, key),
+                [partition_col, key],
+                "left_anti",
+            ).unionByName(updates)
+        else:
+            merged = updates
+        new_rels = _stage_partition_segments(merged, table_dir, partition_col)
+        try:
+            return commit_segments(
+                table_dir, added=new_rels, removed=old, op="upsert"
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e  # same-partition writer won; re-plan
+    raise last if last is not None else CommitConflictError(table_dir)
+
+
+def delete_by_key(
+    spark: SparkSession,
+    table_dir: str,
+    ids: DataFrame,
+    key: str,
+    partition_col: str = "namespace",
+    max_replans: int = 4,
+) -> int:
+    """S6 transactional delete. With ``partition_col`` in ``ids`` the
+    identity is (partition, key) and only those partitions are read;
+    a key-only frame is the documented cross-namespace delete (all
+    partitions scanned, but still only partitions that LOSE rows are
+    rewritten). Partitions the delete empties vanish from the manifest
+    — a zero-row partition stages no segment, and the old segment is
+    in the remove set, so resurrection is structurally impossible."""
+    scoped = partition_col in ids.columns
+    match_cols = [partition_col, key] if scoped else [key]
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue
+        _guard_no_log(live, table_dir, "delete_by_key")
+        bases = [s for s in live if not _is_log(s)]
+        if scoped:
+            touched = {
+                str(r[0])
+                for r in ids.select(partition_col).distinct().collect()
+            }
+            candidates = [
+                s
+                for s in bases
+                if (tag := _partition_of(s, partition_col)) is None
+                or tag in touched
+            ]
+        else:
+            candidates = bases
+        if not candidates:
+            return head
+        current = _read_segments(spark, table_dir, candidates)
+        victims = current.join(F.broadcast(ids), match_cols, "left_semi")
+        hit = {
+            str(r[0])
+            for r in victims.select(partition_col).distinct().collect()
+        }
+        if not hit:
+            return head  # nothing matched: the delete is a no-op
+        old = [
+            s
+            for s in candidates
+            if (tag := _partition_of(s, partition_col)) is None or tag in hit
+        ]
+        survivors = _read_segments(spark, table_dir, old).join(
+            F.broadcast(ids), match_cols, "left_anti"
+        )
+        new_rels = _stage_partition_segments(
+            survivors, table_dir, partition_col
+        )
+        try:
+            return commit_segments(
+                table_dir, added=new_rels, removed=old, op="delete"
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e
+    raise last if last is not None else CommitConflictError(table_dir)
+
+
+def drop_partition(
+    spark: SparkSession,
+    table_dir: str,
+    partition_col: str,
+    value,
+    max_replans: int = 4,
+) -> int:
+    """S7 drop-namespace as a MANIFEST-ONLY commit: the tagged segments
+    of ``value`` leave the live set; no data file is read, written, or
+    deleted (vacuum reclaims them after the retention window — which is
+    what makes the drop time-travelable). Live change-log segments are
+    the one data touch: any logged rows for the dropped partition are
+    filtered out into one fresh log segment so a later compaction
+    cannot resurrect the partition."""
+    val = str(value)
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue
+        victims = [
+            s for s in live if _partition_of(s, partition_col) == val
+        ]
+        logs = [s for s in live if _is_log(s)]
+        new_rels: list[str] = []
+        if logs:
+            log_df = _read_segments(spark, table_dir, logs).filter(
+                F.col(partition_col).cast("string") != F.lit(val)
+            )
+            if log_df.limit(1).count() > 0:
+                rel = os.path.join("data", f"log-{uuid.uuid4().hex}")
+                log_df.write.parquet(os.path.join(table_dir, rel))
+                new_rels = [rel]
+        if not victims and not logs:
+            return head
+        try:
+            return commit_segments(
+                table_dir,
+                added=new_rels,
+                removed=victims + logs,
+                op="drop_partition",
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e
+    raise last if last is not None else CommitConflictError(table_dir)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read on the snapshot log
+# ---------------------------------------------------------------------------
+
+
+def append_change_segment(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    op: str,
+    seq: int,
+) -> int:
+    """MOR mutation: append one tagged change-log segment (``op``:
+    'upsert' | 'delete'; ``seq`` orders batches, later wins — same row
+    protocol as parquet_io.append_change_log) as an atomic commit.
+    O(change) bytes; the base is untouched."""
+    if op not in ("upsert", "delete"):
+        raise ValueError(f"op must be upsert|delete, got {op!r}")
+    rel = os.path.join("data", f"log-{uuid.uuid4().hex}")
+    (
+        df.withColumn("_op", F.lit(op))
+        .withColumn("_seq", F.lit(seq).cast("long"))
+        .write.parquet(os.path.join(table_dir, rel))
+    )
+    return commit_segments(
+        table_dir, added=[rel], removed=[], op="append_log"
+    )
+
+
+def read_merge_on_read(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    partition_col: str = "namespace",
+    version: int | None = None,
+) -> DataFrame:
+    """Current state at ``version``: base segments overlaid with the
+    live change-log segments (latest ``_seq`` per identity wins,
+    deletes drop the identity). Snapshot-isolated like every log read."""
+    live = live_segments(table_dir, version)
+    logs = [s for s in live if _is_log(s)]
+    bases = [s for s in live if not _is_log(s)]
+    if not bases and not logs:
+        raise ValueError(f"{table_dir} has no segments at v{version}")
+    if not logs:
+        return _read_segments(spark, table_dir, bases)
+    log_df = _read_segments(spark, table_dir, logs)
+    if bases:
+        base = _read_segments(spark, table_dir, bases)
+    else:
+        base = log_df.drop("_op", "_seq").filter(F.lit(False))
+    return merge_overlay(base, log_df, [partition_col, key])
+
+
+def compact_change_log(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    partition_col: str = "namespace",
+    max_replans: int = 4,
+) -> int:
+    """Fold the change log into the base in ONE conflict-checked
+    commit: log segments + the base segments of partitions the log
+    touches are replaced by fresh tagged segments holding the overlay
+    result. Untouched partitions never appear in the commit. This is
+    the transactional replacement for parquet_io.compact_change_log's
+    marker fence: a concurrent compactor loses the CAS and re-plans or
+    aborts with :class:`CommitConflictError`; change segments appended
+    MID-compaction survive because they are not in the remove set (the
+    next compaction folds them); a compactor dying at ANY point leaves
+    only invisible staged segments for vacuum — never a torn table."""
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue
+        logs = [s for s in live if _is_log(s)]
+        if not logs:
+            return head
+        log_df = _read_segments(spark, table_dir, logs)
+        touched = {
+            str(r[0])
+            for r in log_df.select(partition_col).distinct().collect()
+        }
+        # Untagged base segments could hold any partition's rows; they
+        # must join the fold wholesale or their rows would be dropped
+        # with the remove set.
+        fold_bases = [
+            s
+            for s in live
+            if not _is_log(s)
+            and (
+                (tag := _partition_of(s, partition_col)) is None
+                or tag in touched
+            )
+        ]
+        if fold_bases:
+            base = _read_segments(spark, table_dir, fold_bases)
+        else:
+            base = log_df.drop("_op", "_seq").filter(F.lit(False))
+        merged = merge_overlay(base, log_df, [partition_col, key])
+        new_rels = _stage_partition_segments(merged, table_dir, partition_col)
+        try:
+            return commit_segments(
+                table_dir,
+                added=new_rels,
+                removed=fold_bases + logs,
+                op="compact_log",
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e
+    raise last if last is not None else CommitConflictError(table_dir)

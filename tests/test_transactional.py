@@ -1,0 +1,455 @@
+"""Snapshot-log-backed maintenance (sources/transactional.py): the
+unified S5-S7 + merge-on-read write path — keyed upserts/deletes,
+manifest-only partition drops, transactional log compaction, and the
+multi-writer races the marker-fenced bare-parquet path cannot win."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.sources.snapshot_log import (
+    latest_version,
+    live_segments,
+    vacuum,
+)
+from conversation_with_vector_db_spark.sources.transactional import (
+    append_change_segment,
+    append_partitioned,
+    compact_change_log,
+    create_partitioned_table,
+    delete_by_key,
+    drop_partition,
+    read_merge_on_read,
+    read_table,
+    upsert_by_key,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    """A 3-namespace snapshot-log table: vec_id 0..29, namespace =
+    vec_id % 3, label = vec_id."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("vec_id"),
+        F.col("id").cast("int").alias("label"),
+        (F.col("id") % 3).cast("int").alias("namespace"),
+    )
+    create_partitioned_table(spark, df, t)
+    return t
+
+
+def _rows(df):
+    return sorted(
+        (r.vec_id, r.label, r.namespace)
+        for r in df.select("vec_id", "label", "namespace").collect()
+    )
+
+
+class TestCopyOnWrite:
+    def test_upsert_by_key(self, spark, store):
+        updates = spark.createDataFrame(
+            [(0, 999, 0), (1, 999, 1), (424242, 999, 2)],
+            "vec_id long, label int, namespace int",
+        )
+        before = read_table(spark, store).count()
+        upsert_by_key(spark, store, updates, key="vec_id")
+        after = read_table(spark, store)
+        assert after.count() == before + 1  # 2 replaced, 1 inserted
+        assert (
+            after.filter(F.col("vec_id").isin(0, 1, 424242))
+            .filter(F.col("label") == 999)
+            .count()
+            == 3
+        )
+
+    def test_upsert_identity_is_namespace_scoped(self, spark, store):
+        # Plant key 3 (home ns 0) into ns 1, then update (0, 3): the
+        # ns-1 twin must survive untouched.
+        upsert_by_key(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(3, 111, 1)], "vec_id long, label int, namespace int"
+            ),
+            key="vec_id",
+        )
+        upsert_by_key(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(3, 999, 0)], "vec_id long, label int, namespace int"
+            ),
+            key="vec_id",
+        )
+        rows = {
+            (r.namespace, r.label)
+            for r in read_table(spark, store)
+            .filter(F.col("vec_id") == 3)
+            .collect()
+        }
+        assert rows == {(0, 999), (1, 111)}
+
+    def test_upsert_rewrites_only_touched_partitions(self, spark, store):
+        before = {
+            s for s in live_segments(store) if "namespace=1" not in s
+        }
+        upsert_by_key(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(1, 999, 1)], "vec_id long, label int, namespace int"
+            ),
+            key="vec_id",
+        )
+        after = set(live_segments(store))
+        # Untouched partitions' segments are byte-identical survivors.
+        assert before <= after
+
+    def test_delete_by_key_cross_namespace(self, spark, store):
+        ids = spark.createDataFrame([(5,), (6,)], ["vec_id"])
+        delete_by_key(spark, store, ids, key="vec_id")
+        after = read_table(spark, store)
+        assert after.count() == 28
+        assert after.filter(F.col("vec_id").isin(5, 6)).count() == 0
+
+    def test_delete_scoped_when_ids_carry_namespace(self, spark, store):
+        # Same key in two namespaces; delete only the ns-1 identity.
+        upsert_by_key(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(3, 111, 1)], "vec_id long, label int, namespace int"
+            ),
+            key="vec_id",
+        )
+        delete_by_key(
+            spark,
+            store,
+            spark.createDataFrame([(3, 1)], "vec_id long, namespace int"),
+            key="vec_id",
+        )
+        rows = [
+            (r.namespace, r.label)
+            for r in read_table(spark, store)
+            .filter(F.col("vec_id") == 3)
+            .collect()
+        ]
+        assert rows == [(0, 3)]
+
+    def test_delete_emptying_partition_stays_deleted(self, spark, tmp_path):
+        t = str(tmp_path / "tiny")
+        create_partitioned_table(
+            spark,
+            spark.createDataFrame(
+                [(1, 0), (2, 0), (3, 1)], "vec_id long, namespace int"
+            ),
+            t,
+        )
+        delete_by_key(
+            spark,
+            t,
+            spark.createDataFrame([(1,), (2,)], ["vec_id"]),
+            key="vec_id",
+        )
+        rows = sorted(
+            (r.vec_id, r.namespace) for r in read_table(spark, t).collect()
+        )
+        assert rows == [(3, 1)]
+        # The emptied partition left the manifest entirely.
+        assert [
+            s for s in live_segments(t) if "namespace=0" in s
+        ] == []
+
+    def test_read_table_prunes_at_the_segment_list(self, spark, store):
+        pruned = read_table(spark, store, partitions={1})
+        assert sorted(r.vec_id for r in pruned.collect()) == list(
+            range(1, 30, 3)
+        )
+        # Manifest-level pruning: every file the plan opens belongs to
+        # the requested partition's segments — other partitions' files
+        # are never listed, let alone read.
+        assert pruned.count() > 0
+        for f in pruned.inputFiles():
+            assert "namespace%3D1" in f or "namespace=1" in f
+
+
+class TestDropPartition:
+    def test_drop_is_manifest_only_and_time_travelable(self, spark, store):
+        v_before = latest_version(store)
+        victims = [s for s in live_segments(store) if "namespace=2" in s]
+        assert victims
+        drop_partition(spark, store, "namespace", 2)
+        after = read_table(spark, store)
+        assert after.filter(F.col("namespace") == 2).count() == 0
+        assert after.count() == 20
+        # Manifest-only: the dropped segments still exist on disk
+        # (time travel reads them) until vacuum ages them out.
+        for s in victims:
+            assert os.path.exists(os.path.join(store, s))
+        assert (
+            read_table(spark, store, version=v_before)
+            .filter(F.col("namespace") == 2)
+            .count()
+            == 10
+        )
+        # Post-retention they are reclaimed like any dead segment.
+        for s in victims:
+            os.utime(os.path.join(store, s), (0, 0))
+        deleted = vacuum(store, keep_versions=1)
+        assert set(victims) <= set(deleted)
+
+    def test_drop_filters_pending_log_rows(self, spark, store):
+        # A logged upsert into the doomed partition must not resurrect
+        # it at the next compaction.
+        append_change_segment(
+            spark,
+            spark.createDataFrame(
+                [(2, 500, 2), (0, 500, 0)],
+                "vec_id long, label int, namespace int",
+            ),
+            store,
+            op="upsert",
+            seq=1,
+        )
+        drop_partition(spark, store, "namespace", 2)
+        compact_change_log(spark, store, key="vec_id")
+        after = read_table(spark, store)
+        assert after.filter(F.col("namespace") == 2).count() == 0
+        assert (
+            after.filter((F.col("vec_id") == 0)).first().label == 500
+        )
+
+
+class TestMergeOnRead:
+    def test_overlay_and_compaction_agree(self, spark, store):
+        append_change_segment(
+            spark,
+            spark.createDataFrame(
+                [(0, 1000, 0), (33, 1000, 0)],
+                "vec_id long, label int, namespace int",
+            ),
+            store,
+            op="upsert",
+            seq=1,
+        )
+        append_change_segment(
+            spark,
+            spark.createDataFrame(
+                [(1, 0, 1)], "vec_id long, label int, namespace int"
+            ),
+            store,
+            op="delete",
+            seq=2,
+        )
+        overlay = _rows(read_merge_on_read(spark, store, key="vec_id"))
+        assert (0, 1000, 0) in overlay and (33, 1000, 0) in overlay
+        assert not any(r[0] == 1 and r[2] == 1 for r in overlay)
+        compact_change_log(spark, store, key="vec_id")
+        assert [s for s in live_segments(store) if "log-" in s] == []
+        assert _rows(read_table(spark, store)) == overlay
+        # Overlay read on a log-free table is just the base read.
+        assert _rows(read_merge_on_read(spark, store, key="vec_id")) == (
+            overlay
+        )
+
+    def test_compaction_folds_only_touched_partitions(self, spark, store):
+        untouched = {
+            s
+            for s in live_segments(store)
+            if "namespace=0" not in s and "log-" not in s
+        }
+        append_change_segment(
+            spark,
+            spark.createDataFrame(
+                [(0, 1000, 0)], "vec_id long, label int, namespace int"
+            ),
+            store,
+            op="upsert",
+            seq=1,
+        )
+        compact_change_log(spark, store, key="vec_id")
+        assert untouched <= set(live_segments(store))
+
+    def test_cow_refuses_uncompacted_log(self, spark, store):
+        append_change_segment(
+            spark,
+            spark.createDataFrame(
+                [(0, 1000, 0)], "vec_id long, label int, namespace int"
+            ),
+            store,
+            op="upsert",
+            seq=1,
+        )
+        with pytest.raises(ValueError, match="compact_change_log"):
+            upsert_by_key(
+                spark,
+                store,
+                spark.createDataFrame(
+                    [(9, 1, 0)], "vec_id long, label int, namespace int"
+                ),
+                key="vec_id",
+            )
+
+    def test_racing_compactors_never_double_fold(self, spark, store):
+        for seq in (1, 2):
+            append_change_segment(
+                spark,
+                spark.createDataFrame(
+                    [(seq, seq * 100, seq % 3)],
+                    "vec_id long, label int, namespace int",
+                ),
+                store,
+                op="upsert",
+                seq=seq,
+            )
+        outcomes, errors = [], []
+
+        def compactor():
+            try:
+                outcomes.append(compact_change_log(spark, store, key="vec_id"))
+            except Exception as e:  # noqa: BLE001 - surfaced via errors
+                errors.append(e)
+
+        threads = [threading.Thread(target=compactor) for _ in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errors == []
+        after = read_merge_on_read(spark, store, key="vec_id")
+        assert after.count() == 30
+        assert after.filter(F.col("vec_id") == 1).first().label == 100
+        assert after.filter(F.col("vec_id") == 2).first().label == 200
+
+    def test_append_during_compaction_survives(self, spark, store):
+        """Change segments landing while a compactor runs must survive
+        it (they are not in its remove set) and fold next round."""
+        stop = threading.Event()
+        errors = []
+        landed = []
+
+        def appender():
+            seq = 10
+            while not stop.is_set():
+                try:
+                    append_change_segment(
+                        spark,
+                        spark.createDataFrame(
+                            [(1000 + seq, seq, seq % 3)],
+                            "vec_id long, label int, namespace int",
+                        ),
+                        store,
+                        op="upsert",
+                        seq=seq,
+                    )
+                    landed.append(seq)
+                    seq += 1
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        th = threading.Thread(target=appender)
+        th.start()
+        try:
+            for _ in range(3):
+                compact_change_log(spark, store, key="vec_id")
+        finally:
+            stop.set()
+            th.join()
+        assert errors == []
+        compact_change_log(spark, store, key="vec_id")
+        assert [s for s in live_segments(store) if "log-" in s] == []
+        after = read_table(spark, store)
+        assert after.count() == 30 + len(landed)
+        assert (
+            after.filter(F.col("vec_id") >= 1000).count() == len(landed)
+        )
+
+    def test_disjoint_partition_upserts_race(self, spark, store):
+        """Two writers upserting DIFFERENT partitions: both commits
+        land (first directly, second after CAS retry) — the per-
+        partition remove sets don't intersect, so neither conflicts."""
+        errors = []
+
+        def writer(ns):
+            try:
+                upsert_by_key(
+                    spark,
+                    store,
+                    spark.createDataFrame(
+                        [(2000 + ns, 1, ns)],
+                        "vec_id long, label int, namespace int",
+                    ),
+                    key="vec_id",
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(ns,)) for ns in (0, 1, 2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errors == []
+        after = read_table(spark, store)
+        assert after.count() == 33
+        assert after.filter(F.col("vec_id") >= 2000).count() == 3
+
+    def test_same_partition_upserts_race(self, spark, store):
+        """Two writers on the SAME partition: the loser re-plans from
+        the winner's head, so BOTH updates land exactly once."""
+        errors = []
+
+        def writer(k):
+            try:
+                upsert_by_key(
+                    spark,
+                    store,
+                    spark.createDataFrame(
+                        [(3000 + k, k, 0)],
+                        "vec_id long, label int, namespace int",
+                    ),
+                    key="vec_id",
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(k,)) for k in range(3)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errors == []
+        after = read_table(spark, store)
+        assert after.filter(F.col("vec_id") >= 3000).count() == 3
+        assert after.count() == 33
+
+
+def test_append_partitioned_is_one_atomic_version(spark, store):
+    v = append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(100, 1, 0), (101, 1, 1), (102, 1, 2)],
+            "vec_id long, label int, namespace int",
+        ),
+        store,
+    )
+    assert v == latest_version(store)
+    assert read_table(spark, store).count() == 33
+    # All three partitions' segments entered in the SAME manifest.
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        _read_manifest,
+    )
+
+    m = _read_manifest(store, v)
+    assert len(m["added"]) == 3 and m["removed"] == []
