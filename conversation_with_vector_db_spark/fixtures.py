@@ -196,26 +196,29 @@ FROM events
 """
 
 # corpus — documents plus planted duplicates so the dedup family has
-# known positives: every 10th doc gets an exact copy (+100000), every
-# 7th a near-copy with an appended tail (+200000), every 13th a
-# near-copy with a changed head (+300000).
+# known positives: every 10th doc gets an exact copy (+500000000), every
+# 7th a near-copy with an appended tail (+1000000000), every 13th a
+# near-copy with a changed head (+1500000000).
 #
-# CONTRACT: base doc_id must stay < 100000 (driver fixtures top out at
-# 5000 docs at sf0.1) or plant ids alias real documents and the
-# "known positives" become ambiguous — both engines agree, so parity
-# can't catch it. tools/gen_sf.py enforces this at generation time;
-# the plans' `doc_id < 100000` plant/base discriminators assume it.
+# CONTRACT: base doc_id must stay < 500000000 or plant ids alias real
+# documents and the "known positives" become ambiguous — both engines
+# agree, so parity can't catch it. Offsets were raised from 1e5/2e5/3e5
+# in r5 so sf10's 500k docs (and anything up to ~sf10,000) generate
+# alias-free; the CEILING is the packed-pair arithmetic, which needs
+# ids < 2^31 (operators/dedup.py pair_counts_from_lists).
+# tools/gen_sf.py enforces this at generation time; the plans'
+# `doc_id < 500000000` plant/base discriminators assume it.
 CORPUS_SQL = """
 SELECT doc_id, text FROM documents
 UNION ALL
-SELECT doc_id + 100000 AS doc_id, text
+SELECT doc_id + 500000000 AS doc_id, text
 FROM documents WHERE doc_id % 10 = 0
 UNION ALL
-SELECT doc_id + 200000 AS doc_id,
+SELECT doc_id + 1000000000 AS doc_id,
        text || ' appended tail marker words' AS text
 FROM documents WHERE doc_id % 7 = 0
 UNION ALL
-SELECT doc_id + 300000 AS doc_id,
+SELECT doc_id + 1500000000 AS doc_id,
        'changed head marker ' || text AS text
 FROM documents WHERE doc_id % 13 = 0
 """

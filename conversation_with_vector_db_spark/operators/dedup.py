@@ -236,8 +236,10 @@ def pair_counts_from_postings(
 
     Pairs pack into ONE long (a < b in high/low 32 bits): hashing a
     single 8-byte key measured ~20% faster on the pair explosion, the
-    biggest row count in the plan. Valid while ids fit 32 bits — the
-    fixture contract.
+    biggest row count in the plan. Valid while ids stay < 2^31 (so
+    a*2^32+b fits a SIGNED long) — the fixture contract: corpus plant
+    offsets top out at 1.5e9 + base (< 2^31), enforced at generation
+    time by tools/gen_sf.py.
     """
     postings = (
         sh.groupBy("shingle")

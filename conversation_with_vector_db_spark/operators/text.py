@@ -139,6 +139,13 @@ def with_regex_counts(
     return df.mapInArrow(score, schema=schema)
 
 
+#: Dictionary-encode gate for the bigram LM: broadcast the token dim
+#: when the measured vocabulary has at most this many types. 1M short
+#: tokens ≈ tens of MB broadcast — comfortably under executor memory;
+#: real web corpora with larger vocabularies take the string path.
+VOCAB_BROADCAST_MAX = 1_000_000
+
+
 def bigram_nll_scores(docs: DataFrame) -> DataFrame:
     """CCNet-style statistical quality scoring: train an add-one-
     smoothed bigram language model ON the corpus itself and score each
@@ -158,11 +165,18 @@ def bigram_nll_scores(docs: DataFrame) -> DataFrame:
 
     Scale shape: bigram explosion is linear in corpus tokens and
     feeds (a) one map-side-combined groupBy building the bigram count
-    table and (b) the scoring join — shuffle-hash on (prev, cur) /
-    (prev), never broadcast (count tables are data-sized; production
-    would dictionary-encode tokens to ints to shrink the shuffle); the
-    vocabulary size V is a broadcast one-row cross join. Output:
-    ``doc_id, n_bigrams, avg_nll`` per document with >= 2 tokens.
+    table and (b) the scoring join. When the measured vocabulary fits
+    the broadcast gate (``VOCAB_BROADCAST_MAX`` types — the count is
+    one cheap job over the already-cached unigram table), tokens are
+    DICTIONARY-ENCODED first: the token dim broadcasts onto the
+    instance stream (no shuffle), unigram counts ride along with the
+    encode so the type-level model join disappears, and the two
+    remaining instance-sized exchanges (bigram groupBy + scoring join)
+    key on longs instead of strings. Past the gate — web-scale vocab —
+    the string path runs unchanged: shuffle-hash on (prev, cur)/(prev),
+    never broadcast (count tables are data-sized), with V as a
+    broadcast one-row cross join. Output: ``doc_id, n_bigrams,
+    avg_nll`` per document with >= 2 tokens.
     """
     from .cache import scoped_cache
     from .dedup import tokens
@@ -187,12 +201,68 @@ def bigram_nll_scores(docs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.prev", "b.cur")
-    bg = scoped_cache(bg)
-    uni = (
+    uni = scoped_cache(
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c_prev"))
     )
+    v_count = uni.count()  # cheap on the cached vocab-sized table
+    if v_count <= VOCAB_BROADCAST_MAX:
+        # Dictionary-encoded path. Ids only need to be bijective WITHIN
+        # this run (they never leave the plan and the NLL is invariant
+        # under any relabeling), so monotonically_increasing_id on the
+        # aggregated vocab is safe — no global sort, no collision risk
+        # a hashed id would carry.
+        dim = uni.withColumn("wid", F.monotonically_increasing_id())
+        enc = scoped_cache(
+            bg.join(
+                F.broadcast(
+                    dim.select(
+                        F.col("w").alias("prev"),
+                        F.col("wid").alias("pid"),
+                        "c_prev",
+                    )
+                ),
+                "prev",
+            )
+            .join(
+                F.broadcast(
+                    dim.select(
+                        F.col("w").alias("cur"), F.col("wid").alias("cid")
+                    )
+                ),
+                "cur",
+            )
+            .select("doc_id", "pid", "cid", "c_prev")
+        )
+        # c_prev is constant within a (pid, cid) group, so first() is
+        # value-deterministic here.
+        model = (
+            enc.groupBy("pid", "cid")
+            .agg(
+                F.count("*").alias("c_bg"),
+                F.first("c_prev").alias("c_prev"),
+            )
+            .select(
+                "pid",
+                "cid",
+                F.floor(
+                    F.log(
+                        (F.col("c_bg") + F.lit(1.0))
+                        / (F.col("c_prev") + F.lit(float(v_count)))
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("q"),
+            )
+        )
+        scored = enc.join(model.hint("shuffle_hash"), ["pid", "cid"]).select(
+            "doc_id", "q"
+        )
+        return _nll_rollup(scored)
+    bg = scoped_cache(bg)
     vocab = uni.agg(F.count("*").alias("v"))
     bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
     # Score bigram TYPES, then join instances once: the model table is
@@ -222,6 +292,12 @@ def bigram_nll_scores(docs: DataFrame) -> DataFrame:
     scored = bg.join(model.hint("shuffle_hash"), ["prev", "cur"]).select(
         "doc_id", "q"
     )
+    return _nll_rollup(scored)
+
+
+def _nll_rollup(scored: DataFrame) -> DataFrame:
+    """Per-doc average of the micro-nat-quantized bigram NLLs — shared
+    tail of the encoded and string scoring paths."""
     return (
         scored.groupBy("doc_id")
         .agg(

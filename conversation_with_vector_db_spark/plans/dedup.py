@@ -106,7 +106,7 @@ def _capped_shingle_index(
 @query(
     "dedup_exact",
     doc="""Exact dedup: hash-groupBy on normalized content — one shuffle
-    of (hash, id), canonical id = min. Finds the planted +100000
+    of (hash, id), canonical id = min. Finds the planted +500000000
     copies.""",
     fixtures_used=("corpus",),
     oracle="""
@@ -767,7 +767,7 @@ bandkeys AS (
 cands AS (
     SELECT DISTINCT x.doc_id AS bench_id, y.doc_id AS train_id
     FROM bandkeys x JOIN bandkeys y USING (band, band_key)
-    WHERE x.doc_id % 53 = 0 AND x.doc_id < 100000
+    WHERE x.doc_id % 53 = 0 AND x.doc_id < 500000000
       AND y.doc_id % 53 <> 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -809,7 +809,7 @@ def dedup_decontaminate_fuzzy(
         minhash_signatures(corpus, num_perm=12, shingles=sh)
     )
     bench = keys.filter(
-        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") < 100000)
+        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") < 500000000)
     ).select(F.col("doc_id").alias("a"), "band", "band_key")
     train = keys.filter(F.col("doc_id") % 53 != 0).select(
         F.col("doc_id").alias("b"), "band", "band_key"
@@ -1074,8 +1074,8 @@ def pipeline_training_manifest(
 @query(
     "dedup_incremental_minhash",
     doc="""Incremental ingest-time near-dup: a NEW batch (the planted
-    variants, doc_id >= 100000) is checked against the EXISTING corpus
-    (doc_id < 100000) without ever pairing the existing corpus with
+    variants, doc_id >= 500000000) is checked against the EXISTING corpus
+    (doc_id < 500000000) without ever pairing the existing corpus with
     itself. Band keys for the existing side are a persisted index at
     cluster scale (here: the same generationally-cached signature
     derivation every other minhash query shares); at ingest only the
@@ -1108,7 +1108,7 @@ bandkeys AS (
 cands AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
     FROM bandkeys x JOIN bandkeys y USING (band, band_key)
-    WHERE x.doc_id < 100000 AND y.doc_id >= 100000
+    WHERE x.doc_id < 500000000 AND y.doc_id >= 500000000
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
@@ -1155,10 +1155,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = lsh_band_keys(
         minhash_signatures(corpus, num_perm=12, shingles=sh)
     )
-    old = keys.filter(F.col("doc_id") < 100000).select(
+    old = keys.filter(F.col("doc_id") < 500000000).select(
         F.col("doc_id").alias("a"), "band", "band_key"
     )
-    new = keys.filter(F.col("doc_id") >= 100000).select(
+    new = keys.filter(F.col("doc_id") >= 500000000).select(
         F.col("doc_id").alias("b"), "band", "band_key"
     )
     cands = (

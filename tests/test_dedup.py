@@ -21,7 +21,7 @@ def test_connected_components_toy(spark):
 
 
 def test_incremental_minhash_flags_exact_plants(spark, sf_dir):
-    """Every +100000 planted doc is an exact copy of an existing doc, so
+    """Every +500000000 planted doc is an exact copy of an existing doc, so
     the incremental ingest check must reject all of them with jaccard
     1.0 against their source."""
     from conversation_with_vector_db_spark.plans import load_all, registry
@@ -32,13 +32,13 @@ def test_incremental_minhash_flags_exact_plants(spark, sf_dir):
         .collect()
     )
     by_id = {r["new_id"]: r for r in rows}
-    exact = [i for i in by_id if 100000 <= i < 200000]
+    exact = [i for i in by_id if 500000000 <= i < 1000000000]
     assert exact, "no exact plants matched"
     for i in exact:
         assert by_id[i]["best_jaccard"] == 1.0
-        assert by_id[i]["matched_id"] == i - 100000
+        assert by_id[i]["matched_id"] == i - 500000000
     # Matches must point INTO the existing corpus, never batch-internal.
-    assert all(r["matched_id"] < 100000 for r in rows)
+    assert all(r["matched_id"] < 500000000 for r in rows)
 
 
 def test_quality_quantile_filter_keep_rate(spark, sf_dir):
@@ -285,7 +285,7 @@ def test_bloom_decontaminate_equals_exact(spark, sf_dir):
 
 def test_fuzzy_decontaminate_catches_planted_eval_copies(spark, sf_dir):
     """Every planted corpus copy of an eval-slice document (the exact
-    +100000 plants whose base id is in the doc_id % 53 = 0 eval set and
+    +500000000 plants whose base id is in the doc_id % 53 = 0 eval set and
     which land on the train side) must be flagged with jaccard 1.0 —
     the leak the exact >= 5-shared-shingles sweep is allowed to catch
     by absolute count, the fuzzy pass must catch by ratio."""
@@ -302,12 +302,12 @@ def test_fuzzy_decontaminate_catches_planted_eval_copies(spark, sf_dir):
     load_tables(spark, sf_dir)
     register_derived_views(spark)
     planted = {
-        r[0] + 100000
+        r[0] + 500000000
         for r in spark.table("documents")
         .filter((F.col("doc_id") % 53 == 0) & (F.col("doc_id") % 10 == 0))
         .select("doc_id")
         .collect()
-        if (r[0] + 100000) % 53 != 0  # plant must land on the train side
+        if (r[0] + 500000000) % 53 != 0  # plant must land on the train side
     }
     assert planted  # fixture sanity: at least one planted eval copy
     got = {

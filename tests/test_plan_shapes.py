@@ -10,6 +10,9 @@ deterministically, without executing the query.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark import fixtures
 from conversation_with_vector_db_spark.plans import load_all, registry
 from conversation_with_vector_db_spark.session import load_tables
 
@@ -154,12 +157,44 @@ def test_substring_spans_plan_shape(spark, sf_dir):
 
 
 def test_perplexity_scoring_joins_are_shuffle_hash(spark, sf_dir):
-    """Both LM-count scoring joins must stay shuffled hash joins (count
-    tables are data-sized; a broadcast would be the 100 TB
-    scale-killer); the only broadcast is the one-row vocabulary
-    scalar."""
+    """Under the dictionary-encode gate (fixture vocab << 1M types) the
+    token dim broadcasts onto the instance stream, but the
+    instance-sized SCORING join must stay a shuffled hash join on the
+    encoded long keys — the bigram model table is data-sized and
+    broadcasting IT would be the 100 TB scale-killer."""
     plan = _spark_plan(spark, sf_dir, "text_perplexity_bigram")
-    assert plan.count("ShuffledHashJoin") >= 2, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row vocab scalar
-    assert "BroadcastHashJoin" not in plan, plan
+    # Encode joins: vocab-dim broadcasts keyed on the token string
+    # (the cached encode subtree prints once per InMemoryTableScan, so
+    # count >= 2 rather than == 2).
+    assert plan.count("BroadcastHashJoin [prev") >= 1, plan
+    assert plan.count("BroadcastHashJoin [cur") >= 1, plan
+    # Scoring join on (pid, cid) longs: shuffled, never broadcast.
+    assert "ShuffledHashJoin [pid" in plan, plan
+    assert "BroadcastHashJoin [pid" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_perplexity_encoded_and_string_paths_agree(spark, sf_dir):
+    """The dictionary-encoded fast path and the web-scale string path
+    must be numerically identical — ids are internal relabelings, so
+    any divergence is a bug, not a tolerance."""
+    import conversation_with_vector_db_spark.operators.text as T
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    fixtures.register_derived_views(spark)
+    docs = spark.table("corpus").filter(F.col("doc_id") % 3 == 0)
+    fast = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in T.bigram_nll_scores(docs).collect()
+    }
+    old = T.VOCAB_BROADCAST_MAX
+    T.VOCAB_BROADCAST_MAX = 0
+    try:
+        slow = {
+            r.doc_id: (r.n_bigrams, r.avg_nll)
+            for r in T.bigram_nll_scores(docs).collect()
+        }
+    finally:
+        T.VOCAB_BROADCAST_MAX = old
+    assert fast == slow

@@ -546,7 +546,7 @@ def test_snapshot_diff_all_four_statuses_live(spark, sf_dir):
     n_plants_removed = (
         spark.table("corpus")
         .filter(
-            (F.col("doc_id") >= 100000) & (F.col("doc_id") % 97 == 3)
+            (F.col("doc_id") >= 500000000) & (F.col("doc_id") % 97 == 3)
         )
         .count()
     )

@@ -358,7 +358,7 @@ def test_streaming_minhash_dedup_gate(spark, sf_dir, tmp_path):
     # One file per id range, written in arrival order (mtime order =
     # FileStreamSource order): base corpus, then the planted variants.
     for i, (lo, hi) in enumerate(
-        [(0, 100000), (100000, 200000), (200000, 300000), (300000, 400000)]
+        [(0, 500000000), (500000000, 1000000000), (1000000000, 1500000000), (1500000000, 2000000000)]
     ):
         part = root / f"part{i}"
         (
@@ -390,18 +390,18 @@ def test_streaming_minhash_dedup_gate(spark, sf_dir, tmp_path):
     n_corpus = corpus.count()
     assert dec.count() == n_corpus
     by_id = {r["doc_id"]: r for r in dec.collect()}
-    base = [i for i in by_id if i < 100000]
-    exact = [i for i in by_id if 100000 <= i < 200000]
+    base = [i for i in by_id if i < 500000000]
+    exact = [i for i in by_id if 500000000 <= i < 1000000000]
     # Base batch: nothing in the store yet -> all accepted.
     assert all(not by_id[i]["is_dup"] for i in base)
     # Exact plants: all rejected with jaccard 1.0 against their source.
     assert exact
     for i in exact:
         assert by_id[i]["is_dup"], i
-        assert by_id[i]["matched_id"] == i - 100000
+        assert by_id[i]["matched_id"] == i - 500000000
         assert by_id[i]["best_jaccard"] == 1.0
     # Perturbed plants: the near-dup signal must fire broadly.
-    tails = [i for i in by_id if 200000 <= i < 300000]
+    tails = [i for i in by_id if 1000000000 <= i < 1500000000]
     assert tails
     n_tail_dups = sum(bool(by_id[i]["is_dup"]) for i in tails)
     assert n_tail_dups >= 0.8 * len(tails)

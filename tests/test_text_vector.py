@@ -113,7 +113,7 @@ class TestDedupFindsPlantedDuplicates:
     def test_exact_finds_planted_copies(self, spark, sf_dir):
         df = registry.REGISTRY["dedup_exact"].fn(spark, sf_dir)
         groups = df.collect()
-        # Every 10th doc was copied verbatim (+100000).
+        # Every 10th doc was copied verbatim (+500000000).
         assert len(groups) >= 40
         assert all(g.n_dups >= 2 for g in groups)
 
@@ -124,7 +124,7 @@ class TestDedupFindsPlantedDuplicates:
         planted = {
             (a, b)
             for a, b in ((p.a, p.b) for p in pairs)
-            if b - a in (100000, 200000, 300000)
+            if b - a in (500000000, 1000000000, 1500000000)
         }
         assert len(planted) >= 100  # exact + tail/head perturbed pairs
 
@@ -132,7 +132,7 @@ class TestDedupFindsPlantedDuplicates:
         pairs = registry.REGISTRY["dedup_minhash_lsh"].fn(
             spark, sf_dir
         ).collect()
-        exact_pairs = {(p.a, p.b) for p in pairs if p.b - p.a == 100000}
+        exact_pairs = {(p.a, p.b) for p in pairs if p.b - p.a == 500000000}
         # Identical docs share every band -> always candidates.
         assert len(exact_pairs) >= 40
 

@@ -196,21 +196,19 @@ def main() -> None:
     }))
 
     nd = n["documents"]
-    if nd >= 100_000:
-        # The corpus fixture plants duplicates at doc_id+100000/+200000
-        # /+300000 (fixtures.py CORPUS_SQL contract): past 100k base
-        # docs the plant ids ALIAS real documents — both engines agree
-        # on the aliased data, so parity can't flag it, and the dedup
-        # family's known-positives become ambiguous. sf10's 500k-doc
-        # fixtures (r4 perf spot-checks) carried this aliasing; the
-        # wall-clock comparisons stand (identical data on both
-        # engines), but refuse it going forward rather than let a
-        # correctness run inherit it silently.
+    if nd >= 500_000_000:
+        # The corpus fixture plants duplicates at doc_id + 5e8/1e9/1.5e9
+        # (fixtures.py CORPUS_SQL contract, raised from 1e5/2e5/3e5 in
+        # r5 so sf10's 500k docs — and anything up to sf10,000 — cannot
+        # alias plant ids onto real documents). The ceiling is pinned
+        # by the pair-packing arithmetic: ids must stay < 2^31 so
+        # a*2^32+b fits a signed long (operators/dedup.py
+        # pair_counts_from_lists).
         raise SystemExit(
-            f"documents={nd} >= 100000 aliases the corpus plant-id "
-            "offsets (fixtures.py CORPUS_SQL); cap sf below 2 or "
-            "raise the plant offsets in lockstep with the plans' "
-            "doc_id < 100000 discriminators"
+            f"documents={nd} >= 500000000 aliases the corpus plant-id "
+            "offsets (fixtures.py CORPUS_SQL) and overflows the packed-"
+            "pair longs; raise the offsets and the plans' doc_id "
+            "discriminators in lockstep (ids must stay < 2^31)"
         )
     lens = rng.integers(10, 101, nd)
     vocab = np.array(VOCAB)
