@@ -266,57 +266,83 @@ def hyperplane_lsh_topk(
     return topk_per_query(scored, k, tiebreak_col=id_col)
 
 
-def ivf_topk(
+def ivf_fit_cells(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
     nlist: int = 16,
-    nprobe: int = 4,
+    vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """IVF approximate top-k via seeded KMeans cells + centroid probing.
+    fit_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded-KMeans cell model: ``(corpus + cell column, centroids)``.
 
-    At production scale the cell assignment is a write-time partition
-    column; the query-time scan prunes to nprobe partitions.
+    ``fit_fraction`` trains the centroids on a deterministic sample
+    (the standard IVF practice at corpus scale — FAISS trains on ~30x
+    nlist points, not the full set); the ASSIGNMENT transform still
+    covers every corpus row, so the index is always complete.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.withColumn("_features", array_to_vector(vec_col))
-    km = KMeans(k=nlist, seed=seed, featuresCol="_features")
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).withColumnRenamed(
-        "prediction", "cell"
+    fit_on = (
+        corpus_v
+        if fit_fraction is None
+        else corpus_v.sample(fraction=fit_fraction, seed=seed)
     )
-
+    model = KMeans(k=nlist, seed=seed, featuresCol="_features").fit(fit_on)
+    assigned = (
+        model.transform(corpus_v)
+        .withColumnRenamed("prediction", "cell")
+        .drop("_features")
+    )
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = corpus.sparkSession.createDataFrame(
         centroids, ["cell", "centroid"]
     )
+    return assigned, cent_df
+
+
+def ivf_probed_cells(
+    cent_df: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, _qvec, cell) — the nprobe nearest centroids per query.
+
+    The centroid table is nlist rows (broadcast-tiny by construction);
+    the crossJoin is query x nlist, never query x corpus.
+    """
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qvec")
     )
-    probe = (
-        q.crossJoin(F.broadcast(cent_df))
-        .select(
-            "qid",
-            "_qvec",
-            "cell",
-            cosine_similarity(F.col("_qvec"), F.col("centroid")).alias(
-                "_csim"
-            ),
-        )
+    probe = q.crossJoin(F.broadcast(cent_df)).select(
+        "qid",
+        "_qvec",
+        "cell",
+        cosine_similarity(F.col("_qvec"), F.col("centroid")).alias("_csim"),
     )
-    probed = topk_per_query(
+    return topk_per_query(
         probe, nprobe, query_col="qid", score_col="_csim",
         tiebreak_col="cell",
     ).select("qid", "_qvec", "cell")
 
+
+def _rescore_probed(
+    assigned: DataFrame,
+    probed: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF rescoring tail: candidates = probed cells' vectors,
+    Arrow-batched cosine (bit-identical to the HOF fold), top-k via the
+    WindowGroupLimit shape. Both the query-time and the write-time
+    index paths end here, so their scores are identical by
+    construction."""
     cands = assigned.withColumn(
         "_cn", l2_norm(F.col(vec_col))
     ).join(F.broadcast(probed.withColumn("_qn", l2_norm("_qvec"))), "cell")
@@ -333,6 +359,87 @@ def ivf_topk(
         ).alias("sim"),
     )
     return topk_per_query(scored, k, tiebreak_col=id_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k via seeded KMeans cells + centroid probing.
+
+    Query-time form: fits and assigns in the same plan. At production
+    scale use :func:`ivf_write_index` + :func:`ivf_topk_indexed`, where
+    the cell is a write-time partition column and probing becomes
+    partition pruning at the scan.
+    """
+    assigned, cent_df = ivf_fit_cells(corpus, nlist, vec_col, seed)
+    probed = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
+    return _rescore_probed(assigned, probed, k, id_col, vec_col)
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> None:
+    """Materialize an IVF index: corpus parquet PARTITIONED BY cell id
+    (``<path>/data/cell=<i>/``) plus an nlist-row centroid sidecar
+    (``<path>/centroids``).
+
+    This is the 100 TB read path the reference's remote HNSW
+    (controllers/conversationController.js:32-36) maps to in a
+    data-parallel engine: the expensive structure (centroid fit +
+    cell assignment) is paid ONCE at write time, and every query's
+    nprobe cell set becomes a partition-pruning predicate — the scan
+    opens nprobe/nlist of the files, no index server required.
+    """
+    assigned, cent_df = ivf_fit_cells(
+        corpus, nlist, vec_col, seed, fit_fraction
+    )
+    assigned.select(id_col, vec_col, *extra_cols, "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/data")
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a :func:`ivf_write_index` layout with the
+    probed cells pushed into the scan as PARTITION FILTERS.
+
+    The probe runs first (queries x nlist centroids — tiny) and its
+    cell ids are folded to plan literals, exactly like
+    :func:`..vector.collect_query_vectors` folds the query matrix: the
+    collect is bounded by n_queries x nprobe rows, never corpus-sized.
+    The data scan then carries ``cell IN (<literals>)`` on the
+    partition column, so file listing prunes to the probed
+    directories before a single row is read (asserted by plan-shape
+    test and by a corrupted-unprobed-cell read surviving)."""
+    cent_df = spark.read.parquet(f"{index_path}/centroids")
+    probed = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
+    cells = sorted({int(r["cell"]) for r in probed.select("cell").collect()})
+    scan = spark.read.parquet(f"{index_path}/data")
+    if cells:
+        scan = scan.filter(F.col("cell").isin(cells))
+    return _rescore_probed(scan, probed, k, id_col, vec_col)
 
 
 def recall_at_k(

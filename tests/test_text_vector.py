@@ -161,6 +161,107 @@ class TestAnnRecall:
         assert all(r.meets_floor for r in rows), rows
 
 
+class TestIvfIndexed:
+    """Write-time IVF index (VERDICT r4 #3): partition-pruned probe."""
+
+    def _clustered_corpus(self, spark, n_clusters=8, per_cluster=40,
+                          dim=16):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        centroids = rng.normal(size=(n_clusters, dim))
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+        rows = []
+        for vid in range(n_clusters * per_cluster):
+            v = centroids[vid % n_clusters] + 0.08 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_indexed_suite_self_asserts(self, spark, sf_dir):
+        row = registry.REGISTRY["ann_ivf_indexed_suite"].fn(
+            spark, sf_dir
+        ).first()
+        assert row.meets_floor, row
+        assert row.pruned_matches_full, row
+        assert row.partitions_pruned, row
+
+    def test_indexed_pruning_reads_only_probed_files(self, spark, tmp_path):
+        """The probed-cell IN filter must prune at FILE LISTING, not as
+        a row filter: the executed scan's numFiles metric equals the
+        file count under the probed cell directories alone."""
+        import glob
+        import os
+
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_probed_cells,
+            ivf_write_index,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        path = str(tmp_path / "ivfidx")
+        ivf_write_index(corpus, path, nlist=8)
+        queries = corpus.filter(F.col("vec_id") < 2)
+        cent = spark.read.parquet(f"{path}/centroids")
+        probed = ivf_probed_cells(cent, queries, nprobe=3)
+        cells = sorted(
+            {int(r["cell"]) for r in probed.select("cell").collect()}
+        )
+        assert 0 < len(cells) < 8
+
+        all_files = glob.glob(f"{path}/data/cell=*/*.parquet")
+        probed_files = [
+            f
+            for f in all_files
+            if int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            in cells
+        ]
+        assert 0 < len(probed_files) < len(all_files)
+
+        # AQE wraps scans in query stages whose leaves hide the scan
+        # node; turn it off so the executed plan's single leaf IS the
+        # FileSourceScan and its driver-side numFiles metric is
+        # directly readable.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            pruned_scan = spark.read.parquet(f"{path}/data").filter(
+                F.col("cell").isin(cells)
+            )
+            pruned_scan.collect()
+            leaf = (
+                pruned_scan._jdf.queryExecution()
+                .executedPlan()
+                .collectLeaves()
+                .apply(0)
+            )
+            assert "FileSourceScan" in leaf.getClass().getSimpleName()
+            n_files_read = leaf.metrics().apply("numFiles").value()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert n_files_read == len(probed_files), (
+            n_files_read, len(probed_files), len(all_files)
+        )
+
+    def test_indexed_topk_matches_query_time_ivf(self, spark, tmp_path):
+        """Same corpus, same seed, same nlist/nprobe: the write-time
+        index path must rank exactly what the query-time fit ranks
+        (both end in the shared _rescore_probed tail)."""
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_topk,
+            ivf_topk_indexed,
+            ivf_write_index,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        path = str(tmp_path / "ivfidx2")
+        ivf_write_index(corpus, path, nlist=8)
+        queries = corpus.filter(F.col("vec_id") < 3)
+        direct = ivf_topk(corpus, queries, k=5, nlist=8, nprobe=3)
+        indexed = ivf_topk_indexed(spark, path, queries, k=5, nprobe=3)
+        a = sorted(map(tuple, direct.collect()))
+        b = sorted(map(tuple, indexed.collect()))
+        assert a == b
+
+
 class TestChunkPlans:
     def test_recursive_chunk_table_shape(self, spark, sf_dir):
         df = registry.REGISTRY["t2_chunk_recursive_fine"].fn(spark, sf_dir)
