@@ -431,14 +431,31 @@ def ivf_topk_indexed(
     collect is bounded by n_queries x nprobe rows, never corpus-sized.
     The data scan then carries ``cell IN (<literals>)`` on the
     partition column, so file listing prunes to the probed
-    directories before a single row is read (asserted by plan-shape
-    test and by a corrupted-unprobed-cell read surviving)."""
+    directories before a single row is read (asserted by the
+    plan-shape and inputFiles tests in tests/test_plan_shapes.py /
+    tests/test_text_vector.py).
+
+    The probe plan is evaluated exactly ONCE: its rows are collected
+    and the rescore's broadcast side is rebuilt from the collected
+    rows, so a nondeterministic query set (sample, unordered limit)
+    cannot make the partition filter and the join side disagree."""
     cent_df = spark.read.parquet(f"{index_path}/centroids")
-    probed = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
-    cells = sorted({int(r["cell"]) for r in probed.select("cell").collect()})
+    probed_plan = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
+    probed_rows = probed_plan.collect()
     scan = spark.read.parquet(f"{index_path}/data")
-    if cells:
-        scan = scan.filter(F.col("cell").isin(cells))
+    if not probed_rows:
+        # No queries -> no probed cells. Never scan the corpus just to
+        # join against an empty broadcast: return an empty top-k frame
+        # with the standard (qid, id, sim, rank) shape.
+        empty = _rescore_probed(
+            scan.filter(F.lit(False)),
+            probed_plan.filter(F.lit(False)),
+            k, id_col, vec_col,
+        )
+        return empty
+    probed = spark.createDataFrame(probed_rows, schema=probed_plan.schema)
+    cells = sorted({int(r["cell"]) for r in probed_rows})
+    scan = scan.filter(F.col("cell").isin(cells))
     return _rescore_probed(scan, probed, k, id_col, vec_col)
 
 

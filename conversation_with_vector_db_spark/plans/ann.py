@@ -243,7 +243,6 @@ IDX_NLIST, IDX_NPROBE, IDX_FLOOR = 16, 6, 0.40
 
 @query(
     "ann_ivf_indexed_suite",
-    driver=False,
     doc="""Write-time IVF index + partition-pruned probe — the 100 TB
     read path (VERDICT r4 #3). Builds the ``ivf_write_index`` layout
     (corpus parquet partitioned by KMeans cell id + centroid sidecar)
@@ -263,46 +262,61 @@ SELECT 'ivf_indexed_16c6probe' AS method, TRUE AS meets_floor,
 """,
 )
 def ann_ivf_indexed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+    import shutil
     import tempfile
 
     emb = spark.table("embeddings")
     q = emb.filter(F.col("vec_id") < 2)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/cvdb_ivf_index_{tag}"
-    ivf_write_index(emb, path, nlist=IDX_NLIST)
+    # Per-invocation scratch dir: concurrent runs on the same fixture
+    # (pytest-xdist, parallel parity + bench) must never race an
+    # overwrite-delete against another run's scan.
+    path = tempfile.mkdtemp(prefix="cvdb_ivf_index_")
+    try:
+        ivf_write_index(emb, path, nlist=IDX_NLIST)
 
-    pruned = ivf_topk_indexed(spark, path, q, k=K, nprobe=IDX_NPROBE)
-    # Unpruned control: same written index, same probe set, no
-    # partition filter — identical rows prove pruning is lossless.
-    from ..operators.ann import _rescore_probed
+        pruned = ivf_topk_indexed(spark, path, q, k=K, nprobe=IDX_NPROBE)
+        # Unpruned control: same written index, same probe set, no
+        # partition filter — identical rows prove pruning is lossless.
+        from ..operators.ann import _rescore_probed
 
-    cent = spark.read.parquet(f"{path}/centroids")
-    probed = ivf_probed_cells(cent, q, nprobe=IDX_NPROBE)
-    full = _rescore_probed(
-        spark.read.parquet(f"{path}/data"), probed, K, "vec_id", "embedding"
-    )
-    n_diff = (
-        full.exceptAll(pruned)
-        .unionByName(pruned.exceptAll(full))
-        .agg(F.count(F.lit(1)).alias("n_diff"))
-    )
-    n_cells = probed.agg(
-        F.count_distinct("cell").alias("n_probed_cells")
-    )
-    exact = exact_baseline(emb, q, k=K)
-    report = recall_at_k(pruned, exact, k=K)
-    return (
-        report.crossJoin(n_diff)
-        .crossJoin(n_cells)
-        .select(
-            F.lit("ivf_indexed_16c6probe").alias("method"),
-            (F.col("recall") >= IDX_FLOOR).alias("meets_floor"),
-            (F.col("n_diff") == 0).alias("pruned_matches_full"),
-            (F.col("n_probed_cells") < IDX_NLIST).alias(
-                "partitions_pruned"
-            ),
+        cent = spark.read.parquet(f"{path}/centroids")
+        probed = ivf_probed_cells(cent, q, nprobe=IDX_NPROBE)
+        full = _rescore_probed(
+            spark.read.parquet(f"{path}/data"), probed, K,
+            "vec_id", "embedding",
         )
+        n_diff = (
+            full.exceptAll(pruned)
+            .unionByName(pruned.exceptAll(full))
+            .agg(F.count(F.lit(1)).alias("n_diff"))
+        )
+        n_cells = probed.agg(
+            F.count_distinct("cell").alias("n_probed_cells")
+        )
+        exact = exact_baseline(emb, q, k=K)
+        report = recall_at_k(pruned, exact, k=K)
+        rows = (
+            report.crossJoin(n_diff)
+            .crossJoin(n_cells)
+            .select(
+                F.lit("ivf_indexed_16c6probe").alias("method"),
+                (F.col("recall") >= IDX_FLOOR).alias("meets_floor"),
+                (F.col("n_diff") == 0).alias("pruned_matches_full"),
+                (F.col("n_probed_cells") < IDX_NLIST).alias(
+                    "partitions_pruned"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        # The report is evaluated eagerly above (1 row), so the scratch
+        # index can be reclaimed before returning — the returned frame
+        # is a literal and never re-reads the deleted files.
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="method string, meets_floor boolean, "
+        "pruned_matches_full boolean, partitions_pruned boolean",
     )
 
 

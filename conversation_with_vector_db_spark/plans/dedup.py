@@ -133,6 +133,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    # Local-parity only since r6: same inverted-index Jaccard family as
+    # the driver-green dedup_char_ngram; demoted to hold the 50-cap
+    # when ann_ivf_indexed_suite was promoted (VERDICT r5 #2).
+    driver=False,
     doc="""N-gram Jaccard near-dup: inverted-index self-join on word
     3-gram hashes (docs only meet if they share a shingle — no
     all-pairs), |A∩B| from the join, threshold 0.5, DF cap 64. Catches

@@ -220,7 +220,9 @@ class TestIvfIndexed:
         # AQE wraps scans in query stages whose leaves hide the scan
         # node; turn it off so the executed plan's single leaf IS the
         # FileSourceScan and its driver-side numFiles metric is
-        # directly readable.
+        # directly readable. Restore the PRIOR value, not a hardcoded
+        # one, so sessions that had AQE off aren't clobbered.
+        prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             pruned_scan = spark.read.parquet(f"{path}/data").filter(
@@ -236,7 +238,7 @@ class TestIvfIndexed:
             assert "FileSourceScan" in leaf.getClass().getSimpleName()
             n_files_read = leaf.metrics().apply("numFiles").value()
         finally:
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
         assert n_files_read == len(probed_files), (
             n_files_read, len(probed_files), len(all_files)
         )
