@@ -438,16 +438,80 @@ def read_snapshot(
     )
 
 
+#: Bin-pack target for :func:`compact_snapshots` output segments —
+#: the Iceberg ``rewriteDataFiles`` / Delta ``OPTIMIZE`` default
+#: neighborhood. Segments at or above this size are left alone.
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _segment_bytes(table_dir: str, rel: str) -> int:
+    """Driver-side metadata sizing of one segment directory (O(files)
+    stat calls, never reads data rows)."""
+    total = 0
+    for root, _dirs, files in os.walk(os.path.join(table_dir, rel)):
+        for name in files:
+            if name.startswith((".", "_")):
+                continue  # _SUCCESS / checksums / hidden droppings
+            try:
+                total += os.path.getsize(os.path.join(root, name))
+            except OSError:
+                pass
+    return total
+
+
+def _binpack_segments(
+    sized: list[tuple[str, int]], target_bytes: int
+) -> list[list[str]]:
+    """First-fit bin-pack (name-sorted, deterministic) into groups of
+    cumulative size <= target. Only groups of >= 2 segments are worth
+    rewriting: a lone segment — small or already target-sized — is
+    left live untouched, so compaction converges instead of eternally
+    rewriting the same bytes."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for rel, nbytes in sorted(sized):
+        if nbytes >= target_bytes:
+            continue  # already at target; never refold
+        if cur and cur_bytes + nbytes > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(rel)
+        cur_bytes += nbytes
+    if cur:
+        groups.append(cur)
+    return [g for g in groups if len(g) >= 2]
+
+
 def compact_snapshots(
-    spark: SparkSession, table_dir: str, max_retries: int = 8
+    spark: SparkSession,
+    table_dir: str,
+    max_retries: int = 8,
+    target_bytes: int = COMPACT_TARGET_BYTES,
 ) -> int:
-    """Transactional small-file compaction: fold every segment live at
-    the pinned head into ONE segment. Runs as a rewrite, so concurrent
-    appends survive (they are in the post-CAS live set) and a
-    concurrent compactor loses cleanly with
+    """Transactional small-file compaction: bin-pack the head's live
+    segments into ~``target_bytes`` output segments (the Iceberg
+    binpack-``rewriteDataFiles`` shape) and swap them in one
+    conflict-checked rewrite commit.
+
+    Scale posture: the fold is ONE shuffle-free Spark job — scan the
+    to-fold segments, tag each row's output group from its source file
+    path (broadcast map, no exchange), write ``partitionBy`` group into
+    a staging dir — then per-group directory renames register the new
+    segments. No ``coalesce(1)``: task parallelism follows the scan's
+    own partitioning, so a terabyte backlog of small segments folds
+    wide, and segments already at or above the target are never
+    rewritten, so repeated compactions converge to a steady state.
+
+    Runs as a rewrite, so concurrent appends survive (they are in the
+    post-CAS live set) and a concurrent compactor loses cleanly with
     :class:`CommitConflictError` instead of double-folding — the
     multi-writer guarantee the marker-fenced bare-parquet compaction
-    cannot give. Retries re-plan from the current head."""
+    cannot give. Retries re-plan from the current head. A compactor
+    dying mid-stage leaves only invisible staged files for the
+    age-gated vacuum."""
+    from pyspark.sql import functions as F
+
     last: Exception | None = None
     for _ in range(max_retries):
         head = latest_version(table_dir)
@@ -455,14 +519,66 @@ def compact_snapshots(
             segs = live_segments(table_dir, head)
             if len(segs) <= 1:
                 return head
-            folded = read_snapshot(spark, table_dir, head).coalesce(1)
+            sized = [(s, _segment_bytes(table_dir, s)) for s in segs]
+            groups = _binpack_segments(sized, target_bytes)
+            if not groups:
+                return head  # steady state: nothing worth folding
+            fold = [s for g in groups for s in g]
+            seg_to_grp = {
+                os.path.basename(s): gi
+                for gi, g in enumerate(groups)
+                for s in g
+            }
+            scan = spark.read.parquet(
+                *[os.path.join(table_dir, s) for s in fold]
+            )
+            grp_map = spark.createDataFrame(
+                list(seg_to_grp.items()), "_seg string, _grp int"
+            )
+            merged = (
+                scan.withColumn(
+                    "_seg",
+                    F.regexp_extract(
+                        F.input_file_name(), r"^.*/data/([^/]+)/", 1
+                    ),
+                )
+                .join(F.broadcast(grp_map), "_seg")
+                .drop("_seg")
+            )
         except FileNotFoundError:
             continue  # head vacuumed mid-read; re-plan (see append)
+        new_rels = _stage_group_segments(merged, table_dir)
         try:
-            return rewrite_snapshot(folded, table_dir, remove=segs)
+            return commit_segments(
+                table_dir, added=new_rels, removed=fold, op="compact"
+            )
         except CommitConflictError as e:
+            for rel in new_rels:
+                shutil.rmtree(
+                    os.path.join(table_dir, rel), ignore_errors=True
+                )
             last = e  # another rewrite moved the head; re-plan
     raise last if last is not None else CommitConflictError(table_dir)
+
+
+def _stage_group_segments(merged: DataFrame, table_dir: str) -> list[str]:
+    """One ``partitionBy("_grp")`` job into a staging dir under
+    ``data/`` (a dead writer's droppings are vacuum-reapable), then a
+    metadata rename per group registers each ``_grp=N`` directory as a
+    fresh immutable segment. The ``_grp`` column rides the directory
+    name only — ``partitionBy`` keeps it out of the data files."""
+    stage_rel = os.path.join(_DATA, f".stage-{uuid.uuid4().hex}")
+    stage = os.path.join(table_dir, stage_rel)
+    merged.write.partitionBy("_grp").parquet(stage)
+    new_rels = []
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("_grp="):
+            continue
+        rel = os.path.join(_DATA, uuid.uuid4().hex)
+        os.rename(os.path.join(stage, name), os.path.join(table_dir, rel))
+        new_rels.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)  # _SUCCESS droppings
+    return new_rels
 
 
 def vacuum(

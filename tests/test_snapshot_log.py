@@ -126,6 +126,53 @@ def test_concurrent_compactors_preserve_data(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == list(range(40))
 
 
+def test_compaction_binpacks_to_target_size(spark, tmp_path):
+    """Above the size threshold the fold emits MULTIPLE output segments
+    (the Iceberg binpack shape), never one coalesce(1) mega-segment:
+    8 small appends with a target sized to hold ~2 of them must fold
+    into >1 live segment, preserve every row, and leave each output
+    under the target."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        _segment_bytes,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    for i in range(8):
+        append_snapshot(spark.range(i * 10, i * 10 + 10).coalesce(1), t)
+    sizes = [_segment_bytes(t, s) for s in live_segments(t)]
+    target = max(sizes) * 2 + 2  # fits ~2 segments per bin
+    compact_snapshots(spark, t, target_bytes=target)
+    after = live_segments(t)
+    assert 1 < len(after) < 8
+    assert _ids(read_snapshot(spark, t)) == list(range(80))
+    assert all(_segment_bytes(t, s) <= target for s in after)
+
+
+def test_compaction_converges_and_spares_target_sized_segments(
+    spark, tmp_path
+):
+    """A second compaction at the same target is a no-op version-wise
+    (segments at/above target are never refolded), so repeated
+    maintenance converges instead of rewriting the same bytes."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    for i in range(4):
+        append_snapshot(spark.range(i * 10, i * 10 + 10).coalesce(1), t)
+    big = live_segments(t)
+    # Target below every segment's size: nothing is foldable.
+    v_before = latest_version(t)
+    assert compact_snapshots(spark, t, target_bytes=1) == v_before
+    assert live_segments(t) == big
+    # Fold-all, then re-run: the folded segment(s) are left alone.
+    compact_snapshots(spark, t)
+    v_after = latest_version(t)
+    folded = live_segments(t)
+    assert compact_snapshots(spark, t) == v_after
+    assert live_segments(t) == folded
+    assert _ids(read_snapshot(spark, t)) == list(range(40))
+
+
 def test_uncommitted_segment_is_invisible_and_age_gated(spark, tmp_path):
     """A writer dying between its parquet write and its commit leaves
     an orphan: readers never see it, vacuum spares it while it could be
