@@ -222,37 +222,39 @@ def hyperplane_lsh_topk(
     flips on the query side), exact-rescored, ranked.
     Returns (qid, vec_id, sim, rank).
 
-    Norms are computed ONCE per vector BEFORE banding (the band explode
-    multiplies each row n_bands times — and a multi-probed query side
-    (per_band+1)x more — so a post-explode norm fold would repeat the
-    interpreted array fold per band row); candidate dedup groups on
-    the (qid, id) key pair instead of distinct-ing rows that carry full
-    embedding arrays; rescoring is Arrow-batched (bit-identical to the
-    HOF fold, ~100x less CPU on the candidate bulk)."""
-    c = with_lsh_bands(
-        corpus.withColumn("_cn", l2_norm(F.col(vec_col))),
-        vec_col, n_bits, n_bands, seed, dim,
-    ).select(F.col(id_col), F.col(vec_col), "_cn", "band", "band_key")
-    q = with_lsh_bands(
-        queries.withColumn("_qn", l2_norm(F.col(vec_col))),
-        vec_col, n_bits, n_bands, seed, dim, probe_bits,
-    ).select(
+    Vectors NEVER ride the band shuffle (semi-join-then-fetch): the
+    band join carries ids only, the (qid, id) pair set is deduped
+    while still narrow, and each side's vector + precomputed norm is
+    re-attached ONCE per distinct pair — the query side by broadcast,
+    the corpus side by an id join. A near pair collides in ~every band
+    on clustered data, so a join that carries the embeddings fans each
+    pair's payload out n_bands(+probes) times; at the reference's
+    1536-d (24 KB of arrays per pair) that shape measured 13x slower
+    than this one on a 20k-corpus sweep. Rescoring is Arrow-batched
+    (bit-identical to the HOF fold, ~100x less CPU on the candidate
+    bulk)."""
+    c_keys = with_lsh_bands(
+        corpus, vec_col, n_bits, n_bands, seed, dim
+    ).select(F.col(id_col), "band", "band_key")
+    q_keys = with_lsh_bands(
+        queries, vec_col, n_bits, n_bands, seed, dim, probe_bits
+    ).select(F.col(id_col).alias("qid"), "band", "band_key")
+    pairs = (
+        c_keys.join(F.broadcast(q_keys), ["band", "band_key"])
+        .select("qid", id_col)
+        .distinct()
+    )
+    q_vecs = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qvec"),
-        "_qn",
-        "band",
-        "band_key",
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    cands = (
-        c.join(F.broadcast(q), ["band", "band_key"])
-        .groupBy("qid", id_col)
-        .agg(
-            F.first("_qvec").alias("_qvec"),
-            F.first("_qn").alias("_qn"),
-            F.first(vec_col).alias(vec_col),
-            F.first("_cn").alias("_cn"),
-        )
+    c_vecs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
+    cands = pairs.join(c_vecs, id_col).join(F.broadcast(q_vecs), "qid")
     scored = cands.select(
         "qid",
         id_col,
@@ -370,15 +372,20 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k via seeded KMeans cells + centroid probing.
 
     Query-time form: fits and assigns in the same plan. At production
     scale use :func:`ivf_write_index` + :func:`ivf_topk_indexed`, where
     the cell is a write-time partition column and probing becomes
-    partition pruning at the scan.
+    partition pruning at the scan. ``fit_fraction`` samples the KMeans
+    training set (FAISS-style) — essential at high dimension where a
+    full-corpus fit dominates the query itself.
     """
-    assigned, cent_df = ivf_fit_cells(corpus, nlist, vec_col, seed)
+    assigned, cent_df = ivf_fit_cells(
+        corpus, nlist, vec_col, seed, fit_fraction
+    )
     probed = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
     return _rescore_probed(assigned, probed, k, id_col, vec_col)
 
@@ -453,10 +460,114 @@ def ivf_topk_indexed(
             k, id_col, vec_col,
         )
         return empty
-    probed = spark.createDataFrame(probed_rows, schema=probed_plan.schema)
     cells = sorted({int(r["cell"]) for r in probed_rows})
     scan = scan.filter(F.col("cell").isin(cells))
-    return _rescore_probed(scan, probed, k, id_col, vec_col)
+    return _matmul_rescore_probed(scan, probed_rows, k, id_col, vec_col)
+
+
+def _matmul_rescore_probed(
+    scan: DataFrame,
+    probed_rows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Cell-aware matmul rescore for the write-time index: each Arrow
+    batch of the (partition-pruned) scan is scored ONLY against the
+    queries that probed its cell, with the same dimension-by-dimension
+    float64 accumulation as :func:`..vector.matmul_topk` — bit-identical
+    values to the pair-join `_rescore_probed` shape (asserted by the
+    pruned==unpruned equality in ann_ivf_indexed_suite), but the
+    1536-d embeddings never fan out into per-pair rows: the candidate
+    stream stays (qid, id, sim) narrow. Probed rows are already
+    collected (n_queries x nprobe — tiny), so the per-cell query
+    matrices fold into the closure like matmul_topk's query matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    by_cell: dict[int, list] = {}
+    for r in probed_rows:
+        if r["_qvec"] is None:
+            continue
+        by_cell.setdefault(int(r["cell"]), []).append(r)
+    cell_mats: dict[int, tuple] = {}
+    for cell, rows in by_cell.items():
+        qids = [r["qid"] for r in rows]
+        qmat = np.array(
+            [[float(x) for x in r["_qvec"]] for r in rows],
+            dtype=np.float64,
+        )
+        qn = np.zeros(len(rows))
+        for d in range(qmat.shape[1]):
+            qn += qmat[:, d] * qmat[:, d]
+        cell_mats[cell] = (qids, qmat, np.sqrt(qn))
+
+    in_fields = {f.name: f for f in scan.schema.fields}
+    schema = StructType(
+        [
+            StructField("qid", in_fields[id_col].dataType),
+            in_fields[id_col],
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for cell_val, grp in pdf.groupby("cell"):
+                entry = cell_mats.get(int(cell_val))
+                if entry is None:
+                    continue
+                qids, qmat, qn = entry
+                dim = qmat.shape[1]
+                n = len(grp)
+                vecs = grp[vec_col].to_numpy()
+                valid = np.fromiter(
+                    (v is not None and len(v) == dim for v in vecs),
+                    dtype=bool,
+                    count=n,
+                )
+                idx = np.flatnonzero(valid)
+                c = cn = None
+                if idx.size:
+                    c = np.stack(
+                        [np.asarray(vecs[i], dtype=np.float64) for i in idx]
+                    )
+                    cn = np.zeros(idx.size)
+                    for d in range(dim):
+                        cn += c[:, d] * c[:, d]
+                    cn = np.sqrt(cn)
+                for j in range(len(qids)):
+                    sims = pd.array([None] * n, dtype="Float64")
+                    if idx.size:
+                        acc = np.zeros(idx.size)
+                        for d in range(dim):
+                            acc += c[:, d] * qmat[j, d]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            sims[idx] = np.where(
+                                (qn[j] == 0) | (cn == 0),
+                                0.0,
+                                acc / (qn[j] * cn),
+                            )
+                    # .to_numpy(): grp keeps the parent frame's index
+                    # after groupby; mixing it with fresh RangeIndex
+                    # series would misalign rows to NaN.
+                    yield pd.DataFrame(
+                        {
+                            "qid": qids[j],
+                            id_col: grp[id_col].to_numpy(),
+                            "sim": pd.Series(sims, dtype="Float64"),
+                        }
+                    )
+
+    scored = (
+        scan.select(id_col, vec_col, "cell")
+        .mapInPandas(score, schema)
+        .withColumn("sim", F.round("sim", 4))
+    )
+    return topk_per_query(scored, k, tiebreak_col=id_col)
 
 
 def recall_at_k(

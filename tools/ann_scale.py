@@ -5,18 +5,33 @@ the sf-proportional 10^4-10^5, where brute force still wins; this tool
 measures the claimed ~10^6 crossover instead of extrapolating it).
 
 Same clustered distribution as the bench suite (20 well-separated
-centroids, 64-d, noise 0.08 — the realistic embedding shape), corpus
-generated vectorized (numpy -> pyarrow -> parquet) because a 10^6-row
-createDataFrame would spend minutes serializing Python lists. Query
-count held at ~100 ACROSS scales so the numbers isolate corpus-size
-scaling, not query-batch growth.
+centroids, noise 0.08 — the realistic embedding shape), corpus
+generated vectorized (numpy -> pyarrow ListArray in row-group chunks —
+a 10^6-row createDataFrame would spend minutes serializing Python
+lists, and a 1536-d corpus doesn't fit one in-memory pyarrow column).
+Query count held at ~100 ACROSS scales so the numbers isolate
+corpus-size scaling, not query-batch growth.
 
-Usage: python tools/ann_scale.py --n 100000 1000000
+``--dim`` defaults to the reference's REAL embedding width, 1536
+(text-embedding-ada-002 / 3-small: controllers/embeddingController.js:28,
+controllers/conversationController.js:30) — per-pair cost is 24x the
+64-d toy dimension, which moves the exact-vs-pruned crossover, the
+KMeans fit cost, and the LSH bit budget; pass ``--dim 64`` to
+reproduce the historical sweep.
+
+Measures four strategies per scale: exact Arrow matmul, hyperplane
+LSH (48b/6band/1-bit multi-probe), query-time IVF (fit+assign in the
+plan), and the write-time IVF index (`ivf_write_index` +
+partition-pruned `ivf_topk_indexed`) including build cost and the
+probed-file fraction actually read.
+
+Usage: python tools/ann_scale.py --n 100000 1000000 --dim 1536
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import shutil
@@ -30,31 +45,56 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def gen_corpus(path: str, n: int, dim: int = 64, n_clusters: int = 20,
-               noise: float = 0.08, seed: int = 7) -> None:
+def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
+               noise_norm: float = 0.64, seed: int = 7,
+               chunk: int = 50_000) -> None:
+    """Chunked vectorized write: each chunk is one ListArray built from
+    a flat buffer + offsets (no per-row Python lists), one row group.
+    Peak memory is O(chunk * dim), not O(n * dim).
+
+    ``noise_norm`` is the EXPECTED NORM of the per-point noise vector
+    (not per-coordinate sigma): per-coordinate sigma is
+    ``noise_norm/sqrt(dim)``, so cluster tightness — hence neighbor
+    structure and ANN difficulty — is dimension-invariant. 0.64 equals
+    the historical 64-d sweep's 0.08/coord; a fixed per-coordinate
+    sigma at 1536-d would drown unit centroids in norm-3.2 noise and
+    degenerate the corpus to near-uniform."""
     rng = np.random.default_rng(seed)
+    noise = noise_norm / np.sqrt(dim)
     centroids = rng.normal(size=(n_clusters, dim))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
-    vecs = (
-        centroids[np.arange(n) * n_clusters // n]
-        + rng.normal(size=(n, dim)) * noise
-    ).astype(np.float64)
-    pq.write_table(
-        pa.table({
-            "vec_id": pa.array(range(n), pa.int64()),
-            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
-        }),
-        path,
-        compression="zstd",
-    )
+    schema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float64())),
+    ])
+    with pq.ParquetWriter(path, schema, compression="zstd") as w:
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            m = hi - lo
+            vecs = (
+                centroids[np.arange(lo, hi) * n_clusters // n]
+                + rng.normal(size=(m, dim)) * noise
+            ).astype(np.float64)
+            offsets = np.arange(0, (m + 1) * dim, dim, dtype=np.int64)
+            emb = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(vecs.reshape(-1))
+            )
+            w.write_table(pa.table(
+                {"vec_id": pa.array(range(lo, hi), pa.int64()),
+                 "embedding": emb},
+                schema=schema,
+            ))
 
 
-def run_scale(spark, n: int, workdir: str) -> dict:
+def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
+              lsh_bits: int = 48, lsh_bands: int = 6) -> dict:
     from pyspark.sql import functions as F
 
     from conversation_with_vector_db_spark.operators.ann import (
         hyperplane_lsh_topk,
         ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
         recall_at_k,
         with_lsh_bands,
     )
@@ -63,16 +103,17 @@ def run_scale(spark, n: int, workdir: str) -> dict:
         matmul_topk,
     )
 
-    dim, nlist, nprobe = 64, 32, 8
-    path = os.path.join(workdir, f"ann_corpus_{n}.parquet")
+    nlist, nprobe = 32, 8
+    path = os.path.join(workdir, f"ann_corpus_{n}_{dim}d.parquet")
     if not os.path.exists(path):
         t0 = time.perf_counter()
-        gen_corpus(path, n)
-        print(f"  generated {n} vectors in "
+        gen_corpus(path, n, dim)
+        print(f"  generated {n} x {dim}-d vectors in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    # One pyarrow file = one fat row group = a 1-task scan; spread it
-    # like a real multi-file table before caching.
-    corpus = spark.read.parquet(path).repartition(32).cache()
+    # One pyarrow file scans as few fat partitions; spread it like a
+    # real multi-file table before caching (memory-and-disk: a 1536-d
+    # 10^6 corpus is ~12 GB raw and must be allowed to spill).
+    corpus = spark.read.parquet(path).repartition(32).persist()
     assert corpus.count() == n
     qmod = max(997, n // 100)  # ~100 queries at every scale
     queries = corpus.filter(F.col("vec_id") % qmod == 0)
@@ -81,7 +122,7 @@ def run_scale(spark, n: int, workdir: str) -> dict:
 
     def timed(label, df):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -91,19 +132,42 @@ def run_scale(spark, n: int, workdir: str) -> dict:
     exact = timed("exact_matmul_sec", matmul_topk(
         corpus, collect_query_vectors(queries), k=10
     ))
-    lsh = timed("lsh_48b6band_mp1_sec", hyperplane_lsh_topk(
-        corpus, queries, k=10, n_bits=48, n_bands=6, dim=dim,
-        probe_bits=1,
+    lsh = timed(f"lsh_{lsh_bits}b{lsh_bands}band_mp1_sec",
+                hyperplane_lsh_topk(
+        corpus, queries, k=10, n_bits=lsh_bits, n_bands=lsh_bands,
+        dim=dim, probe_bits=1,
     ))
+    # Query-time IVF: centroid fit on a FAISS-style sample (~40 pts
+    # per cell) — full-corpus KMeans at 10^6 x 1536-d is exactly the
+    # cost the fit_fraction knob exists to avoid.
+    fit_frac = min(1.0, (40.0 * nlist) / n)
     t0 = time.perf_counter()
-    ivf = ivf_topk(corpus, queries, k=10, nlist=nlist, nprobe=nprobe)
+    ivf = ivf_topk(corpus, queries, k=10, nlist=nlist, nprobe=nprobe,
+                   fit_fraction=fit_frac)
     out["ivf_fit_sec"] = round(time.perf_counter() - t0, 3)
     ivf = timed(f"ivf_{nlist}c{nprobe}p_query_sec", ivf)
+
+    # Write-time IVF index: build cost paid once, then the probe is a
+    # partition-pruned scan — the documented 100 TB read path.
+    idx_path = os.path.join(workdir, f"ann_ivfidx_{n}_{dim}d")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    ivf_write_index(corpus, idx_path, nlist=nlist,
+                    fit_fraction=fit_frac)
+    out["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
+    ivfx = timed(f"ivf_indexed_{nlist}c{nprobe}p_query_sec",
+                 ivf_topk_indexed(spark, idx_path, queries, k=10,
+                                  nprobe=nprobe))
+    all_files = glob.glob(f"{idx_path}/data/cell=*/*.parquet")
+
     out["lsh_recall"] = round(recall_at_k(lsh, exact, k=10).first().recall, 4)
     out["ivf_recall"] = round(recall_at_k(ivf, exact, k=10).first().recall, 4)
-    c = with_lsh_bands(corpus, n_bits=48, n_bands=6, dim=dim)
+    out["ivf_indexed_recall"] = round(
+        recall_at_k(ivfx, exact, k=10).first().recall, 4
+    )
+    c = with_lsh_bands(corpus, n_bits=lsh_bits, n_bands=lsh_bands, dim=dim)
     q = with_lsh_bands(
-        queries, n_bits=48, n_bands=6, dim=dim, probe_bits=1
+        queries, n_bits=lsh_bits, n_bands=lsh_bands, dim=dim, probe_bits=1
     ).select(F.col("vec_id").alias("qid"), "band", "band_key")
     n_cand = (
         c.join(q, ["band", "band_key"]).select("qid", "vec_id")
@@ -111,14 +175,39 @@ def run_scale(spark, n: int, workdir: str) -> dict:
     )
     out["lsh_candidate_fraction"] = round(n_cand / (n_q * n), 4)
     out["ivf_scan_fraction"] = round(nprobe / nlist, 4)
+    # Probed-file fraction the indexed scan actually lists: re-derive
+    # the probed cell set the same way ivf_topk_indexed does.
+    from conversation_with_vector_db_spark.operators.ann import (
+        ivf_probed_cells,
+    )
+    cent = spark.read.parquet(f"{idx_path}/centroids")
+    cells = {
+        int(r["cell"])
+        for r in ivf_probed_cells(
+            cent, queries, nprobe=nprobe
+        ).select("cell").distinct().collect()
+    }
+    probed_files = [
+        f for f in all_files
+        if int(os.path.basename(os.path.dirname(f)).split("=")[1]) in cells
+    ]
+    out["ivf_indexed_file_fraction"] = round(
+        len(probed_files) / max(1, len(all_files)), 4
+    )
     corpus.unpersist()
+    shutil.rmtree(idx_path, ignore_errors=True)
     return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, nargs="+", default=[100_000, 1_000_000])
+    ap.add_argument("--dim", type=int, default=1536)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--lsh-bits", type=int, default=48)
+    ap.add_argument("--lsh-bands", type=int, default=6)
     ap.add_argument("--workdir", default="/root/repo/.localdata")
+    ap.add_argument("--keep-corpus", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -130,7 +219,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for n in args.n:
-        print(json.dumps(run_scale(spark, n, args.workdir)))
+        print(json.dumps(run_scale(
+            spark, n, args.dim, args.workdir, reps=args.reps,
+            lsh_bits=args.lsh_bits, lsh_bands=args.lsh_bands,
+        )))
+        if not args.keep_corpus:
+            p = os.path.join(
+                args.workdir, f"ann_corpus_{n}_{args.dim}d.parquet"
+            )
+            if os.path.exists(p):
+                os.unlink(p)
     spark.stop()
 
 
