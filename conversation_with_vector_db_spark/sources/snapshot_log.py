@@ -69,9 +69,11 @@ __all__ = [
     "CHECKPOINT_INTERVAL",
     "CommitConflictError",
     "append_snapshot",
+    "append_snapshot_txn",
     "commit_segments",
     "compact_snapshots",
     "create_table",
+    "last_txn_version",
     "latest_version",
     "live_segments",
     "read_snapshot",
@@ -219,20 +221,70 @@ def live_segments(table_dir: str, version: int | None = None) -> list[str]:
     return live
 
 
+def _collect_txns(table_dir: str, version: int) -> dict[str, int]:
+    """Latest streaming-transaction version per app id at ``version``
+    (Delta's ``txnAppId``/``txnVersion`` idempotent-write map). Walks
+    down to the nearest checkpoint (whose ``txns`` map seeds older
+    history) — bounded by ``CHECKPOINT_INTERVAL`` like live-set
+    reconstruction. Missing manifests (concurrent vacuum) surface as
+    :class:`FileNotFoundError` for the caller's retry loop."""
+    vs = versions(table_dir)
+    ckpts = _checkpoint_versions(table_dir)
+    newer: dict[str, int] = {}
+    base: dict[str, int] = {}
+    for u in reversed([v for v in vs if v <= version]):
+        if u in ckpts:
+            try:
+                with open(_ckpt_path(table_dir, u)) as f:
+                    base = dict(json.load(f).get("txns", {}))
+                break
+            except FileNotFoundError:
+                pass  # vacuumed between listing and read; use manifest
+        m = _read_manifest(table_dir, u)
+        t = m.get("txn")
+        if t:
+            app = str(t["app"])
+            newer[app] = max(newer.get(app, int(t["version"])),
+                             int(t["version"]))
+        if "live" in m:
+            break
+    for app, v in newer.items():
+        base[app] = max(base.get(app, v), v)
+    return base
+
+
+def last_txn_version(
+    table_dir: str, app: str, version: int | None = None
+) -> int | None:
+    """Latest committed transaction version for ``app`` (None if the
+    app never committed) — the replay-detection read of
+    :func:`append_snapshot_txn`."""
+    if version is None:
+        version = latest_version(table_dir)
+    return _collect_txns(table_dir, version).get(app)
+
+
 def _write_checkpoint(
-    table_dir: str, version: int, live: list[str]
+    table_dir: str, version: int, live: list[str],
 ) -> None:
     """Publish a full-live-set checkpoint sidecar for ``version`` via
     the same tmp-then-hard-link CAS as manifests: readers never see a
     torn checkpoint, and concurrent writers of the SAME version race
     to identical content (any correct checkpoint at v has the same
-    set), so the ``EEXIST`` loser just moves on."""
+    set), so the ``EEXIST`` loser just moves on. The sidecar also
+    carries the per-app streaming-txn map so idempotent-replay state
+    survives manifest vacuuming."""
+    try:
+        txns = _collect_txns(table_dir, version)
+    except FileNotFoundError:
+        txns = {}
     cdir = _commits_dir(table_dir)
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
     final = _ckpt_path(table_dir, version)
     with open(tmp, "w") as f:
         json.dump(
-            {"version": version, "live": sorted(live)}, f, sort_keys=True
+            {"version": version, "live": sorted(live), "txns": txns},
+            f, sort_keys=True,
         )
         f.flush()
         os.fsync(f.fileno())
@@ -310,6 +362,7 @@ def commit_segments(
     op: str = "append",
     max_retries: int = 64,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """CAS-commit already-written segments as one atomic version: the
     primitive every write path shares (appends, keyed upserts/deletes,
@@ -347,6 +400,8 @@ def commit_segments(
             "added": list(added),
             "removed": sorted(removed),
         }
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "version": int(txn[1])}
         if _try_commit(table_dir, head + 1, manifest):
             _maybe_checkpoint(
                 table_dir, head + 1, checkpoint_interval, live=new_live
@@ -380,6 +435,42 @@ def append_snapshot(
         op="append",
         max_retries=max_retries,
         checkpoint_interval=checkpoint_interval,
+    )
+
+
+def append_snapshot_txn(
+    df: DataFrame,
+    table_dir: str,
+    app: str,
+    txn_version: int,
+    max_retries: int = 64,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int | None:
+    """Idempotent transactional append for exactly-once streaming
+    sinks (Delta's ``txnAppId``/``txnVersion`` protocol): if ``app``
+    has already committed a transaction at or past ``txn_version``,
+    the append is a REPLAY and is skipped (returns None) — so a
+    foreachBatch sink that crashed between its data write and the
+    stream checkpoint advance can re-run its batch without
+    double-appending, and a crash between the segment write and the
+    manifest commit leaves only an invisible age-gated orphan, never a
+    torn or duplicated batch.
+
+    Single-writer-per-app assumption (same as Delta): the streaming
+    checkpoint owns the app id; concurrent DIFFERENT apps and plain
+    appends interleave freely through the CAS."""
+    prev = last_txn_version(table_dir, app)
+    if prev is not None and prev >= txn_version:
+        return None
+    rel = _write_segment(df, table_dir)
+    return commit_segments(
+        table_dir,
+        added=[rel],
+        removed=[],
+        op="append_txn",
+        max_retries=max_retries,
+        checkpoint_interval=checkpoint_interval,
+        txn=(app, txn_version),
     )
 
 

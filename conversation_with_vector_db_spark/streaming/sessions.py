@@ -339,6 +339,52 @@ def append_sink_query(
     )
 
 
+def snapshot_append_sink_query(
+    result_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    app_id: str = "stream-sink",
+):
+    """X8/S9 through the ONE transactional write path: each micro-batch
+    commits to a snapshot-log table via :func:`append_snapshot_txn`
+    with the stream's batch id as the transaction version, so batch
+    writes share atomicity/time-travel/vacuum with the CoW and MOR
+    paths instead of the bare-parquet ``batch_id=N`` convention.
+
+    Exactly-once without overwrite: a replayed batch (crash between
+    the data write and the stream-checkpoint advance) is detected by
+    the committed txn version and SKIPPED; a crash between the segment
+    write and the manifest commit leaves an invisible orphan the
+    age-gated vacuum reaps — a torn batch is unobservable by
+    construction. The ``batch_id`` rides as a COLUMN (segments are
+    immutable; no directory keying), so the ``update``-mode
+    latest-state read stays the familiar max-batch_id window."""
+    from ..sources.snapshot_log import (
+        append_snapshot_txn,
+        create_table,
+        versions,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not versions(table_dir):
+            create_table(table_dir)
+        append_snapshot_txn(
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ),
+            table_dir,
+            app=app_id,
+            txn_version=batch_id,
+        )
+
+    return (
+        result_stream.writeStream.outputMode(output_mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 DOCUMENT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -368,37 +414,52 @@ def streaming_minhash_dedup_sink(
     * ``store_dir/accepted``  — (doc_id, text) of accepted docs
     * ``store_dir/decisions`` — per-doc verdicts with provenance
 
+    Each store is a SNAPSHOT-LOG TABLE: batches commit through
+    :func:`..sources.snapshot_log.append_snapshot_txn` with the stream
+    batch id as the transaction version, so the streaming gate shares
+    the ONE transactional write path (atomic CAS manifests,
+    time travel, vacuum) with the CoW/MOR batch paths. ``batch_id``
+    rides as a column; store reads filter to ``batch_id < N`` so a
+    replaying batch never sees its own partial output, a replayed
+    store commit is detected by its txn version and skipped, and a
+    crash between a segment write and its manifest commit leaves an
+    invisible age-gated orphan — never a torn or doubled batch.
+
     Per batch: band keys of the new docs hash-join the stored index
     (directional — the store never self-pairs), candidates get exact
     word-3-gram Jaccard verification (uncapped shingles: the pairwise
     score is corpus-independent, so verdicts don't depend on arrival
     order beyond which side is "already in"), and the accepted
-    remainder appends to all three stores. Every write lands in a
-    ``batch_id=N`` subdirectory with overwrite, and store reads filter
-    to ``batch_id < N``, so a replayed batch after a crash neither
-    double-appends nor sees its own partial output — exactly-once
-    end to end. Batch-internal near-dups are NOT cross-checked here
-    (each doc is judged against the accepted corpus only); at 100 TB
-    the arriving shard is deduped by the batch operators before
-    ingest, and the gate's job is shard-vs-corpus.
+    remainder appends to all three stores. Batch-internal near-dups
+    are NOT cross-checked here (each doc is judged against the
+    accepted corpus only); at 100 TB the arriving shard is deduped by
+    the batch operators before ingest, and the gate's job is
+    shard-vs-corpus.
     """
-    from pyspark.errors import AnalysisException
-
     from ..operators.dedup import (
         df_capped_shingles,
         jaccard_verify,
         lsh_band_keys,
         minhash_signatures,
     )
+    from ..sources.snapshot_log import (
+        append_snapshot_txn,
+        create_table,
+        last_txn_version,
+        read_snapshot,
+        versions,
+    )
     from pyspark.sql import Window
+
+    _GATE_APP = "minhash-gate"
 
     def _read_store_all(
         spark: SparkSession, path: str
     ) -> DataFrame | None:
         try:
-            return spark.read.option("basePath", path).parquet(path)
-        except AnalysisException:
-            return None
+            return read_snapshot(spark, path)
+        except (FileNotFoundError, ValueError):
+            return None  # table absent or no committed segments yet
 
     def _read_store(
         spark: SparkSession, path: str, before_batch: int
@@ -408,36 +469,49 @@ def streaming_minhash_dedup_sink(
             return None
         return df.filter(F.col("batch_id") < before_batch)
 
+    def _commit_store(
+        df: DataFrame, path: str, batch_id: int
+    ) -> None:
+        if not versions(path):
+            create_table(path)
+        append_snapshot_txn(
+            df.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            path,
+            app=_GATE_APP,
+            txn_version=batch_id,
+        )
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text").dropDuplicates(
             ["doc_id"]
         )
-        accepted_all = _read_store_all(spark, f"{store_dir}/accepted")
+        accepted_dir = f"{store_dir}/accepted"
         accepted_prev = None
+        # Checkpoint/store pairing guard: exactly-once replay couples
+        # the stream checkpoint to the store's batch-id numbering. A
+        # FRESH checkpoint pointed at an existing store restarts ids
+        # at 0, which would hide the accepted corpus (reads filter
+        # batch_id < N) — refuse loudly instead of silently
+        # corrupting corpus state. The committed TXN VERSION is the
+        # authoritative high-water mark (it can never be blinded by a
+        # filtered view). Legit crash-replay re-runs the LAST batch:
+        # batch_id == stored txn is fine (and skipped at commit).
+        stored_txn = (
+            last_txn_version(accepted_dir, _GATE_APP)
+            if versions(accepted_dir)
+            else None
+        )
+        if stored_txn is not None and batch_id < stored_txn:
+            raise ValueError(
+                f"streaming_minhash_dedup_sink: batch_id "
+                f"{batch_id} < stored txn {stored_txn} — this "
+                f"checkpoint does not own store {store_dir!r}; "
+                f"reuse the original checkpoint dir or start a "
+                f"fresh store"
+            )
+        accepted_all = _read_store_all(spark, accepted_dir)
         if accepted_all is not None:
-            # Checkpoint/store pairing guard: exactly-once replay
-            # couples the stream checkpoint to the store's batch-id
-            # numbering. A FRESH checkpoint pointed at an existing
-            # store restarts ids at 0, which would both hide the
-            # accepted corpus (reads filter batch_id < N) and
-            # overwrite stored batches — refuse loudly instead of
-            # silently destroying corpus state. The max MUST come from
-            # the UNFILTERED store: the batch_id < N view is exactly
-            # what a fresh checkpoint's small N would blind the guard
-            # with. (Legit crash-replay re-runs the LAST batch:
-            # batch_id == stored max is fine.)
-            stored_max = accepted_all.agg(
-                F.max("batch_id")
-            ).first()[0]
-            if stored_max is not None and batch_id < stored_max:
-                raise ValueError(
-                    f"streaming_minhash_dedup_sink: batch_id "
-                    f"{batch_id} < stored max {stored_max} — this "
-                    f"checkpoint does not own store {store_dir!r}; "
-                    f"reuse the original checkpoint dir or start a "
-                    f"fresh store"
-                )
             accepted_prev = accepted_all.filter(
                 F.col("batch_id") < batch_id
             )
@@ -518,7 +592,12 @@ def streaming_minhash_dedup_sink(
             ),
             ("decisions", decisions),
         ):
-            _write_batch_dir(df, f"{store_dir}/{name}", batch_id)
+            # Sequential per-store txn commits: a crash mid-sequence
+            # replays the batch, skips the stores whose txn already
+            # committed, and lands only the missing ones — the
+            # recompute is deterministic because every read above
+            # filters batch_id < N.
+            _commit_store(df, f"{store_dir}/{name}", batch_id)
         rejected.unpersist()
 
     return (

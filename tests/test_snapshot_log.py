@@ -221,6 +221,63 @@ def test_pinned_reader_unaffected_by_compaction(spark, tmp_path):
     assert _ids(pinned) == before  # the already-resolved plan too
 
 
+def test_txn_append_is_idempotent_and_crash_safe(spark, tmp_path):
+    """Streaming exactly-once through the log: a replayed (app, txn)
+    append is skipped; a crash between the segment write and the
+    manifest commit leaves an invisible orphan, and the replay lands
+    the batch exactly once — no torn or doubled batch is observable at
+    any point."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        append_snapshot_txn,
+        last_txn_version,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    assert last_txn_version(t, "sink") is None
+    assert append_snapshot_txn(spark.range(0, 5), t, "sink", 0) == 1
+    # Replay of a committed batch: skipped, nothing doubled.
+    assert append_snapshot_txn(spark.range(0, 5), t, "sink", 0) is None
+    assert _ids(read_snapshot(spark, t)) == list(range(5))
+    # Crash between data write and commit: the segment is invisible.
+    orphan = _write_segment(spark.range(5, 10), t)
+    assert _ids(read_snapshot(spark, t)) == list(range(5))
+    assert orphan not in live_segments(t)
+    # The replayed batch re-writes and commits exactly once.
+    assert append_snapshot_txn(spark.range(5, 10), t, "sink", 1) == 2
+    assert _ids(read_snapshot(spark, t)) == list(range(10))
+    assert last_txn_version(t, "sink") == 1
+    # Plain appends and other apps interleave without disturbing it.
+    append_snapshot(spark.range(10, 12), t)
+    assert append_snapshot_txn(spark.range(12, 14), t, "other", 7) == 4
+    assert last_txn_version(t, "sink") == 1
+    assert last_txn_version(t, "other") == 7
+
+
+def test_txn_highwater_survives_checkpoint_and_vacuum(spark, tmp_path):
+    """The per-app txn map rides checkpoint sidecars, so replay
+    detection keeps working after the manifests that carried the txn
+    records are vacuumed away."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        append_snapshot_txn,
+        last_txn_version,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    for b in range(5):
+        append_snapshot_txn(
+            spark.range(b * 10, b * 10 + 10), t, "sink", b,
+            checkpoint_interval=2,
+        )
+    vacuum(t, keep_versions=1)
+    assert versions(t) == [5]
+    assert last_txn_version(t, "sink") == 4
+    # Replays of vacuumed-away batches are still recognized.
+    assert append_snapshot_txn(spark.range(0, 10), t, "sink", 3) is None
+    assert _ids(read_snapshot(spark, t)) == list(range(50))
+
+
 def test_foreign_files_in_commit_log_are_ignored(spark, tmp_path):
     t = str(tmp_path / "t")
     create_table(t)

@@ -205,6 +205,65 @@ def test_append_sink_idempotent(spark, conv_stream_dir, tmp_path):
     assert set(final) == {"c5-0", "c5-1", "c9-2"}
 
 
+def test_snapshot_append_sink_exactly_once(
+    spark, conv_stream_dir, tmp_path
+):
+    """X8 through the snapshot log: micro-batches commit as txn-tagged
+    table versions (ONE write path with CoW/MOR), the latest-state
+    read is the same max-batch_id window over the batch_id COLUMN, and
+    a restart on the same checkpoint with no new data commits nothing
+    new."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        last_txn_version,
+        read_snapshot,
+        versions,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        snapshot_append_sink_query,
+    )
+
+    def counts_stream():
+        stream = stream_parquet_dir(
+            spark, conv_stream_dir, CONVERSATION_SCHEMA
+        )
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy("conversation_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = str(tmp_path / "snap_sink")
+    ckpt = str(tmp_path / "snap_ckpt")
+    q = snapshot_append_sink_query(counts_stream(), out, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    table = read_snapshot(spark, out)
+    last = table.agg(F.max("batch_id")).first()[0]
+    final = {
+        r.conversation_id: r.n
+        for r in table.filter(F.col("batch_id") == last).collect()
+    }
+    assert sum(final.values()) > 0
+    assert set(final) == {"c5-0", "c5-1", "c9-2"}
+    # >= not ==: a trailing EMPTY update batch commits its txn (zero
+    # rows), so the txn high-water mark can outrun the max batch_id
+    # visible in the data.
+    assert last_txn_version(out, "stream-sink") >= last
+    # Restart on the same checkpoint, no new data: no new commits.
+    before = versions(out)
+    q = snapshot_append_sink_query(counts_stream(), out, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert versions(out) == before
+    assert _collect_sorted(read_snapshot(spark, out)) == _collect_sorted(
+        table
+    )
+
+
+def _collect_sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
 def test_continuation_loop_converges_to_batch_fixpoint(
     spark, sf_dir, tmp_path
 ):
@@ -384,9 +443,11 @@ def test_streaming_minhash_dedup_gate(spark, sf_dir, tmp_path):
     finally:
         q.stop()
 
-    dec = spark.read.option("basePath", store + "/decisions").parquet(
-        store + "/decisions"
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        read_snapshot,
     )
+
+    dec = read_snapshot(spark, store + "/decisions")
     n_corpus = corpus.count()
     assert dec.count() == n_corpus
     by_id = {r["doc_id"]: r for r in dec.collect()}
@@ -409,8 +470,7 @@ def test_streaming_minhash_dedup_gate(spark, sf_dir, tmp_path):
     # every match points at an ACCEPTED doc.
     accepted_ids = {
         r["doc_id"]
-        for r in spark.read.option("basePath", store + "/accepted")
-        .parquet(store + "/accepted")
+        for r in read_snapshot(spark, store + "/accepted")
         .select("doc_id")
         .collect()
     }
@@ -421,9 +481,7 @@ def test_streaming_minhash_dedup_gate(spark, sf_dir, tmp_path):
         by_id[i]["matched_id"] in accepted_ids for i in rejected_ids
     )
     # The band index holds exactly 4 keys per accepted doc.
-    bands = spark.read.option("basePath", store + "/bands").parquet(
-        store + "/bands"
-    )
+    bands = read_snapshot(spark, store + "/bands")
     assert bands.count() == 4 * len(accepted_ids)
 
 
@@ -468,15 +526,15 @@ def test_streaming_minhash_gate_redelivery_is_noop(spark, tmp_path):
     finally:
         q.stop()
 
-    accepted = spark.read.option("basePath", store + "/accepted").parquet(
-        store + "/accepted"
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        read_snapshot,
     )
+
+    accepted = read_snapshot(spark, store + "/accepted")
     rows = accepted.select("doc_id").collect()
     ids = [r["doc_id"] for r in rows]
     assert sorted(ids) == [1, 2, 3]  # doc 1 exactly once, no duplicate
-    bands = spark.read.option("basePath", store + "/bands").parquet(
-        store + "/bands"
-    )
+    bands = read_snapshot(spark, store + "/bands")
     assert bands.count() == 4 * 3
 
 
@@ -541,12 +599,12 @@ def test_streaming_minhash_gate_refuses_foreign_store(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    stored_max = (
-        spark.read.option("basePath", store + "/accepted")
-        .parquet(store + "/accepted")
-        .agg(F.max("batch_id"))
-        .first()[0]
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        last_txn_version,
+        read_snapshot,
     )
+
+    stored_max = last_txn_version(store + "/accepted", "minhash-gate")
     assert stored_max >= 1  # precondition: store outran a fresh ckpt
 
     # Fresh checkpoint, same store: batch 0 < stored max -> refuse.
@@ -565,8 +623,7 @@ def test_streaming_minhash_gate_refuses_foreign_store(spark, tmp_path):
     # The store survives untouched: doc ids 1 and 2 still accepted.
     ids = sorted(
         r["doc_id"]
-        for r in spark.read.option("basePath", store + "/accepted")
-        .parquet(store + "/accepted")
+        for r in read_snapshot(spark, store + "/accepted")
         .select("doc_id")
         .collect()
     )
