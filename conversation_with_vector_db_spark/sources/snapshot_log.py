@@ -78,6 +78,7 @@ __all__ = [
     "live_segments",
     "read_snapshot",
     "rewrite_snapshot",
+    "segment_stats",
     "vacuum",
     "versions",
 ]
@@ -264,6 +265,46 @@ def last_txn_version(
     return _collect_txns(table_dir, version).get(app)
 
 
+def segment_stats(
+    table_dir: str, version: int | None = None
+) -> dict[str, dict]:
+    """Per-LIVE-segment column stats at ``version`` — the Iceberg
+    manifest-column-stats move: commits may record
+    ``{rel: {"col": name, "min": v, "max": v}}`` for their added
+    segments, and keyed rewrites use the map to skip segments whose
+    key range cannot intersect the mutation (sub-partition pruning at
+    the SEGMENT LIST, before any file opens). Segments committed
+    without stats are simply absent — callers must treat unknown as
+    "may match". Reconstruction mirrors :func:`live_segments`:
+    checkpoint base + bounded delta replay (removed segments drop
+    their stats)."""
+    if version is None:
+        version = latest_version(table_dir)
+    vs = versions(table_dir)
+    ckpts = _checkpoint_versions(table_dir)
+    deltas: list[dict] = []
+    base: dict[str, dict] = {}
+    for u in reversed([v for v in vs if v <= version]):
+        if u in ckpts:
+            try:
+                with open(_ckpt_path(table_dir, u)) as f:
+                    base = dict(json.load(f).get("stats", {}))
+                break
+            except FileNotFoundError:
+                pass  # vacuumed between listing and read; use manifest
+        m = _read_manifest(table_dir, u)
+        if "live" in m:
+            base = dict(m.get("stats", {}))
+            break
+        deltas.append(m)
+    stats = base
+    for m in reversed(deltas):
+        for rel in m.get("removed", ()):
+            stats.pop(rel, None)
+        stats.update(m.get("stats", {}))
+    return stats
+
+
 def _write_checkpoint(
     table_dir: str, version: int, live: list[str],
 ) -> None:
@@ -276,14 +317,16 @@ def _write_checkpoint(
     survives manifest vacuuming."""
     try:
         txns = _collect_txns(table_dir, version)
+        stats = segment_stats(table_dir, version)
     except FileNotFoundError:
-        txns = {}
+        txns, stats = {}, {}
     cdir = _commits_dir(table_dir)
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
     final = _ckpt_path(table_dir, version)
     with open(tmp, "w") as f:
         json.dump(
-            {"version": version, "live": sorted(live), "txns": txns},
+            {"version": version, "live": sorted(live), "txns": txns,
+             "stats": stats},
             f, sort_keys=True,
         )
         f.flush()
@@ -363,10 +406,14 @@ def commit_segments(
     max_retries: int = 64,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
     txn: tuple[str, int] | None = None,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """CAS-commit already-written segments as one atomic version: the
     primitive every write path shares (appends, keyed upserts/deletes,
     partition drops, MOR compactions — sources/transactional.py).
+    ``stats`` optionally records per-added-segment key-column min/max
+    (see :func:`segment_stats`); ``txn`` optionally tags the commit
+    with a streaming (app, version) idempotence record.
 
     With an empty ``removed`` this is an append-shaped commit: it
     commutes, so CAS losers replay the same delta blindly and no prior
@@ -402,6 +449,10 @@ def commit_segments(
         }
         if txn is not None:
             manifest["txn"] = {"app": txn[0], "version": int(txn[1])}
+        if stats:
+            manifest["stats"] = {
+                rel: s for rel, s in stats.items() if rel in set(added)
+            }
         if _try_commit(table_dir, head + 1, manifest):
             _maybe_checkpoint(
                 table_dir, head + 1, checkpoint_interval, live=new_live

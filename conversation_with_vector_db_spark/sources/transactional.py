@@ -59,6 +59,7 @@ from .snapshot_log import (
     create_table,
     latest_version,
     live_segments,
+    segment_stats,
 )
 
 __all__ = [
@@ -132,17 +133,101 @@ def _cleanup(table_dir: str, rels: list[str]) -> None:
         shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
 
 
+def _segment_key_stats(
+    table_dir: str, rels: list[str], key: str
+) -> dict[str, dict]:
+    """Per-segment min/max of ``key`` from PARQUET FOOTERS — metadata
+    reads only, no data rows (the Iceberg write-time column-stats
+    collection). A segment where any file lacks footer stats for the
+    column, or whose min/max aren't plain JSON scalars, is simply
+    omitted (readers treat unknown as "may match")."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rels:
+        lo = hi = None
+        ok = True
+        seg_dir = os.path.join(table_dir, rel)
+        for root, _dirs, files in os.walk(seg_dir):
+            for name in files:
+                if name.startswith((".", "_")) or not name.endswith(
+                    ".parquet"
+                ):
+                    continue
+                try:
+                    md = pq.ParquetFile(
+                        os.path.join(root, name)
+                    ).metadata
+                except Exception:  # noqa: BLE001 - stats are optional
+                    ok = False
+                    break
+                names = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                ci = names.get(key)
+                if ci is None:
+                    ok = False
+                    break
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str))
+                        or isinstance(st.min, bool)
+                    ):
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if not ok:
+                    break
+            if not ok:
+                break
+        if ok and lo is not None:
+            out[rel] = {"col": key, "min": lo, "max": hi}
+    return out
+
+
+def _stats_may_match(
+    seg_stats: dict | None, key: str, lo, hi
+) -> bool:
+    """True unless the segment's recorded key range PROVABLY cannot
+    intersect [lo, hi]. Unknown stats, a different stats column, or a
+    cross-type comparison all conservatively return True — pruning
+    may only ever skip a segment it can prove untouched."""
+    if seg_stats is None or seg_stats.get("col") != key:
+        return True
+    smin, smax = seg_stats.get("min"), seg_stats.get("max")
+    if smin is None or smax is None or lo is None or hi is None:
+        return True
+    num = (int, float)
+    same_family = (
+        isinstance(smin, num) and isinstance(lo, num)
+    ) or (isinstance(smin, str) and isinstance(lo, str))
+    if not same_family:
+        return True
+    return not (smax < lo or smin > hi)
+
+
 def create_partitioned_table(
     spark: SparkSession,
     df: DataFrame,
     table_dir: str,
     partition_col: str = "namespace",
+    key: str | None = None,
 ) -> int:
     """Initialize a snapshot-log table from ``df``, one tagged segment
-    per partition, committed as version 1."""
+    per partition, committed as version 1. ``key`` records footer
+    min/max stats of that column per segment for sub-partition pruning
+    in later keyed rewrites."""
     create_table(table_dir)
     rels = _stage_partition_segments(df, table_dir, partition_col)
-    return commit_segments(table_dir, added=rels, removed=[], op="append")
+    stats = _segment_key_stats(table_dir, rels, key) if key else None
+    return commit_segments(
+        table_dir, added=rels, removed=[], op="append", stats=stats
+    )
 
 
 def append_partitioned(
@@ -150,11 +235,17 @@ def append_partitioned(
     df: DataFrame,
     table_dir: str,
     partition_col: str = "namespace",
+    key: str | None = None,
 ) -> int:
     """S9 insert/insertMany: stage tagged segments, commit atomically —
-    a multi-partition insert is ONE version, never a torn subset."""
+    a multi-partition insert is ONE version, never a torn subset.
+    ``key`` records per-segment min/max stats (see
+    :func:`create_partitioned_table`)."""
     rels = _stage_partition_segments(df, table_dir, partition_col)
-    return commit_segments(table_dir, added=rels, removed=[], op="append")
+    stats = _segment_key_stats(table_dir, rels, key) if key else None
+    return commit_segments(
+        table_dir, added=rels, removed=[], op="append", stats=stats
+    )
 
 
 def _read_segments(
@@ -220,15 +311,25 @@ def upsert_by_key(
     records win. Only touched partitions' segments are read or
     rewritten — untouched partitions never appear in the commit, so
     concurrent writers on disjoint partitions both land; a conflict on
-    the SAME partition re-plans from the new head."""
+    the SAME partition re-plans from the new head.
+
+    Within a touched partition, segments whose RECORDED KEY RANGE
+    (manifest column stats, :func:`..snapshot_log.segment_stats`)
+    provably misses the update key range are skipped too — their rows
+    can't collide with any update identity, so leaving them live
+    unrewritten preserves (partition, key) uniqueness while the
+    rewrite touches only the segments that can actually match
+    (inputFiles-verified by test)."""
     touched = {
         str(r[0]) for r in updates.select(partition_col).distinct().collect()
     }
+    ulo, uhi = updates.agg(F.min(key), F.max(key)).first()
     last: Exception | None = None
     for _ in range(max_replans):
         head = latest_version(table_dir)
         try:
             live = live_segments(table_dir, head)
+            stats = segment_stats(table_dir, head)
         except FileNotFoundError:
             continue
         _guard_no_log(live, table_dir, "upsert_by_key")
@@ -237,6 +338,7 @@ def upsert_by_key(
             for s in live
             if (tag := _partition_of(s, partition_col)) is not None
             and tag in touched
+            and _stats_may_match(stats.get(s), key, ulo, uhi)
         ]
         if old:
             current = _read_segments(spark, table_dir, old)
@@ -250,7 +352,8 @@ def upsert_by_key(
         new_rels = _stage_partition_segments(merged, table_dir, partition_col)
         try:
             return commit_segments(
-                table_dir, added=new_rels, removed=old, op="upsert"
+                table_dir, added=new_rels, removed=old, op="upsert",
+                stats=_segment_key_stats(table_dir, new_rels, key),
             )
         except CommitConflictError as e:
             _cleanup(table_dir, new_rels)
@@ -275,11 +378,13 @@ def delete_by_key(
     in the remove set, so resurrection is structurally impossible."""
     scoped = partition_col in ids.columns
     match_cols = [partition_col, key] if scoped else [key]
+    klo, khi = ids.agg(F.min(key), F.max(key)).first()
     last: Exception | None = None
     for _ in range(max_replans):
         head = latest_version(table_dir)
         try:
             live = live_segments(table_dir, head)
+            stats = segment_stats(table_dir, head)
         except FileNotFoundError:
             continue
         _guard_no_log(live, table_dir, "delete_by_key")
@@ -297,6 +402,14 @@ def delete_by_key(
             ]
         else:
             candidates = bases
+        # Sub-partition pruning: a segment whose recorded key range
+        # misses every delete key can't lose a row — skip before any
+        # file opens.
+        candidates = [
+            s
+            for s in candidates
+            if _stats_may_match(stats.get(s), key, klo, khi)
+        ]
         if not candidates:
             return head
         current = _read_segments(spark, table_dir, candidates)
@@ -320,7 +433,8 @@ def delete_by_key(
         )
         try:
             return commit_segments(
-                table_dir, added=new_rels, removed=old, op="delete"
+                table_dir, added=new_rels, removed=old, op="delete",
+                stats=_segment_key_stats(table_dir, new_rels, key),
             )
         except CommitConflictError as e:
             _cleanup(table_dir, new_rels)

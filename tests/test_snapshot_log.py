@@ -310,12 +310,20 @@ def test_vacuum_reaps_aged_commit_tmp_files(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == [0, 1, 2]
 
 
-def test_append_survives_concurrent_aggressive_vacuum(spark, tmp_path):
+@pytest.mark.parametrize("ckpt_interval", [1, 2, 5, 16])
+def test_append_survives_concurrent_aggressive_vacuum(
+    spark, tmp_path, ckpt_interval
+):
     """Appends racing a keep_versions=1 vacuum loop must neither crash
-    on a reaped head manifest nor lose a batch."""
+    on a reaped head manifest nor lose a batch — at every checkpoint
+    cadence edge (every commit, every other, a prime, the default):
+    the vacuum fence and the reconstruction-base walk must hold no
+    matter where checkpoints land relative to the reaped window."""
     t = str(tmp_path / "t")
     create_table(t)
-    append_snapshot(spark.range(0, 5), t)
+    append_snapshot(
+        spark.range(0, 5), t, checkpoint_interval=ckpt_interval
+    )
     stop = threading.Event()
     errors = []
 
@@ -330,7 +338,10 @@ def test_append_survives_concurrent_aggressive_vacuum(spark, tmp_path):
     th.start()
     try:
         for i in range(1, 6):
-            append_snapshot(spark.range(i * 10, i * 10 + 5), t)
+            append_snapshot(
+                spark.range(i * 10, i * 10 + 5), t,
+                checkpoint_interval=ckpt_interval,
+            )
     finally:
         stop.set()
         th.join()
@@ -384,13 +395,17 @@ def test_rewrite_conflict_does_not_leak_segment(spark, tmp_path):
     assert len(os.listdir(os.path.join(t, "data"))) == n_before
 
 
-def test_concurrent_vacuums_and_appends(spark, tmp_path):
+@pytest.mark.parametrize("ckpt_interval", [1, 2, 5, 16])
+def test_concurrent_vacuums_and_appends(spark, tmp_path, ckpt_interval):
     """Two vacuum loops racing each other AND a stream of appends:
     nobody may crash on the other's deletions, and no committed row may
-    be lost."""
+    be lost — across checkpoint cadence edges (see the aggressive-
+    vacuum test)."""
     t = str(tmp_path / "t")
     create_table(t)
-    append_snapshot(spark.range(0, 5), t)
+    append_snapshot(
+        spark.range(0, 5), t, checkpoint_interval=ckpt_interval
+    )
     stop = threading.Event()
     errors = []
 
@@ -406,7 +421,10 @@ def test_concurrent_vacuums_and_appends(spark, tmp_path):
         th.start()
     try:
         for i in range(1, 5):
-            append_snapshot(spark.range(i * 10, i * 10 + 5), t)
+            append_snapshot(
+                spark.range(i * 10, i * 10 + 5), t,
+                checkpoint_interval=ckpt_interval,
+            )
     finally:
         stop.set()
         for th in threads:

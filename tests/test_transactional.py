@@ -435,6 +435,133 @@ class TestMergeOnRead:
         assert after.count() == 33
 
 
+class TestSegmentKeyStats:
+    def _ranged_store(self, spark, tmp_path):
+        """One namespace, two appends with DISJOINT key ranges -> two
+        tagged segments in the same partition, each with footer-derived
+        min/max stats in its commit."""
+        t = str(tmp_path / "ranged")
+        lo = spark.range(0, 100).select(
+            F.col("id").alias("vec_id"),
+            F.col("id").cast("int").alias("label"),
+            F.lit(0).cast("int").alias("namespace"),
+        )
+        hi = spark.range(100000, 100100).select(
+            F.col("id").alias("vec_id"),
+            F.col("id").cast("int").alias("label"),
+            F.lit(0).cast("int").alias("namespace"),
+        )
+        create_partitioned_table(spark, lo, t, key="vec_id")
+        append_partitioned(spark, hi, t, key="vec_id")
+        return t
+
+    def test_stats_recorded_and_reconstructed(self, spark, tmp_path):
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            segment_stats,
+        )
+
+        t = self._ranged_store(spark, tmp_path)
+        stats = segment_stats(t)
+        segs = live_segments(t)
+        assert set(stats) == set(segs)
+        ranges = sorted(
+            (s["min"], s["max"]) for s in stats.values()
+        )
+        assert ranges == [(0, 99), (100000, 100099)]
+
+    def test_upsert_prunes_untouched_key_range(self, spark, tmp_path):
+        """The Iceberg column-stats move, proven at the file level: the
+        segment whose key range misses the update is corrupted on disk
+        BEFORE the upsert — if the rewrite opened any of its files the
+        job would die. It must stay live, unread, and byte-identical,
+        while the matching-range segment is rewritten."""
+        import glob
+
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            segment_stats,
+        )
+
+        t = self._ranged_store(spark, tmp_path)
+        segs = live_segments(t)
+        stats_before = segment_stats(t)
+        lo_seg = next(s for s in segs if stats_before[s]["min"] == 0)
+        hi_seg = next(
+            s for s in segs if stats_before[s]["min"] == 100000
+        )
+        # Corrupt every parquet file in the low-range segment.
+        lo_files = glob.glob(os.path.join(t, lo_seg, "*.parquet"))
+        assert lo_files
+        saved = {}
+        for f in lo_files:
+            with open(f, "rb") as fh:
+                saved[f] = fh.read()
+            with open(f, "wb") as fh:
+                fh.write(b"corrupted: not parquet")
+        updates = spark.createDataFrame(
+            [(100000, 999, 0), (100050, 999, 0)],
+            "vec_id long, label int, namespace int",
+        )
+        upsert_by_key(spark, t, updates, key="vec_id")
+        after = live_segments(t)
+        assert lo_seg in after  # untouched segment left live
+        assert hi_seg not in after  # matching segment rewritten
+        for f in lo_files:  # and byte-identical on disk
+            with open(f, "rb") as fh:
+                assert fh.read() == b"corrupted: not parquet"
+            with open(f, "wb") as fh:
+                fh.write(saved[f])
+        got = read_table(spark, t)
+        assert got.count() == 200
+        assert got.filter(F.col("label") == 999).count() == 2
+
+    def test_delete_prunes_untouched_key_range(self, spark, tmp_path):
+        import glob
+
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            segment_stats,
+        )
+
+        t = self._ranged_store(spark, tmp_path)
+        segs = live_segments(t)
+        stats = segment_stats(t)
+        lo_seg = next(s for s in segs if stats[s]["min"] == 0)
+        lo_files = glob.glob(os.path.join(t, lo_seg, "*.parquet"))
+        saved = {}
+        for f in lo_files:
+            with open(f, "rb") as fh:
+                saved[f] = fh.read()
+            with open(f, "wb") as fh:
+                fh.write(b"corrupted: not parquet")
+        ids = spark.createDataFrame(
+            [(100000, 0), (100001, 0)], "vec_id long, namespace int"
+        )
+        delete_by_key(spark, t, ids, key="vec_id")
+        assert lo_seg in live_segments(t)
+        for f in lo_files:
+            with open(f, "wb") as fh:
+                fh.write(saved[f])
+        got = read_table(spark, t)
+        assert got.count() == 198
+        assert got.filter(F.col("vec_id") < 100).count() == 100
+
+    def test_pruning_never_skips_a_matching_segment(self, spark, tmp_path):
+        """Range-straddling updates touch BOTH segments: stats pruning
+        is conservative, identity stays unique."""
+        t = self._ranged_store(spark, tmp_path)
+        updates = spark.createDataFrame(
+            [(50, 999, 0), (100050, 999, 0)],
+            "vec_id long, label int, namespace int",
+        )
+        upsert_by_key(spark, t, updates, key="vec_id")
+        got = read_table(spark, t)
+        assert got.count() == 200
+        assert got.filter(F.col("label") == 999).count() == 2
+        assert (
+            got.groupBy("namespace", "vec_id").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+
+
 def test_append_partitioned_is_one_atomic_version(spark, store):
     v = append_partitioned(
         spark,

@@ -86,8 +86,12 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
             ))
 
 
+ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed")
+
+
 def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
-              lsh_bits: int = 48, lsh_bands: int = 6) -> dict:
+              lsh_bits: int = 48, lsh_bands: int = 6,
+              methods: tuple = ALL_METHODS) -> dict:
     from pyspark.sql import functions as F
 
     from conversation_with_vector_db_spark.operators.ann import (
@@ -129,73 +133,83 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
         out[label] = round(best, 3)
         return df
 
+    # The exact baseline always runs: it is the recall denominator.
     exact = timed("exact_matmul_sec", matmul_topk(
         corpus, collect_query_vectors(queries), k=10
     ))
-    lsh = timed(f"lsh_{lsh_bits}b{lsh_bands}band_mp1_sec",
-                hyperplane_lsh_topk(
-        corpus, queries, k=10, n_bits=lsh_bits, n_bands=lsh_bands,
-        dim=dim, probe_bits=1,
-    ))
-    # Query-time IVF: centroid fit on a FAISS-style sample (~40 pts
-    # per cell) — full-corpus KMeans at 10^6 x 1536-d is exactly the
-    # cost the fit_fraction knob exists to avoid.
+    if "lsh" in methods:
+        lsh = timed(f"lsh_{lsh_bits}b{lsh_bands}band_mp1_sec",
+                    hyperplane_lsh_topk(
+            corpus, queries, k=10, n_bits=lsh_bits, n_bands=lsh_bands,
+            dim=dim, probe_bits=1,
+        ))
+        out["lsh_recall"] = round(
+            recall_at_k(lsh, exact, k=10).first().recall, 4
+        )
+        c = with_lsh_bands(
+            corpus, n_bits=lsh_bits, n_bands=lsh_bands, dim=dim
+        )
+        q = with_lsh_bands(
+            queries, n_bits=lsh_bits, n_bands=lsh_bands, dim=dim,
+            probe_bits=1,
+        ).select(F.col("vec_id").alias("qid"), "band", "band_key")
+        n_cand = (
+            c.join(q, ["band", "band_key"]).select("qid", "vec_id")
+            .distinct().count()
+        )
+        out["lsh_candidate_fraction"] = round(n_cand / (n_q * n), 4)
+    # Centroid fit on a FAISS-style sample (~40 pts per cell) —
+    # full-corpus KMeans at 10^6 x 1536-d is exactly the cost the
+    # fit_fraction knob exists to avoid.
     fit_frac = min(1.0, (40.0 * nlist) / n)
-    t0 = time.perf_counter()
-    ivf = ivf_topk(corpus, queries, k=10, nlist=nlist, nprobe=nprobe,
-                   fit_fraction=fit_frac)
-    out["ivf_fit_sec"] = round(time.perf_counter() - t0, 3)
-    ivf = timed(f"ivf_{nlist}c{nprobe}p_query_sec", ivf)
-
-    # Write-time IVF index: build cost paid once, then the probe is a
-    # partition-pruned scan — the documented 100 TB read path.
-    idx_path = os.path.join(workdir, f"ann_ivfidx_{n}_{dim}d")
-    shutil.rmtree(idx_path, ignore_errors=True)
-    t0 = time.perf_counter()
-    ivf_write_index(corpus, idx_path, nlist=nlist,
-                    fit_fraction=fit_frac)
-    out["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
-    ivfx = timed(f"ivf_indexed_{nlist}c{nprobe}p_query_sec",
-                 ivf_topk_indexed(spark, idx_path, queries, k=10,
-                                  nprobe=nprobe))
-    all_files = glob.glob(f"{idx_path}/data/cell=*/*.parquet")
-
-    out["lsh_recall"] = round(recall_at_k(lsh, exact, k=10).first().recall, 4)
-    out["ivf_recall"] = round(recall_at_k(ivf, exact, k=10).first().recall, 4)
-    out["ivf_indexed_recall"] = round(
-        recall_at_k(ivfx, exact, k=10).first().recall, 4
-    )
-    c = with_lsh_bands(corpus, n_bits=lsh_bits, n_bands=lsh_bands, dim=dim)
-    q = with_lsh_bands(
-        queries, n_bits=lsh_bits, n_bands=lsh_bands, dim=dim, probe_bits=1
-    ).select(F.col("vec_id").alias("qid"), "band", "band_key")
-    n_cand = (
-        c.join(q, ["band", "band_key"]).select("qid", "vec_id")
-        .distinct().count()
-    )
-    out["lsh_candidate_fraction"] = round(n_cand / (n_q * n), 4)
-    out["ivf_scan_fraction"] = round(nprobe / nlist, 4)
-    # Probed-file fraction the indexed scan actually lists: re-derive
-    # the probed cell set the same way ivf_topk_indexed does.
-    from conversation_with_vector_db_spark.operators.ann import (
-        ivf_probed_cells,
-    )
-    cent = spark.read.parquet(f"{idx_path}/centroids")
-    cells = {
-        int(r["cell"])
-        for r in ivf_probed_cells(
-            cent, queries, nprobe=nprobe
-        ).select("cell").distinct().collect()
-    }
-    probed_files = [
-        f for f in all_files
-        if int(os.path.basename(os.path.dirname(f)).split("=")[1]) in cells
-    ]
-    out["ivf_indexed_file_fraction"] = round(
-        len(probed_files) / max(1, len(all_files)), 4
-    )
+    if "ivf" in methods:
+        t0 = time.perf_counter()
+        ivf = ivf_topk(corpus, queries, k=10, nlist=nlist,
+                       nprobe=nprobe, fit_fraction=fit_frac)
+        out["ivf_fit_sec"] = round(time.perf_counter() - t0, 3)
+        ivf = timed(f"ivf_{nlist}c{nprobe}p_query_sec", ivf)
+        out["ivf_recall"] = round(
+            recall_at_k(ivf, exact, k=10).first().recall, 4
+        )
+        out["ivf_scan_fraction"] = round(nprobe / nlist, 4)
+    if "ivf_indexed" in methods:
+        # Write-time IVF index: build cost paid once, then the probe
+        # is a partition-pruned scan — the documented 100 TB read path.
+        idx_path = os.path.join(workdir, f"ann_ivfidx_{n}_{dim}d")
+        shutil.rmtree(idx_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        ivf_write_index(corpus, idx_path, nlist=nlist,
+                        fit_fraction=fit_frac)
+        out["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        ivfx = timed(f"ivf_indexed_{nlist}c{nprobe}p_query_sec",
+                     ivf_topk_indexed(spark, idx_path, queries, k=10,
+                                      nprobe=nprobe))
+        out["ivf_indexed_recall"] = round(
+            recall_at_k(ivfx, exact, k=10).first().recall, 4
+        )
+        # Probed-file fraction the indexed scan actually lists:
+        # re-derive the probed cell set the same way the probe does.
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_probed_cells,
+        )
+        all_files = glob.glob(f"{idx_path}/data/cell=*/*.parquet")
+        cent = spark.read.parquet(f"{idx_path}/centroids")
+        cells = {
+            int(r["cell"])
+            for r in ivf_probed_cells(
+                cent, queries, nprobe=nprobe
+            ).select("cell").distinct().collect()
+        }
+        probed_files = [
+            f for f in all_files
+            if int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            in cells
+        ]
+        out["ivf_indexed_file_fraction"] = round(
+            len(probed_files) / max(1, len(all_files)), 4
+        )
+        shutil.rmtree(idx_path, ignore_errors=True)
     corpus.unpersist()
-    shutil.rmtree(idx_path, ignore_errors=True)
     return out
 
 
@@ -208,6 +222,12 @@ def main() -> None:
     ap.add_argument("--lsh-bands", type=int, default=6)
     ap.add_argument("--workdir", default="/root/repo/.localdata")
     ap.add_argument("--keep-corpus", action="store_true")
+    ap.add_argument(
+        "--methods", nargs="+", default=list(ALL_METHODS),
+        choices=list(ALL_METHODS),
+        help="strategies to measure (exact always runs: it is the "
+        "recall denominator)",
+    )
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -222,7 +242,8 @@ def main() -> None:
         print(json.dumps(run_scale(
             spark, n, args.dim, args.workdir, reps=args.reps,
             lsh_bits=args.lsh_bits, lsh_bands=args.lsh_bands,
-        )))
+            methods=tuple(args.methods),
+        )), flush=True)
         if not args.keep_corpus:
             p = os.path.join(
                 args.workdir, f"ann_corpus_{n}_{args.dim}d.parquet"
