@@ -601,6 +601,18 @@ def _segment_bytes(table_dir: str, rel: str) -> int:
     return total
 
 
+#: Tagged-segment name shape from sources/transactional.py:
+#: ``seg-<32 hex>-<col>=<urlencoded value>``.
+_TAG_RE = re.compile(r"^seg-[0-9a-f]{32}-(.+)$")
+
+
+def _fold_suffix(rel: str) -> str | None:
+    """Partition-tag suffix a compacted replacement must carry, or
+    None for a plain (untagged) segment."""
+    m = _TAG_RE.match(os.path.basename(rel))
+    return m.group(1) if m else None
+
+
 def _binpack_segments(
     sized: list[tuple[str, int]], target_bytes: int
 ) -> list[list[str]]:
@@ -608,20 +620,32 @@ def _binpack_segments(
     cumulative size <= target. Only groups of >= 2 segments are worth
     rewriting: a lone segment — small or already target-sized — is
     left live untouched, so compaction converges instead of eternally
-    rewriting the same bytes."""
-    groups: list[list[str]] = []
-    cur: list[str] = []
-    cur_bytes = 0
+    rewriting the same bytes.
+
+    Segments only bin-pack WITHIN the same partition-tag suffix
+    (:func:`_fold_suffix`): folding across tags would mint untagged
+    mixed segments that a later metadata-only ``drop_partition``
+    cannot remove — partition purity is a correctness invariant of the
+    tagged layout, not an optimization."""
+    by_suffix: dict[str | None, list[tuple[str, int]]] = {}
     for rel, nbytes in sorted(sized):
-        if nbytes >= target_bytes:
-            continue  # already at target; never refold
-        if cur and cur_bytes + nbytes > target_bytes:
+        by_suffix.setdefault(_fold_suffix(rel), []).append((rel, nbytes))
+    groups: list[list[str]] = []
+    for _suffix, items in sorted(
+        by_suffix.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+    ):
+        cur: list[str] = []
+        cur_bytes = 0
+        for rel, nbytes in items:
+            if nbytes >= target_bytes:
+                continue  # already at target; never refold
+            if cur and cur_bytes + nbytes > target_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(rel)
+            cur_bytes += nbytes
+        if cur:
             groups.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(rel)
-        cur_bytes += nbytes
-    if cur:
-        groups.append(cur)
     return [g for g in groups if len(g) >= 2]
 
 
@@ -651,14 +675,23 @@ def compact_snapshots(
     multi-writer guarantee the marker-fenced bare-parquet compaction
     cannot give. Retries re-plan from the current head. A compactor
     dying mid-stage leaves only invisible staged files for the
-    age-gated vacuum."""
+    age-gated vacuum.
+
+    Tagged tables (sources/transactional.py layout) fold WITHIN each
+    partition tag and the replacements keep the tag; merge-on-read
+    ``log-`` segments are never touched (their ``_op``/``_seq``
+    protocol belongs to ``compact_change_log``)."""
     from pyspark.sql import functions as F
 
     last: Exception | None = None
     for _ in range(max_retries):
         head = latest_version(table_dir)
         try:
-            segs = live_segments(table_dir, head)
+            segs = [
+                s
+                for s in live_segments(table_dir, head)
+                if not os.path.basename(s).startswith("log-")
+            ]
             if len(segs) <= 1:
                 return head
             sized = [(s, _segment_bytes(table_dir, s)) for s in segs]
@@ -666,11 +699,17 @@ def compact_snapshots(
             if not groups:
                 return head  # steady state: nothing worth folding
             fold = [s for g in groups for s in g]
-            seg_to_grp = {
-                os.path.basename(s): gi
-                for gi, g in enumerate(groups)
-                for s in g
-            }
+            # Map both the raw directory name and its URI-quoted form:
+            # input_file_name() returns a URI, which percent-encodes
+            # exotic characters a tagged segment name may carry.
+            from urllib.parse import quote as _uq
+
+            seg_to_grp: dict[str, int] = {}
+            for gi, g in enumerate(groups):
+                for s in g:
+                    name = os.path.basename(s)
+                    seg_to_grp[name] = gi
+                    seg_to_grp.setdefault(_uq(name), gi)
             scan = spark.read.parquet(
                 *[os.path.join(table_dir, s) for s in fold]
             )
@@ -689,7 +728,8 @@ def compact_snapshots(
             )
         except FileNotFoundError:
             continue  # head vacuumed mid-read; re-plan (see append)
-        new_rels = _stage_group_segments(merged, table_dir)
+        suffixes = [_fold_suffix(g[0]) for g in groups]
+        new_rels = _stage_group_segments(merged, table_dir, suffixes)
         try:
             return commit_segments(
                 table_dir, added=new_rels, removed=fold, op="compact"
@@ -703,12 +743,18 @@ def compact_snapshots(
     raise last if last is not None else CommitConflictError(table_dir)
 
 
-def _stage_group_segments(merged: DataFrame, table_dir: str) -> list[str]:
+def _stage_group_segments(
+    merged: DataFrame, table_dir: str, suffixes: list[str | None]
+) -> list[str]:
     """One ``partitionBy("_grp")`` job into a staging dir under
     ``data/`` (a dead writer's droppings are vacuum-reapable), then a
     metadata rename per group registers each ``_grp=N`` directory as a
-    fresh immutable segment. The ``_grp`` column rides the directory
-    name only — ``partitionBy`` keeps it out of the data files."""
+    fresh immutable segment — carrying group N's partition-tag suffix
+    when it had one, so the tagged layout's purity invariant survives
+    compaction. The ``_grp`` column rides the directory name only —
+    ``partitionBy`` keeps it out of the data files. Group ids are
+    PARSED from the directory name (lexical sort would order
+    ``_grp=10`` before ``_grp=2``)."""
     stage_rel = os.path.join(_DATA, f".stage-{uuid.uuid4().hex}")
     stage = os.path.join(table_dir, stage_rel)
     merged.write.partitionBy("_grp").parquet(stage)
@@ -716,7 +762,14 @@ def _stage_group_segments(merged: DataFrame, table_dir: str) -> list[str]:
     for name in sorted(os.listdir(stage)):
         if not name.startswith("_grp="):
             continue
-        rel = os.path.join(_DATA, uuid.uuid4().hex)
+        gi = int(name.split("=", 1)[1])
+        suffix = suffixes[gi]
+        seg_name = (
+            uuid.uuid4().hex
+            if suffix is None
+            else f"seg-{uuid.uuid4().hex}-{suffix}"
+        )
+        rel = os.path.join(_DATA, seg_name)
         os.rename(os.path.join(stage, name), os.path.join(table_dir, rel))
         new_rels.append(rel)
     shutil.rmtree(stage, ignore_errors=True)  # _SUCCESS droppings

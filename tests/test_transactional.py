@@ -562,6 +562,41 @@ class TestSegmentKeyStats:
         )
 
 
+def test_generic_compaction_preserves_partition_tags(spark, store):
+    """compact_snapshots on a TAGGED table folds within each partition
+    tag and keeps the tag on the replacement segments — partition
+    purity survives, so a later metadata-only drop_partition still
+    removes every row of the namespace."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        compact_snapshots,
+    )
+
+    # Three more appends -> 4 small segments per namespace.
+    for i in range(3):
+        append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(1000 + 3 * i + ns, 7, ns) for ns in range(3)],
+                "vec_id long, label int, namespace int",
+            ),
+            store,
+        )
+    assert len(live_segments(store)) == 12
+    compact_snapshots(spark, store)
+    after = live_segments(store)
+    assert len(after) == 3  # one folded segment per namespace
+    tags = sorted(
+        os.path.basename(s).split("namespace=")[1] for s in after
+    )
+    assert tags == ["0", "1", "2"]
+    assert read_table(spark, store).count() == 39
+    # Partition semantics intact: metadata-only drop removes the lot.
+    drop_partition(spark, store, "namespace", 1)
+    got = read_table(spark, store)
+    assert got.filter(F.col("namespace") == 1).count() == 0
+    assert got.count() == 26
+
+
 def test_append_partitioned_is_one_atomic_version(spark, store):
     v = append_partitioned(
         spark,

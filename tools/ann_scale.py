@@ -67,7 +67,8 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
         ("vec_id", pa.int64()),
         ("embedding", pa.list_(pa.float64())),
     ])
-    with pq.ParquetWriter(path, schema, compression="zstd") as w:
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with pq.ParquetWriter(tmp, schema, compression="zstd") as w:
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             m = hi - lo
@@ -84,6 +85,9 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
                  "embedding": emb},
                 schema=schema,
             ))
+    # Atomic publish: a generator killed mid-write must leave no
+    # half-footer file a later run would trust via os.path.exists.
+    os.rename(tmp, path)
 
 
 ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed")
