@@ -160,6 +160,39 @@ def ann_economics(spark, sf: float) -> dict:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def _ann_1536d_summary() -> dict | None:
+    """Condensed view of the offline 1536-d sweep artifact
+    (BENCH_ANN_1536D.json) for BENCH_DETAIL; None if absent."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ANN_1536D.json"
+    )
+    try:
+        with open(path) as fh:
+            art = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    return {
+        "source": "BENCH_ANN_1536D.json (tools/ann_scale.py --dim 1536)",
+        "runs": [
+            {
+                k: r.get(k)
+                for k in (
+                    "n_vectors",
+                    "exact_matmul_sec",
+                    "exact_matmul_warm_min2_sec",
+                    "lsh_sec",
+                    "ivf_query_time_sec",
+                    "ivf_index_build_sec",
+                    "ivf_indexed_query_sec",
+                    "ivf_indexed_recall",
+                )
+                if r.get(k) is not None
+            }
+            for r in art.get("runs", [])
+        ],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -354,6 +387,11 @@ def main() -> None:
         "aqe_on_queries": aqe_on_timings,
         "aqe_gated_off": not adaptive,
         "ann_economics": ann,
+        # Offline sweep at the reference's REAL 1536-d (too heavy for
+        # the per-round bench): measured by tools/ann_scale.py,
+        # persisted in BENCH_ANN_1536D.json, summarized here so the
+        # detail file is self-contained.
+        "ann_economics_1536d": _ann_1536d_summary(),
         "sf": sf,
         "shuffle_partitions": int(parts),
     }
