@@ -694,6 +694,7 @@ def compact_snapshots(
             ]
             if len(segs) <= 1:
                 return head
+            stats_at_head = segment_stats(table_dir, head)
             sized = [(s, _segment_bytes(table_dir, s)) for s in segs]
             groups = _binpack_segments(sized, target_bytes)
             if not groups:
@@ -729,10 +730,12 @@ def compact_snapshots(
         except FileNotFoundError:
             continue  # head vacuumed mid-read; re-plan (see append)
         suffixes = [_fold_suffix(g[0]) for g in groups]
-        new_rels = _stage_group_segments(merged, table_dir, suffixes)
+        rel_by_grp = _stage_group_segments(merged, table_dir, suffixes)
+        new_rels = list(rel_by_grp.values())
         try:
             return commit_segments(
-                table_dir, added=new_rels, removed=fold, op="compact"
+                table_dir, added=new_rels, removed=fold, op="compact",
+                stats=_folded_stats(stats_at_head, groups, rel_by_grp),
             )
         except CommitConflictError as e:
             for rel in new_rels:
@@ -743,9 +746,34 @@ def compact_snapshots(
     raise last if last is not None else CommitConflictError(table_dir)
 
 
+def _folded_stats(
+    prior: dict[str, dict],
+    groups: list[list[str]],
+    rel_by_grp: dict[int, str],
+) -> dict[str, dict]:
+    """Key stats for compaction outputs, folded from the members'
+    RECORDED stats (a fold's min/max is the min/max of its members) —
+    no data read. A group where any member lacks stats, or members
+    disagree on the stats column, yields no entry (conservative)."""
+    out: dict[str, dict] = {}
+    for gi, rel in rel_by_grp.items():
+        members = [prior.get(s) for s in groups[gi]]
+        if any(m is None for m in members):
+            continue
+        cols = {m["col"] for m in members}
+        if len(cols) != 1:
+            continue
+        out[rel] = {
+            "col": cols.pop(),
+            "min": min(m["min"] for m in members),
+            "max": max(m["max"] for m in members),
+        }
+    return out
+
+
 def _stage_group_segments(
     merged: DataFrame, table_dir: str, suffixes: list[str | None]
-) -> list[str]:
+) -> dict[int, str]:
     """One ``partitionBy("_grp")`` job into a staging dir under
     ``data/`` (a dead writer's droppings are vacuum-reapable), then a
     metadata rename per group registers each ``_grp=N`` directory as a
@@ -758,7 +786,7 @@ def _stage_group_segments(
     stage_rel = os.path.join(_DATA, f".stage-{uuid.uuid4().hex}")
     stage = os.path.join(table_dir, stage_rel)
     merged.write.partitionBy("_grp").parquet(stage)
-    new_rels = []
+    rel_by_grp: dict[int, str] = {}
     for name in sorted(os.listdir(stage)):
         if not name.startswith("_grp="):
             continue
@@ -771,9 +799,9 @@ def _stage_group_segments(
         )
         rel = os.path.join(_DATA, seg_name)
         os.rename(os.path.join(stage, name), os.path.join(table_dir, rel))
-        new_rels.append(rel)
+        rel_by_grp[gi] = rel
     shutil.rmtree(stage, ignore_errors=True)  # _SUCCESS droppings
-    return new_rels
+    return rel_by_grp
 
 
 def vacuum(

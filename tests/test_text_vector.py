@@ -243,6 +243,27 @@ class TestIvfIndexed:
             n_files_read, len(probed_files), len(all_files)
         )
 
+    def test_indexed_empty_query_set_short_circuits(self, spark, tmp_path):
+        """No queries -> empty result with the standard columns and an
+        executed plan containing NO file scan (the corpus filter folds
+        to an empty LocalTableScan — schema inference reads one footer,
+        data rows never)."""
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_topk_indexed,
+            ivf_write_index,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        path = str(tmp_path / "ivfidx_empty")
+        ivf_write_index(corpus, path, nlist=4)
+        out = ivf_topk_indexed(
+            spark, path, corpus.filter(F.col("vec_id") < 0), k=5
+        )
+        assert out.count() == 0
+        assert set(out.columns) >= {"qid", "vec_id", "sim"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan  # lit(False) folded the scan away
+
     def test_indexed_topk_matches_query_time_ivf(self, spark, tmp_path):
         """Same corpus, same seed, same nlist/nprobe: the write-time
         index path must rank exactly what the query-time fit ranks

@@ -544,6 +544,26 @@ class TestSegmentKeyStats:
         assert got.count() == 198
         assert got.filter(F.col("vec_id") < 100).count() == 100
 
+    def test_stats_survive_generic_compaction(self, spark, tmp_path):
+        """compact_snapshots folds stats from the members' RECORDED
+        min/max (no data read), so key-range pruning keeps working on
+        a compacted table."""
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            compact_snapshots,
+            segment_stats,
+        )
+
+        t = self._ranged_store(spark, tmp_path)
+        compact_snapshots(spark, t)
+        segs = live_segments(t)
+        stats = segment_stats(t)
+        assert set(stats) == set(segs)
+        folded = sorted((s["min"], s["max"]) for s in stats.values())
+        # Both source segments were in the same partition and fold into
+        # one target-sized output: the folded range spans both.
+        assert folded == [(0, 100099)]
+        assert all(s["col"] == "vec_id" for s in stats.values())
+
     def test_pruning_never_skips_a_matching_segment(self, spark, tmp_path):
         """Range-straddling updates touch BOTH segments: stats pruning
         is conservative, identity stays unique."""

@@ -119,9 +119,21 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
         print(f"  generated {n} x {dim}-d vectors in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     # One pyarrow file scans as few fat partitions; spread it like a
-    # real multi-file table before caching (memory-and-disk: a 1536-d
-    # 10^6 corpus is ~12 GB raw and must be allowed to spill).
-    corpus = spark.read.parquet(path).repartition(32).persist()
+    # real multi-file table before caching. Partition count scales
+    # with corpus bytes (a 1536-d 10^6 corpus is ~12 GB raw; 32
+    # partitions of it are ~370 MB each and OOM the single local JVM),
+    # and a corpus past ~4 GB persists DISK_ONLY — deserialized
+    # caching of a table that size in one JVM is the wrong trade.
+    from pyspark import StorageLevel
+
+    nbytes = os.path.getsize(path)
+    nparts = max(32, int(nbytes / (64 << 20)))
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if nbytes < (4 << 30)
+        else StorageLevel.DISK_ONLY
+    )
+    corpus = spark.read.parquet(path).repartition(nparts).persist(level)
     assert corpus.count() == n
     qmod = max(997, n // 100)  # ~100 queries at every scale
     queries = corpus.filter(F.col("vec_id") % qmod == 0)
