@@ -570,6 +570,142 @@ def _matmul_rescore_probed(
     return topk_per_query(scored, k, tiebreak_col=id_col)
 
 
+def ivf_table_create(
+    spark,
+    corpus: DataFrame,
+    table_dir: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> int:
+    """The IVF index as a TRANSACTIONAL snapshot-log table: cell-tagged
+    segments (partition purity via sources/transactional.py) + an
+    nlist-row centroid sidecar. Unlike :func:`ivf_write_index`'s bare
+    parquet layout, this index supports atomic upserts/deletes with
+    snapshot isolation and time travel — the engine's Pinecone-upsert
+    lifecycle (models/embeddingmodel.js:4-12) ON the serving index,
+    not beside it. Per-segment ``id`` min/max stats are recorded at
+    every commit, so keyed mutations prune inside probed cells too."""
+    from ..sources.transactional import create_partitioned_table
+
+    assigned, cent_df = ivf_fit_cells(
+        corpus, nlist, vec_col, seed, fit_fraction
+    )
+    v = create_partitioned_table(
+        spark,
+        assigned.select(id_col, vec_col, "cell"),
+        table_dir,
+        partition_col="cell",
+        key=id_col,
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{table_dir}/centroids"
+    )
+    return v
+
+
+def ivf_assign_cells(
+    updates: DataFrame,
+    cent_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``updates`` + a ``cell`` column: nearest centroid by cosine —
+    the PROBE's metric, so an upserted vector is found whenever its
+    cell is probed. query x nlist crossJoin (broadcast-tiny),
+    ``max_by`` argmax — no window, no shuffle beyond the final
+    aggregation on the update batch."""
+    sims = updates.crossJoin(F.broadcast(cent_df)).select(
+        F.col(id_col),
+        "cell",
+        cosine_similarity(F.col(vec_col), F.col("centroid")).alias(
+            "_csim"
+        ),
+    )
+    best = sims.groupBy(id_col).agg(
+        F.expr(
+            # Ties break to the LOWEST cell id (negate in the struct),
+            # matching ivf_probed_cells' deterministic ordering.
+            "max_by(cell, named_struct('s', _csim, 'c', -cell)) AS cell"
+        )
+    )
+    # INT to match ivf_fit_cells' KMeans prediction dtype — mixed
+    # int/long cell columns across segments break the parquet read.
+    best = best.withColumn("cell", F.col("cell").cast("int"))
+    return updates.join(best, id_col)
+
+
+def ivf_table_upsert(
+    spark,
+    table_dir: str,
+    updates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Atomic index maintenance: assign each update to its nearest
+    cell, then a GLOBAL-identity upsert — an updated embedding that
+    moves to a different cell removes its old row from the previous
+    cell and lands in the new one in the SAME commit (a cell-scoped
+    upsert would strand a stale twin the probe could still find).
+    Old-row lookup prunes by the recorded id min/max before opening
+    any cell's files."""
+    from ..sources.transactional import read_table, upsert_by_key_global
+
+    cent_df = spark.read.parquet(f"{table_dir}/centroids")
+    # Conform the update vectors to the TABLE's element type (fixture
+    # embeddings are float32): mixed float/double segments break the
+    # vectorized parquet read.
+    table_vec_type = read_table(spark, table_dir).schema[vec_col].dataType
+    updates = updates.withColumn(
+        vec_col, F.col(vec_col).cast(table_vec_type)
+    )
+    assigned = ivf_assign_cells(updates, cent_df, id_col, vec_col)
+    return upsert_by_key_global(
+        spark,
+        table_dir,
+        assigned.select(id_col, vec_col, "cell"),
+        key=id_col,
+        partition_col="cell",
+    )
+
+
+def ivf_table_topk(
+    spark,
+    table_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-pruned probe over the transactional index: probed
+    cells prune at the SEGMENT LIST (manifest level — no directory
+    listing of unprobed cells, the step object stores make expensive),
+    then the cell-aware matmul rescore. ``version`` pins time travel:
+    top-k as of any retained index version."""
+    from ..sources.transactional import read_table
+
+    cent_df = spark.read.parquet(f"{table_dir}/centroids")
+    probed_plan = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
+    probed_rows = probed_plan.collect()
+    if not probed_rows:
+        scan = read_table(spark, table_dir, version=version).filter(
+            F.lit(False)
+        )
+        return _rescore_probed(
+            scan, probed_plan.filter(F.lit(False)), k, id_col, vec_col
+        )
+    cells = {str(int(r["cell"])) for r in probed_rows}
+    scan = read_table(
+        spark, table_dir, version=version, partitions=cells,
+        partition_col="cell",
+    )
+    return _matmul_rescore_probed(scan, probed_rows, k, id_col, vec_col)
+
+
 def recall_at_k(
     approx: DataFrame, exact: DataFrame, k: int = 10
 ) -> DataFrame:

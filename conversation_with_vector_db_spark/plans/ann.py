@@ -321,6 +321,91 @@ def ann_ivf_indexed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_table_lifecycle",
+    driver=False,
+    doc="""The IVF index as a TRANSACTIONAL snapshot-log table
+    (r6): create (cell-tagged segments + centroid sidecar) -> probe ->
+    atomic global-identity upsert (vec 0's embedding MOVES to vec 7's
+    neighborhood, vec 900000001 is new) -> re-probe -> time-travel.
+    Self-certifies via a VALUES oracle: (a) the moved + new vectors
+    rank at sim 1.0 under a probe of the moved vector, (b) no stale
+    twin of the moved identity survives anywhere (global upsert, not
+    cell-scoped), (c) the pre-upsert version still answers the
+    original probe identically (snapshot isolation / time travel on
+    the serving index). The Pinecone upsert-then-query lifecycle
+    (models/embeddingmodel.js:4-12; conversationController.js:32-36)
+    run ON the index, not beside it.""",
+    oracle="""
+SELECT 'ivf_table_8c2p' AS method, TRUE AS upsert_visible,
+       TRUE AS no_stale_twin, TRUE AS time_travel_stable
+""",
+)
+def ann_ivf_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ann import (
+        ivf_table_create,
+        ivf_table_topk,
+        ivf_table_upsert,
+    )
+    from ..sources.snapshot_log import latest_version
+    from ..sources.transactional import read_table
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    t = tempfile.mkdtemp(prefix="cvdb_ivf_table_")
+    try:
+        ivf_table_create(spark, emb, t, nlist=8)
+        v0 = latest_version(t)
+        probe = emb.filter(F.col("vec_id") == 0)
+        before = sorted(
+            r["vec_id"]
+            for r in ivf_table_topk(spark, t, probe, k=5, nprobe=2)
+            .collect()
+        )
+        moved = [float(x) for x in emb.filter(
+            F.col("vec_id") == 7
+        ).first()["embedding"]]
+        new_id = 900000001  # clear of every fixture id range
+        ivf_table_upsert(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(0, moved), (new_id, moved)],
+                "vec_id long, embedding array<double>",
+            ),
+        )
+        q = spark.createDataFrame(
+            [(-1, moved)], "vec_id long, embedding array<double>"
+        )
+        top = ivf_table_topk(spark, t, q, k=3, nprobe=2).collect()
+        upsert_visible = (
+            [r["vec_id"] for r in top] == [0, 7, new_id]
+            and all(r["sim"] == 1.0 for r in top)
+        )
+        tbl = read_table(spark, t)
+        no_stale_twin = (
+            tbl.filter(F.col("vec_id") == 0).count() == 1
+            and tbl.filter(F.col("vec_id") == new_id).count() == 1
+        )
+        after_pinned = sorted(
+            r["vec_id"]
+            for r in ivf_table_topk(
+                spark, t, probe, k=5, nprobe=2, version=v0
+            ).collect()
+        )
+        time_travel_stable = after_pinned == before
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        [("ivf_table_8c2p", upsert_visible, no_stale_twin,
+          time_travel_stable)],
+        "method string, upsert_visible boolean, no_stale_twin boolean, "
+        "time_travel_stable boolean",
+    )
+
+
+@query(
     "ann_ivf_recall",
     driver=False,
     doc="""IVF ANN (KMeans nlist=16 cells, nprobe=6, seed 42) vs exact:

@@ -72,6 +72,7 @@ __all__ = [
     "read_merge_on_read",
     "read_table",
     "upsert_by_key",
+    "upsert_by_key_global",
 ]
 
 _PART_TMP = "__cvdb_part"
@@ -358,6 +359,79 @@ def upsert_by_key(
         except CommitConflictError as e:
             _cleanup(table_dir, new_rels)
             last = e  # same-partition writer won; re-plan
+    raise last if last is not None else CommitConflictError(table_dir)
+
+
+def upsert_by_key_global(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str = "namespace",
+    max_replans: int = 4,
+) -> int:
+    """Upsert where the identity is ``key`` ALONE and the partition
+    value is a derived ATTRIBUTE that may change between versions —
+    e.g. an IVF cell id that moves when a vector's embedding is
+    updated. A partition-scoped upsert would strand the old row in its
+    previous partition; this one removes every matching key from
+    whatever partition holds it and lands the new rows in their
+    (possibly different) partitions, in ONE conflict-checked commit —
+    never a window where the key is absent or doubled.
+
+    Scale shape: candidate segments prune FIRST by the recorded key
+    min/max stats (untouched key ranges never open a file), then by
+    the semi-join hit set (only partitions that actually LOSE rows are
+    rewritten); the updates themselves stage with one ``partitionBy``
+    job. ``updates`` must already carry ``partition_col``."""
+    last: Exception | None = None
+    ids = updates.select(key)
+    klo, khi = updates.agg(F.min(key), F.max(key)).first()
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+            stats = segment_stats(table_dir, head)
+        except FileNotFoundError:
+            continue
+        _guard_no_log(live, table_dir, "upsert_by_key_global")
+        cands = [
+            s
+            for s in live
+            if not _is_log(s)
+            and _stats_may_match(stats.get(s), key, klo, khi)
+        ]
+        old: list[str] = []
+        if cands:
+            current = _read_segments(spark, table_dir, cands)
+            hit = {
+                str(r[0])
+                for r in current.join(
+                    F.broadcast(ids), key, "left_semi"
+                ).select(partition_col).distinct().collect()
+            }
+            old = [
+                s
+                for s in cands
+                if (tag := _partition_of(s, partition_col)) is None
+                or tag in hit
+            ]
+        if old:
+            survivors = _read_segments(spark, table_dir, old).join(
+                F.broadcast(ids), key, "left_anti"
+            )
+            merged = survivors.unionByName(updates)
+        else:
+            merged = updates
+        new_rels = _stage_partition_segments(merged, table_dir, partition_col)
+        try:
+            return commit_segments(
+                table_dir, added=new_rels, removed=old, op="upsert_global",
+                stats=_segment_key_stats(table_dir, new_rels, key),
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e
     raise last if last is not None else CommitConflictError(table_dir)
 
 

@@ -264,6 +264,72 @@ class TestIvfIndexed:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "FileScan" not in plan  # lit(False) folded the scan away
 
+    def test_transactional_index_table_lifecycle(self, spark, tmp_path):
+        """IVF index as a snapshot-log table: create -> query -> atomic
+        upsert (one vector MOVES clusters, one is new) -> re-query.
+        The moved vector must be findable near its NEW neighbors with
+        no stale twin in the old cell, identities stay unique, and a
+        version-pinned query still returns the pre-upsert result."""
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_table_create,
+            ivf_table_topk,
+            ivf_table_upsert,
+        )
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            latest_version,
+        )
+        from conversation_with_vector_db_spark.sources.transactional import (
+            read_table,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        t = str(tmp_path / "ivf_table")
+        ivf_table_create(spark, corpus, t, nlist=8)
+        v0 = latest_version(t)
+
+        probe = corpus.filter(F.col("vec_id") == 1)
+        before = {
+            r["vec_id"]
+            for r in ivf_table_topk(spark, t, probe, k=5, nprobe=2)
+            .collect()
+        }
+        assert before  # sanity: the probe finds neighbors
+
+        # Move vec 1 onto vec 40's cluster centroid-ish vector, and
+        # add a brand-new vec 9001 next to it.
+        target = corpus.filter(F.col("vec_id") == 40).first()["embedding"]
+        moved = [float(x) for x in target]
+        updates = spark.createDataFrame(
+            [(1, moved), (9001, moved)],
+            "vec_id long, embedding array<double>",
+        )
+        ivf_table_upsert(spark, t, updates)
+
+        table = read_table(spark, t)
+        assert table.filter(F.col("vec_id") == 1).count() == 1  # no twin
+        assert table.filter(F.col("vec_id") == 9001).count() == 1
+
+        # Query with the moved vector itself: both upserted rows must
+        # rank at the very top (sim 1.0), proving the move landed in
+        # the probed cell.
+        q = spark.createDataFrame(
+            [(777, moved)], "vec_id long, embedding array<double>"
+        )
+        top = ivf_table_topk(spark, t, q, k=3, nprobe=2).collect()
+        # vec 40's embedding IS `moved`, so 1, 40, 9001 all tie at
+        # sim 1.0 and the id tiebreak orders them 1 < 40 < 9001.
+        assert [r["vec_id"] for r in top] == [1, 40, 9001]
+        assert all(r["sim"] == 1.0 for r in top)
+
+        # Time travel: the pre-upsert version still answers the old way.
+        pinned = {
+            r["vec_id"]
+            for r in ivf_table_topk(
+                spark, t, probe, k=5, nprobe=2, version=v0
+            ).collect()
+        }
+        assert pinned == before
+
     def test_indexed_topk_matches_query_time_ivf(self, spark, tmp_path):
         """Same corpus, same seed, same nlist/nprobe: the write-time
         index path must rank exactly what the query-time fit ranks
