@@ -600,10 +600,40 @@ def ivf_table_create(
         partition_col="cell",
         key=id_col,
     )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
-        f"{table_dir}/centroids"
-    )
+    _write_centroids(cent_df, table_dir, v)
     return v
+
+
+def _write_centroids(cent_df: DataFrame, table_dir: str, version: int):
+    """VERSIONED centroid sidecar (``centroids/v<version>``): a
+    rebalance writes a new model without destroying the one a pinned
+    time-travel reader probes with."""
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{table_dir}/centroids/v{version:08d}"
+    )
+
+
+def _load_centroids(spark, table_dir: str, version: int | None = None):
+    """Centroid model effective at ``version``: the newest sidecar at
+    or below it (centroids only change at create/rebalance commits)."""
+    import os as _os
+    import re as _re
+
+    root = f"{table_dir}/centroids"
+    vs = sorted(
+        int(m.group(1))
+        for n in _os.listdir(root)
+        if (m := _re.match(r"^v(\d{8,})$", n))
+    )
+    if not vs:
+        # Pre-r6 layout: the sidecar was the root dir itself.
+        return spark.read.parquet(root)
+    pick = [u for u in vs if version is None or u <= version]
+    if not pick:
+        raise FileNotFoundError(
+            f"no centroid model at or below v{version} in {root}"
+        )
+    return spark.read.parquet(f"{root}/v{pick[-1]:08d}")
 
 
 def ivf_assign_cells(
@@ -653,7 +683,7 @@ def ivf_table_upsert(
     any cell's files."""
     from ..sources.transactional import read_table, upsert_by_key_global
 
-    cent_df = spark.read.parquet(f"{table_dir}/centroids")
+    cent_df = _load_centroids(spark, table_dir)
     # Conform the update vectors to the TABLE's element type (fixture
     # embeddings are float32): mixed float/double segments break the
     # vectorized parquet read.
@@ -669,6 +699,86 @@ def ivf_table_upsert(
         key=id_col,
         partition_col="cell",
     )
+
+
+def ivf_table_delete(
+    spark, table_dir: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """S6 on the serving index: cross-cell delete by id. Only cells
+    that actually lose rows are rewritten, and the recorded id
+    min/max stats skip untouched cells before any file opens."""
+    from ..sources.transactional import delete_by_key
+
+    return delete_by_key(
+        spark, table_dir, ids, key=id_col, partition_col="cell"
+    )
+
+
+def ivf_table_rebalance(
+    spark,
+    table_dir: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    max_replans: int = 4,
+) -> int:
+    """Atomic index REBUILD: re-fit the centroid model on the current
+    rows and reassign every vector, swapping all base segments in ONE
+    conflict-checked commit — the answer to cell skew after many
+    upserts. Pinned readers keep probing their own version with its
+    own centroid model (versioned sidecars); a concurrent writer on
+    the same table costs this rebalance a re-plan, never a torn
+    index. The new model's sidecar publishes right after the commit —
+    a probe landing in that instant uses the previous model against
+    the new assignment (same cell-id space: a recall dip, never an
+    error)."""
+    from ..sources.snapshot_log import CommitConflictError
+    from ..sources.transactional import (
+        _guard_no_log,
+        _is_log,
+        _read_segments,
+        _segment_key_stats,
+        _stage_partition_segments,
+        commit_segments,
+        latest_version,
+        live_segments,
+    )
+
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue
+        _guard_no_log(live, table_dir, "ivf_table_rebalance")
+        bases = [s for s in live if not _is_log(s)]
+        if not bases:
+            return head
+        current = _read_segments(spark, table_dir, bases).drop("cell")
+        assigned, cent_df = ivf_fit_cells(
+            current, nlist, vec_col, seed, fit_fraction
+        )
+        new_rels = _stage_partition_segments(
+            assigned.select(id_col, vec_col, "cell"), table_dir, "cell"
+        )
+        try:
+            v = commit_segments(
+                table_dir, added=new_rels, removed=bases, op="rebalance",
+                stats=_segment_key_stats(table_dir, new_rels, id_col),
+            )
+        except CommitConflictError as e:
+            import shutil as _sh
+
+            for rel in new_rels:
+                _sh.rmtree(f"{table_dir}/{rel}", ignore_errors=True)
+            last = e
+            continue
+        _write_centroids(cent_df, table_dir, v)
+        return v
+    raise last if last is not None else CommitConflictError(table_dir)
 
 
 def ivf_table_topk(
@@ -688,7 +798,7 @@ def ivf_table_topk(
     top-k as of any retained index version."""
     from ..sources.transactional import read_table
 
-    cent_df = spark.read.parquet(f"{table_dir}/centroids")
+    cent_df = _load_centroids(spark, table_dir, version)
     probed_plan = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
     probed_rows = probed_plan.collect()
     if not probed_rows:

