@@ -673,7 +673,8 @@ def ivf_table_upsert(
     updates: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Atomic index maintenance: assign each update to its nearest
     cell, then a GLOBAL-identity upsert — an updated embedding that
     moves to a different cell removes its old row from the previous
@@ -698,6 +699,7 @@ def ivf_table_upsert(
         assigned.select(id_col, vec_col, "cell"),
         key=id_col,
         partition_col="cell",
+        txn=txn,
     )
 
 

@@ -369,7 +369,8 @@ def upsert_by_key_global(
     key: str,
     partition_col: str = "namespace",
     max_replans: int = 4,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Upsert where the identity is ``key`` ALONE and the partition
     value is a derived ATTRIBUTE that may change between versions —
     e.g. an IVF cell id that moves when a vector's embedding is
@@ -383,8 +384,19 @@ def upsert_by_key_global(
     min/max stats (untouched key ranges never open a file), then by
     the semi-join hit set (only partitions that actually LOSE rows are
     rewritten); the updates themselves stage with one ``partitionBy``
-    job. ``updates`` must already carry ``partition_col``."""
+    job. ``updates`` must already carry ``partition_col``.
+
+    ``txn=(app, version)`` makes the upsert an idempotent streaming
+    write: a replay whose txn already committed is skipped (returns
+    None) — same protocol as
+    :func:`..snapshot_log.append_snapshot_txn`."""
     last: Exception | None = None
+    if txn is not None:
+        from .snapshot_log import last_txn_version
+
+        prev = last_txn_version(table_dir, txn[0])
+        if prev is not None and prev >= txn[1]:
+            return None
     ids = updates.select(key)
     klo, khi = updates.agg(F.min(key), F.max(key)).first()
     for _ in range(max_replans):
@@ -428,6 +440,7 @@ def upsert_by_key_global(
             return commit_segments(
                 table_dir, added=new_rels, removed=old, op="upsert_global",
                 stats=_segment_key_stats(table_dir, new_rels, key),
+                txn=txn,
             )
         except CommitConflictError as e:
             _cleanup(table_dir, new_rels)

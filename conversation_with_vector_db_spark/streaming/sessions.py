@@ -393,6 +393,38 @@ DOCUMENT_SCHEMA = StructType(
 )
 
 
+def streaming_index_upsert_sink(
+    vec_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    app_id: str = "index-upsert",
+):
+    """The reference's ingest flow (customTrainDataController.js:
+    upload -> chunk -> embed -> upsert to the vector store) as a
+    stream: each micro-batch of (vec_id, embedding) rows upserts into
+    the TRANSACTIONAL IVF index table (operators/ann.ivf_table_*) in
+    one conflict-checked commit, txn-tagged with the batch id —
+    replayed batches are detected and skipped, and a vector whose
+    embedding moved cells never leaves a stale twin. The index table
+    must already exist (``ivf_table_create``); queries against it are
+    snapshot-isolated from in-flight batches."""
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.ann import ivf_table_upsert
+
+        docs = batch_df.dropDuplicates(["vec_id"])
+        ivf_table_upsert(
+            batch_df.sparkSession, table_dir, docs,
+            txn=(app_id, batch_id),
+        )
+
+    return (
+        vec_stream.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def streaming_minhash_dedup_sink(
     doc_stream: DataFrame,
     store_dir: str,

@@ -264,6 +264,109 @@ def _collect_sorted(df):
     return sorted(map(tuple, df.collect()))
 
 
+def test_streaming_index_upsert_exactly_once(spark, tmp_path):
+    """Vector-ingest stream into the transactional IVF index: batches
+    upsert atomically (a moved embedding leaves no stale twin), and a
+    checkpoint restart with no new data commits nothing."""
+    import numpy as np
+
+    from conversation_with_vector_db_spark.operators.ann import (
+        ivf_table_create,
+        ivf_table_topk,
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        versions,
+    )
+    from conversation_with_vector_db_spark.sources.transactional import (
+        read_table,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        stream_parquet_dir,
+        streaming_index_upsert_sink,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = np.random.default_rng(5)
+    cents = rng.normal(size=(4, 16))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def vec(c, eps):
+        return [float(x) for x in cents[c] + eps]
+
+    base = [
+        (int(i), vec(i % 4, rng.normal(size=16) * 0.05))
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>"
+    )
+    t = str(tmp_path / "stream_index")
+    ivf_table_create(spark, corpus, t, nlist=4)
+
+    # Two stream files: batch A moves vec 0 onto cluster 2 and adds
+    # vec 100; batch B adds vec 101 on cluster 3.
+    root = tmp_path / "vecs"
+    root.mkdir()
+    import shutil as _sh
+
+    batches = [
+        [(0, vec(2, rng.normal(size=16) * 0.01)),
+         (100, vec(2, rng.normal(size=16) * 0.01))],
+        [(101, vec(3, rng.normal(size=16) * 0.01))],
+    ]
+    for i, rows in enumerate(batches):
+        part = root / f"stage{i}"
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / f"file{i}.parquet"))
+        _sh.rmtree(part)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    ckpt = str(tmp_path / "ckpt_idx")
+    q = streaming_index_upsert_sink(
+        stream_parquet_dir(spark, str(root), schema), t, ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    tbl = read_table(spark, t)
+    assert tbl.count() == 42  # 40 base + 2 new, moved id not doubled
+    assert tbl.filter(F.col("vec_id") == 0).count() == 1
+    # The moved vector is found by a cluster-2 probe.
+    probe = spark.createDataFrame(
+        [(-1, vec(2, np.zeros(16)))], "vec_id long, embedding array<double>"
+    )
+    top = {
+        r["vec_id"]
+        for r in ivf_table_topk(spark, t, probe, k=3, nprobe=1).collect()
+    }
+    assert {0, 100} <= top
+
+    # Restart on the same checkpoint: no new data -> no new commits.
+    before = versions(t)
+    q = streaming_index_upsert_sink(
+        stream_parquet_dir(spark, str(root), schema), t, ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert versions(t) == before
+
+
 def test_continuation_loop_converges_to_batch_fixpoint(
     spark, sf_dir, tmp_path
 ):
