@@ -783,6 +783,49 @@ def ivf_table_rebalance(
     raise last if last is not None else CommitConflictError(table_dir)
 
 
+def ivf_table_vacuum(
+    table_dir: str, keep_versions: int = 1, **vacuum_kwargs
+) -> list[str]:
+    """Table vacuum + centroid-model reaping: after the snapshot-log
+    vacuum drops manifests outside the retention window, any sidecar
+    OLDER than the model effective at the window floor is unreachable
+    by every retained version — delete it. The floor's own model (the
+    newest sidecar at or below the oldest retained manifest) always
+    survives, so every retained version still probes with its exact
+    model."""
+    import os as _os
+    import re as _re
+    import shutil as _sh
+
+    from ..sources.snapshot_log import vacuum, versions
+
+    deleted = vacuum(table_dir, keep_versions, **vacuum_kwargs)
+    vs = versions(table_dir)
+    if not vs:
+        return deleted
+    floor = vs[0]
+    root = f"{table_dir}/centroids"
+    try:
+        names = _os.listdir(root)
+    except FileNotFoundError:
+        return deleted
+    cvs = sorted(
+        int(m.group(1))
+        for n in names
+        if (m := _re.match(r"^v(\d{8,})$", n))
+    )
+    at_floor = [u for u in cvs if u <= floor]
+    if not at_floor:
+        return deleted  # floor predates every sidecar; keep all
+    keep_from = at_floor[-1]
+    for u in cvs:
+        if u < keep_from:
+            _sh.rmtree(_os.path.join(root, f"v{u:08d}"),
+                       ignore_errors=True)
+            deleted.append(f"centroids/v{u:08d}")
+    return deleted
+
+
 def ivf_table_topk(
     spark,
     table_dir: str,

@@ -394,6 +394,33 @@ class TestIvfIndexed:
         )
         assert pinned == before
 
+    def test_index_table_vacuum_reaps_unreachable_models(
+        self, spark, tmp_path
+    ):
+        """After vacuum, centroid sidecars older than the model
+        effective at the retention floor are reaped; the floor's own
+        model survives and pinned-at-head probes still answer."""
+        import os
+
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_table_create,
+            ivf_table_rebalance,
+            ivf_table_topk,
+            ivf_table_vacuum,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        t = str(tmp_path / "ivf_table_vac")
+        ivf_table_create(spark, corpus, t, nlist=8)   # model @ v1
+        ivf_table_rebalance(spark, t, nlist=4)        # model @ v2
+        assert len(os.listdir(f"{t}/centroids")) == 2
+        deleted = ivf_table_vacuum(t, keep_versions=1)
+        assert any(d.startswith("centroids/") for d in deleted)
+        assert len(os.listdir(f"{t}/centroids")) == 1
+        probe = corpus.filter(F.col("vec_id") == 2)
+        got = ivf_table_topk(spark, t, probe, k=5, nprobe=4).collect()
+        assert len(got) == 5
+
     def test_indexed_topk_matches_query_time_ivf(self, spark, tmp_path):
         """Same corpus, same seed, same nlist/nprobe: the write-time
         index path must rank exactly what the query-time fit ranks
