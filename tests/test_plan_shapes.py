@@ -243,3 +243,46 @@ def test_ivf_indexed_probe_is_partition_pruned(spark, tmp_path):
     # (cell is a partition column; a PushedFilters entry would mean the
     # layout regressed to an unpartitioned write).
     assert not re.search(r"PushedFilters: \[[^\]]*cell", plan), plan
+
+
+def test_ivf_table_probe_prunes_at_segment_list(spark, tmp_path):
+    """The TRANSACTIONAL index's probe prunes at the MANIFEST segment
+    list: the scan's inputFiles must live only under probed-cell
+    segments — unprobed cells' directories are never even listed."""
+    import numpy as np
+
+    from conversation_with_vector_db_spark.operators.ann import (
+        _load_centroids,
+        ivf_probed_cells,
+        ivf_table_create,
+        ivf_table_topk,
+    )
+
+    rng = np.random.default_rng(29)
+    cents = rng.normal(size=(8, 16))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in cents[i % 8] + 0.05 * rng.normal(size=16)])
+        for i in range(240)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    t = str(tmp_path / "ivf_table_plan")
+    ivf_table_create(spark, corpus, t, nlist=8)
+
+    queries = corpus.filter(F.col("vec_id") < 2)
+    cent = _load_centroids(spark, t)
+    probed = {
+        int(r["cell"])
+        for r in ivf_probed_cells(cent, queries, nprobe=3)
+        .select("cell").distinct().collect()
+    }
+    assert 0 < len(probed) < 8
+    df = ivf_table_topk(spark, t, queries, k=5, nprobe=3)
+    files = df.inputFiles()
+    assert files
+    import re
+
+    for f in files:
+        m = re.search(r"-cell=(\d+)/", f)
+        assert m, f
+        assert int(m.group(1)) in probed, (f, probed)

@@ -399,3 +399,51 @@ class TestHarnessComparator:
         assert n_b != n_a  # different scale actually registered
         load_tables(spark, a)
         assert spark.table("events").count() == n_a  # not short-circuited
+
+
+class TestBinpackProperties:
+    """compact_snapshots' first-fit bin-packer: structural invariants
+    that must hold for EVERY size distribution and tag mix."""
+
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=0, max_value=1 << 30),
+            min_size=0,
+            max_size=60,
+        ),
+        target=st.integers(min_value=1, max_value=1 << 28),
+        n_tags=st.integers(min_value=0, max_value=3),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_groups_are_valid(self, sizes, target, n_tags):
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            _binpack_segments,
+            _fold_suffix,
+        )
+
+        hexes = [f"{i:032x}" for i in range(len(sizes))]
+        sized = []
+        for i, nbytes in enumerate(sizes):
+            if n_tags:
+                name = f"seg-{hexes[i]}-namespace={i % n_tags}"
+            else:
+                name = hexes[i]
+            sized.append((f"data/{name}", nbytes))
+        groups = _binpack_segments(sized, target)
+        flat = [s for g in groups for s in g]
+        # No segment folded twice, none invented.
+        assert len(flat) == len(set(flat))
+        assert set(flat) <= {rel for rel, _ in sized}
+        by_rel = dict(sized)
+        for g in groups:
+            # Worth rewriting: >= 2 members, all under target, and the
+            # group itself within the target budget.
+            assert len(g) >= 2
+            assert all(by_rel[s] < target for s in g)
+            assert sum(by_rel[s] for s in g) <= target
+            # Partition purity: one tag suffix per group.
+            assert len({_fold_suffix(s) for s in g}) == 1
+        # Segments at/above target are never folded.
+        for rel, nbytes in sized:
+            if nbytes >= target:
+                assert rel not in set(flat)
