@@ -406,6 +406,96 @@ def ann_ivf_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_table_rag_e2e",
+    driver=False,
+    doc="""The reference's FULL loop on the transactional index:
+    ingest (documents -> deterministic dense featurization, the
+    engine's embed stand-in) -> ivf_table_create -> RAG-style top-k
+    for a constant question vector -> live upsert of a new best-match
+    document -> re-query. Self-certified booleans: (a) with
+    nprobe=nlist the indexed read returns EXACTLY the brute-force
+    top-k over the same features (the index layout loses nothing),
+    (b) the upserted document becomes top-1 at sim 1.0 immediately
+    (customTrainDataController.js ingest + conversationController.js
+    query, one engine).""",
+    oracle="""
+SELECT TRUE AS index_matches_exact, TRUE AS upsert_becomes_top1
+""",
+)
+def ann_ivf_table_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+    import re as _re
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from ..functions.embedding import DEFAULT_DIM, featurize_dense
+    from ..operators.ann import (
+        ivf_table_create,
+        ivf_table_topk,
+        ivf_table_upsert,
+    )
+    from ..operators.vector import collect_query_vectors, matmul_topk
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 500)
+    emb = featurize_dense(docs, id_col="doc_id")
+    question = "spark query join filter window data"
+    qtf = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % DEFAULT_DIM
+        for t in _re.findall("[a-z0-9]+", question.lower())
+    )
+    qnorm = math.sqrt(sum(v * v for v in qtf.values()))
+    qvec = [
+        qtf.get(i, 0) / qnorm if qnorm else 0.0
+        for i in range(DEFAULT_DIM)
+    ]
+    q_df = spark.createDataFrame(
+        [(-1, qvec)], "doc_id long, embedding array<double>"
+    )
+    t = tempfile.mkdtemp(prefix="cvdb_ivf_rag_")
+    try:
+        ivf_table_create(
+            spark, emb, t, nlist=8, id_col="doc_id", fit_fraction=None
+        )
+        approx = sorted(
+            (r["doc_id"], r["sim"])
+            for r in ivf_table_topk(
+                spark, t, q_df, k=5, nprobe=8, id_col="doc_id"
+            ).collect()
+        )
+        exact = sorted(
+            (r["doc_id"], r["sim"])
+            for r in matmul_topk(
+                emb, collect_query_vectors(q_df, id_col="doc_id"),
+                k=5, id_col="doc_id",
+            ).collect()
+        )
+        index_matches_exact = approx == exact
+        new_id = 900000002
+        ivf_table_upsert(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(new_id, qvec)], "doc_id long, embedding array<double>"
+            ),
+            id_col="doc_id",
+        )
+        top1 = ivf_table_topk(
+            spark, t, q_df, k=1, nprobe=8, id_col="doc_id"
+        ).first()
+        upsert_becomes_top1 = (
+            top1["doc_id"] == new_id and top1["sim"] == 1.0
+        )
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        [(index_matches_exact, upsert_becomes_top1)],
+        "index_matches_exact boolean, upsert_becomes_top1 boolean",
+    )
+
+
+@query(
     "ann_ivf_recall",
     driver=False,
     doc="""IVF ANN (KMeans nlist=16 cells, nprobe=6, seed 42) vs exact:
