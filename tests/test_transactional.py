@@ -582,6 +582,116 @@ class TestSegmentKeyStats:
         )
 
 
+class TestGlobalUpsert:
+    def _ranged(self, spark, tmp_path):
+        t = str(tmp_path / "glob")
+        df = spark.range(0, 30).select(
+            F.col("id").alias("vec_id"),
+            F.col("id").cast("int").alias("label"),
+            (F.col("id") % 3).cast("int").alias("namespace"),
+        )
+        create_partitioned_table(spark, df, t, key="vec_id")
+        return t
+
+    def test_key_moves_partition_without_stale_twin(self, spark, tmp_path):
+        """Global identity: an update that changes the row's partition
+        value removes the old-partition row in the SAME commit."""
+        from conversation_with_vector_db_spark.sources.transactional import (
+            upsert_by_key_global,
+        )
+
+        t = self._ranged(spark, tmp_path)
+        # vec 3 lives in namespace 0; move it to namespace 2.
+        upsert_by_key_global(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(3, 999, 2), (4242, 1, 1)],
+                "vec_id long, label int, namespace int",
+            ),
+            key="vec_id",
+        )
+        got = read_table(spark, t)
+        rows = got.filter(F.col("vec_id") == 3).collect()
+        assert len(rows) == 1
+        assert (rows[0]["namespace"], rows[0]["label"]) == (2, 999)
+        assert got.count() == 31
+        assert (
+            got.groupBy("vec_id").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+
+    def test_txn_replay_is_skipped(self, spark, tmp_path):
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            last_txn_version,
+        )
+        from conversation_with_vector_db_spark.sources.transactional import (
+            upsert_by_key_global,
+        )
+
+        t = self._ranged(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(3, 999, 2)], "vec_id long, label int, namespace int"
+        )
+        v = upsert_by_key_global(
+            spark, t, upd, key="vec_id", txn=("sink", 5)
+        )
+        assert v is not None
+        assert last_txn_version(t, "sink") == 5
+        assert (
+            upsert_by_key_global(
+                spark, t, upd, key="vec_id", txn=("sink", 5)
+            )
+            is None
+        )
+        assert latest_version(t) == v
+        assert read_table(spark, t).count() == 30
+
+    def test_racing_global_upserts_converge(self, spark, tmp_path):
+        """Two global upserts racing on overlapping partitions: losers
+        re-plan, every update lands exactly once, identities unique."""
+        from conversation_with_vector_db_spark.sources.transactional import (
+            upsert_by_key_global,
+        )
+
+        t = self._ranged(spark, tmp_path)
+        errors = []
+
+        def worker(i):
+            try:
+                upsert_by_key_global(
+                    spark,
+                    t,
+                    spark.createDataFrame(
+                        [(i, 100 + i, (i + 1) % 3),
+                         (5000 + i, 1, i % 3)],
+                        "vec_id long, label int, namespace int",
+                    ),
+                    key="vec_id",
+                    max_replans=16,
+                )
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(4)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errors == []
+        got = read_table(spark, t)
+        assert got.count() == 34  # 30 base + 4 new; 4 moved, none doubled
+        assert (
+            got.groupBy("vec_id").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+        for i in range(4):
+            r = got.filter(F.col("vec_id") == i).first()
+            assert (r["label"], r["namespace"]) == (100 + i, (i + 1) % 3)
+
+
 def test_generic_compaction_preserves_partition_tags(spark, store):
     """compact_snapshots on a TAGGED table folds within each partition
     tag and keeps the tag on the replacement segments — partition
