@@ -579,6 +579,7 @@ def ivf_table_create(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> int:
     """The IVF index as a TRANSACTIONAL snapshot-log table: cell-tagged
     segments (partition purity via sources/transactional.py) + an
@@ -587,7 +588,9 @@ def ivf_table_create(
     snapshot isolation and time travel — the engine's Pinecone-upsert
     lifecycle (models/embeddingmodel.js:4-12) ON the serving index,
     not beside it. Per-segment ``id`` min/max stats are recorded at
-    every commit, so keyed mutations prune inside probed cells too."""
+    every commit, so keyed mutations prune inside probed cells too.
+    ``extra_cols`` ride along as metadata for filtered queries
+    (:func:`ivf_table_topk`'s ``where``)."""
     from ..sources.transactional import create_partitioned_table
 
     assigned, cent_df = ivf_fit_cells(
@@ -595,7 +598,7 @@ def ivf_table_create(
     )
     v = create_partitioned_table(
         spark,
-        assigned.select(id_col, vec_col, "cell"),
+        assigned.select(id_col, vec_col, *extra_cols, "cell"),
         table_dir,
         partition_col="cell",
         key=id_col,
@@ -685,18 +688,28 @@ def ivf_table_upsert(
     from ..sources.transactional import read_table, upsert_by_key_global
 
     cent_df = _load_centroids(spark, table_dir)
+    table_schema = read_table(spark, table_dir).schema
+    # Updates must carry every index column (id, vector, metadata):
+    # a staged segment missing a metadata column would give the table
+    # mixed per-file schemas — a nondeterministic read.
+    table_cols = [f.name for f in table_schema.fields if f.name != "cell"]
+    missing = set(table_cols) - set(updates.columns)
+    if missing:
+        raise ValueError(
+            f"ivf_table_upsert: updates missing index columns "
+            f"{sorted(missing)} (table carries {table_cols})"
+        )
     # Conform the update vectors to the TABLE's element type (fixture
     # embeddings are float32): mixed float/double segments break the
     # vectorized parquet read.
-    table_vec_type = read_table(spark, table_dir).schema[vec_col].dataType
     updates = updates.withColumn(
-        vec_col, F.col(vec_col).cast(table_vec_type)
+        vec_col, F.col(vec_col).cast(table_schema[vec_col].dataType)
     )
     assigned = ivf_assign_cells(updates, cent_df, id_col, vec_col)
     return upsert_by_key_global(
         spark,
         table_dir,
-        assigned.select(id_col, vec_col, "cell"),
+        assigned.select(*table_cols, "cell"),
         key=id_col,
         partition_col="cell",
         txn=txn,
@@ -760,11 +773,12 @@ def ivf_table_rebalance(
         if not bases:
             return head
         current = _read_segments(spark, table_dir, bases).drop("cell")
+        keep_cols = current.columns  # id + vector + metadata ride along
         assigned, cent_df = ivf_fit_cells(
             current, nlist, vec_col, seed, fit_fraction
         )
         new_rels = _stage_partition_segments(
-            assigned.select(id_col, vec_col, "cell"), table_dir, "cell"
+            assigned.select(*keep_cols, "cell"), table_dir, "cell"
         )
         try:
             v = commit_segments(
@@ -835,12 +849,20 @@ def ivf_table_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Partition-pruned probe over the transactional index: probed
     cells prune at the SEGMENT LIST (manifest level — no directory
     listing of unprobed cells, the step object stores make expensive),
     then the cell-aware matmul rescore. ``version`` pins time travel:
-    top-k as of any retained index version."""
+    top-k as of any retained index version.
+
+    ``where`` (a Column or SQL string over the index's metadata
+    columns) is the Pinecone filtered query
+    (conversationController.js:32-36 filter semantics): applied INSIDE
+    the probed cells before scoring, so the filter rides the pruned
+    scan — never a post-top-k filter that could return < k survivors
+    of an unfiltered ranking."""
     from ..sources.transactional import read_table
 
     cent_df = _load_centroids(spark, table_dir, version)
@@ -858,6 +880,10 @@ def ivf_table_topk(
         spark, table_dir, version=version, partitions=cells,
         partition_col="cell",
     )
+    if where is not None:
+        scan = scan.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
     return _matmul_rescore_probed(scan, probed_rows, k, id_col, vec_col)
 
 

@@ -394,6 +394,73 @@ class TestIvfIndexed:
         )
         assert pinned == before
 
+    def test_index_table_filtered_query_and_metadata(self, spark, tmp_path):
+        """Pinecone-style filtered query: the `where` predicate applies
+        INSIDE the probed cells before scoring (never post-top-k), and
+        metadata columns survive upsert AND rebalance."""
+        import pytest as _pytest
+
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_table_create,
+            ivf_table_rebalance,
+            ivf_table_topk,
+            ivf_table_upsert,
+        )
+        from conversation_with_vector_db_spark.sources.transactional import (
+            read_table,
+        )
+
+        corpus = self._clustered_corpus(spark).withColumn(
+            "lang",
+            F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de"),
+        )
+        t = str(tmp_path / "ivf_table_meta")
+        ivf_table_create(spark, corpus, t, nlist=4, extra_cols=("lang",))
+
+        probe = corpus.filter(F.col("vec_id") == 6).drop("lang")
+        got = ivf_table_topk(
+            spark, t, probe, k=5, nprobe=4, where="lang = 'en'"
+        )
+        ids = [r["vec_id"] for r in got.collect()]
+        assert len(ids) == 5  # k survivors FROM the filtered set
+        assert all(i % 2 == 0 for i in ids)
+
+        # Upsert without the metadata column: refused loudly.
+        with _pytest.raises(ValueError, match="missing index columns"):
+            ivf_table_upsert(
+                spark,
+                t,
+                spark.createDataFrame(
+                    [(1, [0.0] * 16)],
+                    "vec_id long, embedding array<double>",
+                ),
+            )
+        # With it: lands, and metadata survives a full rebalance.
+        moved = [
+            float(x)
+            for x in corpus.filter(F.col("vec_id") == 6).first()[
+                "embedding"
+            ]
+        ]
+        ivf_table_upsert(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(9001, moved, "en")],
+                "vec_id long, embedding array<double>, lang string",
+            ),
+        )
+        ivf_table_rebalance(spark, t, nlist=2)
+        tbl = read_table(spark, t)
+        assert tbl.filter(F.col("lang").isNull()).count() == 0
+        assert (
+            tbl.filter(F.col("vec_id") == 9001).first()["lang"] == "en"
+        )
+        got2 = ivf_table_topk(
+            spark, t, probe, k=3, nprobe=2, where="lang = 'en'"
+        )
+        assert {r["vec_id"] for r in got2.collect()} >= {6, 9001}
+
     def test_index_table_vacuum_reaps_unreachable_models(
         self, spark, tmp_path
     ):
