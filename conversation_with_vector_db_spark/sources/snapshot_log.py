@@ -314,12 +314,21 @@ def _write_checkpoint(
     to identical content (any correct checkpoint at v has the same
     set), so the ``EEXIST`` loser just moves on. The sidecar also
     carries the per-app streaming-txn map so idempotent-replay state
-    survives manifest vacuuming."""
-    try:
-        txns = _collect_txns(table_dir, version)
-        stats = segment_stats(table_dir, version)
-    except FileNotFoundError:
-        txns, stats = {}, {}
+    survives manifest vacuuming.
+
+    A :class:`FileNotFoundError` from the txn/stats reconstruction
+    (concurrent vacuum reaped manifests mid-walk) PROPAGATES rather
+    than degrading to empty maps: a checkpoint is a reconstruction
+    BASE that stops the manifest walk, so publishing one with an
+    incomplete txn map would permanently erase per-app high-water
+    marks — a replayed streaming batch would then see
+    ``last_txn_version() is None`` and double-append, breaking
+    exactly-once. Callers either retry the whole snapshot phase
+    (vacuum's fence) or skip the best-effort checkpoint
+    (:func:`_maybe_checkpoint`); neither may fence on a map that
+    could be incomplete."""
+    txns = _collect_txns(table_dir, version)
+    stats = segment_stats(table_dir, version)
     cdir = _commits_dir(table_dir)
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
     final = _ckpt_path(table_dir, version)
@@ -356,7 +365,13 @@ def _maybe_checkpoint(
             live = live_segments(table_dir, version)
         except FileNotFoundError:
             return
-    _write_checkpoint(table_dir, version, live)
+    try:
+        _write_checkpoint(table_dir, version, live)
+    except FileNotFoundError:
+        # txn/stats reconstruction raced a vacuum: skip rather than
+        # publish a checkpoint with an incomplete txn map (which would
+        # erase replay high-water marks — see _write_checkpoint).
+        return
 
 
 def _try_commit(table_dir: str, version: int, manifest: dict) -> bool:
@@ -700,17 +715,18 @@ def compact_snapshots(
             if not groups:
                 return head  # steady state: nothing worth folding
             fold = [s for g in groups for s in g]
-            # Map both the raw directory name and its URI-quoted form:
-            # input_file_name() returns a URI, which percent-encodes
-            # exotic characters a tagged segment name may carry.
-            from urllib.parse import quote as _uq
-
+            # input_file_name() returns the file's URI, whose path
+            # percent-encodes exotic characters in the segment name
+            # (Hadoop encodes '%' -> '%25' and ' ' -> '%20' but leaves
+            # '=' alone; urllib.quote encodes both — so NO pre-computed
+            # encoded form is safe to guess). URI encoding is injective
+            # with url_decode as its exact inverse, so decoding the
+            # extracted directory name ONCE recovers the raw segment
+            # name and the map keys on raw names only.
             seg_to_grp: dict[str, int] = {}
             for gi, g in enumerate(groups):
                 for s in g:
-                    name = os.path.basename(s)
-                    seg_to_grp[name] = gi
-                    seg_to_grp.setdefault(_uq(name), gi)
+                    seg_to_grp[os.path.basename(s)] = gi
             scan = spark.read.parquet(
                 *[os.path.join(table_dir, s) for s in fold]
             )
@@ -719,14 +735,27 @@ def compact_snapshots(
             )
             merged = (
                 scan.withColumn(
-                    "_seg",
+                    "_raw",
                     F.regexp_extract(
                         F.input_file_name(), r"^.*/data/([^/]+)/", 1
                     ),
                 )
-                .join(F.broadcast(grp_map), "_seg")
+                .withColumn(
+                    "_seg",
+                    F.coalesce(
+                        F.expr("try_url_decode(_raw)"), F.col("_raw")
+                    ),
+                )
+                .drop("_raw")
+                .join(F.broadcast(grp_map), "_seg", "left")
                 .drop("_seg")
             )
+            # LEFT join + null-group abort, never INNER: should any
+            # row's decoded name still miss the map (a malformed or
+            # exotic encoding), an inner join would silently DROP it
+            # from the compacted table — data loss with no error. With
+            # a left join it lands in the null partition and
+            # _stage_group_segments aborts before the commit.
         except FileNotFoundError:
             continue  # head vacuumed mid-read; re-plan (see append)
         suffixes = [_fold_suffix(g[0]) for g in groups]
@@ -787,7 +816,21 @@ def _stage_group_segments(
     stage = os.path.join(table_dir, stage_rel)
     merged.write.partitionBy("_grp").parquet(stage)
     rel_by_grp: dict[int, str] = {}
-    for name in sorted(os.listdir(stage)):
+    listing = sorted(os.listdir(stage))
+    # Abort BEFORE any rename if rows fell into the null partition:
+    # a row whose input_file_name() URI form matched no mapped segment
+    # name joined to a null group (compact_snapshots uses a left join
+    # exactly so this is detectable). Committing would lose those rows;
+    # raising leaves only invisible staged files for the vacuum.
+    null_part = [n for n in listing if n.startswith("_grp=__HIVE")]
+    if null_part:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            "compaction fold produced rows with no output group "
+            f"(unmapped input_file_name URI encoding) in {stage}; "
+            "aborting before commit to avoid data loss"
+        )
+    for name in listing:
         if not name.startswith("_grp="):
             continue
         gi = int(name.split("=", 1)[1])

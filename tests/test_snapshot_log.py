@@ -557,3 +557,73 @@ def test_concurrent_appends_across_checkpoint_boundaries(spark, tmp_path):
     assert {4, 8, 12, 16} <= _checkpoint_versions(t)
     for v in (4, 8, 12, 16):
         assert len(live_segments(t, v)) == v
+
+
+def test_checkpoint_never_publishes_incomplete_txn_map(
+    spark, tmp_path, monkeypatch
+):
+    """A checkpoint is a reconstruction BASE that stops the manifest
+    walk — publishing one whose txn/stats reconstruction was cut short
+    by a concurrent vacuum would permanently erase per-app replay
+    high-water marks (a replayed streaming batch would double-append).
+    The FileNotFoundError must propagate: _maybe_checkpoint skips,
+    vacuum's fence retries its snapshot phase."""
+    from conversation_with_vector_db_spark.sources import snapshot_log as sl
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    for b in range(3):
+        sl.append_snapshot_txn(spark.range(b * 5, b * 5 + 5), t, "sink", b)
+
+    def boom(table_dir, version):
+        raise FileNotFoundError("vacuum raced the txn walk")
+
+    monkeypatch.setattr(sl, "_collect_txns", boom)
+    head = latest_version(t)
+    with pytest.raises(FileNotFoundError):
+        sl._write_checkpoint(t, head, live_segments(t, head))
+    before = sl._checkpoint_versions(t)
+    sl._maybe_checkpoint(t, head, interval=1)  # best-effort: skips
+    assert sl._checkpoint_versions(t) == before
+    monkeypatch.undo()
+    # With the reconstruction healthy again the checkpoint publishes
+    # and carries the COMPLETE txn map.
+    sl._maybe_checkpoint(t, head, interval=1)
+    assert head in sl._checkpoint_versions(t)
+    assert sl.last_txn_version(t, "sink") == 2
+
+
+def test_compaction_preserves_rows_with_percent_encoded_tags(
+    spark, tmp_path
+):
+    """Partition tags that URL-quote (space, '=', '%') give segment
+    names whose input_file_name() URI form matches NEITHER the raw nor
+    the urllib-quoted name (Hadoop encodes '%' but not '='). The fold's
+    group join must decode the URI name — an inner join on guessed
+    encodings silently dropped these rows from the compacted table."""
+    from conversation_with_vector_db_spark.sources.transactional import (
+        append_partitioned,
+        create_partitioned_table,
+        read_table,
+    )
+
+    t = str(tmp_path / "t")
+    tags = ["a b", "x=y", "100%", "plain"]
+    rows = [(i, tags[i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, namespace string")
+    create_partitioned_table(spark, df, t)
+    more = [(100 + i, tags[i % 4]) for i in range(40)]
+    append_partitioned(
+        spark, spark.createDataFrame(more, "id long, namespace string"), t
+    )
+    before = sorted(
+        (r["id"], r["namespace"]) for r in read_table(spark, t).collect()
+    )
+    assert len(before) == 80
+    live0 = live_segments(t)
+    compact_snapshots(spark, t)
+    assert len(live_segments(t)) < len(live0)
+    after = sorted(
+        (r["id"], r["namespace"]) for r in read_table(spark, t).collect()
+    )
+    assert after == before
