@@ -23,6 +23,7 @@ recall number is not done.
 from __future__ import annotations
 
 import hashlib
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -460,9 +461,24 @@ def ivf_topk_indexed(
             k, id_col, vec_col,
         )
         return empty
+    _reject_null_query_probes(probed_rows)
     cells = sorted({int(r["cell"]) for r in probed_rows})
     scan = scan.filter(F.col("cell").isin(cells))
     return _matmul_rescore_probed(scan, probed_rows, k, id_col, vec_col)
+
+
+def _reject_null_query_probes(probed_rows: list) -> None:
+    """NULL query vectors are a caller bug surfaced at plan time —
+    the same contract as :func:`..vector.collect_query_vectors`.
+    Without this, the two rescore paths would diverge on them (the
+    matmul path emits nothing for a null query, the pair-join path
+    emits null-sim rows), breaking the pruned==unpruned equality the
+    indexed suites assert."""
+    if any(r["_qvec"] is None for r in probed_rows):
+        raise ValueError(
+            "indexed top-k: NULL query embedding — filter or fix the "
+            "query side before probing"
+        )
 
 
 def _matmul_rescore_probed(
@@ -596,32 +612,47 @@ def ivf_table_create(
     assigned, cent_df = ivf_fit_cells(
         corpus, nlist, vec_col, seed, fit_fraction
     )
-    v = create_partitioned_table(
+    rel = _stage_centroids(cent_df, table_dir)
+    return create_partitioned_table(
         spark,
         assigned.select(id_col, vec_col, *extra_cols, "cell"),
         table_dir,
         partition_col="cell",
         key=id_col,
+        meta={"centroids": rel},
     )
-    _write_centroids(cent_df, table_dir, v)
-    return v
 
 
-def _write_centroids(cent_df: DataFrame, table_dir: str, version: int):
-    """VERSIONED centroid sidecar (``centroids/v<version>``): a
-    rebalance writes a new model without destroying the one a pinned
-    time-travel reader probes with."""
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
-        f"{table_dir}/centroids/v{version:08d}"
-    )
+def _stage_centroids(cent_df: DataFrame, table_dir: str) -> str:
+    """Write a centroid-model sidecar under a fresh content-addressed
+    name (``centroids/m-<uuid>``) and return its table-relative path.
+    Invisible until a commit's ``meta["centroids"]`` references it —
+    the sidecar is staged BEFORE the commit and the manifest publishes
+    the pointer atomically with the assignment, so no crash point can
+    leave an assignment probing a model it wasn't built with (the
+    post-commit-publish window the r6 layout had). A writer dying
+    after staging leaves an unreferenced sidecar the age-gated
+    :func:`ivf_table_vacuum` reaps like any uncommitted segment."""
+    rel = f"centroids/m-{uuid.uuid4().hex}"
+    cent_df.coalesce(1).write.parquet(f"{table_dir}/{rel}")
+    return rel
 
 
 def _load_centroids(spark, table_dir: str, version: int | None = None):
-    """Centroid model effective at ``version``: the newest sidecar at
-    or below it (centroids only change at create/rebalance commits)."""
+    """Centroid model effective at ``version``: the manifest-published
+    ``meta["centroids"]`` pointer (atomic with its assignment — time
+    travel gets the exact model its version committed with). Falls
+    back to the r6 versioned-dir layout (``centroids/v<version>``:
+    newest at or below), then the pre-r6 bare root, for tables written
+    before the meta pointer existed."""
     import os as _os
     import re as _re
 
+    from ..sources.snapshot_log import table_meta
+
+    rel = table_meta(table_dir, version).get("centroids")
+    if rel is not None:
+        return spark.read.parquet(f"{table_dir}/{rel}")
     root = f"{table_dir}/centroids"
     vs = sorted(
         int(m.group(1))
@@ -677,6 +708,7 @@ def ivf_table_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     txn: tuple[str, int] | None = None,
+    max_replans: int = 4,
 ) -> int | None:
     """Atomic index maintenance: assign each update to its nearest
     cell, then a GLOBAL-identity upsert — an updated embedding that
@@ -684,10 +716,18 @@ def ivf_table_upsert(
     cell and lands in the new one in the SAME commit (a cell-scoped
     upsert would strand a stale twin the probe could still find).
     Old-row lookup prunes by the recorded id min/max before opening
-    any cell's files."""
+    any cell's files.
+
+    Conflict retries happen HERE, not inside the upsert: when the
+    writer that won the race was :func:`ivf_table_rebalance`, the
+    centroid model changed, and retrying with the cells assigned under
+    the OLD model would land vectors in cells the new model's probes
+    may never select — a permanent recall hole, not the documented
+    transient dip. Each retry reloads the head's centroids and
+    re-assigns before re-planning the upsert."""
+    from ..sources.snapshot_log import CommitConflictError
     from ..sources.transactional import read_table, upsert_by_key_global
 
-    cent_df = _load_centroids(spark, table_dir)
     table_schema = read_table(spark, table_dir).schema
     # Updates must carry every index column (id, vector, metadata):
     # a staged segment missing a metadata column would give the table
@@ -705,15 +745,23 @@ def ivf_table_upsert(
     updates = updates.withColumn(
         vec_col, F.col(vec_col).cast(table_schema[vec_col].dataType)
     )
-    assigned = ivf_assign_cells(updates, cent_df, id_col, vec_col)
-    return upsert_by_key_global(
-        spark,
-        table_dir,
-        assigned.select(*table_cols, "cell"),
-        key=id_col,
-        partition_col="cell",
-        txn=txn,
-    )
+    last: Exception | None = None
+    for _ in range(max_replans):
+        cent_df = _load_centroids(spark, table_dir)
+        assigned = ivf_assign_cells(updates, cent_df, id_col, vec_col)
+        try:
+            return upsert_by_key_global(
+                spark,
+                table_dir,
+                assigned.select(*table_cols, "cell"),
+                key=id_col,
+                partition_col="cell",
+                txn=txn,
+                max_replans=1,  # replan here: assignment must refresh
+            )
+        except CommitConflictError as e:
+            last = e
+    raise last if last is not None else CommitConflictError(table_dir)
 
 
 def ivf_table_delete(
@@ -743,12 +791,15 @@ def ivf_table_rebalance(
     rows and reassign every vector, swapping all base segments in ONE
     conflict-checked commit — the answer to cell skew after many
     upserts. Pinned readers keep probing their own version with its
-    own centroid model (versioned sidecars); a concurrent writer on
-    the same table costs this rebalance a re-plan, never a torn
-    index. The new model's sidecar publishes right after the commit —
-    a probe landing in that instant uses the previous model against
-    the new assignment (same cell-id space: a recall dip, never an
-    error)."""
+    own centroid model (content-addressed sidecars resolved through
+    each version's manifest ``meta``); a concurrent writer on the same
+    table costs this rebalance a re-plan, never a torn index. The new
+    model's sidecar is STAGED before the commit and the commit's
+    ``meta["centroids"]`` pointer publishes it atomically with the
+    assignment — there is no crash point at which the new assignment
+    probes with the old model (r6 published the sidecar after the
+    commit; a crash in that window stranded the table on the previous
+    model permanently)."""
     from ..sources.snapshot_log import CommitConflictError
     from ..sources.transactional import (
         _guard_no_log,
@@ -780,49 +831,84 @@ def ivf_table_rebalance(
         new_rels = _stage_partition_segments(
             assigned.select(*keep_cols, "cell"), table_dir, "cell"
         )
+        cent_rel = _stage_centroids(cent_df, table_dir)
         try:
-            v = commit_segments(
+            return commit_segments(
                 table_dir, added=new_rels, removed=bases, op="rebalance",
                 stats=_segment_key_stats(table_dir, new_rels, id_col),
+                meta={"centroids": cent_rel},
             )
         except CommitConflictError as e:
             import shutil as _sh
 
-            for rel in new_rels:
+            for rel in [*new_rels, cent_rel]:
                 _sh.rmtree(f"{table_dir}/{rel}", ignore_errors=True)
             last = e
             continue
-        _write_centroids(cent_df, table_dir, v)
-        return v
     raise last if last is not None else CommitConflictError(table_dir)
 
 
 def ivf_table_vacuum(
     table_dir: str, keep_versions: int = 1, **vacuum_kwargs
 ) -> list[str]:
-    """Table vacuum + centroid-model reaping: after the snapshot-log
-    vacuum drops manifests outside the retention window, any sidecar
-    OLDER than the model effective at the window floor is unreachable
-    by every retained version — delete it. The floor's own model (the
-    newest sidecar at or below the oldest retained manifest) always
-    survives, so every retained version still probes with its exact
-    model."""
+    """Table vacuum + centroid-model reaping. A sidecar survives iff
+    some RETAINED version's manifest ``meta`` resolves to it (every
+    retained version keeps probing with its exact model). A sidecar
+    that was committed but rotated out of the window (known from the
+    pre-vacuum meta walk) deletes immediately, like segments dropped by
+    a committed rewrite; an UNREFERENCED sidecar is indistinguishable
+    from an in-flight rebalance's staged model, so it only reaps past
+    ``orphan_min_age_sec`` (same rule as uncommitted segments). Legacy
+    r6 ``v<version>`` sidecars keep the floor rule: everything older
+    than the model effective at the window floor goes."""
     import os as _os
     import re as _re
     import shutil as _sh
+    import time as _time
 
-    from ..sources.snapshot_log import vacuum, versions
+    from ..sources.snapshot_log import table_meta, vacuum, versions
 
+    def _models_at(vs: list[int]) -> set[str]:
+        out: set[str] = set()
+        for v in vs:
+            try:
+                rel = table_meta(table_dir, v).get("centroids")
+            except FileNotFoundError:
+                continue  # raced a concurrent vacuum: unknown -> age gate
+            if rel is not None:
+                out.add(rel)
+        return out
+
+    ever = _models_at(versions(table_dir))
     deleted = vacuum(table_dir, keep_versions, **vacuum_kwargs)
     vs = versions(table_dir)
     if not vs:
         return deleted
-    floor = vs[0]
+    reachable = _models_at(vs)
     root = f"{table_dir}/centroids"
     try:
         names = _os.listdir(root)
     except FileNotFoundError:
         return deleted
+    min_age = vacuum_kwargs.get("orphan_min_age_sec", 3600.0)
+    now = _time.time()
+    for n in sorted(names):
+        if not n.startswith("m-"):
+            continue
+        rel = f"centroids/{n}"
+        if rel in reachable:
+            continue
+        if rel not in ever:
+            try:
+                age = now - _os.path.getmtime(_os.path.join(root, n))
+            except OSError:
+                continue
+            if age < min_age:
+                continue  # possibly an in-flight rebalance's staging
+        _sh.rmtree(_os.path.join(root, n), ignore_errors=True)
+        deleted.append(rel)
+    # Legacy r6 versioned sidecars: reap below the floor's model.
+    floor = vs[0]
     cvs = sorted(
         int(m.group(1))
         for n in names
@@ -875,6 +961,7 @@ def ivf_table_topk(
         return _rescore_probed(
             scan, probed_plan.filter(F.lit(False)), k, id_col, vec_col
         )
+    _reject_null_query_probes(probed_rows)
     cells = {str(int(r["cell"])) for r in probed_rows}
     scan = read_table(
         spark, table_dir, version=version, partitions=cells,

@@ -79,6 +79,7 @@ __all__ = [
     "read_snapshot",
     "rewrite_snapshot",
     "segment_stats",
+    "table_meta",
     "vacuum",
     "versions",
 ]
@@ -265,6 +266,44 @@ def last_txn_version(
     return _collect_txns(table_dir, version).get(app)
 
 
+def _collect_meta(table_dir: str, version: int) -> dict:
+    """Effective table metadata at ``version`` — the newest value per
+    key across commits carrying a ``meta`` map (Delta's metaData-action
+    shape: a commit can atomically publish a pointer, e.g. an ANN
+    index's centroid-model sidecar, WITH the data it describes). Walks
+    down to the nearest checkpoint (whose ``meta`` map seeds older
+    history), like :func:`_collect_txns`. Missing manifests (concurrent
+    vacuum) surface as :class:`FileNotFoundError` for the caller's
+    retry loop."""
+    vs = versions(table_dir)
+    ckpts = _checkpoint_versions(table_dir)
+    newer: dict = {}
+    base: dict = {}
+    for u in reversed([v for v in vs if v <= version]):
+        if u in ckpts:
+            try:
+                with open(_ckpt_path(table_dir, u)) as f:
+                    base = dict(json.load(f).get("meta", {}))
+                break
+            except FileNotFoundError:
+                pass  # vacuumed between listing and read; use manifest
+        m = _read_manifest(table_dir, u)
+        for key, val in m.get("meta", {}).items():
+            newer.setdefault(key, val)  # newest commit wins per key
+        if "live" in m:
+            break
+    base.update(newer)
+    return base
+
+
+def table_meta(table_dir: str, version: int | None = None) -> dict:
+    """Public read of the effective ``meta`` map (see
+    :func:`_collect_meta`)."""
+    if version is None:
+        version = latest_version(table_dir)
+    return _collect_meta(table_dir, version)
+
+
 def segment_stats(
     table_dir: str, version: int | None = None
 ) -> dict[str, dict]:
@@ -329,13 +368,14 @@ def _write_checkpoint(
     could be incomplete."""
     txns = _collect_txns(table_dir, version)
     stats = segment_stats(table_dir, version)
+    meta = _collect_meta(table_dir, version)
     cdir = _commits_dir(table_dir)
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
     final = _ckpt_path(table_dir, version)
     with open(tmp, "w") as f:
         json.dump(
             {"version": version, "live": sorted(live), "txns": txns,
-             "stats": stats},
+             "stats": stats, "meta": meta},
             f, sort_keys=True,
         )
         f.flush()
@@ -422,13 +462,18 @@ def commit_segments(
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
     txn: tuple[str, int] | None = None,
     stats: dict[str, dict] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """CAS-commit already-written segments as one atomic version: the
     primitive every write path shares (appends, keyed upserts/deletes,
     partition drops, MOR compactions — sources/transactional.py).
     ``stats`` optionally records per-added-segment key-column min/max
     (see :func:`segment_stats`); ``txn`` optionally tags the commit
-    with a streaming (app, version) idempotence record.
+    with a streaming (app, version) idempotence record; ``meta``
+    optionally publishes table-metadata keys atomically with the
+    commit (see :func:`table_meta`) — e.g. a centroid-model pointer
+    that must never be observable without its assignment or vice
+    versa.
 
     With an empty ``removed`` this is an append-shaped commit: it
     commutes, so CAS losers replay the same delta blindly and no prior
@@ -468,6 +513,8 @@ def commit_segments(
             manifest["stats"] = {
                 rel: s for rel, s in stats.items() if rel in set(added)
             }
+        if meta:
+            manifest["meta"] = dict(meta)
         if _try_commit(table_dir, head + 1, manifest):
             _maybe_checkpoint(
                 table_dir, head + 1, checkpoint_interval, live=new_live

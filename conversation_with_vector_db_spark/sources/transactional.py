@@ -218,16 +218,20 @@ def create_partitioned_table(
     table_dir: str,
     partition_col: str = "namespace",
     key: str | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Initialize a snapshot-log table from ``df``, one tagged segment
     per partition, committed as version 1. ``key`` records footer
     min/max stats of that column per segment for sub-partition pruning
-    in later keyed rewrites."""
+    in later keyed rewrites; ``meta`` publishes table-metadata keys
+    atomically with the creating commit (see
+    :func:`..snapshot_log.table_meta`)."""
     create_table(table_dir)
     rels = _stage_partition_segments(df, table_dir, partition_col)
     stats = _segment_key_stats(table_dir, rels, key) if key else None
     return commit_segments(
-        table_dir, added=rels, removed=[], op="append", stats=stats
+        table_dir, added=rels, removed=[], op="append", stats=stats,
+        meta=meta,
     )
 
 

@@ -627,3 +627,36 @@ def test_compaction_preserves_rows_with_percent_encoded_tags(
         (r["id"], r["namespace"]) for r in read_table(spark, t).collect()
     )
     assert after == before
+
+
+def test_table_meta_newest_wins_and_survives_vacuum(spark, tmp_path):
+    """Manifest meta (the Delta metaData-action shape): the newest
+    commit wins per key, time travel reads the value effective at its
+    version, and the map rides checkpoint sidecars so it survives the
+    manifests that carried it being vacuumed away."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        commit_segments,
+        table_meta,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    s1 = _write_segment(spark.range(0, 5), t)
+    v1 = commit_segments(t, added=[s1], removed=[], meta={"model": "A"})
+    s2 = _write_segment(spark.range(5, 10), t)
+    v2 = commit_segments(t, added=[s2], removed=[])  # no meta: carries
+    s3 = _write_segment(spark.range(10, 15), t)
+    v3 = commit_segments(
+        t, added=[s3], removed=[], meta={"model": "B", "extra": 1}
+    )
+    assert table_meta(t, v1) == {"model": "A"}
+    assert table_meta(t, v2) == {"model": "A"}
+    assert table_meta(t) == {"model": "B", "extra": 1}
+    vacuum(t, keep_versions=1)
+    assert versions(t) == [v3]
+    assert table_meta(t) == {"model": "B", "extra": 1}
+    # Another meta-less commit after the vacuum still sees the carry
+    # through the fence checkpoint.
+    s4 = _write_segment(spark.range(15, 20), t)
+    v4 = commit_segments(t, added=[s4], removed=[])
+    assert table_meta(t, v4) == {"model": "B", "extra": 1}

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from conversation_with_vector_db_spark.operators.chunking import (
@@ -507,6 +508,167 @@ class TestIvfIndexed:
         a = sorted(map(tuple, direct.collect()))
         b = sorted(map(tuple, indexed.collect()))
         assert a == b
+
+
+    def test_rebalance_sidecar_atomic_with_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The centroid model publishes atomically WITH the rebalance
+        commit (manifest meta pointer, staged sidecar): a writer dying
+        at ANY point either leaves the table fully on the old model
+        (orphan sidecar vacuum-reaped) or fully on the new one — never
+        a committed assignment probing a model it wasn't built with."""
+        import os
+
+        from conversation_with_vector_db_spark.operators.ann import (
+            _load_centroids,
+            ivf_table_create,
+            ivf_table_rebalance,
+            ivf_table_topk,
+            ivf_table_vacuum,
+        )
+        from conversation_with_vector_db_spark.sources import (
+            transactional as tx,
+        )
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            table_meta,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        t = str(tmp_path / "ivf_table_crash")
+        ivf_table_create(spark, corpus, t, nlist=8)
+        probe = corpus.filter(F.col("vec_id") == 2)
+        before = {
+            r["vec_id"]
+            for r in ivf_table_topk(spark, t, probe, k=5, nprobe=8)
+            .collect()
+        }
+
+        def crash(*a, **kw):
+            raise RuntimeError("writer died before the CAS commit")
+
+        monkeypatch.setattr(tx, "commit_segments", crash)
+        with pytest.raises(RuntimeError, match="died"):
+            ivf_table_rebalance(spark, t, nlist=4)
+        monkeypatch.undo()
+
+        # Fully rolled back: old model serves, old results unchanged.
+        assert _load_centroids(spark, t).count() == 8
+        got = {
+            r["vec_id"]
+            for r in ivf_table_topk(spark, t, probe, k=5, nprobe=8)
+            .collect()
+        }
+        assert got == before
+        # The dead writer's staged sidecar is an age-gated orphan.
+        assert len(os.listdir(f"{t}/centroids")) == 2
+        ivf_table_vacuum(t, keep_versions=1, orphan_min_age_sec=0.0)
+        assert len(os.listdir(f"{t}/centroids")) == 1
+        # A healthy rebalance: pointer + sidecar land in ONE commit.
+        v = ivf_table_rebalance(spark, t, nlist=4)
+        rel = table_meta(t, v)["centroids"]
+        assert os.path.isdir(f"{t}/{rel}")
+        assert _load_centroids(spark, t).count() == 4
+        got2 = ivf_table_topk(spark, t, probe, k=5, nprobe=4).collect()
+        assert len(got2) == 5
+
+    def test_upsert_conflict_reassigns_under_new_model(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An upsert losing its commit race to a REBALANCE must re-run
+        cell assignment under the winner's centroid model before
+        retrying — retrying with cells assigned under the old model
+        would land vectors in cells the new model's probes never
+        select (a permanent recall hole)."""
+        from conversation_with_vector_db_spark.operators.ann import (
+            _load_centroids,
+            ivf_assign_cells,
+            ivf_table_create,
+            ivf_table_rebalance,
+            ivf_table_topk,
+            ivf_table_upsert,
+        )
+        from conversation_with_vector_db_spark.sources import (
+            transactional as tx,
+        )
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            CommitConflictError,
+        )
+        from conversation_with_vector_db_spark.sources.transactional import (
+            read_table,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        t = str(tmp_path / "ivf_table_race")
+        ivf_table_create(spark, corpus, t, nlist=8)
+
+        real = tx.upsert_by_key_global
+        calls = {"n": 0}
+
+        def raced(sp, td, up, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # The conflicting writer: a rebalance wins the race and
+                # swaps the centroid model under the upsert.
+                ivf_table_rebalance(spark, t, nlist=2)
+                raise CommitConflictError("rebalance won the race")
+            return real(sp, td, up, **kw)
+
+        monkeypatch.setattr(tx, "upsert_by_key_global", raced)
+        target = corpus.filter(F.col("vec_id") == 40).first()["embedding"]
+        updates = spark.createDataFrame(
+            [(9001, [float(x) for x in target])],
+            "vec_id long, embedding array<double>",
+        )
+        ivf_table_upsert(spark, t, updates)
+        monkeypatch.undo()
+        assert calls["n"] == 2  # one loss, one reassigned retry
+
+        # The landed row's cell is the NEW model's nearest centroid.
+        expected = ivf_assign_cells(
+            updates, _load_centroids(spark, t)
+        ).first()["cell"]
+        row = (
+            read_table(spark, t, partition_col="cell")
+            .filter(F.col("vec_id") == 9001)
+            .collect()
+        )
+        assert len(row) == 1
+        assert row[0]["cell"] == expected
+        # And a minimal probe (nprobe=1) finds it — it sits in exactly
+        # the cell the new model routes its own embedding to.
+        q = spark.createDataFrame(
+            [(777, [float(x) for x in target])],
+            "vec_id long, embedding array<double>",
+        )
+        top = ivf_table_topk(spark, t, q, k=2, nprobe=1).collect()
+        assert 9001 in {r["vec_id"] for r in top}
+
+    def test_indexed_topk_rejects_null_query(self, spark, tmp_path):
+        """NULL query embeddings fail at plan time on BOTH indexed
+        paths (same contract as collect_query_vectors) — previously the
+        matmul rescore silently emitted nothing for such queries while
+        the pair-join rescore emitted null-sim rows."""
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_table_create,
+            ivf_table_topk,
+            ivf_topk_indexed,
+            ivf_write_index,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        bare = str(tmp_path / "bare_idx")
+        ivf_write_index(corpus, bare, nlist=4)
+        table = str(tmp_path / "table_idx")
+        ivf_table_create(spark, corpus, table, nlist=4)
+        queries = spark.createDataFrame(
+            [(1, [float(i) for i in range(16)]), (2, None)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="NULL query"):
+            ivf_topk_indexed(spark, bare, queries, k=3, nprobe=2)
+        with pytest.raises(ValueError, match="NULL query"):
+            ivf_table_topk(spark, table, queries, k=3, nprobe=2)
 
 
 class TestChunkPlans:
