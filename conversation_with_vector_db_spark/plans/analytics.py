@@ -524,6 +524,7 @@ def c17_max_id_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a8b_cube_usage",
+    driver=False,
     doc="""A8 idiomatic upgrade (SURVEY §2.7 note): the reference's
     6-query manual model x period matrix as ONE cube(model, month) —
     all subtotal combinations in a single pass; DuckDB oracle uses the

@@ -322,7 +322,6 @@ def ann_ivf_indexed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_table_lifecycle",
-    driver=False,
     doc="""The IVF index as a TRANSACTIONAL snapshot-log table
     (r6): create (cell-tagged segments + centroid sidecar) -> probe ->
     atomic global-identity upsert (vec 0's embedding MOVES to vec 7's
