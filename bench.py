@@ -287,19 +287,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Prepare-once / execute-thrice, timed separately: plan BUILD
-    # (py4j DataFrame construction + Catalyst analysis, paid once per
+    # Prepare-once / execute-N, timed separately: plan BUILD (py4j
+    # DataFrame construction + Catalyst analysis, paid once per
     # prepared query, ~0.07-0.19 s) vs steady-state EXECUTION of the
-    # prepared plan (what scales with data; min of three samples — the
-    # first pays whole-stage-codegen compilation, and single samples
-    # carry ~±30% scheduler jitter at sub-second scale). The headline
-    # per-query number stays build+exec for round-over-round
-    # comparability; exec_sec isolates the scheduler/plan floor the
-    # sub-second queries sit on (DuckDB's parse+plan is sub-ms, so its
-    # number is effectively all-exec).
-    timings: dict[str, float] = {}
+    # prepared plan (what scales with data). Exec samples are taken as
+    # ROUND-ROBIN PASSES over all prepared queries, not N consecutive
+    # runs of one query: consecutive samples share any transient VM
+    # load spike, so their min is as noisy as one sample — r6's
+    # official artifact drifted +18% with zero plan changes exactly
+    # this way. Interleaving decorrelates the samples (a spike hits
+    # one pass, the min survives in the others); min-of-5 with the
+    # first pass paying whole-stage-codegen compilation. exec_sec is
+    # the headline per-query number (DuckDB's parse+plan is sub-ms, so
+    # the oracle's number is all-exec — matching decompositions);
+    # build_sec ships separately in the compact line and the detail.
+    EXEC_PASSES = 5
     build_sec: dict[str, float] = {}
     exec_sec: dict[str, float] = {}
+    prepared: dict[str, object] = {}
     for name in names:
         builds = []
         df = None
@@ -307,30 +312,35 @@ def main() -> None:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             builds.append(time.perf_counter() - t0)
-        execs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            execs.append(time.perf_counter() - t0)
         build_sec[name] = round(min(builds), 4)
-        exec_sec[name] = round(min(execs), 4)
-        timings[name] = round(min(builds) + min(execs), 4)
+        prepared[name] = df
+    exec_samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(EXEC_PASSES):
+        for name in names:
+            t0 = time.perf_counter()
+            prepared[name].write.format("noop").mode("overwrite").save()
+            exec_samples[name].append(time.perf_counter() - t0)
+    for name in names:
+        exec_sec[name] = round(min(exec_samples[name]), 4)
+    timings = dict(exec_sec)
 
     con = duckdb.connect()
     for t in BASE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
         )
-    duck_timings: dict[str, float] = {}
-    for name in names:
-        if name not in oracles:
-            continue
-        best = float("inf")
-        for _ in range(2):  # min of two: warm the OS page cache
+    # Same round-robin decorrelation for the oracle side (3 passes:
+    # the first warms the OS page cache).
+    duck_names = [n for n in names if n in oracles]
+    duck_samples: dict[str, list[float]] = {n: [] for n in duck_names}
+    for _ in range(3):
+        for name in duck_names:
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        duck_timings[name] = round(best, 4)
+            duck_samples[name].append(time.perf_counter() - t0)
+    duck_timings = {
+        n: round(min(s), 4) for n, s in duck_samples.items()
+    }
 
     # AQE-forced-on comparison pass (VERDICT r3 #6): the production
     # session default is AQE=on; when the cost gate turned it off above,
@@ -338,41 +348,48 @@ def main() -> None:
     # path keeps a measured wall and the gate's overhead claim stays
     # current. DataFrames are rebuilt so execution picks up the conf.
     # Sampling matches the gated-off pass above (min-of-2 builds,
-    # min-of-3 execs): with ~±30% single-sample jitter at sub-second
-    # scale, asymmetric sampling would systematically inflate the
-    # AQE-on walls and overstate the overhead the gate's off-decision
-    # rests on.
+    # round-robin min-of-N execs, exec-only number): with ~±30%
+    # single-sample jitter at sub-second scale, asymmetric sampling
+    # would systematically inflate the AQE-on walls and overstate the
+    # overhead the gate's off-decision rests on.
     aqe_on_timings: dict[str, float] = {}
     if not adaptive:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        aqe_prepared = {}
         for name in names:
-            builds = []
             df = None
             for _ in range(2):
-                t0 = time.perf_counter()
                 df = qs[name](spark, sf_dir)
-                builds.append(time.perf_counter() - t0)
-            execs = []
-            for _ in range(3):
+            aqe_prepared[name] = df
+        aqe_samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(EXEC_PASSES):
+            for name in names:
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                execs.append(time.perf_counter() - t0)
-            aqe_on_timings[name] = round(min(builds) + min(execs), 4)
+                aqe_prepared[name].write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                aqe_samples[name].append(time.perf_counter() - t0)
+        aqe_on_timings = {
+            n: round(min(s), 4) for n, s in aqe_samples.items()
+        }
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     ann = ann_economics(spark, sf)
 
-    ratios = {
-        n: round(timings[n] / duck_timings[n], 2)
-        for n in duck_timings
-        if duck_timings[n] > 0
-    }
     exec_ratios = {
         n: round(exec_sec[n] / duck_timings[n], 2)
         for n in duck_timings
         if duck_timings[n] > 0
     }
+    ratios = {
+        n: round(
+            (exec_sec[n] + build_sec[n]) / duck_timings[n], 2
+        )
+        for n in duck_timings
+        if duck_timings[n] > 0
+    }
     total = round(sum(timings.values()), 4)
+    build_total = round(sum(build_sec.values()), 4)
     duck_total = round(sum(duck_timings.values()), 4)
     aqe_on_total = (
         round(sum(aqe_on_timings.values()), 4) if aqe_on_timings else None
@@ -409,11 +426,19 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                # r7 (VERDICT r6 What's-wrong #1): the headline value is
+                # min-of-5 round-robin EXEC per query — the drift-robust
+                # number — with the once-per-query plan-build cost split
+                # into build_total_sec (DuckDB's parse+plan is sub-ms,
+                # so its total is all-exec; matching decompositions).
+                # r6-comparable wall = value + build_total_sec.
+                "metric": "headline_queries_total_exec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "build_total_sec": build_total,
+                "wall_total_sec": round(total + build_total, 4),
                 "duckdb_total_sec": duck_total,
                 "aqe_on_total_sec": aqe_on_total,
                 "detail_file": "BENCH_DETAIL.json",

@@ -835,7 +835,9 @@ def ivf_table_rebalance(
         try:
             return commit_segments(
                 table_dir, added=new_rels, removed=bases, op="rebalance",
-                stats=_segment_key_stats(table_dir, new_rels, id_col),
+                stats=_segment_key_stats(
+                    table_dir, new_rels, id_col, spark=spark
+                ),
                 meta={"centroids": cent_rel},
             )
         except CommitConflictError as e:

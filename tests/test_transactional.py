@@ -745,3 +745,64 @@ def test_append_partitioned_is_one_atomic_version(spark, store):
 
     m = _read_manifest(store, v)
     assert len(m["added"]) == 3 and m["removed"] == []
+
+
+def test_distributed_stats_match_footer_walk(spark, tmp_path):
+    """The executor-parallel stats path (engaged automatically at >=32
+    segments) must emit exactly the footer walk's map — same segments
+    present/omitted, same min/max values — on int keys, string keys,
+    and all-null-key partitions."""
+    from conversation_with_vector_db_spark.sources.transactional import (
+        _segment_key_stats,
+        _segment_key_stats_distributed,
+        create_partitioned_table,
+        live_segments,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [
+        (i if i % 37 != 0 else None, f"ns {i % 40}", f"k{i:04d}")
+        for i in range(400)
+    ]
+    # 'ns <i>' tags contain a space: the segment names URL-quote, so
+    # this also exercises the url-decoded group identity.
+    df = spark.createDataFrame(rows, "id long, namespace string, s string")
+    create_partitioned_table(spark, df, t, key="id")
+    rels = live_segments(t)
+    assert len(rels) == 40  # >= 32: create used the distributed path
+    footer = _segment_key_stats(t, rels, "id")  # spark=None: footer walk
+    dist = _segment_key_stats_distributed(spark, t, rels, "id")
+    assert dist == footer
+    assert len(dist) == 40
+    # String keys agree too.
+    assert _segment_key_stats_distributed(
+        spark, t, rels, "s"
+    ) == _segment_key_stats(t, rels, "s")
+    # A partition whose keys are ALL null yields no entry on either path.
+    t2 = str(tmp_path / "t2")
+    rows2 = [(None, f"n{i % 3}") for i in range(30)] + [(7, "n0")]
+    create_partitioned_table(
+        spark,
+        spark.createDataFrame(rows2, "id long, namespace string"),
+        t2,
+        key="id",
+    )
+    rels2 = live_segments(t2)
+    f2 = _segment_key_stats(t2, rels2, "id")
+    d2 = _segment_key_stats_distributed(spark, t2, rels2, "id")
+    assert d2 == f2
+    # Only n0 (the sole partition with a non-null key) has stats.
+    assert len(d2) == 1
+    # Complex key types: both paths conservatively emit nothing.
+    t3 = str(tmp_path / "t3")
+    create_partitioned_table(
+        spark,
+        spark.createDataFrame(
+            [([1.0, 2.0], "a")], "v array<double>, namespace string"
+        ),
+        t3,
+        key="v",
+    )
+    rels3 = live_segments(t3)
+    assert _segment_key_stats_distributed(spark, t3, rels3, "v") == {}
+    assert _segment_key_stats(t3, rels3, "v") == {}
