@@ -870,23 +870,32 @@ def ivf_table_vacuum(
 
     from ..sources.snapshot_log import table_meta, vacuum, versions
 
-    def _models_at(vs: list[int]) -> set[str]:
+    def _models_at(vs: list[int]) -> tuple[set[str], bool]:
+        """Referenced sidecars at ``vs``, plus whether EVERY version's
+        meta resolved. An incomplete walk (a version's manifest
+        vanished under us — raced a concurrent vacuum) must disable
+        reaping entirely: a sidecar referenced only by the unreadable
+        version would land in neither set, and the age gate only
+        protects YOUNG sidecars — any committed model older than
+        orphan_min_age_sec would be deleted while still referenced."""
         out: set[str] = set()
+        complete = True
         for v in vs:
             try:
                 rel = table_meta(table_dir, v).get("centroids")
             except FileNotFoundError:
-                continue  # raced a concurrent vacuum: unknown -> age gate
+                complete = False
+                continue
             if rel is not None:
                 out.add(rel)
-        return out
+        return out, complete
 
-    ever = _models_at(versions(table_dir))
+    ever, ever_ok = _models_at(versions(table_dir))
     deleted = vacuum(table_dir, keep_versions, **vacuum_kwargs)
     vs = versions(table_dir)
     if not vs:
         return deleted
-    reachable = _models_at(vs)
+    reachable, reach_ok = _models_at(vs)
     root = f"{table_dir}/centroids"
     try:
         names = _os.listdir(root)
@@ -894,21 +903,24 @@ def ivf_table_vacuum(
         return deleted
     min_age = vacuum_kwargs.get("orphan_min_age_sec", 3600.0)
     now = _time.time()
-    for n in sorted(names):
-        if not n.startswith("m-"):
-            continue
-        rel = f"centroids/{n}"
-        if rel in reachable:
-            continue
-        if rel not in ever:
-            try:
-                age = now - _os.path.getmtime(_os.path.join(root, n))
-            except OSError:
+    if ever_ok and reach_ok:  # only reap with a COMPLETE reachable set
+        for n in sorted(names):
+            if not n.startswith("m-"):
                 continue
-            if age < min_age:
-                continue  # possibly an in-flight rebalance's staging
-        _sh.rmtree(_os.path.join(root, n), ignore_errors=True)
-        deleted.append(rel)
+            rel = f"centroids/{n}"
+            if rel in reachable:
+                continue
+            if rel not in ever:
+                try:
+                    age = now - _os.path.getmtime(
+                        _os.path.join(root, n)
+                    )
+                except OSError:
+                    continue
+                if age < min_age:
+                    continue  # possibly in-flight rebalance staging
+            _sh.rmtree(_os.path.join(root, n), ignore_errors=True)
+            deleted.append(rel)
     # Legacy r6 versioned sidecars: reap below the floor's model.
     floor = vs[0]
     cvs = sorted(

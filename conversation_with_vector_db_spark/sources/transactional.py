@@ -206,6 +206,18 @@ def _segment_key_stats(
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
                     if (
+                        st is not None
+                        and not st.has_min_max
+                        and st.has_null_count
+                        and st.num_values == 0
+                    ):
+                        # Stats absent because EVERY value is null: the
+                        # row group contributes nothing to min/max (the
+                        # distributed path's null-skipping agg and
+                        # Iceberg's stats collection agree) — skip it
+                        # rather than poisoning the whole segment.
+                        continue
+                    if (
                         st is None
                         or not st.has_min_max
                         or not isinstance(st.min, (int, float, str))

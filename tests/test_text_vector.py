@@ -489,6 +489,54 @@ class TestIvfIndexed:
         got = ivf_table_topk(spark, t, probe, k=5, nprobe=4).collect()
         assert len(got) == 5
 
+    def test_vacuum_skips_model_reaping_on_incomplete_meta_walk(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """If ANY retained version's manifest meta can't be read (raced
+        a concurrent vacuum), the m-* sidecar reaping pass must be
+        skipped entirely: a model referenced only by the unreadable
+        version lands in neither `reachable` nor `ever`, and the age
+        gate would not save a committed (old) model — ADVICE r7 #2."""
+        import os
+
+        from conversation_with_vector_db_spark.operators.ann import (
+            ivf_table_create,
+            ivf_table_rebalance,
+            ivf_table_topk,
+            ivf_table_vacuum,
+        )
+        from conversation_with_vector_db_spark.sources import (
+            snapshot_log as sl,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        t = str(tmp_path / "ivf_table_race")
+        ivf_table_create(spark, corpus, t, nlist=8)   # model @ v1
+        ivf_table_rebalance(spark, t, nlist=4)        # model @ v2
+        assert len(os.listdir(f"{t}/centroids")) == 2
+
+        real = sl.table_meta
+
+        def flaky(table_dir, version=None):
+            raise FileNotFoundError("manifest vanished under the walk")
+
+        monkeypatch.setattr(sl, "table_meta", flaky)
+        # Even with a zero age gate, NOTHING is reaped: the walk is
+        # incomplete, so the head's own model can't be proven live.
+        ivf_table_vacuum(t, keep_versions=1, orphan_min_age_sec=0.0)
+        monkeypatch.setattr(sl, "table_meta", real)
+        assert len(os.listdir(f"{t}/centroids")) == 2
+        probe = corpus.filter(F.col("vec_id") == 2)
+        assert len(
+            ivf_table_topk(spark, t, probe, k=5, nprobe=4).collect()
+        ) == 5
+        # A later vacuum with a healthy walk reaps the v1 orphan.
+        ivf_table_vacuum(t, keep_versions=1, orphan_min_age_sec=0.0)
+        assert len(os.listdir(f"{t}/centroids")) == 1
+        assert len(
+            ivf_table_topk(spark, t, probe, k=5, nprobe=4).collect()
+        ) == 5
+
     def test_indexed_topk_matches_query_time_ivf(self, spark, tmp_path):
         """Same corpus, same seed, same nlist/nprobe: the write-time
         index path must rank exactly what the query-time fit ranks

@@ -806,3 +806,46 @@ def test_distributed_stats_match_footer_walk(spark, tmp_path):
     rels3 = live_segments(t3)
     assert _segment_key_stats_distributed(spark, t3, rels3, "v") == {}
     assert _segment_key_stats(t3, rels3, "v") == {}
+
+
+def test_small_commit_null_key_file_keeps_other_segments_stats(
+    spark, tmp_path
+):
+    """A SMALL (<32-segment) commit takes the serial footer walk; a
+    segment containing an all-null-key part file must not lose its
+    min/max (the all-null row group contributes nothing — skip it, do
+    not poison the segment), and sibling segments keep theirs.
+    Regression for VERDICT r7 What's-wrong #1: before the fix, keyed
+    rewrites over two layouts of the same table pruned differently."""
+    from conversation_with_vector_db_spark.sources.transactional import (
+        _segment_key_stats,
+        create_partitioned_table,
+        live_segments,
+    )
+
+    t = str(tmp_path / "small")
+    # 3 partitions (< 32 -> footer path). n0 mixes many null-key rows
+    # (several all-null part files under local[32]) with one id=7;
+    # n1 is clean; n2 is ALL null keys.
+    rows = (
+        [(None, "n0") for _ in range(40)]
+        + [(7, "n0")]
+        + [(i, "n1") for i in range(10, 15)]
+        + [(None, "n2") for _ in range(5)]
+    )
+    create_partitioned_table(
+        spark,
+        spark.createDataFrame(rows, "id long, namespace string"),
+        t,
+        key="id",
+    )
+    rels = live_segments(t)
+    assert len(rels) == 3
+    stats = _segment_key_stats(t, rels, "id")
+    by_part = {r.split("/")[-1].split("=")[-1]: s
+               for r, s in stats.items()}
+    # n0's mixed files yield the lone non-null key's range; n1 is
+    # intact; n2 (nothing non-null) is omitted on both paths.
+    assert set(by_part) == {"n0", "n1"}
+    assert by_part["n0"] == {"col": "id", "min": 7, "max": 7}
+    assert by_part["n1"] == {"col": "id", "min": 10, "max": 14}
