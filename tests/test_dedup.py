@@ -268,6 +268,41 @@ def test_bloom_no_false_negatives_and_fpr_bound():
     assert probe(non_members).mean() < 1e-3
 
 
+def test_distributed_bloom_build_matches_driver_build(spark):
+    """build_bloom_distributed must emit bit-for-bit the words the
+    driver-side build_bloom emits over the same key set (same sizing,
+    same Kirsch-Mitzenmacher positions) — the executor-side build is a
+    pure relocation of WHERE the packing happens, so the equivalence
+    pins that no position, sizing, or chunk-stitch detail drifted.
+    Also covers the small-m path where the bloom is shorter than one
+    32 KB chunk."""
+    import numpy as np
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        build_bloom,
+        build_bloom_distributed,
+    )
+
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 2**60, size=20_000)
+    df = spark.createDataFrame(
+        [(int(x),) for x in keys], "shingle long"
+    ).repartition(8)
+    # Duplicate some keys: distributed path dedupes internally, the
+    # driver build is fed distincts by its caller.
+    df = df.union(df.limit(500))
+    d_words, d_k = build_bloom_distributed(df, "shingle")
+    words, k = build_bloom(np.unique(keys))
+    assert d_k == k
+    assert len(d_words) == len(words)
+    assert (d_words == words).all()
+    # Small-m path: fewer keys than one chunk's worth of words.
+    small = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    sw, _ = build_bloom_distributed(small, "x")
+    ww, _ = build_bloom(np.arange(10))
+    assert (sw == ww).all()
+
+
 def test_bloom_decontaminate_equals_exact(spark, sf_dir):
     """The bloom pass is prefilter + exact verify: its output relation
     must equal the exact broadcast variant's, row for row."""
