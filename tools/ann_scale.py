@@ -93,25 +93,11 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
 ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed")
 
 
-def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
-              lsh_bits: int = 48, lsh_bands: int = 6,
-              methods: tuple = ALL_METHODS) -> dict:
+def _prepare_corpus(spark, n: int, dim: int, workdir: str):
+    """Generate (if absent), spread, and persist the clustered corpus;
+    return (corpus, queries, n_q)."""
     from pyspark.sql import functions as F
 
-    from conversation_with_vector_db_spark.operators.ann import (
-        hyperplane_lsh_topk,
-        ivf_topk,
-        ivf_topk_indexed,
-        ivf_write_index,
-        recall_at_k,
-        with_lsh_bands,
-    )
-    from conversation_with_vector_db_spark.operators.vector import (
-        collect_query_vectors,
-        matmul_topk,
-    )
-
-    nlist, nprobe = 32, 8
     path = os.path.join(workdir, f"ann_corpus_{n}_{dim}d.parquet")
     if not os.path.exists(path):
         t0 = time.perf_counter()
@@ -137,7 +123,29 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
     assert corpus.count() == n
     qmod = max(997, n // 100)  # ~100 queries at every scale
     queries = corpus.filter(F.col("vec_id") % qmod == 0)
-    n_q = queries.count()
+    return corpus, queries, queries.count()
+
+
+def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
+              lsh_bits: int = 48, lsh_bands: int = 6,
+              methods: tuple = ALL_METHODS) -> dict:
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.ann import (
+        hyperplane_lsh_topk,
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+        recall_at_k,
+        with_lsh_bands,
+    )
+    from conversation_with_vector_db_spark.operators.vector import (
+        collect_query_vectors,
+        matmul_topk,
+    )
+
+    nlist, nprobe = 32, 8
+    corpus, queries, n_q = _prepare_corpus(spark, n, dim, workdir)
     out: dict = {"n_vectors": n, "n_queries": n_q, "dim": dim}
 
     def timed(label, df):
@@ -229,6 +237,93 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
     return out
 
 
+def run_nlist_sweep(spark, n: int, dim: int, workdir: str,
+                    pairs: list[tuple[int, int]], reps: int = 2) -> dict:
+    """nlist scaling for the write-time IVF index (VERDICT r6 #6): a
+    10^8-vector index wants nlist ~ sqrt(n), so the fit/build/query
+    cost curve past the historical nlist=32 must be measured, not
+    extrapolated. One corpus, ONE exact baseline (shared recall
+    denominator), then per distinct nlist: one index build (sampled
+    KMeans fit at ~40 pts/cell), and per (nlist, nprobe) pair: the
+    partition-pruned probe's min-of-reps wall, recall@10, and the
+    fraction of index files the probed cells actually touch — the
+    quantity that tracks nprobe/nlist and IS the 100 TB read bound."""
+    from conversation_with_vector_db_spark.operators.ann import (
+        ivf_probed_cells,
+        ivf_topk_indexed,
+        ivf_write_index,
+        recall_at_k,
+    )
+    from conversation_with_vector_db_spark.operators.vector import (
+        collect_query_vectors,
+        matmul_topk,
+    )
+
+    corpus, queries, n_q = _prepare_corpus(spark, n, dim, workdir)
+    out: dict = {
+        "n_vectors": n, "n_queries": n_q, "dim": dim, "points": [],
+    }
+    exact = matmul_topk(corpus, collect_query_vectors(queries), k=10)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        exact.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    out["exact_matmul_sec"] = round(best, 3)
+
+    for nlist in sorted({nl for nl, _ in pairs}):
+        idx_path = os.path.join(
+            workdir, f"ann_ivfidx_{n}_{dim}d_nl{nlist}"
+        )
+        shutil.rmtree(idx_path, ignore_errors=True)
+        fit_frac = min(1.0, (40.0 * nlist) / n)
+        t0 = time.perf_counter()
+        ivf_write_index(corpus, idx_path, nlist=nlist,
+                        fit_fraction=fit_frac)
+        build_sec = round(time.perf_counter() - t0, 3)
+        all_files = glob.glob(f"{idx_path}/data/cell=*/*.parquet")
+        cent = spark.read.parquet(f"{idx_path}/centroids")
+        for nl, nprobe in pairs:
+            if nl != nlist:
+                continue
+            probe = ivf_topk_indexed(spark, idx_path, queries, k=10,
+                                     nprobe=nprobe)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                probe.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            cells = {
+                int(r["cell"])
+                for r in ivf_probed_cells(cent, queries, nprobe=nprobe)
+                .select("cell").distinct().collect()
+            }
+            probed = [
+                f for f in all_files
+                if int(
+                    os.path.basename(os.path.dirname(f)).split("=")[1]
+                ) in cells
+            ]
+            point = {
+                "nlist": nlist,
+                "nprobe": nprobe,
+                "index_build_sec": build_sec,
+                "query_sec": round(best, 3),
+                "recall": round(
+                    recall_at_k(probe, exact, k=10).first().recall, 4
+                ),
+                "scan_fraction": round(nprobe / nlist, 4),
+                "file_fraction": round(
+                    len(probed) / max(1, len(all_files)), 4
+                ),
+            }
+            out["points"].append(point)
+            print(json.dumps(point), file=sys.stderr, flush=True)
+        shutil.rmtree(idx_path, ignore_errors=True)
+    corpus.unpersist()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, nargs="+", default=[100_000, 1_000_000])
@@ -244,6 +339,12 @@ def main() -> None:
         help="strategies to measure (exact always runs: it is the "
         "recall denominator)",
     )
+    ap.add_argument(
+        "--sweep", default=None,
+        help="nlist:nprobe pairs for the write-time-index nlist sweep, "
+        "e.g. '32:8,128:16,128:32,512:32,512:64' — replaces the "
+        "per-method run with run_nlist_sweep",
+    )
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -254,12 +355,23 @@ def main() -> None:
         shuffle_partitions=32,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    pairs = (
+        [tuple(map(int, p.split(":"))) for p in args.sweep.split(",")]
+        if args.sweep
+        else None
+    )
     for n in args.n:
-        print(json.dumps(run_scale(
-            spark, n, args.dim, args.workdir, reps=args.reps,
-            lsh_bits=args.lsh_bits, lsh_bands=args.lsh_bands,
-            methods=tuple(args.methods),
-        )), flush=True)
+        if pairs:
+            print(json.dumps(run_nlist_sweep(
+                spark, n, args.dim, args.workdir, pairs,
+                reps=args.reps,
+            )), flush=True)
+        else:
+            print(json.dumps(run_scale(
+                spark, n, args.dim, args.workdir, reps=args.reps,
+                lsh_bits=args.lsh_bits, lsh_bands=args.lsh_bands,
+                methods=tuple(args.methods),
+            )), flush=True)
         if not args.keep_corpus:
             p = os.path.join(
                 args.workdir, f"ann_corpus_{n}_{args.dim}d.parquet"
