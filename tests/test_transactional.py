@@ -849,3 +849,130 @@ def test_small_commit_null_key_file_keeps_other_segments_stats(
     assert set(by_part) == {"n0", "n1"}
     assert by_part["n0"] == {"col": "id", "min": 7, "max": 7}
     assert by_part["n1"] == {"col": "id", "min": 10, "max": 14}
+
+
+def test_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Model-based randomized exerciser of the transactional table: a
+    seeded 24-step walk of append / upsert / scoped-delete /
+    drop-partition / compact ops, mirrored in a plain dict model.
+    After EVERY op the table must read back exactly the model —
+    including null-key filler rows (exercising the all-null-chunk
+    stats path under real op sequences) — and at the end, time travel
+    at three recorded versions must reproduce the model AS OF each
+    commit. Single-op semantics are pinned by the dedicated tests;
+    this pins that arbitrary COMPOSITIONS never drift (lost rows,
+    resurrections, duplicate identities)."""
+    import random
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        compact_snapshots,
+    )
+
+    rng = random.Random(20260814)
+    t = str(tmp_path / "model_walk")
+    ns_of = lambda i: f"n{i % 4}"  # noqa: E731 - one fixed identity map
+
+    # model: (ns, id) -> val for keyed rows; null-key rows as a
+    # multiset of (ns, val) markers.
+    model: dict[tuple[str, int], str] = {
+        (ns_of(i), i): f"v{i}" for i in range(40)
+    }
+    nulls: list[tuple[str, str]] = []
+    next_id = 40
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "id long, namespace string, val string"
+        )
+
+    create_partitioned_table(
+        spark,
+        df_of([(i, ns, v) for (ns, i), v in model.items()]),
+        t,
+        key="id",
+    )
+
+    def read_back():
+        got = read_table(spark, t).collect()
+        keyed = {
+            (r["namespace"], r["id"]): r["val"]
+            for r in got
+            if r["id"] is not None
+        }
+        got_nulls = sorted(
+            (r["namespace"], r["val"]) for r in got if r["id"] is None
+        )
+        return keyed, got_nulls
+
+    history = []  # (version, keyed-model snapshot, nulls snapshot)
+    for step in range(24):
+        op = rng.choices(
+            ["append", "upsert", "delete", "drop", "compact"],
+            weights=[3, 5, 3, 1, 2],
+        )[0]
+        if op == "append":
+            n_new = rng.randint(1, 6)
+            rows = []
+            for _ in range(n_new):
+                i = next_id
+                next_id += 1
+                rows.append((i, ns_of(i), f"a{step}-{i}"))
+                model[(ns_of(i), i)] = f"a{step}-{i}"
+            if rng.random() < 0.5:  # null-key filler rides along
+                ns = ns_of(rng.randrange(4))
+                rows.append((None, ns, f"null-{step}"))
+                nulls.append((ns, f"null-{step}"))
+            append_partitioned(spark, df_of(rows), t, key="id")
+        elif op == "upsert":
+            targets = set()
+            for _ in range(rng.randint(1, 8)):
+                if model and rng.random() < 0.6:
+                    targets.add(rng.choice(sorted(model))[1])
+                else:
+                    targets.add(next_id)
+                    next_id += 1
+            rows = [
+                (i, ns_of(i), f"u{step}-{i}") for i in sorted(targets)
+            ]
+            for i, ns, v in rows:
+                model[(ns, i)] = v
+            upsert_by_key(spark, t, df_of(rows), key="id")
+        elif op == "delete":
+            if len(model) <= 5:
+                continue
+            picks = rng.sample(sorted(model), rng.randint(1, 4))
+            ids = spark.createDataFrame(
+                [(i, ns) for ns, i in picks],
+                "id long, namespace string",
+            )
+            for pk in picks:
+                del model[pk]
+            delete_by_key(spark, t, ids, key="id")
+        elif op == "drop":
+            # Never drop n0 so the table can't go fully empty.
+            ns = f"n{rng.randint(1, 3)}"
+            drop_partition(spark, t, "namespace", ns)
+            model = {pk: v for pk, v in model.items() if pk[0] != ns}
+            nulls = [(n, v) for n, v in nulls if n != ns]
+        else:
+            compact_snapshots(spark, t)
+        keyed, got_nulls = read_back()
+        assert keyed == model, f"step {step} ({op}): keyed rows drifted"
+        assert got_nulls == sorted(nulls), (
+            f"step {step} ({op}): null-key rows drifted"
+        )
+        history.append((latest_version(t), dict(model), sorted(nulls)))
+
+    # Time travel: three random recorded commits read back AS OF.
+    for version, keyed_then, nulls_then in rng.sample(history, 3):
+        got = read_table(spark, t, version=version).collect()
+        keyed = {
+            (r["namespace"], r["id"]): r["val"]
+            for r in got
+            if r["id"] is not None
+        }
+        got_nulls = sorted(
+            (r["namespace"], r["val"]) for r in got if r["id"] is None
+        )
+        assert keyed == keyed_then
+        assert got_nulls == nulls_then
