@@ -976,3 +976,89 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
         )
         assert keyed == keyed_then
         assert got_nulls == nulls_then
+
+
+def test_writers_racing_compactor_lose_nothing(spark, tmp_path):
+    """Chaos composition: three writers each landing a stream of keyed
+    upserts into their own namespace while a compactor repeatedly
+    bin-packs the same table. Every upsert must land exactly once and
+    the final table must equal the model — compaction is a rewrite
+    commit, so it conflicts with every concurrent writer; the losers
+    (either side) must re-plan from the new head, never double-fold,
+    drop, or resurrect a row. Writers wrap in the documented
+    caller-retry loop for the rare case a commit exhausts its internal
+    re-plans under this much contention."""
+    import random
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        CommitConflictError,
+        compact_snapshots,
+    )
+
+    t = str(tmp_path / "chaos")
+    model = {(f"n{i % 3}", i): f"v{i}" for i in range(30)}
+    create_partitioned_table(
+        spark,
+        spark.createDataFrame(
+            [(i, ns, v) for (ns, i), v in model.items()],
+            "id long, namespace string, val string",
+        ),
+        t,
+        key="id",
+    )
+    errors: list[Exception] = []
+
+    def writer(w):
+        rng = random.Random(w)
+        try:
+            for step in range(3):
+                i = 1000 * (w + 1) + step
+                rows = [(i, f"n{w}", f"w{w}-{step}")]
+                if rng.random() < 0.5 and step > 0:  # overwrite own key
+                    j = 1000 * (w + 1)
+                    rows.append((j, f"n{w}", f"w{w}-over-{step}"))
+                for attempt in range(3):
+                    try:
+                        upsert_by_key(
+                            spark,
+                            t,
+                            spark.createDataFrame(
+                                rows,
+                                "id long, namespace string, val string",
+                            ),
+                            key="id",
+                        )
+                        break
+                    except CommitConflictError:
+                        if attempt == 2:
+                            raise
+                for i2, ns, v in rows:
+                    model_updates.append(((ns, i2), v))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def compactor():
+        try:
+            for _ in range(2):
+                compact_snapshots(spark, t)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    model_updates: list[tuple[tuple[str, int], str]] = []
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(3)
+    ] + [threading.Thread(target=compactor)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    # Per-writer updates are sequential, so applying each writer's
+    # updates in its own order (list order preserves it) is the model.
+    for pk, v in model_updates:
+        model[pk] = v
+    got = {
+        (r["namespace"], r["id"]): r["val"]
+        for r in read_table(spark, t).collect()
+    }
+    assert got == model
