@@ -1062,3 +1062,92 @@ def test_writers_racing_compactor_lose_nothing(spark, tmp_path):
         for r in read_table(spark, t).collect()
     }
     assert got == model
+
+
+def test_mor_random_walk_matches_dict_model(spark, tmp_path):
+    """Merge-on-read model walk: a seeded sequence of change-log
+    upsert/delete batches (monotone _seq) interleaved with
+    compact_change_log folds. After every step `read_merge_on_read`
+    must equal the dict model (later seq wins, deletes drop the
+    identity), compaction must not change the observable state — only
+    the physical layout — and a time-travel MOR read at a recorded
+    version must reproduce the model as of that commit."""
+    import random
+
+    rng = random.Random(88)
+    t = str(tmp_path / "mor_walk")
+    ns_of = lambda i: f"n{i % 3}"  # noqa: E731
+
+    model = {(ns_of(i), i): i * 10 for i in range(30)}
+    create_partitioned_table(
+        spark,
+        spark.createDataFrame(
+            [(i, ns, v) for (ns, i), v in model.items()],
+            "id long, namespace string, val long",
+        ),
+        t,
+    )
+
+    def mor_state():
+        got = read_merge_on_read(spark, t, key="id").collect()
+        return {(r["namespace"], r["id"]): r["val"] for r in got}
+
+    history = []
+    next_id, seq = 30, 0
+    for step in range(18):
+        op = rng.choices(
+            ["upsert", "delete", "compact"], weights=[5, 3, 2]
+        )[0]
+        if op == "upsert":
+            seq += 1
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                if model and rng.random() < 0.5:
+                    ns, i = rng.choice(sorted(model))
+                else:
+                    i = next_id
+                    next_id += 1
+                    ns = ns_of(i)
+                rows.append((i, ns, 1000 * seq + i))
+            # Make rows identity-unique within the batch so one seq
+            # has one winner per identity and the model is unambiguous.
+            rows = list({(r[0], r[1]): r for r in rows}.values())
+            for i, ns, v in rows:
+                model[(ns, i)] = v
+            append_change_segment(
+                spark,
+                spark.createDataFrame(
+                    rows, "id long, namespace string, val long"
+                ),
+                t,
+                op="upsert",
+                seq=seq,
+            )
+        elif op == "delete":
+            if len(model) <= 4:
+                continue
+            seq += 1
+            picks = rng.sample(sorted(model), rng.randint(1, 3))
+            rows = [(i, ns, None) for ns, i in picks]
+            for pk in picks:
+                del model[pk]
+            append_change_segment(
+                spark,
+                spark.createDataFrame(
+                    rows, "id long, namespace string, val long"
+                ),
+                t,
+                op="delete",
+                seq=seq,
+            )
+        else:
+            compact_change_log(spark, t, key="id")
+        assert mor_state() == model, f"step {step} ({op}) drifted"
+        history.append((latest_version(t), dict(model)))
+
+    for version, model_then in rng.sample(history, 3):
+        got = read_merge_on_read(spark, t, key="id", version=version)
+        state = {
+            (r["namespace"], r["id"]): r["val"] for r in got.collect()
+        }
+        assert state == model_then
