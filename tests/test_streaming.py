@@ -873,3 +873,112 @@ def test_streaming_minhash_gate_refuses_foreign_store(spark, tmp_path):
         .collect()
     )
     assert ids == [1, 2]
+
+
+def test_streaming_dedup_gate_survives_store_compaction(spark, tmp_path):
+    """Steady-state maintenance of the streaming near-dup gate's THREE
+    snapshot-log stores (bands/accepted/decisions): compact them while
+    the stream is stopped, then continue on the same checkpoint — new
+    duplicates must still match the PRE-compaction accepted docs, new
+    originals must still be accepted, segment counts must have
+    dropped, and a no-new-data restart must commit nothing. The
+    dedup-gate sibling of the serving-index steady-state test: state
+    stores that cannot be compacted mid-stream are not operable at
+    100 TB."""
+    import shutil as _sh
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        compact_snapshots,
+        live_segments as sl_live,
+        read_snapshot,
+        versions,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        DOCUMENT_SCHEMA,
+        stream_parquet_dir,
+        streaming_minhash_dedup_sink,
+    )
+
+    def text_of(i):
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    root = tmp_path / "docs"
+    root.mkdir()
+
+    def write_file(n, rows):
+        part = root / f"part{n}"
+        spark.createDataFrame(rows, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / f"file{n}.parquet"))
+        _sh.rmtree(part)
+
+    # Phase 1: 10 originals, then 5 exact copies (ids 100-104).
+    write_file(0, [(i, text_of(i)) for i in range(10)])
+    write_file(1, [(100 + i, text_of(i)) for i in range(5)])
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA), store, ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    segs_before = {
+        s: len(sl_live(f"{store}/{s}"))
+        for s in ("bands", "accepted", "decisions")
+    }
+    for s in ("bands", "accepted", "decisions"):
+        compact_snapshots(spark, f"{store}/{s}")
+    for s in ("bands", "accepted", "decisions"):
+        assert len(sl_live(f"{store}/{s}")) <= segs_before[s]
+    assert sum(len(sl_live(f"{store}/{s}"))
+               for s in ("bands", "accepted", "decisions")) < sum(
+        segs_before.values()
+    )
+
+    # Phase 2 on the SAME checkpoint: copies of docs 5-9 (must match
+    # the pre-compaction accepted set) + 3 new originals.
+    write_file(2, [(200 + i, text_of(5 + i)) for i in range(5)]
+               + [(300 + i, text_of(300 + i)) for i in range(3)])
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA), store, ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = {
+        r["doc_id"]: r
+        for r in read_snapshot(spark, f"{store}/decisions").collect()
+    }
+    assert len(dec) == 23
+    for i in range(5):
+        r = dec[200 + i]
+        assert r["is_dup"] and r["matched_id"] == 5 + i
+        assert r["best_jaccard"] == 1.0
+    for i in range(3):
+        assert not dec[300 + i]["is_dup"]
+    accepted = {
+        r["doc_id"]
+        for r in read_snapshot(spark, f"{store}/accepted").collect()
+    }
+    assert accepted == set(range(10)) | {300, 301, 302}
+
+    # Exactly-once still holds post-compaction: a restart with no new
+    # files commits nothing to any store.
+    before = {s: versions(f"{store}/{s}")
+              for s in ("bands", "accepted", "decisions")}
+    q = streaming_minhash_dedup_sink(
+        stream_parquet_dir(spark, str(root), DOCUMENT_SCHEMA), store, ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    for s in ("bands", "accepted", "decisions"):
+        assert versions(f"{store}/{s}") == before[s]
