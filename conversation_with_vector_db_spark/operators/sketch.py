@@ -1,0 +1,93 @@
+"""Mergeable frequency summaries: distributed heavy hitters.
+
+The 100 TB shape for "top-k most frequent items" when a full
+groupBy(item) shuffle of the raw item stream is the bottleneck:
+per-partition MISRA-GRIES summaries (bounded memory, one pass,
+no shuffle), a union of the tiny summaries as the CANDIDATE set, then
+ONE exact counting pass restricted to the broadcast candidates. The
+result is EXACT (never approximate) whenever the k-th largest global
+frequency exceeds N/k_counters:
+
+* Misra-Gries retains any item whose partition frequency exceeds
+  n_p/k (total decrement mass charged to one item is at most n_p/k);
+* pigeonhole across partitions: freq(x) > N/k implies freq_p(x) >
+  n_p/k in at least one partition, so x survives in that partition's
+  summary — the union is a SUPERSET of every global heavy hitter;
+* the exact verify pass then measures true counts, so false
+  candidates cost only their count, never an error.
+
+This is the same sketch-prunes / exact-verifies discipline as the
+dedup bloom and band plans: approximation bounds the WORK, the answer
+stays exact. (Summary mergeability per Agarwal et al., "Mergeable
+Summaries", PODS 2012.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partition_summaries(
+    items: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``items[col]``: at most
+    ``k`` (item, weight) rows per input partition, where ``weight``
+    underestimates the partition frequency by at most n_p/k.
+
+    Batched MG: each Arrow batch is reduced with a vectorized
+    ``value_counts`` and merged into the counter dict; when the dict
+    exceeds ``k`` entries, the (len-k)-th smallest weight is
+    subtracted from EVERY counter and non-positive counters drop —
+    one decrement event removes at least k*delta of total mass, so the
+    per-item underestimate stays bounded by n_p/k exactly as in the
+    one-at-a-time formulation. Python work is per-batch and
+    per-surviving-counter, never per-row.
+    """
+    out_schema = f"{col} string, weight long"
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values())[len(counters) - k - 1]
+                counters = {
+                    i: w - cut for i, w in counters.items() if w > cut
+                }
+        yield pd.DataFrame(
+            {col: list(counters), "weight": list(counters.values())}
+        )
+
+    return items.select(col).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters_exact(
+    items: DataFrame,
+    col: str,
+    top: int = 20,
+    k_counters: int = 256,
+) -> DataFrame:
+    """Exact top-``top`` most frequent values of ``items[col]`` via the
+    summary-then-verify plan: MG candidate union (one pass, no
+    shuffle of the raw stream), broadcast semi-join, exact counts of
+    candidates only, deterministic (count desc, value asc) order.
+    Exactness requires the top-th frequency > N/k_counters — size
+    ``k_counters`` to the skew (Zipfian corpora satisfy this with
+    small k; a uniform domain has no heavy hitters to find)."""
+    cands = (
+        mg_partition_summaries(items, col, k_counters)
+        .select(col)
+        .distinct()
+    )
+    return (
+        items.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(col))
+        .limit(top)
+    )

@@ -886,6 +886,67 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_heavy_hitters_sketch",
+    driver=False,
+    doc="""Exact top-20 word bigrams via the Misra-Gries
+    summary-then-verify plan (operators/sketch.py): per-partition
+    bounded-memory MG summaries (one pass, NO shuffle of the raw gram
+    stream), union of the tiny summaries as a broadcast candidate
+    set, then one exact counting pass restricted to candidates. The
+    output is EXACT — the sketch bounds the work, never the answer —
+    which is what lets a DuckDB groupBy oracle pin it. At 100 TB this
+    replaces the full gram-stream shuffle with a shuffle of
+    O(partitions * k_counters) summary rows plus a candidate-pruned
+    count.""",
+    oracle="""
+WITH tok AS (
+    SELECT regexp_extract_all(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '[a-z0-9]+') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT array_to_string(toks[i:i+1], ' ') AS gram
+    FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 2
+)
+SELECT gram, count(*) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT 20
+""",
+)
+def text_heavy_hitters_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import normalized_text
+    from ..operators.sketch import heavy_hitters_exact
+
+    toks = (
+        spark.table("documents")
+        .select(
+            F.regexp_extract_all(
+                normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
+            ).alias("_toks")
+        )
+        .filter(F.size("_toks") >= 2)
+    )
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, 2)),
+            )
+        ).alias("gram")
+    )
+    # k_counters=1024 exceeds the fixture's possible bigram domain, so
+    # the guarantee precondition (20th frequency > N/k) holds
+    # trivially here; the decrement path is exercised by the Zipf unit
+    # test in tests/test_dedup.py.
+    return heavy_hitters_exact(grams, "gram", top=20, k_counters=1024)
+
+
+@query(
     "t13_pack_sequences",
     doc="""Training-sequence packing — the GPT-style concat-and-chunk
     step of a pretraining data pipeline: documents are concatenated in

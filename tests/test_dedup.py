@@ -586,3 +586,55 @@ def test_duplicated_spans_matches_bruteforce(spark):
         i: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
         for i, r in got.items()
     } == expect
+
+
+def test_mg_heavy_hitters_exact_on_zipf(spark):
+    """Misra-Gries summary-then-verify must return the EXACT top-10 on
+    a Zipfian stream whose distinct count (tens of thousands) vastly
+    exceeds the 512 counters — the decrement path runs hard — because
+    (a) every item with global freq > N/k survives some partition
+    summary (pigeonhole + the MG n_p/k underestimate bound), and
+    (b) the final counting pass is exact over candidates."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.sketch import (
+        heavy_hitters_exact,
+        mg_partition_summaries,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.zipf(1.5, size=200_000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"item": [f"v{v}" for v in vals]})
+    ).repartition(16)
+    assert df.select("item").distinct().count() > 512 * 4
+
+    exact = (
+        df.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(10)
+        .collect()
+    )
+    got = heavy_hitters_exact(df, "item", top=10, k_counters=512).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+    # Candidate-superset property: every true top-10 item appears in
+    # the union of partition summaries.
+    cands = {
+        r["item"]
+        for r in mg_partition_summaries(df, "item", 512).collect()
+    }
+    assert {r["item"] for r in exact} <= cands
+    # Summaries stay bounded: at most k rows per partition.
+    per_part = (
+        mg_partition_summaries(df, "item", 512)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_part <= 512
