@@ -1,0 +1,96 @@
+"""Temporal joins: the distributed as-of join.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas/kdb do). The naive
+rewrites are wrong at scale: an inequality theta-join explodes to the
+full per-key cross product before picking the max, and a
+per-left-row correlated subquery doesn't distribute at all. The
+scale-correct shape is UNION-AND-WINDOW: tag both sides, union them,
+sort each key's timeline once (ONE shuffle, on the join key), and let
+``last(payload, ignorenulls=True)`` over the running frame carry the
+most recent right row forward to every left row. Cost is the cost of
+one sort-shuffle of left+right — no pair explosion, no re-shuffle per
+side — and skew follows the key distribution exactly like any window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"
+_TB = "_asof_tb"
+_PAYLOAD = "_asof"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: tuple[str, ...] | None = None,
+    tiebreak: str | None = None,
+    strict: bool = False,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row of the same
+    ``on`` key with ``right.ts <= left.ts`` (``strict=True``: ``<``)
+    as a nullable struct column ``_asof`` holding ``right_cols``
+    (default: ``ts`` plus ``tiebreak``). No match -> NULL struct.
+
+    Determinism under equal right timestamps is explicit, not
+    accidental: among same-(key, ts) right rows the one with the
+    greatest ``tiebreak`` wins (pass the right side's id column; with
+    no ties the argument is irrelevant). ``tolerance_sec`` voids
+    matches older than the window — the pandas ``merge_asof``
+    tolerance semantics.
+
+    Plan shape: unionByName (missing columns null-filled) -> ONE
+    window over (key, time, side, tiebreak) -> filter back to left
+    rows. The side bit orders right rows BEFORE left at equal ts for
+    the inclusive form and AFTER for the strict form, so the running
+    frame itself encodes the boundary rule.
+    """
+    if right_cols is None:
+        right_cols = (ts,) if tiebreak is None else (ts, tiebreak)
+    if ts not in right_cols:
+        right_cols = (ts, *right_cols)  # tolerance/gap need the ts
+    tb_col = (
+        F.col(tiebreak) if tiebreak is not None else F.lit(0)
+    )
+    right_u = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0 if not strict else 2).alias(_SIDE),
+        tb_col.cast("long").alias(_TB),
+        F.struct(*[F.col(c) for c in right_cols]).alias(_PAYLOAD),
+    )
+    left_u = left.select(
+        "*",
+        F.lit(1).alias(_SIDE),
+        F.lit(0).cast("long").alias(_TB),
+        F.lit(None).cast(
+            right_u.schema[_PAYLOAD].dataType
+        ).alias(_PAYLOAD),
+    )
+    unioned = left_u.unionByName(right_u, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col(_SIDE).asc(), F.col(_TB).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn(
+            _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+        )
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, _TB)
+    )
+    if tolerance_sec is not None:
+        horizon = (
+            F.col(ts).cast("double")
+            - F.col(f"{_PAYLOAD}.{ts}").cast("double")
+        ) <= float(tolerance_sec)
+        matched = matched.withColumn(
+            _PAYLOAD, F.when(horizon, F.col(_PAYLOAD))
+        )
+    return matched

@@ -356,3 +356,58 @@ def j14_teams_membership_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "j15_asof_attribution",
+    driver=False,
+    doc="""AS-OF JOIN (engine extra — the classic temporal operator
+    Spark lacks): every purchase event attributed to the SAME user's
+    latest click at-or-before it. Implemented as the distributed
+    union-and-window as-of (operators/temporal.asof_join): one
+    sort-shuffle of both event streams on user_id, last(payload)
+    IGNORE NULLS over the running per-user timeline — no inequality
+    theta-join pair explosion, no correlated per-row probe. The
+    DuckDB oracle is the NATIVE ASOF LEFT JOIN, so the two engines
+    cross-check genuinely independent implementations of the
+    semantics. gap_us is integer microseconds (exact on both
+    engines).""",
+    oracle="""
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       c.event_id AS click_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY event_id
+""",
+)
+def j15_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_cols=("ts", "event_id"),
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("_asof.event_id").alias("click_event_id"),
+        (
+            # unix_micros needs TIMESTAMP; the NTZ fixture cast is
+            # exact under the engine's pinned UTC session timezone.
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("_asof.ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")
