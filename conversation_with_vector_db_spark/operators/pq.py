@@ -1,0 +1,233 @@
+"""Product quantization: vector search when the VECTORS don't fit.
+
+IVF (operators/ann.py) bounds how much of the corpus a query READS;
+PQ bounds how much the index WEIGHS. A 1536-d float64 embedding is
+12 KB — 10^9 vectors is 12 TB of raw arrays; a PQ code with m
+sub-quantizers is m bytes (m=96 -> 96 GB, a 128x compression). PQ
+splits each vector into m contiguous subvectors, learns a
+k<=256-centroid codebook per subspace on a deterministic sample
+(Jegou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the same public design FAISS implements), and
+stores each vector as its m nearest-centroid ids.
+
+Queries score with ASYMMETRIC DISTANCE COMPUTATION (ADC): the query
+stays exact; per query ONE (m x k) table of
+query-subvector . centroid inner products is built driver-side
+(m*k*8 bytes — broadcast-tiny), and every corpus code scores as m
+table LOOKUPS, no decompression and no per-pair float math. The scan
+is Arrow-batched numpy `take`s — the PQ analogue of matmul_topk's
+batch discipline.
+
+Exactness discipline (matching this engine's sketch/bloom/band
+operators): ADC ranks approximately, so `pq_topk` REFINES — the ADC
+top-`refine` candidate ids join back to the raw vectors and the final
+top-k is exact cosine over that candidate set. The code table prunes
+the work; recall is certified by test and by the `ann_pq_recall_suite`
+floor row, exactly like the LSH/IVF suites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pq_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    iters: int = 15,
+):
+    """Train per-subspace codebooks; returns a numpy array of shape
+    (m, k, dsub). Deterministic: seeded sample, seeded init, fixed
+    Lloyd iteration count — two fits of the same corpus are
+    bit-identical (the same contract as the seeded IVF fit).
+
+    Driver-side on a SAMPLE by design (FAISS trains PQ on ~10-100k
+    points regardless of corpus size): the codebook is m*k*dsub
+    floats; the training set is the only thing collected and
+    ``sample_fraction`` bounds it. The dimension must divide by ``m``
+    (loud refusal beats silent padding)."""
+    import numpy as np
+
+    fit_on = (
+        corpus
+        if sample_fraction is None
+        else corpus.sample(fraction=sample_fraction, seed=seed)
+    )
+    vecs = np.asarray(
+        [r[0] for r in fit_on.select(vec_col).collect()], dtype=np.float64
+    )
+    n, dim = vecs.shape
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k_eff = min(k, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = vecs[:, j * dsub:(j + 1) * dsub]
+        cent = sub[rng.choice(n, size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            # (n, k) squared distances via the expanded dot form.
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ cent.T
+                + (cent * cent).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(0)
+                # empty cell: keep the old centroid (deterministic).
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code array<int>) — each vector's per-subspace nearest
+    centroid ids. One Arrow-batched pass; per batch the assignment is
+    an (n, k) matmul per subspace, no Python per-row work. This is the
+    table a 100 TB deployment PERSISTS (m bytes/vector) while the raw
+    arrays stay cold in object storage for the refine reads."""
+    import numpy as np
+    import pandas as pd
+
+    from .cache import scoped_broadcast
+
+    mm, k_eff, dsub = codebooks.shape
+    bc = scoped_broadcast(
+        corpus.sparkSession.sparkContext.broadcast(codebooks)
+    )
+
+    def encode(batches):
+        books = bc.value
+        for pdf in batches:
+            vecs = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if vecs.size == 0:
+                yield pd.DataFrame({id_col: [], "code": []})
+                continue
+            codes = np.empty((len(vecs), mm), dtype=np.int32)
+            for j in range(mm):
+                sub = vecs[:, j * dsub:(j + 1) * dsub]
+                cent = books[j]
+                d2 = (
+                    -2.0 * sub @ cent.T + (cent * cent).sum(1)[None, :]
+                )  # (sub*sub).sum is constant per row: argmin-safe to drop
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "code": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, code array<int>"
+    )
+
+
+def pq_adc_scores(
+    codes: DataFrame,
+    codebooks,
+    query_vectors: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, id, ascore) — approximate inner-product scores via ADC
+    lookup tables, for every (query, code) pair. The tables are
+    (n_queries, m, k) floats built once driver-side from the exact
+    query vectors; each Arrow batch scores with m vectorized `take`s
+    per query — no decompression, no per-pair arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    mm, k_eff, dsub = codebooks.shape
+    qids = [q for q, _ in query_vectors]
+    qmat = np.asarray([v for _, v in query_vectors], dtype=np.float64)
+    # luts[q, j, c] = <query_q subvector j, centroid c of subspace j>
+    luts = np.stack(
+        [
+            qmat[:, j * dsub:(j + 1) * dsub] @ codebooks[j].T
+            for j in range(mm)
+        ],
+        axis=1,
+    )
+    from .cache import scoped_broadcast
+
+    sess = codes.sparkSession
+    bc = scoped_broadcast(sess.sparkContext.broadcast((qids, luts)))
+
+    def score(batches):
+        q_ids, tables = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.asarray(list(pdf["code"]), dtype=np.int64)
+            n = len(cm)
+            out_scores = np.zeros((len(q_ids), n), dtype=np.float64)
+            for j in range(cm.shape[1]):
+                out_scores += tables[:, j, :][:, cm[:, j]]
+            ids = pdf[id_col].values
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, n),
+                    id_col: np.tile(ids, len(q_ids)),
+                    "ascore": out_scores.reshape(-1),
+                }
+            )
+
+    return codes.mapInPandas(
+        score, f"qid long, {id_col} long, ascore double"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine top-k over the ADC top-``refine`` candidate set:
+    the compressed scan ranks, the refine join reads only
+    ~refine raw vectors per query, and the output ordering is exact
+    cosine (same shape/rounding as the other vector plans). Recall
+    depends on (m, refine) and is floor-certified by the recall
+    suite."""
+    from .vector import collect_query_vectors, matmul_topk, topk_per_query
+
+    qvecs = collect_query_vectors(queries, id_col, vec_col)
+    cands = topk_per_query(
+        pq_adc_scores(codes, codebooks, qvecs, id_col),
+        refine,
+        query_col="qid",
+        score_col="ascore",
+        tiebreak_col=id_col,
+    ).select("qid", id_col)
+    # Refine: exact cosine over candidates only. The per-query exact
+    # rescore reuses matmul_topk against the candidate-pruned corpus;
+    # the semi join is what a 100 TB serving path does to fetch raw
+    # vectors for refinement (candidate ids are ~refine * n_queries).
+    cand_ids = cands.select(id_col).distinct()
+    pruned = corpus.join(F.broadcast(cand_ids), id_col)
+    # The exact pass ranks over the UNION of all queries' candidates,
+    # so its per-query window limit must admit every candidate (another
+    # query's vector may outscore this query's own) — the join back to
+    # `cands` then keeps only each query's own refine set.
+    scored = matmul_topk(
+        pruned, qvecs, k=max(k, refine) * max(1, len(qvecs)),
+        id_col=id_col, vec_col=vec_col,
+    ).join(cands, ["qid", id_col])
+    return topk_per_query(
+        scored.select("qid", id_col, "sim"), k,
+        query_col="qid", score_col="sim", tiebreak_col=id_col,
+    ).select("qid", id_col, "sim", "rank")

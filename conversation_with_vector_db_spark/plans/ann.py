@@ -504,3 +504,57 @@ def ann_ivf_table_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_report(spark)
+
+
+#: ann_pq_recall_suite config. Uniform fixtures are the PQ-hardest
+#: case (no cluster structure, quantization error dominates);
+#: measured recall@10 with m=16 subspaces x 32 centroids + exact
+#: refine of the ADC top-100: sf0.001 1.0, sf0.01 1.0, sf0.1 0.94.
+#: Floor = worst measurement minus a 0.14 margin for KMeans-init
+#: sensitivity to input partitioning (the IDX_FLOOR convention). The
+#: 64-d float64 fixture vector is 512 B; its code is 16 B -> 32x.
+PQ_M, PQ_KSUB, PQ_REFINE, PQ_FLOOR = 16, 32, 100, 0.80
+
+
+@query(
+    "ann_pq_recall_suite",
+    driver=False,
+    doc="""Product-quantization search (operators/pq.py: per-subspace
+    codebooks, ADC lookup-table scan over m-byte codes, exact-cosine
+    refine of the ADC top-100) recall-certified against exact brute
+    force — the memory-side scale path: IVF bounds what a query READS,
+    PQ bounds what the index WEIGHS (the 64-d fixture vector is 512 B
+    raw, 16 B coded — 32x; at the reference's 1536-d it is 12 KB vs
+    ~100 B). Codebook/KMeans internals aren't ANSI-SQL, so like
+    ann_recall_suite the driver-checked form is self-asserting
+    (method, meets_floor) rows against all-true VALUES; the
+    compression row pins the static size arithmetic.""",
+    oracle="""
+SELECT * FROM (VALUES
+    ('pq_adc_m16x32_refine100', TRUE),
+    ('pq_code_32x_smaller', TRUE)
+) AS t(method, meets_floor)
+ORDER BY method
+""",
+)
+def ann_pq_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_fit, pq_topk
+
+    emb = spark.table("embeddings")
+    q = _queries(emb)
+    books = pq_fit(emb, m=PQ_M, k=PQ_KSUB, seed=42)
+    codes = pq_encode(emb, books)
+    approx = pq_topk(
+        emb, codes, books, q, k=K, refine=PQ_REFINE
+    )
+    exact = exact_baseline(emb, q, k=K)
+    rec = recall_at_k(approx, exact, k=K).select(
+        F.lit("pq_adc_m16x32_refine100").alias("method"),
+        (F.col("recall") >= PQ_FLOOR).alias("meets_floor"),
+    )
+    dim = len(emb.select("embedding").first()[0])
+    compress = spark.createDataFrame(
+        [("pq_code_32x_smaller", (dim * 8) // PQ_M == 32)],
+        "method string, meets_floor boolean",
+    )
+    return rec.unionByName(compress).orderBy("method")

@@ -1,0 +1,118 @@
+"""Product quantization (operators/pq.py): determinism, the
+encode/score shapes, and recall of the ADC+refine plan against exact
+brute force on a clustered corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.operators.pq import (
+    pq_adc_scores,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+)
+from conversation_with_vector_db_spark.operators.vector import (
+    collect_query_vectors,
+    matmul_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(17)
+    cents = rng.normal(size=(8, 32))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = [
+        (int(i), [float(x) for x in cents[i % 8]
+                  + rng.normal(size=32) * 0.07])
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8).cache()
+
+
+def test_fit_is_deterministic_and_shaped(clustered):
+    b1 = pq_fit(clustered, m=4, k=16, seed=7)
+    b2 = pq_fit(clustered, m=4, k=16, seed=7)
+    assert b1.shape == (4, 16, 8)
+    assert (b1 == b2).all()
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(clustered, m=5)
+
+
+def test_encode_emits_one_code_row_per_vector(spark, clustered):
+    books = pq_fit(clustered, m=4, k=16, seed=7)
+    codes = pq_encode(clustered, books)
+    rows = codes.collect()
+    assert len(rows) == 400
+    assert all(len(r["code"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["code"])
+    # Encoding is deterministic across partitionings.
+    again = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_encode(clustered.repartition(3), books).collect()
+    }
+    assert {r["vec_id"]: list(r["code"]) for r in rows} == again
+
+
+def test_adc_score_equals_reconstructed_inner_product(spark, clustered):
+    """ADC's table-lookup score must equal the inner product of the
+    query with the RECONSTRUCTED (centroid-concatenated) vector — the
+    defining identity of product quantization."""
+    books = pq_fit(clustered, m=4, k=16, seed=7)
+    codes_df = pq_encode(clustered, books)
+    queries = clustered.filter(F.col("vec_id") < 3)
+    qvecs = collect_query_vectors(queries)
+    got = {
+        (r["qid"], r["vec_id"]): r["ascore"]
+        for r in pq_adc_scores(codes_df, books, qvecs).collect()
+    }
+    codes = {
+        r["vec_id"]: list(r["code"]) for r in codes_df.collect()
+    }
+    for qid, qv in qvecs:
+        q = np.asarray(qv)
+        for vid, code in codes.items():
+            recon = np.concatenate(
+                [books[j, code[j]] for j in range(4)]
+            )
+            assert got[(qid, vid)] == pytest.approx(float(q @ recon))
+
+
+def test_pq_refine_recall_against_exact(spark, clustered):
+    """ADC top-50 refine + exact rescore must recover >= 0.9 of the
+    true cosine top-10 on the clustered corpus, and every returned
+    (qid, sim) must agree exactly with the brute-force scores (the
+    refine pass IS the exact scorer over candidates)."""
+    books = pq_fit(clustered, m=8, k=32, seed=7)
+    codes = pq_encode(clustered, books)
+    queries = clustered.filter(F.col("vec_id") % 57 == 0)
+    qvecs = collect_query_vectors(queries)
+    exact = matmul_topk(clustered, qvecs, k=10)
+    approx = pq_topk(
+        clustered, codes, books, queries, k=10, refine=50
+    )
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    ap = {}
+    sims = {}
+    for r in approx.collect():
+        ap.setdefault(r["qid"], set()).add(r["vec_id"])
+        sims[(r["qid"], r["vec_id"])] = r["sim"]
+    assert set(ap) == set(ex)
+    hits = sum(len(ap[q] & ex[q]) for q in ex)
+    total = sum(len(ex[q]) for q in ex)
+    assert hits / total >= 0.9, f"recall {hits/total:.3f}"
+    # Refined sims are the exact (rounded) cosine values.
+    exact_sims = {
+        (r["qid"], r["vec_id"]): r["sim"] for r in exact.collect()
+    }
+    for key, s in sims.items():
+        if key in exact_sims:
+            assert s == exact_sims[key]
