@@ -93,12 +93,16 @@ def pq_encode(
     codebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, code array<int>) — each vector's per-subspace nearest
-    centroid ids. One Arrow-batched pass; per batch the assignment is
-    an (n, k) matmul per subspace, no Python per-row work. This is the
-    table a 100 TB deployment PERSISTS (m bytes/vector) while the raw
-    arrays stay cold in object storage for the refine reads."""
+    """(id, code array<int>[, keep_cols]) — each vector's per-subspace
+    nearest centroid ids. One Arrow-batched pass; per batch the
+    assignment is an (n, k) matmul per subspace, no Python per-row
+    work. This is the table a 100 TB deployment PERSISTS
+    (m bytes/vector) while the raw arrays stay cold in object storage
+    for the refine reads. ``keep_cols`` ride through unchanged (e.g.
+    the IVF cell tag, so IVF-PQ stores ONE code table partitioned by
+    cell)."""
     import numpy as np
     import pandas as pd
 
@@ -114,7 +118,6 @@ def pq_encode(
         for pdf in batches:
             vecs = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             if vecs.size == 0:
-                yield pd.DataFrame({id_col: [], "code": []})
                 continue
             codes = np.empty((len(vecs), mm), dtype=np.int32)
             for j in range(mm):
@@ -124,12 +127,17 @@ def pq_encode(
                     -2.0 * sub @ cent.T + (cent * cent).sum(1)[None, :]
                 )  # (sub*sub).sum is constant per row: argmin-safe to drop
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "code": list(codes)}
-            )
+            out = {id_col: pdf[id_col].values, "code": list(codes)}
+            for c in keep_cols:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, code array<int>"
+    keep_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}"
+        for c in keep_cols
+    )
+    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(
+        encode, f"{id_col} long, code array<int>{keep_schema}"
     )
 
 
@@ -223,6 +231,120 @@ def pq_topk(
     # so its per-query window limit must admit every candidate (another
     # query's vector may outscore this query's own) — the join back to
     # `cands` then keeps only each query's own refine set.
+    scored = matmul_topk(
+        pruned, qvecs, k=max(k, refine) * max(1, len(qvecs)),
+        id_col=id_col, vec_col=vec_col,
+    ).join(cands, ["qid", id_col])
+    return topk_per_query(
+        scored.select("qid", id_col, "sim"), k,
+        query_col="qid", score_col="sim", tiebreak_col=id_col,
+    ).select("qid", id_col, "sim", "rank")
+
+
+def pq_adc_pair_scores(
+    pairs: DataFrame,
+    codebooks,
+    query_vectors: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, id, ascore) for an EXPLICIT (qid, id, code) pair table —
+    the cell-pruned form of :func:`pq_adc_scores`: the caller joins
+    codes to each query's probed cells first, so only probed pairs are
+    ever scored. Batches hold mixed qids; the lookup stays fully
+    vectorized via fancy indexing (qid -> table row, code -> column)."""
+    import numpy as np
+    import pandas as pd
+
+    from .cache import scoped_broadcast
+
+    mm, k_eff, dsub = codebooks.shape
+    qids = np.asarray(sorted(q for q, _ in query_vectors), dtype=np.int64)
+    by_id = dict(query_vectors)
+    qmat = np.asarray([by_id[q] for q in qids], dtype=np.float64)
+    luts = np.stack(
+        [
+            qmat[:, j * dsub:(j + 1) * dsub] @ codebooks[j].T
+            for j in range(mm)
+        ],
+        axis=1,
+    )
+    bc = scoped_broadcast(
+        pairs.sparkSession.sparkContext.broadcast((qids, luts))
+    )
+
+    def score(batches):
+        q_sorted, tables = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.asarray(list(pdf["code"]), dtype=np.int64)
+            qi = np.searchsorted(
+                q_sorted, pdf["qid"].to_numpy(dtype=np.int64)
+            )
+            acc = np.zeros(len(cm), dtype=np.float64)
+            for j in range(cm.shape[1]):
+                acc += tables[qi, j, cm[:, j]]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].values,
+                    id_col: pdf[id_col].values,
+                    "ascore": acc,
+                }
+            )
+
+    return pairs.select("qid", id_col, "code").mapInPandas(
+        score, f"qid long, {id_col} long, ascore double"
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 32,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB serving architecture (the
+    public FAISS IVFPQ design). IVF bounds what a query READS — only
+    nprobe/nlist of the code table's cells join into the scan; PQ
+    bounds what the index WEIGHS — the scanned cells are m-byte codes,
+    not raw vectors; the exact-cosine refine touches raw vectors for
+    only ~refine candidates per query. One code table partitioned by
+    cell serves everything; the raw arrays stay cold until refine."""
+    from .ann import ivf_fit_cells, ivf_probed_cells
+    from .vector import collect_query_vectors, matmul_topk, topk_per_query
+
+    assigned, cent = ivf_fit_cells(
+        corpus, nlist, vec_col, seed, fit_fraction
+    )
+    books = pq_fit(
+        corpus, vec_col, m=m, k=ksub, seed=seed,
+        sample_fraction=fit_fraction,
+    )
+    codes = pq_encode(
+        assigned, books, vec_col, id_col, keep_cols=("cell",)
+    )
+    qvecs = collect_query_vectors(queries, id_col, vec_col)
+    probed = ivf_probed_cells(
+        cent, queries, nprobe, id_col, vec_col
+    ).select("qid", "cell")
+    pairs = codes.join(F.broadcast(probed), "cell")
+    cands = topk_per_query(
+        pq_adc_pair_scores(pairs, books, qvecs, id_col),
+        refine,
+        query_col="qid",
+        score_col="ascore",
+        tiebreak_col=id_col,
+    ).select("qid", id_col)
+    cand_ids = cands.select(id_col).distinct()
+    pruned = corpus.join(F.broadcast(cand_ids), id_col)
     scored = matmul_topk(
         pruned, qvecs, k=max(k, refine) * max(1, len(qvecs)),
         id_col=id_col, vec_col=vec_col,

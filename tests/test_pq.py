@@ -116,3 +116,48 @@ def test_pq_refine_recall_against_exact(spark, clustered):
     for key, s in sims.items():
         if key in exact_sims:
             assert s == exact_sims[key]
+
+
+def test_ivf_pq_composed_recall_and_pruning(spark, clustered):
+    """IVF-PQ: the composed serving plan must (a) recover >= 0.85 of
+    the exact top-10 on the clustered corpus, (b) ADC-score ONLY pairs
+    from each query's probed cells (the scan the composition exists to
+    shrink), and (c) emit exact cosine sims for what it returns."""
+    from conversation_with_vector_db_spark.operators.ann import (
+        ivf_fit_cells,
+        ivf_probed_cells,
+    )
+    from conversation_with_vector_db_spark.operators.pq import ivf_pq_topk
+
+    queries = clustered.filter(F.col("vec_id") % 57 == 0)
+    qvecs = collect_query_vectors(queries)
+    exact = matmul_topk(clustered, qvecs, k=10)
+    got = ivf_pq_topk(
+        clustered, queries, k=10, nlist=8, nprobe=3, m=8, ksub=32,
+        refine=50,
+    )
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    exact_sims = {
+        (r["qid"], r["vec_id"]): r["sim"] for r in exact.collect()
+    }
+    for r in got.collect():
+        ap.setdefault(r["qid"], set()).add(r["vec_id"])
+        if (r["qid"], r["vec_id"]) in exact_sims:
+            assert r["sim"] == exact_sims[(r["qid"], r["vec_id"])]
+    hits = sum(len(ap[q] & ex[q]) for q in ex)
+    total = sum(len(ex[q]) for q in ex)
+    assert hits / total >= 0.85, f"recall {hits/total:.3f}"
+    # Pruning claim: every returned id lives in a cell the query
+    # probed (the ADC pair join admits nothing else).
+    assigned, cent = ivf_fit_cells(clustered, 8)
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in assigned.select("vec_id", "cell").collect()
+    }
+    probed = {}
+    for r in ivf_probed_cells(cent, queries, 3).collect():
+        probed.setdefault(r["qid"], set()).add(r["cell"])
+    for q, ids in ap.items():
+        assert all(cell_of[i] in probed[q] for i in ids)
