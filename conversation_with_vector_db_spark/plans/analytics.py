@@ -573,6 +573,10 @@ def a8b_cube_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "u6_intersect_except",
+    # Local tier since r8: rotated out (set-op family keeps its driver
+    # row via u1) to make room for ann_pq_recall_suite — the new PQ
+    # family earns the gate slot, the r6/r7 rotation convention.
+    driver=False,
     doc="""Table-level INTERSECT/EXCEPT (engine extra — SURVEY §2.10
     notes the reference has none): users active this week vs last week
     -> retained / churned / new cohort counts.""",

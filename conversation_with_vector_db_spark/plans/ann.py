@@ -518,7 +518,8 @@ PQ_M, PQ_KSUB, PQ_REFINE, PQ_FLOOR = 16, 32, 100, 0.80
 
 @query(
     "ann_pq_recall_suite",
-    driver=False,
+    # Driver tier since r8 (rotation: u6_intersect_except to local) —
+    # the PQ family's gate row.
     doc="""Product-quantization search (operators/pq.py: per-subspace
     codebooks, ADC lookup-table scan over m-byte codes, exact-cosine
     refine of the ADC top-100) recall-certified against exact brute
