@@ -353,3 +353,146 @@ def ivf_pq_topk(
         scored.select("qid", id_col, "sim"), k,
         query_col="qid", score_col="sim", tiebreak_col=id_col,
     ).select("qid", id_col, "sim", "rank")
+
+
+def pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> None:
+    """Materialize an IVF-PQ index next to the raw vectors:
+
+    * ``<path>/data/cell=<i>/``  — raw vectors, cell-partitioned (the
+      :func:`..ann.ivf_write_index` layout; refine reads live here);
+    * ``<path>/codes/cell=<i>/`` — the m-byte PQ codes, SAME
+      partitioning (the scan path — ~dim*8/m times smaller);
+    * ``<path>/centroids``       — the nlist-row IVF sidecar;
+    * ``<path>/pq_books``        — (subspace, code, centroid) rows.
+
+    Everything expensive (cell fit + assignment, codebook fit, encode)
+    is paid once at write time; a query then partition-prunes the CODE
+    table to nprobe cells, ADC-scans bytes, and touches the raw table
+    only for ~refine candidate rows."""
+    from .ann import ivf_fit_cells
+
+    assigned, cent_df = ivf_fit_cells(
+        corpus, nlist, vec_col, seed, fit_fraction
+    )
+    books = pq_fit(
+        corpus, vec_col, m=m, k=ksub, seed=seed,
+        sample_fraction=fit_fraction,
+    )
+    assigned.select(id_col, vec_col, "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/data")
+    pq_encode(
+        assigned, books, vec_col, id_col, keep_cols=("cell",)
+    ).write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    mm, k_eff, dsub = books.shape
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(mm)
+        for c in range(k_eff)
+    ]
+    corpus.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_books")
+
+
+def _load_books(spark, path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/pq_books").collect()
+    mm = 1 + max(r["subspace"] for r in rows)
+    kk = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((mm, kk, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    return books
+
+
+def pq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a :func:`pq_write_index` layout: probed cells fold
+    to PARTITION FILTERS on the CODE table (file listing prunes to
+    nprobe/nlist of the m-byte-code files — the double win: fewer
+    files AND ~dim*8/m smaller ones), qid-aware ADC scores the pruned
+    pairs, and the exact refine reads raw vectors only from the probed
+    cells' data partitions, semi-joined to the ~refine candidates per
+    query. Same one-probe-evaluation discipline as ivf_topk_indexed:
+    partition filter and pair join are rebuilt from ONE collected
+    probe row set."""
+    from .ann import ivf_probed_cells
+    from .vector import matmul_topk, topk_per_query
+
+    cent_df = spark.read.parquet(f"{index_path}/centroids")
+    books = _load_books(spark, index_path)
+    probed_rows = ivf_probed_cells(
+        cent_df, queries, nprobe, id_col, vec_col
+    ).collect()
+    codes_scan = spark.read.parquet(f"{index_path}/codes")
+    if not probed_rows:
+        return (
+            codes_scan.filter(F.lit(False))
+            .select(
+                F.col(id_col).alias("qid"),
+                id_col,
+                F.lit(0.0).alias("sim"),
+                F.lit(0).alias("rank"),
+            )
+        )
+    qvecs = sorted(
+        (int(r["qid"]), [float(x) for x in r["_qvec"]])
+        for r in probed_rows
+    )
+    qvecs = list(dict(qvecs).items())
+    cells = sorted({int(r["cell"]) for r in probed_rows})
+    probed_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["qid"]), int(r["cell"])) for r in probed_rows],
+            "qid long, cell int",
+        )
+    )
+    pairs = codes_scan.filter(F.col("cell").isin(cells)).join(
+        probed_df, "cell"
+    )
+    cands = topk_per_query(
+        pq_adc_pair_scores(pairs, books, qvecs, id_col),
+        refine,
+        query_col="qid",
+        score_col="ascore",
+        tiebreak_col=id_col,
+    ).select("qid", id_col)
+    cand_ids = cands.select(id_col).distinct()
+    raw = spark.read.parquet(f"{index_path}/data").filter(
+        F.col("cell").isin(cells)
+    )
+    pruned = raw.join(F.broadcast(cand_ids), id_col)
+    scored = matmul_topk(
+        pruned, qvecs, k=max(k, refine) * max(1, len(qvecs)),
+        id_col=id_col, vec_col=vec_col,
+    ).join(cands, ["qid", id_col])
+    return topk_per_query(
+        scored.select("qid", id_col, "sim"), k,
+        query_col="qid", score_col="sim", tiebreak_col=id_col,
+    ).select("qid", id_col, "sim", "rank")

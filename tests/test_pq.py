@@ -161,3 +161,71 @@ def test_ivf_pq_composed_recall_and_pruning(spark, clustered):
         probed.setdefault(r["qid"], set()).add(r["cell"])
     for q, ids in ap.items():
         assert all(cell_of[i] in probed[q] for i in ids)
+
+
+def test_pq_indexed_matches_inmemory_composition(spark, clustered, tmp_path):
+    """The persisted pq_write_index layout must rank exactly what the
+    in-memory ivf_pq_topk composition ranks (same seeds, same
+    nlist/nprobe/m/refine), and the code scan's inputFiles must prune
+    to the probed cells' CODE partitions — the double win (fewer files
+    AND smaller ones) is the layout's whole point."""
+    from conversation_with_vector_db_spark.operators.ann import (
+        ivf_probed_cells,
+    )
+    from conversation_with_vector_db_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_topk_indexed,
+        pq_write_index,
+    )
+
+    path = str(tmp_path / "pqidx")
+    pq_write_index(clustered, path, nlist=8, m=8, ksub=32)
+    queries = clustered.filter(F.col("vec_id") % 57 == 0)
+    direct = ivf_pq_topk(
+        clustered, queries, k=5, nlist=8, nprobe=3, m=8, ksub=32,
+        refine=50,
+    )
+    indexed = pq_topk_indexed(
+        spark, path, queries, k=5, nprobe=3, refine=50
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    # Partition pruning on the code table (one query probes exactly
+    # nprobe of the 8 cells; the earlier equality ran the full set).
+    cent = spark.read.parquet(f"{path}/centroids")
+    one = queries.orderBy("vec_id").limit(1)
+    cells = {
+        int(r["cell"]) for r in ivf_probed_cells(cent, one, 3).collect()
+    }
+    assert len(cells) == 3  # something actually pruned
+    pruned_scan = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(sorted(cells))
+    )
+    # Catalyst prunes partitioned-dir scans at planning time, so the
+    # evidence lives in the physical plan's PartitionFilters (the
+    # transactional table's manifest pruning is asserted via
+    # inputFiles elsewhere — different mechanism, same guarantee).
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:120]
+    n_pruned = pruned_scan.count()
+    n_all = spark.read.parquet(f"{path}/codes").count()
+    assert 0 < n_pruned < n_all  # the probed cells are a strict subset
+    # The code table is materially smaller than the raw vectors.
+    import os
+
+    def tree_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # At 400 rows parquet per-file overhead dominates, so the on-disk
+    # ratio understates the 32x payload ratio — assert the direction
+    # here; the real-scale ratio is measured at 1536-d by
+    # tools/ann_scale.py (BENCH_ANN_1536D.json pq_indexed).
+    assert tree_bytes(f"{path}/codes") < tree_bytes(f"{path}/data") / 2

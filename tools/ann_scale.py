@@ -90,7 +90,7 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
     os.rename(tmp, path)
 
 
-ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed")
+ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed", "pq_indexed")
 
 
 def _prepare_corpus(spark, n: int, dim: int, workdir: str):
@@ -233,6 +233,46 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
             len(probed_files) / max(1, len(all_files)), 4
         )
         shutil.rmtree(idx_path, ignore_errors=True)
+    if "pq_indexed" in methods:
+        # Write-time IVF-PQ: the probed cells' scan reads m-byte CODES
+        # instead of dim*8-byte vectors; raw rows are touched only for
+        # the ~refine candidates per query. m sized so dsub=16
+        # (dim 1536 -> m=96 -> 768 B/vector incl. parquet framing vs
+        # 12 KB raw).
+        from conversation_with_vector_db_spark.operators.pq import (
+            pq_topk_indexed,
+            pq_write_index,
+        )
+
+        pq_m = max(8, dim // 16)
+        pq_path = os.path.join(workdir, f"ann_pqidx_{n}_{dim}d")
+        shutil.rmtree(pq_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        # ~80 pts/centroid for the 256-centroid books (the FAISS
+        # training regime); the collect stays ~20k rows at any n.
+        pq_write_index(corpus, pq_path, nlist=nlist, m=pq_m, ksub=256,
+                       fit_fraction=min(1.0, 20_000 / n))
+        out["pq_index_build_sec"] = round(time.perf_counter() - t0, 3)
+
+        def _bytes(sub):
+            tot = 0
+            for r, _d, fs in os.walk(f"{pq_path}/{sub}"):
+                tot += sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for f in fs if f.endswith(".parquet")
+                )
+            return tot
+
+        out["pq_code_bytes_fraction"] = round(
+            _bytes("codes") / max(1, _bytes("data")), 4
+        )
+        pqx = timed(f"pq_indexed_{nlist}c{nprobe}p_m{pq_m}_query_sec",
+                    pq_topk_indexed(spark, pq_path, queries, k=10,
+                                    nprobe=nprobe, refine=100))
+        out["pq_indexed_recall"] = round(
+            recall_at_k(pqx, exact, k=10).first().recall, 4
+        )
+        shutil.rmtree(pq_path, ignore_errors=True)
     corpus.unpersist()
     return out
 
