@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
                noise_norm: float = 0.64, seed: int = 7,
-               chunk: int = 50_000) -> None:
+               chunk: int = 50_000, noise_rank: int | None = None) -> None:
     """Chunked vectorized write: each chunk is one ListArray built from
     a flat buffer + offsets (no per-row Python lists), one row group.
     Peak memory is O(chunk * dim), not O(n * dim).
@@ -63,6 +63,16 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
     noise = noise_norm / np.sqrt(dim)
     centroids = rng.normal(size=(n_clusters, dim))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    # noise_rank restricts the per-point noise to a fixed r-dim
+    # subspace of the ambient dim (same expected NORM): the
+    # low-intrinsic-dimension structure real text embeddings have.
+    # Full-rank isotropic noise (the default) is the PQ worst case —
+    # quantization error is spread over every coordinate — so the two
+    # settings bracket the realistic range.
+    basis = None
+    if noise_rank is not None and noise_rank < dim:
+        basis, _ = np.linalg.qr(rng.normal(size=(dim, noise_rank)))
+        noise = noise_norm / np.sqrt(noise_rank)
     schema = pa.schema([
         ("vec_id", pa.int64()),
         ("embedding", pa.list_(pa.float64())),
@@ -72,9 +82,15 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             m = hi - lo
+            pt_noise = (
+                rng.normal(size=(m, dim)) * noise
+                if basis is None
+                else (rng.normal(size=(m, basis.shape[1])) * noise)
+                @ basis.T
+            )
             vecs = (
                 centroids[np.arange(lo, hi) * n_clusters // n]
-                + rng.normal(size=(m, dim)) * noise
+                + pt_noise
             ).astype(np.float64)
             offsets = np.arange(0, (m + 1) * dim, dim, dtype=np.int64)
             emb = pa.ListArray.from_arrays(
