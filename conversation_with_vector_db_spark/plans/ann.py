@@ -559,3 +559,61 @@ def ann_pq_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method string, meets_floor boolean",
     )
     return rec.unionByName(compress).orderBy("method")
+
+
+@query(
+    "ann_bq_hamming_topk",
+    driver=False,
+    doc="""Binary (sign) quantization search (operators/bq.py): 1-bit
+    codes packed into longs JVM-side, Hamming candidate cut at
+    k*oversample via bit_count(xor), exact cosine refine — the
+    compressed-SCAN family member next to IVF (read pruning) and PQ
+    (memory compression); same serving surface as Pinecone's read
+    path (controllers/conversationController.js:32-36). Encoding is
+    stateless (no trained model), so unlike the LSH/KMeans variants
+    the FULL approximate pipeline is value-parity checked: the oracle
+    replicates sign-bit Hamming rank, the deterministic candidate
+    cut, and the rounded cosine refine in ANSI SQL.""",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS qe
+    FROM embeddings WHERE vec_id < 5
+),
+ham AS (
+    SELECT q.qid, c.vec_id,
+           len(list_filter(list_zip(q.qe, c.embedding),
+               p -> (p[1] > 0) != (p[2] > 0))) AS ham
+    FROM q CROSS JOIN embeddings c
+),
+cand AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ham ASC, vec_id) AS rn
+        FROM ham
+    ) WHERE rn <= 40
+),
+resc AS (
+    SELECT cand.qid, cand.vec_id,
+           round(list_cosine_similarity(
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM cand
+    JOIN q ON q.qid = cand.qid
+    JOIN embeddings c ON c.vec_id = cand.vec_id
+)
+SELECT qid, vec_id, sim, rn AS rank FROM (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM resc
+) WHERE rn <= 10
+ORDER BY qid, rank
+""",
+)
+def ann_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bq import bq_topk
+
+    emb = spark.table("embeddings")
+    return bq_topk(
+        emb, _queries(emb), k=K, dim=EMB_DIM, oversample=4
+    ).orderBy("qid", "rank")
