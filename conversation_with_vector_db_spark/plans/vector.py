@@ -463,3 +463,88 @@ def v1c_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_cols=("label",),
         corpus_bytes=vec_bytes,
     ).orderBy("qid", "rank")
+
+
+@query(
+    "v6_mmr_rerank",
+    driver=False,
+    doc="""V2+ context diversification: Maximal Marginal Relevance
+    (Carbonell & Goldstein 1998) over the exact top-20 per query —
+    greedy picks maximizing 0.7*rel - 0.3*max-sim-to-selected, k=5.
+    The reference feeds raw cosine top-k into the prompt
+    (controllers/conversationController.js:32-76); MMR is what stops
+    near-duplicate chunks burning the context budget. Distributed as
+    groupBy(qid).applyInPandas — per-query greedy over a tiny n x n
+    matrix, queries scale out, corpus scale lives in the first stage.
+    Full value parity: the oracle re-runs the same greedy as a
+    recursive CTE with LATERAL argmax steps in DuckDB (4-digit
+    rounded sims + id tiebreaks make every argmax decision
+    engine-independent).""",
+    oracle="""
+WITH RECURSIVE
+q AS (SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings WHERE vec_id < 5),
+cand0 AS (
+    SELECT q.qid, c.vec_id,
+           round(list_cosine_similarity(
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS rel,
+           c.embedding AS ce
+    FROM q CROSS JOIN embeddings c
+),
+cand AS (
+    SELECT qid, vec_id, rel, ce FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM cand0) WHERE rn <= 20
+),
+dd AS (
+    SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(
+               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) AS sim
+    FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+),
+sel AS (
+    SELECT qid, [vec_id] AS picked, 1 AS step
+    FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY rel DESC, vec_id) rn
+          FROM cand) t WHERE rn = 1
+    UNION ALL
+    SELECT s.qid, list_append(s.picked, p.vec_id), s.step + 1
+    FROM sel s JOIN LATERAL (
+        SELECT c.vec_id
+        FROM cand c
+        WHERE c.qid = s.qid AND NOT list_contains(s.picked, c.vec_id)
+        ORDER BY 0.7 * c.rel - 0.3 * (
+            SELECT max(dd.sim) FROM dd
+            WHERE dd.qid = s.qid AND dd.a = c.vec_id
+              AND list_contains(s.picked, dd.b)
+        ) DESC, c.vec_id
+        LIMIT 1
+    ) p ON TRUE
+    WHERE s.step < 5
+)
+SELECT qid, CAST(u.x AS BIGINT) AS vec_id, CAST(u.i AS INT) AS mmr_rank
+FROM (SELECT qid, picked FROM sel WHERE step = 5) f,
+     LATERAL (SELECT unnest(picked) AS x,
+                     generate_subscripts(picked, 1) AS i) u
+ORDER BY qid, mmr_rank
+""",
+)
+def v6_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rerank import mmr_rerank
+    from ..operators.vector import exact_topk
+
+    emb = spark.table("embeddings")
+    first_stage = exact_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=20,
+        corpus_bytes=_vec_bytes(sf_dir),
+    )
+    cands = first_stage.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("qid", "vec_id", "sim", "embedding")
+    return mmr_rerank(cands, k=5, lambda_=0.7).orderBy(
+        "qid", "mmr_rank"
+    )

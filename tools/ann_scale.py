@@ -109,15 +109,17 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
 ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed", "pq_indexed")
 
 
-def _prepare_corpus(spark, n: int, dim: int, workdir: str):
+def _prepare_corpus(spark, n: int, dim: int, workdir: str,
+                    noise_rank: int | None = None):
     """Generate (if absent), spread, and persist the clustered corpus;
     return (corpus, queries, n_q)."""
     from pyspark.sql import functions as F
 
-    path = os.path.join(workdir, f"ann_corpus_{n}_{dim}d.parquet")
+    tag = f"_r{noise_rank}" if noise_rank else ""
+    path = os.path.join(workdir, f"ann_corpus_{n}_{dim}d{tag}.parquet")
     if not os.path.exists(path):
         t0 = time.perf_counter()
-        gen_corpus(path, n, dim)
+        gen_corpus(path, n, dim, noise_rank=noise_rank)
         print(f"  generated {n} x {dim}-d vectors in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     # One pyarrow file scans as few fat partitions; spread it like a
@@ -144,7 +146,8 @@ def _prepare_corpus(spark, n: int, dim: int, workdir: str):
 
 def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
               lsh_bits: int = 48, lsh_bands: int = 6,
-              methods: tuple = ALL_METHODS) -> dict:
+              methods: tuple = ALL_METHODS,
+              noise_rank: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from conversation_with_vector_db_spark.operators.ann import (
@@ -161,8 +164,12 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
     )
 
     nlist, nprobe = 32, 8
-    corpus, queries, n_q = _prepare_corpus(spark, n, dim, workdir)
+    corpus, queries, n_q = _prepare_corpus(
+        spark, n, dim, workdir, noise_rank
+    )
     out: dict = {"n_vectors": n, "n_queries": n_q, "dim": dim}
+    if noise_rank:
+        out["noise_rank"] = noise_rank
 
     def timed(label, df):
         best = float("inf")
@@ -390,6 +397,12 @@ def main() -> None:
     ap.add_argument("--workdir", default="/root/repo/.localdata")
     ap.add_argument("--keep-corpus", action="store_true")
     ap.add_argument(
+        "--noise-rank", type=int, default=None,
+        help="restrict per-point noise to an r-dim subspace (low "
+        "intrinsic dimension, the realistic embedding shape); "
+        "default full-rank isotropic = the PQ worst case",
+    )
+    ap.add_argument(
         "--methods", nargs="+", default=list(ALL_METHODS),
         choices=list(ALL_METHODS),
         help="strategies to measure (exact always runs: it is the "
@@ -427,10 +440,13 @@ def main() -> None:
                 spark, n, args.dim, args.workdir, reps=args.reps,
                 lsh_bits=args.lsh_bits, lsh_bands=args.lsh_bands,
                 methods=tuple(args.methods),
+                noise_rank=args.noise_rank,
             )), flush=True)
         if not args.keep_corpus:
+            tag = f"_r{args.noise_rank}" if args.noise_rank else ""
             p = os.path.join(
-                args.workdir, f"ann_corpus_{n}_{args.dim}d.parquet"
+                args.workdir,
+                f"ann_corpus_{n}_{args.dim}d{tag}.parquet",
             )
             if os.path.exists(p):
                 os.unlink(p)
