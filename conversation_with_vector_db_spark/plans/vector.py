@@ -548,3 +548,61 @@ def v6_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cands, k=5, lambda_=0.7).orderBy(
         "qid", "mmr_rank"
     )
+
+
+@query(
+    "v1e_sq8_topk",
+    driver=False,
+    doc="""V1 variant on int8 scalar-quantized storage (operators/
+    sq.py): per-dimension max-abs scales fit in ONE map-side-combined
+    aggregation pass, floor(127*x/s + 0.5) codes, cosine top-k over
+    the reconstructions — the FAISS-SQ8 / Lucene-int8 storage trade
+    (4x smaller than float32) for the reference's Pinecone read path.
+    Every step is deterministic arithmetic (max, divide, floor), so
+    unlike PQ the quantized search is value-parity checked at hash
+    level: the oracle re-derives scales, codes, reconstructions, and
+    the ranked result in ANSI SQL.""",
+    oracle="""
+WITH dims AS (
+    SELECT i, max(abs(CAST(e AS DOUBLE))) AS s
+    FROM (SELECT unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY i
+),
+sc AS (SELECT list(s ORDER BY i) AS scales FROM dims),
+rec AS (
+    SELECT vec_id,
+           list_transform(
+               list_zip(
+                   list_transform(
+                       list_zip(embedding::DOUBLE[], scales),
+                       p -> CASE WHEN p[2] > 0
+                                 THEN floor(127 * p[1] / p[2] + 0.5)
+                                 ELSE 0 END),
+                   scales),
+               r -> r[1] * r[2] / 127) AS hat
+    FROM embeddings, sc
+),
+q AS (SELECT vec_id AS qid, hat AS qhat FROM rec WHERE vec_id < 5),
+scored AS (
+    SELECT qid, r.vec_id,
+           round(list_cosine_similarity(q.qhat, r.hat), 4) AS sim
+    FROM q CROSS JOIN rec r
+)
+SELECT qid, vec_id, sim, rn AS rank FROM (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+ORDER BY qid, rank
+""",
+)
+def v1e_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sq import sq8_topk
+
+    emb = spark.table("embeddings")
+    return sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=K
+    ).orderBy("qid", "rank")
