@@ -318,6 +318,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB serving architecture (the
     public FAISS IVFPQ design). IVF bounds what a query READS — only
@@ -325,29 +326,38 @@ def ivf_pq_topk(
     bounds what the index WEIGHS — the scanned cells are m-byte codes,
     not raw vectors; the exact-cosine refine touches raw vectors for
     only ~refine candidates per query. One code table partitioned by
-    cell serves everything; the raw arrays stay cold until refine."""
+    cell serves everything; the raw arrays stay cold until refine.
+
+    ``residual=False`` encodes RAW vectors instead of cell residuals
+    (pre-IVFADC form). It exists to MEASURE why residual is the
+    default — see BENCH_ANN_1536D.json's pq A/B — not for serving."""
     from .ann import ivf_fit_cells, ivf_probed_cells
     from .vector import collect_query_vectors, matmul_topk, topk_per_query
 
     assigned, cent = ivf_fit_cells(
         corpus, nlist, vec_col, seed, fit_fraction
     )
-    resid = _with_residual(assigned, cent, vec_col)
+    enc_src, enc_col = (
+        (_with_residual(assigned, cent, vec_col), "_resid")
+        if residual
+        else (assigned, vec_col)
+    )
     books = pq_fit(
-        resid, "_resid", m=m, k=ksub, seed=seed,
+        enc_src, enc_col, m=m, k=ksub, seed=seed,
         sample_fraction=fit_fraction,
     )
     codes = pq_encode(
-        resid, books, "_resid", id_col, keep_cols=("cell",)
+        enc_src, books, enc_col, id_col, keep_cols=("cell",)
     )
     qvecs = collect_query_vectors(queries, id_col, vec_col)
+    probed = ivf_probed_cells(cent, queries, nprobe, id_col, vec_col)
     probed = (
-        ivf_probed_cells(cent, queries, nprobe, id_col, vec_col)
-        .join(F.broadcast(cent), "cell")
-        .select(
+        probed.join(F.broadcast(cent), "cell").select(
             "qid", "cell",
             _dot(F.col("_qvec"), F.col("centroid")).alias("_bias"),
         )
+        if residual
+        else probed.select("qid", "cell")
     )
     pairs = codes.join(F.broadcast(probed), "cell")
     cands = topk_per_query(

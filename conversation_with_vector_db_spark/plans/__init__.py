@@ -20,6 +20,7 @@ def load_all() -> None:
         maintenance,
         multimodal,
         relational,
+        retrieval,
         scale,
         streaming_batch,
         text_pipeline,

@@ -1,0 +1,159 @@
+"""Hybrid retrieval queries: BM25 lexical ranking and reciprocal-rank
+fusion with the cosine ranking — the production-RAG read path the
+reference's embedding-only retrieval (reference:
+controllers/conversationController.js:32-36) is the vector half of.
+
+Both queries are pure DataFrame algebra over the fixture tables
+(documents for the lexical half, embeddings for the vector half —
+ids align 1:1 by fixture contract) and carry full value-parity
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .registry import query
+
+#: Fixed query terms for the lexical half — present at mid-range
+#: document frequency in the fixture vocabulary, so idf is
+#: discriminative at every sf.
+QUERY_TERMS = ("hash", "merge", "window")
+
+_BM25_CTE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           len(string_split(text, ' ')) AS dl
+    FROM documents
+),
+stats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl
+    FROM (SELECT doc_id, any_value(dl) AS dl FROM tok GROUP BY doc_id)
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+    FROM tok WHERE term IN ('hash', 'merge', 'window')
+    GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+bm AS (
+    SELECT tf.doc_id,
+           sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+           ) AS bm25
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+"""
+
+
+def _bm25_ranked(spark: SparkSession) -> DataFrame:
+    from ..operators.retrieval import bm25_scores
+
+    docs = spark.table("documents")
+    scored = bm25_scores(docs, QUERY_TERMS)
+    w = Window.orderBy(F.desc(F.round("bm25", 4)), "doc_id")
+    return scored.select(
+        "doc_id",
+        F.round("bm25", 4).alias("bm25"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+@query(
+    "text_bm25_topk",
+    driver=False,
+    doc="""Okapi BM25 top-15 for a fixed 3-term query over the
+    documents table — the lexical ranker of hybrid search
+    (operators/retrieval.py). Tokenize-explode with the term filter
+    pushed against the explode (only query-term rows ever shuffle),
+    one (doc, term) tf groupBy, broadcast df + corpus stats. Pure
+    built-in functions; the oracle recomputes the identical formula.""",
+    oracle=_BM25_CTE
+    + """
+SELECT doc_id, round(bm25, 4) AS bm25, rn AS rank FROM (
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS rn
+    FROM bm
+) WHERE rn <= 15
+ORDER BY rank
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_ranked(spark)
+        .filter(F.col("rank") <= 15)
+        .orderBy("rank")
+    )
+
+
+@query(
+    "v8_hybrid_rrf",
+    driver=False,
+    doc="""Hybrid search: reciprocal-rank fusion (Cormack et al. 2009,
+    k=60) of the BM25 top-50 over documents and the cosine top-50 of
+    embedding 0 over the embeddings table (ids align 1:1 by fixture
+    contract) — what production RAG runs where the reference runs
+    cosine alone. Fusion is integer-rank arithmetic
+    (sum 1/(60+rank)), bit-exact across engines; the oracle re-runs
+    both rankers and the fusion in ANSI SQL.""",
+    oracle=_BM25_CTE
+    + """,
+bm_rank AS (
+    SELECT doc_id, row_number() OVER (
+        ORDER BY round(bm25, 4) DESC, doc_id) AS rank
+    FROM bm QUALIFY rank <= 50
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos_rank AS (
+    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+    FROM (
+        SELECT c.vec_id,
+               round(list_cosine_similarity(
+                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings c CROSS JOIN q
+    ) QUALIFY rank <= 50
+),
+fused AS (
+    SELECT doc_id, sum(1.0 / (60.0 + CAST(rank AS DOUBLE))) AS rrf
+    FROM (SELECT * FROM bm_rank UNION ALL SELECT * FROM cos_rank)
+    GROUP BY doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf, rn AS rank FROM (
+    SELECT doc_id, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+    FROM fused
+) WHERE rn <= 10
+ORDER BY rank
+""",
+)
+def v8_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.vector import exact_topk
+    from .vector import _vec_bytes
+
+    bm = _bm25_ranked(spark).filter(F.col("rank") <= 50)
+    emb = spark.table("embeddings")
+    cos = (
+        exact_topk(
+            emb,
+            emb.filter(F.col("vec_id") == 0),
+            k=50,
+            corpus_bytes=_vec_bytes(sf_dir),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse([bm.select("doc_id", "rank"), cos])
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
