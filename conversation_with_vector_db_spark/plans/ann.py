@@ -563,7 +563,9 @@ def ann_pq_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_bq_hamming_topk",
-    driver=False,
+    # Driver tier since r8 (rotation: f12 to local): the one
+    # approximate-search row whose WHOLE pipeline is value-parity
+    # checked, not self-certified.
     doc="""Binary (sign) quantization search (operators/bq.py): 1-bit
     codes packed into longs JVM-side, Hamming candidate cut at
     k*oversample via bit_count(xor), exact cosine refine — the

@@ -257,6 +257,9 @@ def f10_or_with_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f12_dynamic_filter_builder",
+    # r8 rotation: to local parity (F keeps its driver rows via the
+    # flagship F3 and f11) — ann_bq_hamming_topk promoted in.
+    driver=False,
     doc="""F12: generic query-by-example with gt|gte|lt|lte|regex
     operator rewrite (controllers/organizationController.js:95-128),
     compiled by operators.filters.build_filter into ONE Catalyst

@@ -92,7 +92,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v8_hybrid_rrf",
-    driver=False,
+    # Driver tier since r8 (rotation: x5 to local): the composed
+    # two-ranker hybrid read path.
     doc="""Hybrid search: reciprocal-rank fusion (Cormack et al. 2009,
     k=60) of the BM25 top-50 over documents and the cosine top-50 of
     embedding 0 over the embeddings table (ids align 1:1 by fixture

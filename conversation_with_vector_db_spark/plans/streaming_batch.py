@@ -22,6 +22,9 @@ CONTINUATION_MAX_DEPTH = 2
 
 @query(
     "x5_stream_continuation",
+    # r8 rotation: to local parity (X keeps driver rows via x3, x8) —
+    # v8_hybrid_rrf promoted in.
+    driver=False,
     doc="""X5/X6: recursive tool-call continuation to fixpoint
     (sockets/assistants/assistantHandler.js:89-137 re-enters the model
     stream with each tool result until the run completes;
