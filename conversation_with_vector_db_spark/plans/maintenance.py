@@ -560,3 +560,144 @@ def s14_snapshot_log_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_patched"),
     ).crossJoin(predrop.agg(F.count("*").alias("predrop_rows")))
+
+
+def _z_sql_terms(scol: str, offset: int, bits: int = 16) -> str:
+    """The oracle's Morton-interleave arm for one scaled column:
+    sum_i ((s >> i) & 1) * 2^(2i + offset) — generated, not
+    hand-typed, so Spark (operators/layout.z_interleave) and the SQL
+    stay structurally identical."""
+    return " + ".join(
+        f"(({scol} >> {i}) & 1) * {1 << (2 * i + offset)}"
+        for i in range(bits)
+    )
+
+
+_Z_SCALE_A = ("CAST(floor((CAST(l_orderkey AS DOUBLE) - amin) * 65535.0"
+              " / (amax - amin)) AS BIGINT)")
+_Z_SCALE_B = ("CAST(floor((CAST(l_partkey AS DOUBLE) - bmin) * 65535.0"
+              " / (bmax - bmin)) AS BIGINT)")
+
+
+@query(
+    "m11_zorder_pruning",
+    driver=False,
+    doc="""Z-order (Morton) multi-column layout vs single-key layout,
+    measured as file skipping for a 2-d box predicate
+    (operators/layout.py — the Delta OPTIMIZE ZORDER BY layout
+    technique). Both layouts are modeled as 64 equal-size rank
+    buckets (ntile over the respective sort order, unique
+    tiebreaks); the box selects the middle quarter of each key
+    range. Pure integer/double arithmetic (scale, shift, and,
+    multiply), so the ENTIRE layout computation — Morton codes,
+    bucket assignment, touched-file counts — is value-checked
+    against SQL. The write-path test pins the real thing: parquet
+    files whose per-file spans shrink under the z layout.""",
+    oracle=(
+        """
+WITH stats AS (
+    SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+           min(l_partkey) AS bmin, max(l_partkey) AS bmax
+    FROM lineitem
+),
+scaled AS (
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           amin, amax, bmin, bmax,
+           """ + _Z_SCALE_A + """ AS sa,
+           """ + _Z_SCALE_B + """ AS sb
+    FROM lineitem CROSS JOIN stats
+),
+zt AS (
+    SELECT *, (""" + _z_sql_terms("sa", 0) + """)
+            + (""" + _z_sql_terms("sb", 1) + """) AS z
+    FROM scaled
+),
+bz AS (
+    SELECT l_orderkey, l_partkey, amin, amax, bmin, bmax,
+           ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber)
+               AS bucket
+    FROM zt
+),
+bl AS (
+    SELECT l_orderkey, l_partkey, amin, amax, bmin, bmax,
+           ntile(64) OVER (ORDER BY l_orderkey, l_linenumber)
+               AS bucket
+    FROM scaled
+),
+boxed_z AS (
+    SELECT * FROM bz
+    WHERE l_orderkey >= amin + 0.375 * (amax - amin)
+      AND l_orderkey <= amin + 0.625 * (amax - amin)
+      AND l_partkey >= bmin + 0.375 * (bmax - bmin)
+      AND l_partkey <= bmin + 0.625 * (bmax - bmin)
+),
+boxed_l AS (
+    SELECT * FROM bl
+    WHERE l_orderkey >= amin + 0.375 * (amax - amin)
+      AND l_orderkey <= amin + 0.625 * (amax - amin)
+      AND l_partkey >= bmin + 0.375 * (bmax - bmin)
+      AND l_partkey <= bmin + 0.625 * (bmax - bmin)
+)
+SELECT * FROM (
+    SELECT 'zorder' AS layout,
+           CAST(count(DISTINCT bucket) AS BIGINT) AS files_touched,
+           CAST(64 AS BIGINT) AS files_total,
+           CAST(count(*) AS BIGINT) AS rows_matched
+    FROM boxed_z
+    UNION ALL
+    SELECT 'linear', CAST(count(DISTINCT bucket) AS BIGINT),
+           CAST(64 AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM boxed_l
+) ORDER BY layout
+"""
+    ),
+)
+def m11_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import with_z_value
+
+    li = spark.table("lineitem")
+    zdf = with_z_value(li, "l_orderkey", "l_partkey")
+    # Re-attach the range stats for the box bounds (same broadcast
+    # one-row agg the z computation used).
+    stats = F.broadcast(
+        li.agg(
+            F.min("l_orderkey").alias("amin"),
+            F.max("l_orderkey").alias("amax"),
+            F.min("l_partkey").alias("bmin"),
+            F.max("l_partkey").alias("bmax"),
+        )
+    )
+    zs = zdf.crossJoin(stats)
+    ls = li.crossJoin(stats)
+    wz = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    wl = Window.orderBy("l_orderkey", "l_linenumber")
+    box = (
+        (F.col("l_orderkey")
+         >= F.col("amin") + 0.375 * (F.col("amax") - F.col("amin")))
+        & (F.col("l_orderkey")
+           <= F.col("amin") + 0.625 * (F.col("amax") - F.col("amin")))
+        & (F.col("l_partkey")
+           >= F.col("bmin") + 0.375 * (F.col("bmax") - F.col("bmin")))
+        & (F.col("l_partkey")
+           <= F.col("bmin") + 0.625 * (F.col("bmax") - F.col("bmin")))
+    )
+
+    def layout_row(df, w, name):
+        return (
+            df.withColumn("bucket", F.ntile(64).over(w))
+            .filter(box)
+            .agg(
+                F.lit(name).alias("layout"),
+                F.count_distinct("bucket")
+                .cast("long")
+                .alias("files_touched"),
+                F.lit(64).cast("long").alias("files_total"),
+                F.count(F.lit(1)).cast("long").alias("rows_matched"),
+            )
+        )
+
+    return (
+        layout_row(zs, wz, "zorder")
+        .unionByName(layout_row(ls, wl, "linear"))
+        .orderBy("layout")
+    )
