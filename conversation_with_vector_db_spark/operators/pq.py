@@ -394,9 +394,12 @@ def _with_residual(assigned: DataFrame, cent: DataFrame, vec_col: str):
     around zero at the intra-cell noise scale, so the PQ codebooks
     spend their resolution where the ranking signal lives. Raw-vector
     PQ on clustered data wastes codebook entries separating clusters
-    the IVF probe already separated — measured at 10^5 x 1536-d, its
-    within-cell ranking degrades to recall 0.22 where the residual
-    form holds 0.9+ at identical code size."""
+    the IVF probe already separated — measured A/B at 10^5 x 1536-d,
+    m=96 (BENCH_ANN_1536D.json `pq_1536d`): recall@10 0.72 -> 0.856
+    on the realistic low-intrinsic-dimension corpus (noise rank 64)
+    and 0.22 -> 0.355 on full-rank isotropic noise (the PQ worst
+    case: quantization error spread over every coordinate), at
+    identical code size."""
     return assigned.join(F.broadcast(cent), "cell").withColumn(
         "_resid",
         F.zip_with(
