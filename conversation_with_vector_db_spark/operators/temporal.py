@@ -94,3 +94,68 @@ def asof_join(
             _PAYLOAD, F.when(horizon, F.col(_PAYLOAD))
         )
     return matched
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "ts",
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket_width_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Range (interval) join without the theta-join trap: every
+    ``points`` row paired with every SAME-KEY ``intervals`` row whose
+    ``[lo, hi)`` contains its timestamp.
+
+    Spark plans a raw ``p.ts >= i.lo AND p.ts < i.hi`` join as a
+    per-key cross product (or worse, BroadcastNestedLoop when the
+    equi-key is missing) — quadratic in the key's row count. The
+    scale-correct rewrite is BUCKETIZATION (the published range-join
+    optimization Databricks exposes as a hint, built here from
+    primitives): quantize time into fixed ``bucket_width_us`` cells,
+    explode each interval to the cells it overlaps
+    (``sequence(floor(lo), floor(hi))`` — intervals no wider than a
+    few buckets explode to a few rows), equi-join points on
+    ``(key, cell)``, then verify the exact containment predicate.
+    Cost: one hash shuffle on (key, cell) of points + exploded
+    intervals; the verify filter runs inside the join stage. Pick
+    ``bucket_width_us`` near the typical interval width — each
+    interval then lands in ~2 cells and each point in exactly one.
+
+    Output: all ``points`` columns plus the interval's columns
+    (callers project). Timestamps compare as ``unix_micros`` longs —
+    exact integer arithmetic, no timezone re-interpretation.
+    """
+    w = F.lit(bucket_width_us).cast("long")
+    p_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    lo_us = F.unix_micros(F.col(lo).cast("timestamp"))
+    hi_us = F.unix_micros(F.col(hi).cast("timestamp"))
+
+    pts = points.withColumn("_t_us", p_us).withColumn(
+        "_cell", F.floor(F.col("_t_us") / w)
+    )
+    ivs = (
+        intervals.withColumn("_lo_us", lo_us)
+        .withColumn("_hi_us", hi_us)
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_lo_us") / w),
+                    # hi is EXCLUSIVE: an interval ending exactly on a
+                    # cell boundary does not reach into the next cell.
+                    F.floor((F.col("_hi_us") - 1) / w),
+                )
+            ),
+        )
+    )
+    return (
+        pts.join(ivs, [on, "_cell"])
+        .filter(
+            (F.col("_t_us") >= F.col("_lo_us"))
+            & (F.col("_t_us") < F.col("_hi_us"))
+        )
+        .drop("_cell", "_t_us", "_lo_us", "_hi_us")
+    )

@@ -411,3 +411,59 @@ def j15_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("_asof.ts").cast("timestamp"))
         ).alias("gap_us"),
     ).orderBy("event_id")
+
+
+@query(
+    "j16_interval_attribution",
+    driver=False,
+    doc="""RANGE (interval) JOIN (engine extra, the second classic
+    temporal operator Spark lacks): every event attributed to each
+    SAME-user incident window ([error ts, +30 min)) containing it,
+    rolled up per incident. Implemented as the bucketized range join
+    (operators/temporal.interval_bucket_join): quantize time to
+    30-min cells, explode each interval to its 1-2 cells, equi-join
+    on (user, cell), verify exact containment — one hash shuffle,
+    never the per-key cross product Spark plans for a raw inequality
+    join. A point lands in exactly one cell, so no pair dedupe is
+    needed. The oracle runs the naive BETWEEN theta-join: two
+    independent formulations cross-check.""",
+    oracle="""
+WITH inc AS (
+    SELECT event_id AS incident_id, user_id, ts AS lo,
+           ts + INTERVAL 30 MINUTE AS hi
+    FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id, i.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+       round(sum(e.value), 4) AS total_value
+FROM inc i JOIN events e
+  ON e.user_id = i.user_id AND e.ts >= i.lo AND e.ts < i.hi
+GROUP BY i.incident_id, i.user_id
+ORDER BY incident_id
+""",
+)
+def j16_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interval_bucket_join
+
+    ev = spark.table("events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    joined = interval_bucket_join(
+        ev.select("user_id", "ts", "event_type", "value"),
+        incidents,
+        on="user_id",
+    )
+    return (
+        joined.groupBy("incident_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("event_type").cast("long").alias("n_types"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("incident_id")
+    )

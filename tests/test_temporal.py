@@ -96,3 +96,101 @@ def test_asof_matches_bruteforce_on_random_data(spark):
                  if rk == k and rt <= t]
         want[f"L{i}"] = max(cands)[1] if cands else None
     assert got == want
+
+
+# ---- interval_bucket_join ------------------------------------------------
+
+from conversation_with_vector_db_spark.operators.temporal import (  # noqa: E402
+    interval_bucket_join,
+)
+
+
+def _ib_frames(spark, pts, ivs):
+    p = spark.createDataFrame(
+        pts, "k long, t long, pid long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "pid")
+    i = spark.createDataFrame(
+        ivs, "k long, tlo long, thi long, iid long"
+    ).select(
+        "k",
+        F.timestamp_seconds("tlo").alias("lo"),
+        F.timestamp_seconds("thi").alias("hi"),
+        "iid",
+    )
+    return p, i
+
+
+def _pairs(df):
+    return {(r["pid"], r["iid"]) for r in df.select("pid", "iid").collect()}
+
+
+def test_interval_join_boundaries(spark):
+    # bucket = 100 s; interval [100, 200) on key 1.
+    pts = [(1, 100, 1), (1, 199, 2), (1, 200, 3), (1, 99, 4), (2, 150, 5)]
+    ivs = [(1, 100, 200, 10)]
+    p, i = _ib_frames(spark, pts, ivs)
+    got = _pairs(
+        interval_bucket_join(p, i, on="k", bucket_width_us=100_000_000)
+    )
+    # lo inclusive, hi exclusive, other-key point never matches.
+    assert got == {(1, 10), (2, 10)}
+
+
+def test_interval_join_interval_ending_on_cell_boundary(spark):
+    # hi == exact cell boundary: the interval must NOT reach the next
+    # cell (the hi-1 in the explode bound).
+    pts = [(1, 200, 1)]
+    ivs = [(1, 0, 200, 10)]
+    p, i = _ib_frames(spark, pts, ivs)
+    got = _pairs(
+        interval_bucket_join(p, i, on="k", bucket_width_us=100_000_000)
+    )
+    assert got == set()
+
+
+def test_interval_join_wide_interval_no_duplicate_pairs(spark):
+    # Interval spanning 5 cells; point inside matches EXACTLY once.
+    pts = [(1, 250, 1)]
+    ivs = [(1, 0, 500, 10)]
+    p, i = _ib_frames(spark, pts, ivs)
+    df = interval_bucket_join(p, i, on="k", bucket_width_us=100_000_000)
+    rows = df.select("pid", "iid").collect()
+    assert len(rows) == 1 and (rows[0]["pid"], rows[0]["iid"]) == (1, 10)
+
+
+def test_interval_join_matches_bruteforce_on_random_data(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(57)
+    pts = [
+        (int(rng.integers(0, 4)), int(rng.integers(0, 5000)), pid)
+        for pid in range(300)
+    ]
+    ivs = []
+    for iid in range(60):
+        lo = int(rng.integers(0, 4800))
+        ivs.append(
+            (int(rng.integers(0, 4)), lo,
+             lo + int(rng.integers(0, 400)), 1000 + iid)
+        )
+    p, i = _ib_frames(spark, pts, ivs)
+    got = _pairs(
+        interval_bucket_join(p, i, on="k", bucket_width_us=150_000_000)
+    )
+    expect = {
+        (pid, iid)
+        for (pk, pt, pid) in pts
+        for (ik, lo, hi, iid) in ivs
+        if pk == ik and lo <= pt < hi
+    }
+    assert got == expect
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    pts = [(1, 100, 1)]
+    ivs = [(1, 50, 150, 10)]
+    p, i = _ib_frames(spark, pts, ivs)
+    df = interval_bucket_join(p, i, on="k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
