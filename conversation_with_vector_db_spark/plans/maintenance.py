@@ -701,3 +701,71 @@ def m11_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(layout_row(ls, wl, "linear"))
         .orderBy("layout")
     )
+
+
+@query(
+    "a16_hypertable_rollup",
+    driver=False,
+    doc="""Continuous aggregate / hypertable rollup (engine extra —
+    sources/rollup.py): an hourly (count, sum, min, max) rollup TABLE
+    over a snapshot-log events table, maintained INCREMENTALLY. The
+    lifecycle exercised in-plan: full build from slice 1 ->
+    incremental refreshes reading ONLY the appended segments (the
+    snapshot log's immutable-segment delta makes 'new rows' =
+    live(head) - live(done)) -> source compaction forces the
+    documented full-rebuild fallback (removals break the delta
+    trick) -> final incremental append. Watermark + partials commit
+    atomically (manifest meta + txn tag). The oracle is one plain
+    GROUP BY over all of events: however the refresh history
+    interleaved, the merged rollup must equal the direct aggregate.""",
+    oracle="""
+SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def a16_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.rollup import rollup_refresh, rollup_read
+    from ..sources.snapshot_log import (
+        append_snapshot,
+        compact_snapshots,
+        create_table,
+    )
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_rollup_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    src = os.path.join(parent, uuid.uuid4().hex + "-src")
+    rup = os.path.join(parent, uuid.uuid4().hex + "-rollup")
+
+    ev = spark.table("events").select("event_id", "ts", "value")
+    create_table(src)
+    # Slice by event_id thirds to simulate the append history.
+    append_snapshot(ev.filter(F.col("event_id") % 3 == 0), src)
+    rollup_refresh(spark, src, rup)                    # full build
+    append_snapshot(ev.filter(F.col("event_id") % 3 == 1), src)
+    rollup_refresh(spark, src, rup)                    # incremental
+    compact_snapshots(spark, src)                      # removals...
+    rollup_refresh(spark, src, rup)                    # ...full fallback
+    append_snapshot(ev.filter(F.col("event_id") % 3 == 2), src)
+    rollup_refresh(spark, src, rup)                    # incremental
+    return (
+        rollup_read(spark, rup)
+        .select(
+            "bucket",
+            "n_events",
+            F.round("total", 4).alias("total_value"),
+            "vmin",
+            "vmax",
+        )
+        .orderBy("bucket")
+    )

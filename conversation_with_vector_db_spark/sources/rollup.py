@@ -1,0 +1,170 @@
+"""Continuous aggregate (hypertable rollup): an incrementally
+maintained time-bucket rollup TABLE over an append-mostly snapshot-log
+source — the TimescaleDB continuous-aggregate / materialized-view
+maintenance pattern, built from this engine's own log primitives.
+
+Recomputing a 100 TB table's hourly rollup on every refresh is the
+thing this exists to avoid. The snapshot log makes the cheap path
+safe: segments are immutable and manifests are deltas, so the rows
+added between source versions ``v_done`` and ``v_head`` are EXACTLY
+the segments in ``live(v_head) - live(v_done)`` — provided nothing
+was removed. Refresh therefore:
+
+* reads ONLY the new segments, folds them to per-bucket PARTIALS
+  (count / sum / min / max — the classic mergeable aggregates;
+  avg = sum/count at read), and appends one tiny partial segment to
+  the rollup table;
+* publishes ``rollup_source_version = v_head`` in the SAME commit's
+  ``meta`` (atomic: no crash point leaves partials observable
+  without their watermark or vice versa) plus a ``txn`` tag so a
+  crashed-and-retried refresh replays as a no-op;
+* detects ANY removed source segment (compaction, rewrite, delete —
+  ``live(v_done) - live(v_head)`` non-empty, or ``v_done`` already
+  vacuumed) and falls back to a FULL rebuild in one rewrite-shaped
+  commit. Appends commute with the delta trick; removals don't, and
+  guessing would double- or under-count.
+
+Reads merge partials with one tiny groupBy (the rollup table holds
+buckets, not rows). Repeated refreshes append small partial segments;
+``compact_snapshots`` on the rollup table folds them physically —
+the read result is invariant (pinned by test).
+
+Single-refresher-per-rollup assumption, same as Delta's
+single-writer-per-app txn protocol: concurrent refreshes of one
+rollup are not fenced against each other (the txn tag makes crashed
+RETRIES idempotent, not parallel writers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .snapshot_log import (
+    _write_segment,
+    commit_segments,
+    create_table,
+    last_txn_version,
+    latest_version,
+    live_segments,
+    read_snapshot,
+    table_meta,
+)
+
+TXN_APP = "rollup_refresh"
+US_PER_SECOND = 1_000_000
+
+
+def _partials(
+    df: DataFrame, ts_col: str, value_col: str, bucket_seconds: int
+) -> DataFrame:
+    """Per-bucket mergeable partials. Buckets are integer epoch-bucket
+    ids (exact cross-engine arithmetic — no timestamp-type round
+    trips in the stored table)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(
+        us / F.lit(bucket_seconds * US_PER_SECOND).cast("long")
+    ).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), F.col(value_col).alias("_v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_v").alias("total"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+        )
+    )
+
+
+def rollup_refresh(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> dict:
+    """Bring ``rollup_dir`` up to the source head. Returns a report:
+    ``{"mode": "noop"|"incremental"|"full", "source_version": int,
+    "segments_read": int}``."""
+    v_head = latest_version(source_dir)
+    create_table(rollup_dir)
+
+    meta = table_meta(rollup_dir)
+    v_done = meta.get("rollup_source_version")
+    if v_done is not None and int(v_done) >= v_head:
+        return {"mode": "noop", "source_version": v_head,
+                "segments_read": 0}
+    prev_txn = last_txn_version(rollup_dir, TXN_APP)
+    if prev_txn is not None and prev_txn >= v_head:
+        return {"mode": "noop", "source_version": v_head,
+                "segments_read": 0}
+
+    head_live = live_segments(source_dir, v_head)
+    mode = "full"
+    new_segs = head_live
+    if v_done is not None:
+        try:
+            old_live = live_segments(source_dir, int(v_done))
+            if set(old_live) - set(head_live):
+                mode = "full"  # removal: compaction/rewrite/delete
+            else:
+                mode = "incremental"
+                new_segs = sorted(set(head_live) - set(old_live))
+        except FileNotFoundError:
+            mode = "full"  # v_done vacuumed away: delta unknowable
+
+    rollup_live = live_segments(rollup_dir, latest_version(rollup_dir))
+    commit_meta = {"rollup_source_version": v_head}
+    if mode == "incremental" and not new_segs:
+        # Source advanced by metadata-only commits: move the watermark.
+        commit_segments(
+            rollup_dir, added=[], removed=[], op="rollup_noop",
+            txn=(TXN_APP, v_head), meta=commit_meta,
+        )
+        return {"mode": "incremental", "source_version": v_head,
+                "segments_read": 0}
+
+    if mode == "incremental":
+        src = spark.read.parquet(
+            *[os.path.join(source_dir, s) for s in new_segs]
+        )
+        part = _partials(src, ts_col, value_col, bucket_seconds)
+        rel = _write_segment(part, rollup_dir)
+        commit_segments(
+            rollup_dir, added=[rel], removed=[], op="rollup_delta",
+            txn=(TXN_APP, v_head), meta=commit_meta,
+        )
+        return {"mode": "incremental", "source_version": v_head,
+                "segments_read": len(new_segs)}
+
+    part = _partials(
+        read_snapshot(spark, source_dir, v_head),
+        ts_col, value_col, bucket_seconds,
+    )
+    rel = _write_segment(part, rollup_dir)
+    commit_segments(
+        rollup_dir, added=[rel], removed=rollup_live, op="rollup_full",
+        txn=(TXN_APP, v_head), meta=commit_meta,
+    )
+    return {"mode": "full", "source_version": v_head,
+            "segments_read": len(head_live)}
+
+
+def rollup_read(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Merged rollup: (bucket, n_events, total, vmin, vmax, avg) —
+    one tiny groupBy over bucket-level partial rows."""
+    p = read_snapshot(spark, rollup_dir)
+    return (
+        p.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .withColumn("avg", F.col("total") / F.col("n_events"))
+    )
