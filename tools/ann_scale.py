@@ -106,7 +106,7 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
     os.rename(tmp, path)
 
 
-ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed", "pq_indexed")
+ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed", "pq_indexed", "bq")
 
 
 def _prepare_corpus(spark, n: int, dim: int, workdir: str,
@@ -256,6 +256,25 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
             len(probed_files) / max(1, len(all_files)), 4
         )
         shutil.rmtree(idx_path, ignore_errors=True)
+    if "bq" in methods:
+        # Binary sign quantization: the candidate stage reads ~dim/64
+        # longs per row (1/32 of the raw bytes) and ranks by
+        # bit_count(xor) entirely JVM-side; oversample trades the
+        # refine cost for recall. Measured at several cuts to map the
+        # recall/scan trade honestly.
+        from conversation_with_vector_db_spark.operators.bq import (
+            bq_topk,
+        )
+
+        for os_f in (8, 64):
+            bqx = timed(
+                f"bq_hamming_os{os_f}_query_sec",
+                bq_topk(corpus, queries, k=10, dim=dim,
+                        oversample=os_f),
+            )
+            out[f"bq_recall_os{os_f}"] = round(
+                recall_at_k(bqx, exact, k=10).first().recall, 4
+            )
     if "pq_indexed" in methods:
         # Write-time IVF-PQ: the probed cells' scan reads m-byte CODES
         # instead of dim*8-byte vectors; raw rows are touched only for
