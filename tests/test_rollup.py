@@ -5,14 +5,9 @@ to reads."""
 
 from __future__ import annotations
 
-import os
-
-import pytest
-
 from pyspark.sql import functions as F
 
 from conversation_with_vector_db_spark.sources.rollup import (
-    TXN_APP,
     rollup_read,
     rollup_refresh,
 )
@@ -129,3 +124,37 @@ def test_rollup_compaction_is_invisible_to_reads(spark, tmp_path):
     r = rollup_refresh(spark, src, rup)
     assert r["mode"] == "incremental"
     assert _merged(spark, rup) == _direct(spark, slices + [extra])
+
+
+def test_random_walk_matches_direct_aggregate(spark, tmp_path):
+    """Model-based: a seeded random interleaving of appends, source
+    compactions, and refreshes must always leave the merged rollup
+    equal to a direct aggregate over everything appended so far
+    (after one final refresh)."""
+    import numpy as np
+
+    rng = np.random.default_rng(71)
+    src, rup = str(tmp_path / "src"), str(tmp_path / "rup")
+    create_table(src)
+    appended = []
+    lo = 0
+
+    def append():
+        nonlocal lo
+        n = int(rng.integers(20, 80))
+        df = _events(spark, lo, n)
+        appended.append(df)
+        append_snapshot(df, src)
+        lo += n
+
+    append()  # non-empty table before anything else
+    for _ in range(12):
+        op = rng.choice(["append", "compact", "refresh"])
+        if op == "append":
+            append()
+        elif op == "compact":
+            compact_snapshots(spark, src)
+        else:
+            rollup_refresh(spark, src, rup)
+    rollup_refresh(spark, src, rup)
+    assert _merged(spark, rup) == _direct(spark, appended)
