@@ -19,11 +19,13 @@ controllers/conversationController.js:30) — per-pair cost is 24x the
 KMeans fit cost, and the LSH bit budget; pass ``--dim 64`` to
 reproduce the historical sweep.
 
-Measures four strategies per scale: exact Arrow matmul, hyperplane
+Measures six strategies per scale: exact Arrow matmul, hyperplane
 LSH (48b/6band/1-bit multi-probe), query-time IVF (fit+assign in the
-plan), and the write-time IVF index (`ivf_write_index` +
-partition-pruned `ivf_topk_indexed`) including build cost and the
-probed-file fraction actually read.
+plan), the write-time IVF index (`ivf_write_index` + partition-pruned
+`ivf_topk_indexed`) including build cost and the probed-file fraction
+actually read, the write-time IVF-PQ index (residual ADC codes +
+refine, code-bytes fraction), and binary sign quantization (JVM
+bit_count(xor) Hamming cut at several oversample factors).
 
 Usage: python tools/ann_scale.py --n 100000 1000000 --dim 1536
 """
