@@ -187,3 +187,99 @@ def bq_topk(
     return topk_per_query(rescored, k, tiebreak_col=id_col).select(
         "qid", id_col, "sim", "rank"
     )
+
+
+def bq_write_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The production layout: persist the packed codes NEXT TO the raw
+    vectors so the Hamming scan never re-encodes —
+
+    * ``<path>/data/``  — (id, vector): touched only by the refine
+      join (~k*oversample rows per query);
+    * ``<path>/codes/`` — (id, code): the scan path, ~1/32 of the
+      data bytes at 1536-d.
+
+    No fit, no model, no sidecar: unlike IVF/PQ the write is two
+    projections of one scan (measured in BENCH_ANN_1536D.json —
+    the in-plan encode dominated bq_topk's wall at 10^6; this
+    removes it). Composes with cell partitioning exactly like
+    :func:`..pq.pq_write_index` when IVF pruning is also wanted.
+    """
+    if dim is None:
+        first = corpus.select(F.size(vec_col)).first()
+        if first is None:
+            raise ValueError("bq_write_index: empty corpus")
+        dim = int(first[0])
+    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/data"
+    )
+    bq_encode(corpus, dim, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def bq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-scan top-k over a :func:`bq_write_index` layout:
+    identical semantics (and results — pinned by test) to
+    :func:`bq_topk`, but the candidate stage reads the persisted
+    code column only; raw vectors load solely for the refine join."""
+    codes = spark.read.parquet(f"{path}/codes")
+    data = spark.read.parquet(f"{path}/data")
+    dim_row = data.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError(f"bq_topk_indexed: empty index at {path}")
+    dim = int(dim_row[0])
+    n_cand = k * oversample
+
+    qcodes = bq_encode(queries, dim, vec_col, id_col).select(
+        F.col(id_col).alias("qid"), F.col("bq_code").alias("_qcode")
+    )
+    scored = codes.join(F.broadcast(qcodes)).select(
+        "qid",
+        id_col,
+        (-bq_hamming(F.col("bq_code"), F.col("_qcode"))).alias("_nham"),
+    )
+    cands = topk_per_query(
+        scored, n_cand, score_col="_nham", tiebreak_col=id_col
+    ).select("qid", id_col)
+    q_vecs = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    c_vecs = data.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("_cn")
+    )
+    rescored = (
+        cands.join(c_vecs, id_col)
+        .join(F.broadcast(q_vecs), "qid")
+        .select(
+            "qid",
+            id_col,
+            F.round(
+                cosine_with_norms_batched(
+                    F.col("_qvec"),
+                    F.col(vec_col),
+                    F.col("_qn"),
+                    F.col("_cn"),
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    return topk_per_query(rescored, k, tiebreak_col=id_col).select(
+        "qid", id_col, "sim", "rank"
+    )

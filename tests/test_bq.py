@@ -141,3 +141,43 @@ def test_code_size_arithmetic():
     assert bq_nwords(64) == 2 and bq_nwords(1536) == 25
     # 1536-d: 6 KB of float32 -> 200 B of codes (~30x).
     assert (1536 * 4) / (bq_nwords(1536) * 8) > 30
+
+
+def test_indexed_path_matches_in_plan_results(clustered, tmp_path):
+    """bq_write_index + bq_topk_indexed must return EXACTLY what the
+    in-plan bq_topk returns on the same corpus (same cut, same ties,
+    same refine), and the persisted code bytes must be a fraction of
+    the data bytes."""
+    import glob
+    import os
+
+    from conversation_with_vector_db_spark.operators.bq import (
+        bq_topk_indexed,
+        bq_write_index,
+    )
+
+    path = str(tmp_path / "bqidx")
+    bq_write_index(clustered, path, dim=64)
+    q = clustered.filter(F.col("vec_id") < 5)
+    spark = clustered.sparkSession
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in bq_topk_indexed(
+            spark, path, q, k=10, oversample=4
+        ).collect()
+    }
+    expect = {
+        (r["qid"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in bq_topk(clustered, q, k=10, dim=64, oversample=4).collect()
+    }
+    assert got == expect
+
+    def _bytes(sub):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, sub, "*.parquet"))
+        )
+
+    # 64-d doubles -> 2-long codes: codes must be well under half the
+    # data bytes even with parquet framing on a small file.
+    assert _bytes("codes") < 0.5 * _bytes("data")
