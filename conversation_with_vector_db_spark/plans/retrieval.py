@@ -158,3 +158,119 @@ def v8_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
+
+
+@query(
+    "v9_hybrid_mmr_pipeline",
+    driver=False,
+    doc="""The COMPOSED production read path: hybrid retrieval
+    (BM25 + cosine fused by RRF) feeding MMR context
+    diversification — retrieve top-50 each way, fuse, keep the
+    fused top-20, re-rank to 5 diverse context chunks. Every stage
+    reuses an independently parity-verified operator
+    (text_bm25_topk / v8_hybrid_rrf / v6_mmr_rerank); this query
+    checks their COMPOSITION end to end against one oracle that
+    re-runs the whole pipeline in SQL (BM25 CTEs + rank fusion +
+    recursive-CTE greedy MMR over the fused candidates' embeddings,
+    relevance = the fused RRF score).""",
+    # The greedy-selection CTE is recursive; DuckDB requires the
+    # RECURSIVE keyword on the WITH that introduces the chain.
+    oracle=_BM25_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+bm_rank AS (
+    SELECT doc_id, row_number() OVER (
+        ORDER BY round(bm25, 4) DESC, doc_id) AS rank
+    FROM bm QUALIFY rank <= 50
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos_rank AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+    FROM (
+        SELECT c.vec_id,
+               round(list_cosine_similarity(
+                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings c CROSS JOIN q
+    ) QUALIFY rank <= 50
+),
+fused AS (
+    SELECT doc_id, sum(1.0 / (60.0 + CAST(rank AS DOUBLE))) AS rrf
+    FROM (SELECT * FROM bm_rank UNION ALL SELECT * FROM cos_rank)
+    GROUP BY doc_id
+),
+cand AS (
+    SELECT f.doc_id, round(f.rrf, 6) AS rel, e.embedding AS ce
+    FROM (
+        SELECT doc_id, rrf, row_number() OVER (
+            ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused
+    ) f JOIN embeddings e ON e.vec_id = f.doc_id
+    WHERE f.rn <= 20
+),
+dd AS (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(list_cosine_similarity(
+               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) AS sim
+    FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+),
+sel AS (
+    SELECT [doc_id] AS picked, 1 AS step
+    FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY rel DESC, doc_id) rn FROM cand) t
+    WHERE rn = 1
+    UNION ALL
+    SELECT list_append(s.picked, p.doc_id), s.step + 1
+    FROM sel s JOIN LATERAL (
+        SELECT c.doc_id
+        FROM cand c
+        WHERE NOT list_contains(s.picked, c.doc_id)
+        ORDER BY 0.7 * c.rel - 0.3 * (
+            SELECT max(dd.sim) FROM dd
+            WHERE dd.a = c.doc_id AND list_contains(s.picked, dd.b)
+        ) DESC, c.doc_id
+        LIMIT 1
+    ) p ON TRUE
+    WHERE s.step < 5
+)
+SELECT CAST(u.x AS BIGINT) AS doc_id, CAST(u.i AS INT) AS mmr_rank
+FROM (SELECT picked FROM sel WHERE step = 5) f,
+     LATERAL (SELECT unnest(picked) AS x,
+                     generate_subscripts(picked, 1) AS i) u
+ORDER BY mmr_rank
+""",
+)
+def v9_hybrid_mmr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rerank import mmr_rerank
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.vector import exact_topk
+    from .vector import _vec_bytes
+
+    bm = _bm25_ranked(spark).filter(F.col("rank") <= 50)
+    emb = spark.table("embeddings")
+    cos = exact_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=50,
+        corpus_bytes=_vec_bytes(sf_dir),
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([bm.select("doc_id", "rank"), cos])
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    cand = (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", F.round("rrf", 6).alias("rel"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .select(F.lit(0).cast("long").alias("qid"), "doc_id",
+                "rel", "embedding")
+    )
+    return (
+        mmr_rerank(cand, k=5, lambda_=0.7, id_col="doc_id",
+                   rel_col="rel")
+        .select("doc_id", "mmr_rank")
+        .orderBy("mmr_rank")
+    )
