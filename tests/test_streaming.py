@@ -982,3 +982,98 @@ def test_streaming_dedup_gate_survives_store_compaction(spark, tmp_path):
         q.stop()
     for s in ("bands", "accepted", "decisions"):
         assert versions(f"{store}/{s}") == before[s]
+
+
+def test_streaming_rollup_refresh_converges(spark, tmp_path):
+    """Streaming ingest feeding the continuous aggregate: each
+    micro-batch commits to the snapshot-log source exactly-once
+    (txn-tagged) and refreshes the rollup; the final merged rollup
+    equals a direct aggregate over everything streamed, and a
+    restart on the same checkpoint commits nothing and leaves the
+    rollup untouched."""
+    from conversation_with_vector_db_spark.sources.rollup import (
+        rollup_read,
+        rollup_refresh,
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        append_snapshot_txn,
+        create_table,
+        read_snapshot,
+        versions,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    all_events = spark.range(0, 400).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 527).alias("ts"),
+        (F.col("id") % 11).cast("double").alias("value"),
+    )
+    for i in range(4):
+        (
+            all_events.filter(F.col("event_id") % 4 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"_p{i}"))
+        )
+        for f in (tmp_path / f"_p{i}").glob("*.parquet"):
+            shutil.move(str(f), str(feed / f"file{i}.parquet"))
+        shutil.rmtree(tmp_path / f"_p{i}")
+
+    src = str(tmp_path / "src")
+    rup = str(tmp_path / "rup")
+    create_table(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, batch_id):
+        committed = append_snapshot_txn(
+            batch_df, src, app="ev-sink", txn_version=batch_id
+        )
+        if committed is not None:
+            rollup_refresh(batch_df.sparkSession, src, rup)
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert read_snapshot(spark, src).count() == 400
+    merged = {
+        r["bucket"]: (r["n_events"], round(r["total"], 6))
+        for r in rollup_read(spark, rup).collect()
+    }
+    direct = {
+        r["bucket"]: (r["n"], round(r["t"], 6))
+        for r in all_events.select(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3_600_000_000).cast("long")
+            ).alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert merged == direct
+    # Restart on the same checkpoint with no new files: no new source
+    # commits, no rollup movement.
+    src_before, rup_before = versions(src), versions(rup)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert versions(src) == src_before
+    assert versions(rup) == rup_before
