@@ -158,3 +158,42 @@ def test_random_walk_matches_direct_aggregate(spark, tmp_path):
             rollup_refresh(spark, src, rup)
     rollup_refresh(spark, src, rup)
     assert _merged(spark, rup) == _direct(spark, appended)
+
+
+def test_crash_between_segment_write_and_commit(spark, tmp_path, monkeypatch):
+    """Refresh dies AFTER writing its partial segment but BEFORE the
+    commit: the orphan is invisible (not in any manifest), the retry
+    re-runs the same refresh to the correct result, and no bucket is
+    double-counted."""
+    from conversation_with_vector_db_spark.sources import rollup as ru
+
+    src, rup = str(tmp_path / "src"), str(tmp_path / "rup")
+    create_table(src)
+    s1 = _events(spark, 0, 100)
+    append_snapshot(s1, src)
+    rollup_refresh(spark, src, rup)
+    s2 = _events(spark, 100, 100)
+    append_snapshot(s2, src)
+
+    real_commit = ru.commit_segments
+    calls = {"n": 0}
+
+    def dying_commit(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(ru, "commit_segments", dying_commit)
+    try:
+        rollup_refresh(spark, src, rup)
+        raise AssertionError("refresh should have crashed")
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1
+    monkeypatch.setattr(ru, "commit_segments", real_commit)
+
+    # The orphan segment exists on disk but is in no manifest: reads
+    # are unaffected and the retry lands the refresh exactly once.
+    assert _merged(spark, rup) == _direct(spark, [s1])
+    r = rollup_refresh(spark, src, rup)
+    assert r["mode"] == "incremental"
+    assert _merged(spark, rup) == _direct(spark, [s1, s2])
