@@ -274,3 +274,75 @@ def v9_hybrid_mmr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "mmr_rank")
         .orderBy("mmr_rank")
     )
+
+
+@query(
+    "text_bm25_indexed_suite",
+    driver=False,
+    doc="""Write-time inverted index for the lexical ranker
+    (operators/retrieval.bm25_write_index): posting lists partitioned
+    by crc32 term bucket, so a q-term query PLAN-time-prunes the scan
+    to at most q of the 64 bucket directories — the 100 TB lexical
+    read path (the ivf_write_index discipline applied to text).
+    Self-certifies two invariants as booleans the VALUES oracle pins:
+    (a) the indexed scores equal the inline bm25_scores on the same
+    corpus (to 1e-9; the integer tf/df/dl are identical by
+    construction, the double folds differ only in partition order),
+    (b) the postings scan carries the exact bucket IN-list as a
+    parquet PartitionFilter.""",
+    oracle="""
+SELECT * FROM (VALUES
+    ('bm25_indexed_matches_inline', TRUE),
+    ('postings_scan_partition_pruned', TRUE)
+) AS t(invariant, ok)
+ORDER BY invariant
+""",
+)
+def text_bm25_indexed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    import zlib
+
+    from ..operators.retrieval import (
+        N_TERM_BUCKETS,
+        bm25_scores,
+        bm25_scores_indexed,
+        bm25_write_index,
+    )
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_lexidx_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    path = os.path.join(parent, uuid.uuid4().hex)
+
+    docs = spark.table("documents")
+    bm25_write_index(docs, path)
+    indexed_df = bm25_scores_indexed(spark, path, QUERY_TERMS)
+
+    # 9-decimal comparison: tf/df/dl are integer-identical by
+    # construction, but avgdl and the per-doc term sum are double
+    # folds whose partition order differs between the write run and
+    # the query run — equal to 1e-9, not to the last ulp.
+    inline = {
+        r["doc_id"]: round(r["bm25"], 9)
+        for r in bm25_scores(docs, QUERY_TERMS).collect()
+    }
+    indexed = {
+        r["doc_id"]: round(r["bm25"], 9) for r in indexed_df.collect()
+    }
+    matches = indexed == inline
+
+    want = sorted(
+        zlib.crc32(t.encode()) % N_TERM_BUCKETS for t in QUERY_TERMS
+    )
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    pruned = f"IN ({','.join(str(b) for b in want)})" in plan
+
+    return spark.createDataFrame(
+        [
+            ("bm25_indexed_matches_inline", bool(matches)),
+            ("postings_scan_partition_pruned", bool(pruned)),
+        ],
+        "invariant string, ok boolean",
+    ).orderBy("invariant")

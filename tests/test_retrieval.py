@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from conversation_with_vector_db_spark.operators.retrieval import (
     B,
     K1,
@@ -100,3 +102,64 @@ def test_rrf_is_pure_plan_no_python(spark):
     fused = rrf_fuse([a, a])
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_indexed_bm25_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """bm25_write_index + bm25_scores_indexed: identical scores to the
+    inline form on the documents fixture, and the postings scan lists
+    ONLY the query terms' bucket directories."""
+    from conversation_with_vector_db_spark.operators.retrieval import (
+        N_TERM_BUCKETS,
+        bm25_scores_indexed,
+        bm25_write_index,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    path = str(tmp_path / "lexidx")
+    bm25_write_index(docs, path)
+
+    terms = ("hash", "merge", "window")
+    inline = {
+        r["doc_id"]: round(r["bm25"], 9)
+        for r in bm25_scores(docs, terms).collect()
+    }
+    indexed_df = bm25_scores_indexed(spark, path, terms)
+    indexed = {
+        r["doc_id"]: round(r["bm25"], 9)
+        for r in indexed_df.collect()
+    }
+    assert indexed == inline
+
+    import zlib
+
+    # Partition pruning is a physical-plan fact (inputFiles() lists
+    # the pre-pruning FileIndex): assert the scan carries the bucket
+    # IN-list as a PartitionFilter.
+    want = sorted(
+        zlib.crc32(t.encode()) % N_TERM_BUCKETS for t in terms
+    )
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    inlist = ",".join(str(b) for b in want)
+    assert f"bucket#" in plan and f"IN ({inlist})" in plan, plan[:2000]
+
+
+def test_term_bucket_spark_matches_zlib(spark):
+    import zlib
+
+    from conversation_with_vector_db_spark.operators.retrieval import (
+        N_TERM_BUCKETS,
+        _term_bucket,
+    )
+
+    words = ["hash", "merge", "window", "spark", "a", "table", "x" * 40]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {
+        r["t"]: r["b"]
+        for r in df.select(
+            "t", _term_bucket(F.col("t")).alias("b")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == zlib.crc32(w.encode()) % N_TERM_BUCKETS, w
