@@ -616,3 +616,76 @@ def scale_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "scale_negative_sampling",
+    driver=False,
+    doc="""Deterministic in-batch negative sampling — the contrastive-
+    training prep step (a (anchor, positive) pair trains against K
+    negatives drawn from the anchor's BATCH, not the corpus): rows
+    hash into 16 batches (md5 bucket — reproducible, shuffle-assigns
+    nothing), each anchor pairs only within its batch against
+    different-label rows, and keeps the K=3 negatives ranked by
+    md5(anchor:candidate). Scale shape: ONE equi-join shuffle on the
+    batch id; the quadratic pair expansion is bounded by batch size
+    (corpus/16), never corpus-wide — the same bounded-group
+    discipline as MMR. Fully deterministic, so the oracle replays
+    batches, pairing, and ranking exactly.""",
+    oracle="""
+WITH b AS (
+    SELECT vec_id, label,
+           CAST(('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 8))
+                AS BIGINT) % 16 AS batch
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id, c.vec_id AS neg_id,
+           row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5(CAST(a.vec_id AS STRING) || ':'
+                            || CAST(c.vec_id AS STRING)), c.vec_id
+           ) AS neg_rank
+    FROM b a JOIN b c
+      ON a.batch = c.batch
+     AND a.label <> c.label
+     AND a.vec_id <> c.vec_id
+)
+SELECT vec_id, neg_id, neg_rank FROM pairs
+WHERE neg_rank <= 3
+ORDER BY vec_id, neg_rank
+""",
+)
+def scale_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.table("embeddings").select("vec_id", "label")
+    b = e.withColumn(
+        "batch", bucket_expr(F.col("vec_id").cast("string"), 16)
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("_al"),
+        "batch",
+    )
+    c = b.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("_cl"),
+        "batch",
+    )
+    pairs = a.join(c, "batch").filter(
+        (F.col("_al") != F.col("_cl"))
+        & (F.col("vec_id") != F.col("neg_id"))
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("vec_id").cast("string"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(key, "neg_id")
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("vec_id", "neg_id", "neg_rank")
+        .orderBy("vec_id", "neg_rank")
+    )
