@@ -184,3 +184,86 @@ def quantized_lloyd(
             for c, dims in sorted(by_cluster.items())
         ]
     raise AssertionError("unreachable: iters >= 1")
+
+
+def semdedup_prune(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    prune_num: int = 1,
+    prune_den: int = 4,
+    vec_bytes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    cluster, score each item's redundancy WITHIN its cluster, prune the
+    top ``ceil(n * prune_num / prune_den)`` most-redundant per cluster.
+
+    Redundancy of an item = max exact cosine (4dp) to any LOWER-ID
+    cluster-mate, ties on witness id — every step deterministic, so
+    reruns (and the SQL oracle in ``dedup_semantic_semdedup``) agree
+    value-for-value. The cluster's minimum id has no lower-id mate and
+    can never be pruned: each cluster keeps >= 1 representative for any
+    prune fraction <= 1.
+
+    Scale shape: clustering per :func:`quantized_lloyd` (stateless
+    assignment, model-sized shuffles); the only corpus-sized shuffle
+    keys on ``cluster`` for the pair join, quadratic in CLUSTER size by
+    design — choose k ~ n/target_cluster_size (the paper runs 50k
+    clusters for 600M items). Rescoring inherits
+    :func:`~..operators.vector.rescore_candidates`' size-aware join.
+
+    Returns (removed, cluster, witness, redundancy) ordered by removed.
+    """
+    from pyspark.sql import Window
+
+    from .vector import rescore_candidates
+
+    # The assignment feeds three consumers (both pair sides + the
+    # cluster-size histogram); at cluster scale it is the persisted
+    # (id, cluster) table SemDeDup materializes once per corpus.
+    assign = scoped_cache(
+        quantized_lloyd(
+            vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "cluster")
+    )
+    x = assign.select(F.col(id_col).alias("a"), "cluster")
+    y = assign.select(F.col(id_col).alias("b"), "cluster")
+    cands = (
+        x.join(y.hint("shuffle_hash"), "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    scored = rescore_candidates(
+        cands, vectors, id_col=id_col, vec_col=vec_col, vec_bytes=vec_bytes
+    )
+    # Redundancy of item b = its single most-similar lower-id
+    # cluster-mate (ties to the smallest witness id).
+    per_item = Window.partitionBy("b").orderBy(F.desc("sim"), "a")
+    red = (
+        scored.withColumn("rn", F.row_number().over(per_item))
+        .filter(F.col("rn") == 1)
+        .select(
+            "b",
+            F.col("a").alias("witness"),
+            F.col("sim").alias("redundancy"),
+        )
+        .join(assign.withColumnRenamed(id_col, "b"), "b")
+    )
+    # Integer ceil of the per-cluster prune budget so both engines
+    # agree exactly (no float fraction anywhere).
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("n"))
+    per_cluster = Window.partitionBy("cluster").orderBy(
+        F.desc("redundancy"), "b"
+    )
+    budget = f"(n * {int(prune_num)} + {int(prune_den) - 1}) div {int(prune_den)}"
+    return (
+        red.withColumn("rk", F.row_number().over(per_cluster))
+        .join(F.broadcast(sizes), "cluster")
+        .filter(F.col("rk") <= F.expr(budget))
+        .select(
+            F.col("b").alias("removed"), "cluster", "witness", "redundancy"
+        )
+        .orderBy("removed")
+    )

@@ -25,6 +25,7 @@ from ..operators.dedup import (
 from ..operators.cache import scoped_cache
 from .. import fixtures
 from .registry import query
+from .scale import _KMEANS_CTES
 
 # Shared DuckDB CTE: distinct word-3-gram shingle hashes per corpus doc
 # (mirror of operators.dedup.exploded_shingles on the corpus view).
@@ -1370,3 +1371,83 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicated_spans
 
     return duplicated_spans(spark.table("corpus"), w=12)
+
+
+@query(
+    "dedup_semantic_semdedup",
+    driver=False,
+    doc="""SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus, rank each item by
+    its redundancy WITHIN its cluster (max cosine to any lower-id
+    cluster-mate), and prune the most-redundant ceil(n/4) items per
+    cluster. Complements `dedup_embedding_cosine`: that query blocks
+    candidates by random-hyperplane LSH bands (pair-threshold
+    semantics); this one blocks by k-means cell and prunes a FIXED
+    FRACTION per cluster — the paper's actual control knob, which
+    keeps working when the corpus has no hard near-dups (prunes the
+    relatively-most-redundant tail instead of nothing).
+
+    Determinism end to end: clustering is the quantized integer Lloyd
+    of `scale_kmeans_topics` (assignments are a pure function of the
+    input set); cosine is rounded to 4dp; every ranking tie breaks on
+    ids. The oracle replays the full composition — 3 unrolled Lloyd
+    iterations, the within-cluster pair scores, both ranking windows —
+    so an ITERATIVE clustering feeding a pruning policy is
+    value-parity-checked in SQL.
+
+    Scale shape (100 TB): assignment is a stateless map (centroids are
+    driver-held literals — KBs); the only corpus shuffle keys on
+    `cluster` for the pair join. Within-cluster pairing is quadratic
+    in CLUSTER size by design — SemDeDup's contract is k ~ n/target
+    so cells stay bounded (the paper uses 50k clusters for 600M
+    items); the windows partition by item and by cluster, never
+    globally. The vector rescore inherits `rescore_candidates`'
+    size-aware join (broadcast below the gate, shuffle-hash above).""",
+    oracle=_KMEANS_CTES
+    + """,
+assign AS (
+    SELECT vec_id, CAST(m % 8 AS INT) AS cluster FROM a3
+),
+pairs AS (
+    SELECT x.vec_id AS a, y.vec_id AS b, y.cluster AS cluster,
+           round(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+    FROM assign x
+    JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN embeddings ea ON ea.vec_id = x.vec_id
+    JOIN embeddings eb ON eb.vec_id = y.vec_id
+),
+red AS (
+    SELECT b, cluster, a, sim,
+           row_number() OVER (PARTITION BY b ORDER BY sim DESC, a) AS rn
+    FROM pairs
+),
+r1 AS (
+    SELECT b, cluster, a AS witness, sim AS redundancy
+    FROM red WHERE rn = 1
+),
+sizes AS (
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n
+    FROM assign GROUP BY cluster
+),
+rk AS (
+    SELECT r1.b, r1.cluster, r1.witness, r1.redundancy, s.n,
+           row_number() OVER (PARTITION BY r1.cluster
+                              ORDER BY r1.redundancy DESC, r1.b) AS rk
+    FROM r1 JOIN sizes s USING (cluster)
+)
+SELECT b AS removed, cluster, witness, redundancy
+FROM rk WHERE rk <= (n + 3) // 4
+ORDER BY removed
+""",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semdedup_prune
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    emb = spark.table("embeddings")
+    vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+    return semdedup_prune(
+        emb.select("vec_id", "embedding"), k=8, iters=3, vec_bytes=vec_bytes
+    )

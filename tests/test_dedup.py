@@ -638,3 +638,67 @@ def test_mg_heavy_hitters_exact_on_zipf(spark):
         .first()[0]
     )
     assert per_part <= 512
+
+
+def test_semdedup_planted_duplicate_ranked_first(spark):
+    """A planted exact duplicate must be the FIRST item pruned from its
+    cluster (redundancy 1.0, witness = its lower-id twin), and the
+    cluster's minimum id can never be pruned."""
+    import random
+
+    from conversation_with_vector_db_spark.operators.clustering import (
+        semdedup_prune,
+    )
+
+    rng = random.Random(7)
+    # Two well-separated blobs of 12 + an exact copy of id 3 as id 100.
+    rows = []
+    for i in range(12):
+        rows.append((i, [1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)]))
+    for i in range(12, 24):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        v[0] = -1.0
+        rows.append((i, v))
+    rows.append((100, list(rows[3][1])))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup_prune(df, k=2, iters=3, vec_bytes=1).collect()
+    removed = {r["removed"]: r for r in out}
+    assert 100 in removed
+    assert removed[100]["redundancy"] == 1.0
+    assert removed[100]["witness"] == 3
+    # Budget: ceil(13/4)=4 from the blob holding the twin, ceil(12/4)=3
+    # from the other — and the two cluster-min ids survive.
+    from collections import Counter
+
+    per_cluster = Counter(r["cluster"] for r in out)
+    assert sorted(per_cluster.values()) == [3, 4]
+    all_ids = {r[0] for r in rows}
+    kept = all_ids - set(removed)
+    assert 0 in kept and min(i for i in all_ids if i >= 12) in kept
+
+
+def test_semdedup_budget_and_determinism(spark, sf_dir):
+    """Fixture-level invariants: per-cluster removal count is exactly
+    ceil(n/4) (every non-min item has a lower-id mate), and a rerun
+    returns the identical frame."""
+    from collections import Counter
+
+    from conversation_with_vector_db_spark.plans import load_all, registry
+
+    load_all()
+    q = registry.all_queries()["dedup_semantic_semdedup"]
+    a = [tuple(r) for r in q(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert a == b and a
+    from conversation_with_vector_db_spark.operators.clustering import (
+        quantized_lloyd,
+    )
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    sizes = Counter(
+        r["cluster"] for r in quantized_lloyd(emb, k=8, iters=3).collect()
+    )
+    removed = Counter(r[1] for r in a)
+    for c, n in sizes.items():
+        want = (n + 3) // 4 if n > 1 else 0
+        assert removed.get(c, 0) == want, (c, n)
