@@ -140,6 +140,38 @@ def quantized_lloyd(
 
     Returns (id, cluster, sq_dist) ordered by id.
     """
+    centroids, dim = quantized_lloyd_fit(
+        vectors, k=k, iters=iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    q = scoped_cache(
+        quantize_vectors(vectors, vec_col, scale).select(id_col, "q")
+    ).filter(F.size("q") == dim)
+    return (
+        assign_clusters(q, centroids, k, id_col)
+        .select(id_col, "cluster", "sq_dist")
+        .orderBy(id_col)
+    )
+
+
+def quantized_lloyd_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = QUANT_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """The fitting half of :func:`quantized_lloyd`: seed + ``iters - 1``
+    centroid updates over ``vectors``, returning ``(centroids, dim)`` —
+    the model the final assignment pass runs under. Exposed so a FROZEN
+    model can classify data the fit never saw (incremental semantic
+    dedup assigns an arriving batch under the existing corpus' model
+    without refitting). ``centroids`` is a k-or-fewer list of
+    ``(cluster_id, quantized_vector)``; ``dim`` is the modal vector
+    length the model was fitted at (rows of any other length must be
+    dropped before :func:`assign_clusters`, exactly as the fit dropped
+    them)."""
     q = scoped_cache(
         quantize_vectors(vectors, vec_col, scale).select(id_col, "q")
     )
@@ -156,12 +188,8 @@ def quantized_lloyd(
     q = q.filter(F.size("q") == dim)
     init = q.orderBy(id_col).limit(k).collect()
     centroids = [(i, [int(v) for v in r["q"]]) for i, r in enumerate(init)]
-    for it in range(iters):
+    for _ in range(iters - 1):
         assigned = assign_clusters(q, centroids, k, id_col)
-        if it == iters - 1:
-            return assigned.select(id_col, "cluster", "sq_dist").orderBy(
-                id_col
-            )
         sums = (
             assigned.select(
                 "cluster", F.posexplode("q").alias("pos", "v")
@@ -183,7 +211,7 @@ def quantized_lloyd(
             (c, [dims[p] for p in sorted(dims)])
             for c, dims in sorted(by_cluster.items())
         ]
-    raise AssertionError("unreachable: iters >= 1")
+    return centroids, dim
 
 
 def semdedup_prune(
@@ -266,4 +294,94 @@ def semdedup_prune(
             F.col("b").alias("removed"), "cluster", "witness", "redundancy"
         )
         .orderBy("removed")
+    )
+
+
+def semdedup_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.92,
+    vec_bytes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time semantic near-dup gate: classify an ARRIVING batch
+    against the EXISTING corpus without refitting or self-pairing.
+
+    The model is fitted on ``existing`` only (:func:`quantized_lloyd_fit`
+    — at cluster scale a persisted centroid table refreshed on corpus
+    maintenance, not per shard); the arriving batch is assigned under
+    that frozen model (stateless map — centroids are literals), and
+    each incoming item is exactly rescored ONLY against existing
+    members of its own cluster. Directional by construction: existing
+    never pairs with existing, incoming never with incoming — the
+    semantic twin of ``minhash``'s directional band join
+    (plans/dedup.py `dedup_incremental_minhash`).
+
+    Per incoming item: its best same-cluster existing match (max
+    cosine at 4dp, ties to the smallest existing id) and the
+    keep/reject verdict ``is_dup = best_sim >= threshold``. An item
+    whose cluster holds no existing member (possible: the final
+    assignment pass can empty a surviving centroid's cell) reports a
+    NULL match and ``is_dup = false``.
+
+    Incoming rows whose vector length differs from the model dim drop,
+    exactly as the fit drops them.
+
+    Returns (new_id, cluster, matched_id, best_sim, is_dup) ordered by
+    new_id.
+    """
+    from pyspark.sql import Window
+
+    from .vector import rescore_candidates
+
+    centroids, dim = quantized_lloyd_fit(
+        existing, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    ex_q = scoped_cache(
+        quantize_vectors(existing, vec_col).select(id_col, "q")
+    ).filter(F.size("q") == dim)
+    ex_assign = assign_clusters(ex_q, centroids, k, id_col).select(
+        F.col(id_col).alias("b"), "cluster"
+    )
+    inc_q = quantize_vectors(incoming, vec_col).select(id_col, "q").filter(
+        F.size("q") == dim
+    )
+    inc_assign = scoped_cache(
+        assign_clusters(inc_q, centroids, k, id_col).select(
+            F.col(id_col).alias("a"), "cluster"
+        )
+    )
+    cands = inc_assign.join(ex_assign.hint("shuffle_hash"), "cluster").select(
+        "a", "b"
+    )
+    vectors = existing.unionByName(incoming).select(id_col, vec_col)
+    scored = rescore_candidates(
+        cands, vectors, id_col=id_col, vec_col=vec_col, vec_bytes=vec_bytes
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.desc("sim"), "b")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("a", F.col("b").alias("matched_id"),
+                F.col("sim").alias("best_sim"))
+    )
+    return (
+        inc_assign.join(best, "a", "left")
+        .select(
+            F.col("a").alias("new_id"),
+            "cluster",
+            "matched_id",
+            "best_sim",
+            F.coalesce(
+                F.col("best_sim") >= F.lit(threshold), F.lit(False)
+            ).alias("is_dup"),
+        )
+        .orderBy("new_id")
     )

@@ -25,7 +25,7 @@ from ..operators.dedup import (
 from ..operators.cache import scoped_cache
 from .. import fixtures
 from .registry import query
-from .scale import _KMEANS_CTES
+from .scale import _KMEANS_CTES, kmeans_ctes
 
 # Shared DuckDB CTE: distinct word-3-gram shingle hashes per corpus doc
 # (mirror of operators.dedup.exploded_shingles on the corpus view).
@@ -1450,4 +1450,93 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
     return semdedup_prune(
         emb.select("vec_id", "embedding"), k=8, iters=3, vec_bytes=vec_bytes
+    )
+
+
+@query(
+    "dedup_semantic_incremental",
+    driver=False,
+    doc="""Ingest-time semantic near-dup gate, the embedding twin of
+    `dedup_incremental_minhash`: an ARRIVING batch (vec_id % 10 == 7)
+    is classified against the EXISTING corpus (the rest) under the
+    existing corpus' FROZEN centroid model — no refit per shard, no
+    existing-x-existing or incoming-x-incoming pairing. Per new item:
+    its cluster, best same-cluster existing match (cosine 4dp, ties to
+    the smallest existing id) and the keep/reject verdict at 0.92. An
+    item landing in a cluster with no existing members keeps a NULL
+    match and is_dup=false.
+
+    The oracle refits the same 3-pass quantized Lloyd on the EXISTING
+    subset via the parameterized CTE template (plans/scale.kmeans_ctes),
+    assigns the incoming batch under the final model with one more
+    distance CTE, and replays the directional pair scan — the full
+    fit->freeze->classify lifecycle is value-parity-checked.
+
+    Scale shape: model fit amortizes over corpus maintenance (it is the
+    persisted centroid table); per arriving shard the work is one
+    stateless assignment map over the shard + one cluster-keyed join
+    whose left side is shard-sized. The existing-side assignment is the
+    persisted (id, cluster) table at cluster scale.""",
+    oracle=kmeans_ctes("(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)")
+    + """,
+exi AS (
+    SELECT vec_id AS b, CAST(m % 8 AS INT) AS cluster FROM a3
+),
+iq0 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS q
+    FROM embeddings WHERE vec_id % 10 = 7
+),
+iq AS (
+    SELECT * FROM iq0 WHERE len(q) = (SELECT d FROM mdim)
+),
+iqe AS (
+    SELECT vec_id, CAST(t.i AS INT) AS pos, q[CAST(t.i AS INT)] AS v
+    FROM iq, unnest(generate_series(1, len(q))) AS t(i)
+),
+idist AS (
+    SELECT iqe.vec_id, ce.c,
+           sum((iqe.v - ce.cv) * (iqe.v - ce.cv)) AS d
+    FROM iqe JOIN c2e ce USING (pos)
+    GROUP BY 1, 2
+),
+iassign AS (
+    SELECT vec_id AS a, CAST(min(d * 8 + c) % 8 AS INT) AS cluster
+    FROM idist GROUP BY vec_id
+),
+ipairs AS (
+    SELECT i.a AS a, e.b AS b,
+           round(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+    FROM iassign i JOIN exi e USING (cluster)
+    JOIN embeddings ea ON ea.vec_id = i.a
+    JOIN embeddings eb ON eb.vec_id = e.b
+),
+ibest AS (
+    SELECT a, b, sim,
+           row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+    FROM ipairs
+)
+SELECT i.a AS new_id, i.cluster AS cluster,
+       x.b AS matched_id, x.sim AS best_sim,
+       COALESCE(x.sim >= 0.92, FALSE) AS is_dup
+FROM iassign i
+LEFT JOIN ibest x ON x.a = i.a AND x.rn = 1
+ORDER BY new_id
+""",
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semdedup_incremental
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    existing = emb.filter(F.col("vec_id") % 10 != 7)
+    incoming = emb.filter(F.col("vec_id") % 10 == 7)
+    vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+    return semdedup_incremental(
+        existing, incoming, k=8, iters=3, threshold=0.92,
+        vec_bytes=vec_bytes,
     )

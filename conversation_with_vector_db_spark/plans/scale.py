@@ -352,8 +352,21 @@ def scale_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Unrolled quantized-Lloyd oracle CTEs (3 assignment passes, 2 centroid
 # updates, k=8) ending in a3(vec_id, m) where m = min(sq_dist*8 +
-# cluster). Shared by the assignment query and the topic-mixture
-# composition below.
+# cluster). Shared by the assignment query, the topic-mixture
+# composition below, and (via :func:`kmeans_ctes`, fitted on a source
+# SUBSET) the incremental semantic dedup in plans/dedup.py.
+_KMEANS_SOURCE_TOKEN = "FROM embeddings\n)"
+
+
+def kmeans_ctes(source: str = "embeddings") -> str:
+    """The unrolled-Lloyd CTE block with the fit corpus swapped: the
+    model (seeds, both centroid updates, a3's final assignment) is
+    computed over ``source`` — any relation with (vec_id, embedding)."""
+    return _KMEANS_CTES.replace(
+        _KMEANS_SOURCE_TOKEN, f"FROM {source}\n)", 1
+    )
+
+
 _KMEANS_CTES = """
 WITH q0 AS (
     SELECT vec_id,

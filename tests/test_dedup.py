@@ -702,3 +702,48 @@ def test_semdedup_budget_and_determinism(spark, sf_dir):
     for c, n in sizes.items():
         want = (n + 3) // 4 if n > 1 else 0
         assert removed.get(c, 0) == want, (c, n)
+
+
+def test_semdedup_incremental_planted_twin(spark):
+    """An incoming copy of an existing vector must land in its twin's
+    cluster and be rejected with sim 1.0 against THAT twin; matches are
+    directional (never point at another incoming id); a far-out item
+    is kept."""
+    import random
+
+    from conversation_with_vector_db_spark.operators.clustering import (
+        semdedup_incremental,
+    )
+
+    rng = random.Random(11)
+    ex_rows = []
+    for i in range(10):
+        ex_rows.append((i, [1.0 + rng.uniform(-0.04, 0.04)
+                            for _ in range(8)]))
+    for i in range(10, 20):
+        v = [rng.uniform(-0.04, 0.04) for _ in range(8)]
+        v[1] = -1.0
+        ex_rows.append((i, v))
+    # Incoming: a copy of existing id 4, a copy of THAT copy (still must
+    # match existing, not its incoming sibling), and a fresh outlier.
+    inc_rows = [
+        (200, list(ex_rows[4][1])),
+        (201, list(ex_rows[4][1])),
+        (202, [0.0] * 7 + [1.0]),
+    ]
+    existing = spark.createDataFrame(ex_rows, ["vec_id", "embedding"])
+    incoming = spark.createDataFrame(inc_rows, ["vec_id", "embedding"])
+    out = {
+        r["new_id"]: r
+        for r in semdedup_incremental(
+            existing, incoming, k=2, iters=3, threshold=0.92, vec_bytes=1
+        ).collect()
+    }
+    assert set(out) == {200, 201, 202}
+    for nid in (200, 201):
+        assert out[nid]["is_dup"] is True
+        assert out[nid]["best_sim"] == 1.0
+        assert out[nid]["matched_id"] == 4
+    assert out[202]["is_dup"] is False
+    assert out[202]["matched_id"] < 100  # directional: existing only
+    assert all(r["matched_id"] < 100 for r in out.values())
