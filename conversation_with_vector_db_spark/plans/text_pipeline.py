@@ -1260,3 +1260,111 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bigram_nll_scores
 
     return bigram_nll_scores(spark.table("corpus"))
+
+
+def _bpe_step_sql(n: int) -> str:
+    """One unrolled BPE iteration over s{n-1} -> s{n} (see
+    operators/bpe.py for the Spark-side fold these CTEs mirror).
+
+    The non-overlapping left-to-right merge is reconstructed with
+    gaps-and-islands: candidate positions (where the chosen pair
+    occurs) can only be CONSECUTIVE when left == right (a same-symbol
+    run), and there the fold merges the 1st, 3rd, ... of the run —
+    i.e. odd ranks within each island of consecutive candidates."""
+    p = n - 1
+    return f"""
+p{n} AS (
+    SELECT syms[t.i] AS l, syms[t.i + 1] AS r, CAST(sum(wc) AS BIGINT) AS c
+    FROM s{p}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+    GROUP BY 1, 2
+),
+m{n} AS (SELECT l, r, c FROM p{n} ORDER BY c DESC, l, r LIMIT 1),
+cand{n} AS (
+    SELECT word, t.i AS i
+    FROM s{p}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+    WHERE syms[t.i] = (SELECT l FROM m{n})
+      AND syms[t.i + 1] = (SELECT r FROM m{n})
+),
+runs{n} AS (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+    FROM cand{n}
+),
+mp{n} AS (
+    SELECT word, i FROM (
+        SELECT word, i,
+               row_number() OVER (PARTITION BY word, g ORDER BY i) AS k
+        FROM runs{n}) WHERE k % 2 = 1
+),
+s{n} AS (
+    SELECT s.word AS word, s.wc AS wc,
+           list(CASE WHEN mp.i IS NOT NULL
+                THEN (SELECT l || r FROM m{n})
+                ELSE s.syms[t.i] END ORDER BY t.i) AS syms
+    FROM s{p} s
+    CROSS JOIN unnest(generate_series(1, len(s.syms))) AS t(i)
+    LEFT JOIN mp{n} mp ON mp.word = s.word AND mp.i = t.i
+    LEFT JOIN mp{n} mq ON mq.word = s.word AND mq.i = t.i - 1
+    WHERE mq.i IS NULL
+    GROUP BY s.word, s.wc
+),
+v{n} AS (
+    SELECT CAST(count(DISTINCT u.s) AS BIGINT) AS n_symbols
+    FROM s{n}, unnest(syms) AS u(s)
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH words AS (
+    SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS wc
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+    GROUP BY 1
+),
+s0 AS (
+    SELECT word, wc,
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)) AS syms
+    FROM words
+),"""
+    + ",".join(_bpe_step_sql(n) for n in (1, 2, 3))
+    + """
+SELECT * FROM (
+    SELECT CAST(1 AS INT) AS step, (SELECT l FROM m1) AS lhs,
+           (SELECT r FROM m1) AS rhs, (SELECT c FROM m1) AS pair_count,
+           (SELECT n_symbols FROM v1) AS n_symbols
+    UNION ALL
+    SELECT CAST(2 AS INT), (SELECT l FROM m2), (SELECT r FROM m2),
+           (SELECT c FROM m2), (SELECT n_symbols FROM v2)
+    UNION ALL
+    SELECT CAST(3 AS INT), (SELECT l FROM m3), (SELECT r FROM m3),
+           (SELECT c FROM m3), (SELECT n_symbols FROM v3)
+) ORDER BY step
+"""
+)
+
+
+@query(
+    "text_bpe_merges",
+    driver=False,
+    doc="""Distributed BPE tokenizer training (Sennrich 2016,
+    arXiv:1508.07909), 3 merge steps over the documents corpus — the
+    vocabulary-construction stage of an LLM data pipeline. After the
+    single corpus-sized word-count shuffle, every iteration runs on
+    the frequency-weighted WORD VOCABULARY: one vocab-sized pair
+    count, a 1-row argmax collect (the model), and a stateless JVM
+    fold applying the merge left-to-right non-overlapping
+    (operators/bpe.py — no UDFs anywhere). The oracle unrolls all 3
+    iterations in SQL, reconstructing the non-overlapping scan via
+    gaps-and-islands over candidate positions — a THIRD iterative
+    algorithm family (after Lloyd and the transitive closure) checked
+    value-for-value. Output per step: the merged pair, its
+    corpus-weighted frequency at selection time, and the vocabulary's
+    distinct-symbol count after the merge.""",
+    oracle=_BPE_ORACLE,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    return bpe_train(spark.table("documents"), merges=3)

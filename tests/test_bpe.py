@@ -1,0 +1,78 @@
+"""BPE merge-table training: fold semantics vs a reference scan, and
+the full merge chain on a corpus with a known hand-derivable answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.operators.bpe import (
+    bpe_train,
+    merge_pair_fold,
+)
+
+
+def _ref_merge(syms, l, r):
+    out, prev = [], None
+    for s in syms:
+        if prev == l and s == r:
+            out.append(l + r)
+            prev = None
+        else:
+            if prev is not None:
+                out.append(prev)
+            prev = s
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
+def test_merge_fold_matches_reference_scan(spark):
+    """The JVM fold must implement the left-to-right non-overlapping
+    merge exactly — including same-symbol runs, where overlap handling
+    actually matters."""
+    cases = [
+        ("aaa", "a", "a"),
+        ("aaaa", "a", "a"),
+        ("aaaaa", "a", "a"),
+        ("abab", "a", "b"),
+        ("abab", "b", "a"),
+        ("aab", "a", "b"),
+        ("aaab", "a", "a"),
+        ("a", "a", "a"),
+        ("ba", "a", "b"),
+        ("aabaa", "a", "a"),
+        ("abba", "b", "b"),
+        ("xyzzy", "z", "z"),
+    ]
+    df = spark.createDataFrame(
+        [(i, list(w)) for i, (w, _, _) in enumerate(cases)], ["i", "syms"]
+    )
+    for i, (w, l, r) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(merge_pair_fold(F.col("syms"), l, r).alias("m"))
+            .first()["m"]
+        )
+        assert got == _ref_merge(list(w), l, r), (w, l, r, got)
+
+
+def test_bpe_train_hand_derived_chain(spark):
+    """'the cat the hat' + 'the that': (t,h) x4 wins step 1, (a,t) x3
+    step 2, (th,e) x3 step 3 — and each step's merged token must feed
+    the NEXT step's pair counting (step 3 pairs the step-1 token)."""
+    docs = spark.createDataFrame(
+        [(1, "the cat the hat"), (2, "the that")], ["doc_id", "text"]
+    )
+    rows = [tuple(r) for r in bpe_train(docs, merges=3).collect()]
+    assert rows == [
+        (1, "t", "h", 4, 6),
+        (2, "a", "t", 3, 5),
+        (3, "th", "e", 3, 5),
+    ]
+
+
+def test_bpe_train_exhausts_gracefully(spark):
+    """A vocabulary of single-symbol words has no pairs: training must
+    stop early with an empty merge table, not fail."""
+    docs = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
+    assert bpe_train(docs, merges=2).collect() == []
