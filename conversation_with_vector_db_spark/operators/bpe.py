@@ -164,3 +164,73 @@ def bpe_train(
         "step int, lhs string, rhs string, pair_count bigint, "
         "n_symbols bigint",
     ).orderBy("step")
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus under a FROZEN merge table; per-document token
+    accounting — the apply half of the tokenizer lifecycle.
+
+    The merge chain is applied once per DISTINCT word (the vocabulary,
+    not the corpus): chars -> fold(merge 1) -> ... -> fold(merge M),
+    all JVM expressions. Documents then join their word stream to the
+    (word, n_syms, n_chars) vocabulary — broadcast when the vocab is
+    small (the common case: vocabularies are millions of rows against
+    billions of documents), and at worst a shuffle keyed on a word
+    column whose cardinality makes AQE's skew split effective.
+
+    Returns (doc_id, n_words, n_bpe_tokens, chars_per_token) where
+    chars_per_token = tokenized chars / BPE tokens rounded to 4dp
+    (NULL for wordless documents) — the compression the learned merges
+    deliver, the metric a tokenizer-training pipeline tracks.
+    """
+    tokenized = docs.select(
+        id_col,
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("_words"),
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    for l, r in merges:
+        syms = merge_pair_fold(syms, l, r)
+    vocab = (
+        tokenized.select(F.explode("_words").alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.size(syms).alias("_n_syms"),
+            F.length("word").cast("bigint").alias("_n_chars"),
+        )
+    )
+    per_doc = (
+        tokenized.select(id_col, F.explode("_words").alias("word"))
+        .join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n_syms").alias("n_bpe_tokens"),
+            F.sum("_n_chars").alias("_chars"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0).cast("bigint")).alias(
+                "n_bpe_tokens"
+            ),
+            F.round(
+                F.col("_chars") / F.col("n_bpe_tokens").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy(id_col)
+    )

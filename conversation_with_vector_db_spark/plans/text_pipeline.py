@@ -1314,7 +1314,10 @@ v{n} AS (
 )"""
 
 
-_BPE_ORACLE = (
+# The 3-step unrolled training CTEs (ending at s3: per-word symbol
+# sequences under all three merges) — shared by the merge-table query
+# and the encode query below.
+_BPE_CTES = (
     """
 WITH words AS (
     SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS wc
@@ -1329,6 +1332,10 @@ s0 AS (
     FROM words
 ),"""
     + ",".join(_bpe_step_sql(n) for n in (1, 2, 3))
+)
+
+_BPE_ORACLE = (
+    _BPE_CTES
     + """
 SELECT * FROM (
     SELECT CAST(1 AS INT) AS step, (SELECT l FROM m1) AS lhs,
@@ -1368,3 +1375,54 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train
 
     return bpe_train(spark.table("documents"), merges=3)
+
+
+@query(
+    "text_bpe_encode",
+    driver=False,
+    doc="""The apply half of the tokenizer lifecycle: train 3 BPE
+    merges (`text_bpe_merges`), FREEZE the merge table as driver-held
+    literals, and encode the corpus under it — per-document word
+    count, BPE token count, and chars-per-token compression. The merge
+    chain runs once per DISTINCT word (vocabulary-sized work), then
+    the corpus word stream joins the tiny (word, n_syms) vocabulary —
+    broadcast here, AQE-skew-splittable shuffle at worst. The oracle
+    re-derives the same three merges via the shared unrolled CTEs and
+    re-encodes every document from s3's per-word symbol sequences:
+    train -> freeze -> apply, value-parity end to end (the same
+    lifecycle contract as `dedup_semantic_incremental`'s
+    fit -> freeze -> classify).""",
+    oracle=_BPE_CTES
+    + """,
+dtok AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    FROM documents
+),
+dw AS (
+    SELECT doc_id, u.w AS word FROM dtok, unnest(ws) AS u(w)
+),
+agg AS (
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(s3.syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+    FROM dw JOIN s3 ON s3.word = dw.word
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       round(a.n_chars / CAST(a.n_bpe_tokens AS DOUBLE), 4)
+           AS chars_per_token
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_stats, bpe_train
+
+    docs = spark.table("documents")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_train(docs, merges=3).collect()
+    ]
+    return bpe_encode_stats(docs, merges)

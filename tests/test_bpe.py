@@ -76,3 +76,32 @@ def test_bpe_train_exhausts_gracefully(spark):
     stop early with an empty merge table, not fail."""
     docs = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
     assert bpe_train(docs, merges=2).collect() == []
+
+
+def test_bpe_encode_stats_hand_derived(spark):
+    """Under merges [(t,h),(a,t),(th,e)]: 'the cat the hat' encodes as
+    the->the(1), cat->c,at(2), hat->h,at(2) => 1+2+1+2 = 6 tokens over
+    4 words / 12 chars; a wordless doc keeps zero counts and a NULL
+    ratio."""
+    from conversation_with_vector_db_spark.operators.bpe import (
+        bpe_encode_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the hat"), (2, "the that"), (3, "!!! ...")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_encode_stats(
+            docs, [("t", "h"), ("a", "t"), ("th", "e")]
+        ).collect()
+    }
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["n_bpe_tokens"] == 6
+    assert rows[1]["chars_per_token"] == 2.0
+    # 'that' -> th,at under the same merges: 1 + 2 = 3 total.
+    assert rows[2]["n_bpe_tokens"] == 3
+    assert rows[3]["n_words"] == 0
+    assert rows[3]["n_bpe_tokens"] == 0
+    assert rows[3]["chars_per_token"] is None
