@@ -250,11 +250,19 @@ def semdedup_prune(
 
     # The assignment feeds three consumers (both pair sides + the
     # cluster-size histogram); at cluster scale it is the persisted
-    # (id, cluster) table SemDeDup materializes once per corpus.
+    # (id, cluster) table SemDeDup materializes once per corpus. Built
+    # from fit + assign directly (not quantized_lloyd) to skip that
+    # function's contractual ORDER BY — every consumer here re-shuffles
+    # on cluster or item, so a range sort would be a wasted exchange
+    # (seen in the executed plan before this change).
+    centroids, dim = quantized_lloyd_fit(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    q = scoped_cache(
+        quantize_vectors(vectors, vec_col).select(id_col, "q")
+    ).filter(F.size("q") == dim)
     assign = scoped_cache(
-        quantized_lloyd(
-            vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-        ).select(id_col, "cluster")
+        assign_clusters(q, centroids, k, id_col).select(id_col, "cluster")
     )
     x = assign.select(F.col(id_col).alias("a"), "cluster")
     y = assign.select(F.col(id_col).alias("b"), "cluster")
