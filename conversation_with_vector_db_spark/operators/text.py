@@ -26,7 +26,7 @@ lookaround (RE2 has neither).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Below this on-disk source size the JVM branch wins: the Python
@@ -309,4 +309,85 @@ def _nll_rollup(scored: DataFrame) -> DataFrame:
             ).alias("avg_nll"),
         )
         .orderBy("doc_id")
+    )
+
+
+def dsir_importance_scores(
+    docs: "DataFrame",
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> "DataFrame":
+    """DSIR-style importance scoring (Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance ratio between a
+    TARGET distribution (rows where ``is_target`` — a boolean Column —
+    holds) and the RAW corpus, over hashed unigram buckets.
+
+    Both distributions are add-one smoothed; each bucket's two ln's
+    are quantized to integer micro-nats BEFORE differencing and
+    summing (the :func:`bigram_nll_scores` discipline), so every
+    document's score is an exact integer sum — partitioning-invariant
+    and replayable in SQL.
+
+    Scale shape: the two histograms are map-side-combined
+    ``n_buckets``-row aggregates; totals are window sums over that
+    tiny frame; the model broadcasts onto the token stream, so
+    scoring adds no shuffle beyond the per-doc groupBy.
+
+    Returns (id, n_toks, importance_micronats) — one row per document
+    with >= 1 token; positive scores lean target-like.
+    """
+    from ..functions.embedding import bucket_expr, tokens_expr
+    from .cache import scoped_cache
+
+    # Token-bucket stream: feeds the raw histogram, the target
+    # histogram, and the scoring pass — one tokenize, cached.
+    tok = scoped_cache(
+        docs.select(
+            id_col,
+            is_target.alias("_tgt"),
+            F.explode(tokens_expr(F.col(text_col))).alias("token"),
+        ).select(
+            id_col, "_tgt", bucket_expr(F.col("token"), n_buckets).alias("b")
+        )
+    )
+    raw = tok.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt = tok.filter(F.col("_tgt")).groupBy("b").agg(
+        F.count("*").alias("c_t")
+    )
+    # n_buckets-row model frame; totals as unpartitioned window sums
+    # over it (exact integers — the frame is the whole histogram).
+    w_all = Window.partitionBy()
+    joined = raw.join(tgt, "b", "left").select(
+        "b",
+        F.col("c_r"),
+        F.coalesce("c_t", F.lit(0).cast("bigint")).alias("ct0"),
+    )
+
+    def micronat(num, den):
+        return F.floor(
+            F.log(num / den.cast("double")) * 1e6 + F.lit(0.5)
+        ).cast("bigint")
+
+    model = joined.select(
+        "b",
+        (
+            micronat(
+                F.col("ct0") + F.lit(1.0),
+                F.sum("ct0").over(w_all) + F.lit(n_buckets),
+            )
+            - micronat(
+                F.col("c_r") + F.lit(1.0),
+                F.sum("c_r").over(w_all) + F.lit(n_buckets),
+            )
+        ).alias("q"),
+    )
+    return (
+        tok.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("q").alias("importance_micronats"),
+        )
     )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_aggregate, salted_join
-from ..functions.embedding import bucket_expr
+from ..functions.embedding import bucket_expr, tokens_expr
 from .registry import query
 
 
@@ -701,4 +701,86 @@ def scale_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 3)
         .select("vec_id", "neg_id", "neg_rank")
         .orderBy("vec_id", "neg_rank")
+    )
+
+
+@query(
+    "scale_dsir_selection",
+    driver=False,
+    doc="""DSIR-style data selection (Xie et al. 2023,
+    arXiv:2302.03169): score every document by its hashed-feature
+    importance ratio between a TARGET distribution (here the English
+    subset — the curated domain) and the RAW corpus, and keep the
+    top-50 — the data-selection step that tilts a 100 TB crawl toward
+    a target domain. Features are the md5 token buckets the featurizer
+    already uses (256 cells); both distributions are add-one smoothed;
+    per-bucket ln's are quantized to integer micro-nats BEFORE any
+    summing (the `text_perplexity_bigram` discipline), so each doc's
+    score is an exact integer sum — reproducible under any
+    partitioning, and the oracle replays it value-for-value.
+    (Published DSIR resamples with Gumbel noise; the deterministic
+    top-k by ratio is the oracle-able variant — swap the final rank
+    for noisy sampling when variance is wanted.)
+
+    Scale shape: the bucket histograms are two map-side-combined
+    256-row aggregates; the model is a 256-row broadcast joined onto
+    the token stream (no shuffle for scoring beyond the per-doc
+    groupBy); top-50 is a TakeOrderedAndProject, never a global
+    sort.""",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT) % 256 AS b
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(token)
+),
+raw AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tok GROUP BY b
+),
+tgt AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS c_t
+    FROM tok WHERE lang = 'en' GROUP BY b
+),
+model AS (
+    SELECT r.b,
+           CAST(floor(ln((COALESCE(t.c_t, 0) + 1.0)
+                          / (sum(COALESCE(t.c_t, 0)) OVER () + 256))
+                      * 1e6 + 0.5) AS BIGINT)
+         - CAST(floor(ln((r.c_r + 1.0)
+                          / (sum(r.c_r) OVER () + 256))
+                      * 1e6 + 0.5) AS BIGINT) AS q
+    FROM raw r LEFT JOIN tgt t USING (b)
+),
+scored AS (
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(m.q) AS BIGINT) AS importance_micronats
+    FROM tok JOIN model m USING (b)
+    GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY importance_micronats DESC, doc_id)
+           AS rank,
+       doc_id, n_toks, importance_micronats
+FROM scored
+ORDER BY importance_micronats DESC, doc_id
+LIMIT 50
+""",
+)
+def scale_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_importance_scores
+
+    scored = dsir_importance_scores(
+        spark.table("documents"), is_target=F.col("lang") == "en"
+    )
+    # Two-phase top-k (TakeOrderedAndProject), then rank the survivors.
+    return (
+        scored.orderBy(F.desc("importance_micronats"), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("importance_micronats"), "doc_id")
+            ),
+        )
+        .select("rank", "doc_id", "n_toks", "importance_micronats")
     )

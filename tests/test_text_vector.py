@@ -1096,3 +1096,33 @@ def test_bigram_nll_separates_boilerplate_from_noise(spark):
     assert rows[100]["avg_nll"] > rows[0]["avg_nll"] + 1.0
     assert rows[100]["n_bigrams"] == 9
     assert rows[0]["n_bigrams"] == 9
+
+
+def test_dsir_separates_disjoint_vocabularies(spark):
+    """With fully disjoint target/off-target vocabularies, every
+    target-vocab document must outscore every off-target document, and
+    signs must split accordingly."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.text import (
+        dsir_importance_scores,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta epsilon", "en"))
+    for i in range(20, 40):
+        rows.append((i, "zulu yankee xray whiskey victor", "xx"))
+    # Mixed doc: half target vocab, half not — must land between.
+    rows.append((100, "alpha beta zulu yankee", "xx"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r["importance_micronats"]
+        for r in dsir_importance_scores(
+            docs, is_target=F.col("lang") == "en"
+        ).collect()
+    }
+    tgt = [out[i] for i in range(20)]
+    off = [out[i] for i in range(20, 40)]
+    assert min(tgt) > out[100] > max(off)
+    assert all(v > 0 for v in tgt) and all(v < 0 for v in off)
