@@ -105,3 +105,28 @@ def test_bpe_encode_stats_hand_derived(spark):
     assert rows[3]["n_words"] == 0
     assert rows[3]["n_bpe_tokens"] == 0
     assert rows[3]["chars_per_token"] is None
+
+
+def test_merge_fold_randomized_against_reference(spark):
+    """500 random symbol strings x 3 merge pairs (including the
+    overlap-sensitive l == r), each sweep ONE Spark job — the fold must
+    match the reference scan everywhere."""
+    import random
+
+    rng = random.Random(99)
+    words = [
+        [rng.choice("abc") for _ in range(rng.randint(0, 12))]
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(words)), ["i", "syms"]
+    ).repartition(7)  # partitioning must not matter
+    for l, r in [("a", "a"), ("a", "b"), ("b", "a")]:
+        got = {
+            r_["i"]: r_["m"]
+            for r_ in df.select(
+                "i", merge_pair_fold(F.col("syms"), l, r).alias("m")
+            ).collect()
+        }
+        for i, w in enumerate(words):
+            assert got[i] == _ref_merge(w, l, r), (i, w, l, r)
