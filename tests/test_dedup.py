@@ -747,3 +747,33 @@ def test_semdedup_incremental_planted_twin(spark):
     assert out[202]["is_dup"] is False
     assert out[202]["matched_id"] < 100  # directional: existing only
     assert all(r["matched_id"] < 100 for r in out.values())
+
+
+def test_semdedup_partitioning_invariant(spark):
+    """The SemDeDup removal list is a pure function of the input SET:
+    radically different partitionings must give identical frames (the
+    quantized-Lloyd + integer-ceil + id-tie-break determinism claim)."""
+    import random
+
+    from conversation_with_vector_db_spark.operators.clustering import (
+        semdedup_prune,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = [
+        tuple(r)
+        for r in semdedup_prune(
+            base.repartition(1), k=4, iters=3, vec_bytes=1
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in semdedup_prune(
+            base.repartition(13, "vec_id"), k=4, iters=3, vec_bytes=1
+        ).collect()
+    ]
+    assert a == b and a
