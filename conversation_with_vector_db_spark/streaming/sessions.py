@@ -637,3 +637,201 @@ def streaming_minhash_dedup_sink(
         .foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def streaming_semantic_dedup_sink(
+    vec_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.92,
+    k: int = 8,
+    iters: int = 3,
+):
+    """Streaming SEMANTIC near-dup ingest gate — the embedding twin of
+    :func:`streaming_minhash_dedup_sink`: each arriving micro-batch of
+    (vec_id, embedding) rows is classified against every
+    previously-accepted vector under a FROZEN centroid model, and only
+    non-duplicates enter the corpus.
+
+    Stores (all snapshot-log tables, txn-tagged with the batch id —
+    replays skip, crashes leave invisible orphans):
+
+    * ``store_dir/model``     — the centroid model (cluster, q), fitted
+      ONCE on the first non-empty batch (`quantized_lloyd_fit`) and
+      frozen; at 100 TB the model refreshes on corpus maintenance, not
+      per shard (the IVF-table contract), so later batches pay only a
+      stateless assignment map.
+    * ``store_dir/accepted``  — (vec_id, embedding) of accepted rows
+    * ``store_dir/assign``    — (vec_id, cluster) of accepted rows the
+      model could assign (the persisted blocking index)
+    * ``store_dir/decisions`` — per-vector verdicts with provenance
+
+    Per batch: assign the new vectors under the stored model (a
+    literal-folded map — no join), candidates = same-cluster pairs
+    against the stored assignment (directional: the store never
+    self-pairs), exact cosine rescore (4dp) against accepted vectors,
+    best match per new id, ``is_dup = best_sim >= threshold``. Vectors
+    whose length differs from the model dim cannot block — they are
+    accepted with a NULL match (and excluded from the assign store),
+    mirroring the batch operator's drop semantics without losing rows.
+    Batch-internal near-dups are not cross-checked (shard-vs-corpus is
+    the gate's job; dedupe the shard with `semdedup_prune` upstream).
+    """
+    from ..operators.clustering import (
+        assign_clusters,
+        quantize_vectors,
+        quantized_lloyd_fit,
+    )
+    from ..operators.vector import rescore_candidates
+    from ..sources.snapshot_log import (
+        append_snapshot_txn,
+        create_table,
+        last_txn_version,
+        read_snapshot,
+        versions,
+    )
+    from pyspark.sql import Window
+
+    _GATE_APP = "semantic-gate"
+
+    def _read_store(spark, path, before_batch):
+        try:
+            df = read_snapshot(spark, path)
+        except (FileNotFoundError, ValueError):
+            return None
+        return df.filter(F.col("batch_id") < before_batch)
+
+    def _commit_store(df, path, batch_id):
+        if not versions(path):
+            create_table(path)
+        append_snapshot_txn(
+            df.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            path,
+            app=_GATE_APP,
+            txn_version=batch_id,
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("vec_id", "embedding").dropDuplicates(
+            ["vec_id"]
+        )
+        accepted_dir = f"{store_dir}/accepted"
+        stored_txn = (
+            last_txn_version(accepted_dir, _GATE_APP)
+            if versions(accepted_dir)
+            else None
+        )
+        if stored_txn is not None and batch_id < stored_txn:
+            raise ValueError(
+                f"streaming_semantic_dedup_sink: batch_id {batch_id} < "
+                f"stored txn {stored_txn} — this checkpoint does not "
+                f"own store {store_dir!r}; reuse the original "
+                f"checkpoint dir or start a fresh store"
+            )
+        accepted_prev = _read_store(spark, accepted_dir, batch_id)
+        if accepted_prev is not None:
+            docs = docs.join(
+                accepted_prev.select("vec_id"), "vec_id", "left_anti"
+            )
+        docs = docs.cache()
+        # Model: read the frozen centroids, or fit-and-commit on the
+        # first non-empty batch. The replayed fit commit is skipped by
+        # its txn version; the model READ always comes from the store,
+        # so a replay classifies under the exact same centroids.
+        model_dir = f"{store_dir}/model"
+        model_rows = None
+        try:
+            model_rows = read_snapshot(spark, model_dir).collect()
+        except (FileNotFoundError, ValueError):
+            pass
+        if not model_rows:
+            if docs.isEmpty():
+                return
+            centroids, dim = quantized_lloyd_fit(
+                docs, k=k, iters=iters
+            )
+            _commit_store(
+                spark.createDataFrame(
+                    [(c, list(q)) for c, q in centroids],
+                    "cluster int, q array<bigint>",
+                ).withColumn("dim", F.lit(dim).cast("int")),
+                model_dir,
+                batch_id,
+            )
+        else:
+            centroids = sorted(
+                (int(r["cluster"]), [int(v) for v in r["q"]])
+                for r in model_rows
+            )
+            dim = int(model_rows[0]["dim"])
+        inc_q = quantize_vectors(docs).select("vec_id", "q").filter(
+            F.size("q") == dim
+        )
+        inc_assign = assign_clusters(inc_q, centroids, k).select(
+            F.col("vec_id").alias("a"), "cluster"
+        )
+        rejected = None
+        old_assign = _read_store(spark, f"{store_dir}/assign", batch_id)
+        if old_assign is not None:
+            cands = (
+                inc_assign.join(
+                    old_assign.select(
+                        F.col("vec_id").alias("b"), "cluster"
+                    ).hint("shuffle_hash"),
+                    "cluster",
+                )
+                .select("a", "b")
+            )
+            vectors = accepted_prev.select(
+                "vec_id", "embedding"
+            ).unionByName(docs)
+            scored = rescore_candidates(cands, vectors)
+            w = Window.partitionBy("a").orderBy(F.desc("sim"), "b")
+            best = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.col("a").alias("vec_id"),
+                    F.col("b").alias("matched_id"),
+                    F.col("sim").alias("best_sim"),
+                )
+            )
+            rejected = best.filter(
+                F.col("best_sim") >= F.lit(threshold)
+            )
+        if rejected is None:
+            rejected = spark.createDataFrame(
+                [], "vec_id long, matched_id long, best_sim double"
+            )
+        rejected = rejected.cache()
+        accepted = docs.join(rejected, "vec_id", "left_anti")
+        decisions = docs.select("vec_id").join(
+            rejected, "vec_id", "left"
+        ).select(
+            "vec_id",
+            F.col("matched_id").isNotNull().alias("is_dup"),
+            "matched_id",
+            "best_sim",
+        )
+        for name, df in (
+            ("accepted", accepted),
+            (
+                "assign",
+                inc_assign.select(
+                    F.col("a").alias("vec_id"), "cluster"
+                ).join(rejected.select("vec_id"), "vec_id", "left_anti"),
+            ),
+            ("decisions", decisions),
+        ):
+            # Sequential per-store txn commits — crash mid-sequence
+            # replays deterministically (reads filter batch_id < N).
+            _commit_store(df, f"{store_dir}/{name}", batch_id)
+        rejected.unpersist()
+        docs.unpersist()
+
+    return (
+        vec_stream.writeStream.outputMode("update")
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

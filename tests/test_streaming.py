@@ -1077,3 +1077,127 @@ def test_streaming_rollup_refresh_converges(spark, tmp_path):
     q.stop()
     assert versions(src) == src_before
     assert versions(rup) == rup_before
+
+
+def test_streaming_semantic_dedup_gate(spark, tmp_path):
+    """Streaming semantic ingest: base vectors arrive first (fit +
+    accept), then exact copies (rejected at sim 1.0 against their
+    source), novel vectors (accepted), a copy of a LATER-accepted
+    vector (rejected against it), and a ragged vector (accepted with a
+    NULL match). Restarting on the same checkpoint commits nothing."""
+    import random
+    import shutil as _sh
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        read_snapshot,
+        versions,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        stream_parquet_dir,
+        streaming_semantic_dedup_sink,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rng = random.Random(23)
+
+    def blob(center, n, start_id):
+        return [
+            (
+                start_id + i,
+                [c + rng.uniform(-0.03, 0.03) for c in center],
+            )
+            for i in range(n)
+        ]
+
+    base = blob([1.0] * 8, 15, 0) + blob([-1.0] + [0.0] * 7, 15, 100)
+    copies = [(1000 + i, list(base[i][1])) for i in range(5)]
+    novel = blob([0.0] * 7 + [5.0], 5, 2000)
+    late_copy = [(3000, list(novel[0][1]))]
+    ragged = [(3001, [1.0, 2.0])]
+    another_copy = [(3002, list(base[20][1]))]
+
+    root = tmp_path / "vec_stream"
+    root.mkdir()
+    for i, rows in enumerate(
+        [base, copies + novel, late_copy + ragged + another_copy]
+    ):
+        part = root / f"part{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / f"file{i}.parquet"))
+        _sh.rmtree(part)
+
+    store = str(tmp_path / "sem_store")
+    ckpt = str(tmp_path / "ckpt_sem")
+    q = streaming_semantic_dedup_sink(
+        stream_parquet_dir(spark, str(root), schema), store, ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = {r["vec_id"]: r for r in read_snapshot(spark, store + "/decisions").collect()}
+    assert len(dec) == len(base) + 5 + 5 + 3
+    # Base batch all accepted.
+    for i, _ in base:
+        assert not dec[i]["is_dup"], i
+    # Exact copies rejected at 1.0 against their base source.
+    for i in range(5):
+        assert dec[1000 + i]["is_dup"]
+        assert dec[1000 + i]["best_sim"] == 1.0
+        assert dec[1000 + i]["matched_id"] == i
+    # Novel cluster accepted (first arrivals).
+    for i, _ in novel:
+        assert not dec[i]["is_dup"], i
+    # Copy of a batch-2-accepted vector is rejected AGAINST it.
+    assert dec[3000]["is_dup"] and dec[3000]["matched_id"] == 2000
+    assert dec[3000]["best_sim"] == 1.0
+    # Ragged vector cannot block -> accepted, NULL match.
+    assert not dec[3001]["is_dup"] and dec[3001]["matched_id"] is None
+    assert dec[3002]["is_dup"] and dec[3002]["matched_id"] == base[20][0]
+    # accepted/rejected partition; assign excludes rejected AND ragged.
+    accepted_ids = {
+        r["vec_id"]
+        for r in read_snapshot(spark, store + "/accepted").collect()
+    }
+    rejected_ids = {i for i in dec if dec[i]["is_dup"]}
+    assert accepted_ids | rejected_ids == set(dec)
+    assert not (accepted_ids & rejected_ids)
+    assign_ids = {
+        r["vec_id"]
+        for r in read_snapshot(spark, store + "/assign").collect()
+    }
+    assert assign_ids == accepted_ids - {3001}
+    # Restart on the same checkpoint: no new commits anywhere.
+    before = {
+        s: len(versions(f"{store}/{s}"))
+        for s in ("model", "accepted", "assign", "decisions")
+    }
+    q2 = streaming_semantic_dedup_sink(
+        stream_parquet_dir(spark, str(root), schema), store, ckpt
+    ).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = {
+        s: len(versions(f"{store}/{s}"))
+        for s in ("model", "accepted", "assign", "decisions")
+    }
+    assert after == before
