@@ -1,0 +1,103 @@
+"""One-off measurement of the r8-late operator family (SemDeDup, BPE,
+DSIR) vs their DuckDB oracles at a given sf — NOT part of bench.py's
+headline (the headline set is pinned for round-over-round
+comparability; these queries are model-driven, so their wall includes
+the driver-collected fit loops and is reported as WALL, not exec).
+
+Usage: python tools/extras_bench.py [sf_dir]  ->  one JSON line +
+BENCH_EXTRAS.json next to the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "dedup_semantic_semdedup",
+    "dedup_semantic_incremental",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "scale_dsir_selection",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import duckdb
+
+    from conversation_with_vector_db_spark.plans import load_all, registry
+    from conversation_with_vector_db_spark.session import (
+        BASE_TABLES,
+        get_spark,
+        load_tables,
+        table_path,
+    )
+
+    load_all()
+    spark = get_spark(
+        app_name="cvdb-extras-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=8,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, sf_dir)
+    for t in ("documents", "embeddings"):
+        spark.table(t).cache().count()
+
+    duck = duckdb.connect()
+    for t in BASE_TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        q = registry.REGISTRY[name]
+        # warm-up (codegen + any scoped caches), then min-of-3 wall.
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.append(time.time() - t0)
+        ducks = []
+        sql = q.oracle_sql
+        duck.sql(sql).fetchall()
+        for _ in range(3):
+            t0 = time.time()
+            duck.sql(sql).fetchall()
+            ducks.append(time.time() - t0)
+        out[name] = {
+            "spark_wall_sec": round(min(walls), 4),
+            "duckdb_sec": round(min(ducks), 4),
+            "ratio": round(min(walls) / max(min(ducks), 1e-9), 2),
+        }
+
+    doc = {
+        "sf_dir": sf_dir,
+        "note": (
+            "model-driven queries: spark_wall_sec includes the "
+            "driver-collected fit loops (Lloyd iterations / BPE argmax "
+            "collects), i.e. build+exec wall, min-of-3 after warm-up"
+        ),
+        "queries": out,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_EXTRAS.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()
