@@ -16,7 +16,7 @@ beyond the single groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table_in_range
@@ -659,3 +659,196 @@ def a15_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                <= 0.05 * F.col("exact_events"))
         ).alias("hll_within_5pct"),
     )
+
+
+@query(
+    "a17_gapfill_locf",
+    driver=False,
+    doc="""Time-bucket gap-filling (the TimescaleDB
+    time_bucket_gapfill + locf/interpolate companion to the a16
+    hypertable rollup): per event_type, the dense hourly bucket grid
+    over that series' observed span, with missing hours carrying
+    n_events = 0, a LOCF value (last observed hourly average), and a
+    LINEAR interpolation between the neighboring observed hours.
+    Buckets are integer epoch-hour ids (the rollup's exact
+    cross-engine arithmetic — no timestamp round trips); hourly
+    averages are rounded to 4dp BEFORE interpolation and the
+    interpolation replays the identical expression order on both
+    engines, so parity is value-level.
+
+    Cross-engine exactness (the `text_perplexity_bigram` / x8
+    discipline, applied end to end): event values are quantized to
+    INTEGER 1e-4 units PER ROW (`floor(v*1e4 + 0.5)` — one double op
+    on identical inputs), hourly averages are exact integer rationals
+    rounded half-up via positive-modulus floor division, and the
+    interpolation is the same integer scheme — the only doubles in
+    the output are exact `iv / 10000.0` conversions. Two earlier cuts
+    interpolated (then averaged) in doubles and hit 5e-5 rounding
+    ties between the engines (62.7087 vs 62.7088); integers cannot.
+
+    Scale shape: one map-side-combined (type, hour) aggregate over the
+    corpus; the grid is a per-type sequence explode (linear in
+    span-hours, never in events); both fill passes are per-type
+    ordered windows — series parallelize across the cluster, and a
+    single series' window is span-hours long, not event-count
+    long.""",
+    oracle="""
+WITH rowq AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS rv
+    FROM events
+),
+hsum AS (
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(rv) AS BIGINT) AS siv
+    FROM rowq GROUP BY 1, 2
+),
+hourly AS (
+    -- hourly mean in 1e-4 units, exact integer round-half-up.
+    SELECT event_type, bucket, n_events,
+           ((2 * siv + n_events
+             - (((2 * siv + n_events) % (2 * n_events) + 2 * n_events)
+                % (2 * n_events)))
+            // (2 * n_events)) AS iv,
+           (((2 * siv + n_events
+             - (((2 * siv + n_events) % (2 * n_events) + 2 * n_events)
+                % (2 * n_events)))
+            // (2 * n_events)) / 10000.0) AS v
+    FROM hsum
+),
+span AS (
+    SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+    FROM hourly GROUP BY 1
+),
+grid AS (
+    SELECT event_type, CAST(t.b AS BIGINT) AS bucket
+    FROM span, unnest(generate_series(lo, hi)) AS t(b)
+),
+filled AS (
+    SELECT g.event_type, g.bucket, h.n_events, h.v, h.iv
+    FROM grid g LEFT JOIN hourly h USING (event_type, bucket)
+),
+fwd AS (
+    SELECT *,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS locf_v,
+           last_value(iv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS locf_iv,
+           last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                      IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS prev_b
+    FROM filled
+),
+bwd AS (
+    SELECT *,
+           last_value(iv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket DESC
+               ROWS UNBOUNDED PRECEDING) AS next_iv,
+           last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                      IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket DESC
+               ROWS UNBOUNDED PRECEDING) AS next_b
+    FROM fwd
+),
+frac AS (
+    -- interp in 1e-4 units = num / den exactly (integers); round
+    -- half-up = floor((2*num + den) / (2*den)) via positive modulus.
+    SELECT event_type, bucket, n_events, v, locf_v, prev_b, next_b,
+           2 * (locf_iv * (next_b - prev_b)
+                + (next_iv - locf_iv) * (bucket - prev_b))
+               + (next_b - prev_b) AS num2,
+           2 * (next_b - prev_b) AS den2
+    FROM bwd
+)
+SELECT event_type, bucket,
+       COALESCE(n_events, 0) AS n_events,
+       (v IS NOT NULL) AS observed,
+       locf_v AS locf_value,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE ((num2 - (((num2 % den2) + den2) % den2)) // den2)
+                 / 10000.0 END AS interp_value
+FROM frac
+ORDER BY event_type, bucket
+""",
+)
+def a17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = F.floor(us / F.lit(3600000000).cast("long")).cast("long")
+    rv = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    hourly = (
+        events.select(
+            "event_type", bucket.alias("bucket"), rv.alias("rv")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("rv").alias("siv"),
+        )
+        .withColumn(
+            "iv",
+            F.expr(
+                "(2 * siv + n_events"
+                " - (((2 * siv + n_events) % (2 * n_events)"
+                "     + 2 * n_events) % (2 * n_events)))"
+                " div (2 * n_events)"
+            ),
+        )
+        .withColumn("v", F.col("iv") / F.lit(10000.0))
+        .drop("siv")
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    filled = grid.join(hourly, ["event_type", "bucket"], "left")
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    staged = filled.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "v",
+        F.last("v", ignorenulls=True).over(w_fwd).alias("locf_v"),
+        F.last("iv", ignorenulls=True).over(w_fwd).alias("locf_iv"),
+        F.last(obs_bucket, ignorenulls=True).over(w_fwd).alias("prev_b"),
+        F.last("iv", ignorenulls=True).over(w_bwd).alias("next_iv"),
+        F.last(obs_bucket, ignorenulls=True).over(w_bwd).alias("next_b"),
+    )
+    # interp in 1e-4 units = num/den exactly (integers); round half-up
+    # = floor((2*num + den) / (2*den)) via positive modulus — no
+    # double arithmetic until the final exact /10000.0 (the first cut
+    # interpolated in doubles and hit a 5e-5 rounding tie).
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.expr(
+            "(({n} - ((({n} % {d}) + {d}) % {d})) div {d}) / 10000.0".format(
+                n="(2 * (locf_iv * (next_b - prev_b) + (next_iv - locf_iv)"
+                " * (bucket - prev_b)) + (next_b - prev_b))",
+                d="(2 * (next_b - prev_b))",
+            )
+        )
+    )
+    return staged.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        F.col("v").isNotNull().alias("observed"),
+        F.col("locf_v").alias("locf_value"),
+        interp.alias("interp_value"),
+    ).orderBy("event_type", "bucket")

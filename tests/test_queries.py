@@ -138,3 +138,49 @@ def test_bench_headline_contract():
     for name in bench.HEADLINE:
         assert name in qs, name
         assert name in oracles, f"{name} lost its oracle"
+
+
+def test_gapfill_semantics(spark, sf_dir):
+    """Gap-fill invariants beyond hash parity: dense per-type grid,
+    observed rows pass through, LOCF carries the previous observed
+    value, interpolation is the exact integer-rational linear value
+    between the neighboring observed hours."""
+    load_all()
+    rows = registry.REGISTRY["a17_gapfill_locf"].fn(
+        spark, sf_dir
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    saw_gap = False
+    for series in by_type.values():
+        buckets = [r["bucket"] for r in series]
+        assert buckets == list(range(buckets[0], buckets[-1] + 1))
+        assert series[0]["observed"] and series[-1]["observed"]
+        last_v = None
+        obs = [
+            (r["bucket"], round(r["locf_value"] * 10000))
+            for r in series
+            if r["observed"]
+        ]
+        obs_ix = {b: iv for b, iv in obs}
+        for r in series:
+            if r["observed"]:
+                assert r["interp_value"] == r["locf_value"]
+                last_v = r["locf_value"]
+            else:
+                saw_gap = True
+                assert r["n_events"] == 0
+                assert r["locf_value"] == last_v
+                prev_b = max(b for b, _ in obs if b < r["bucket"])
+                next_b = min(b for b, _ in obs if b > r["bucket"])
+                num = obs_ix[prev_b] * (next_b - prev_b) + (
+                    obs_ix[next_b] - obs_ix[prev_b]
+                ) * (r["bucket"] - prev_b)
+                den = next_b - prev_b
+                # Python // is floor division, so the reference is the
+                # plain round-half-up form of the SQL posmod trick.
+                want = (2 * num + den) // (2 * den)
+                assert r["interp_value"] == want / 10000.0, r
+    assert saw_gap, "fixture produced no gaps — invariant untested"
