@@ -286,3 +286,26 @@ def test_ivf_table_probe_prunes_at_segment_list(spark, tmp_path):
         m = re.search(r"-cell=(\d+)/", f)
         assert m, f
         assert int(m.group(1)) in probed, (f, probed)
+
+
+def test_semdedup_assignment_is_sort_free(spark, sf_dir):
+    """The SemDeDup assignment is a stateless map under centroid
+    literals feeding cluster-keyed consumers: the plan must carry
+    exactly ONE range exchange (the final output ORDER BY) — the
+    pre-fix shape ran quantized_lloyd's contractual sort under both
+    pair sides and the size histogram. The cluster-size join must stay
+    broadcast, the pair self-join shuffled-hash. Exchanges only exist
+    after EnsureRequirements, so this one asserts on executedPlan."""
+    df = registry.all_queries()["dedup_semantic_semdedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("rangepartitioning") == 1, plan
+    assert "ShuffledHashJoin [cluster" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gapfill_windows_are_per_series(spark, sf_dir):
+    """Both gap-fill passes window per event_type — a global
+    (single-partition) window over the dense grid would serialize the
+    fill on one task at any scale."""
+    plan = _spark_plan(spark, sf_dir, "a17_gapfill_locf")
+    assert "SinglePartition" not in plan, plan
