@@ -784,3 +784,120 @@ def scale_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rank", "doc_id", "n_toks", "importance_micronats")
     )
+
+
+@query(
+    "scale_psi_drift",
+    driver=False,
+    doc="""Population Stability Index drift monitor: for every ingest
+    SOURCE, the PSI between its hashed-token-bucket distribution and
+    the overall corpus — the standard production check for 'did this
+    feed's content shift', run per shard/source before it enters a
+    training mix (the monitoring twin of `scale_dsir_selection`'s
+    importance ratio: same 256-bucket histograms, opposite question).
+
+    PSI = sum_b (p_s(b) - p_all(b)) * ln(p_s(b) / p_all(b)), add-one
+    smoothed over the DENSE bucket grid (a source missing a bucket
+    still contributes — the grid is sources x 256, built by explode,
+    never by scanning). Determinism: p's are divisions of exact
+    integers (identical doubles), each bucket's term is quantized to
+    integer NANO-units before the per-source sum — exact integer
+    aggregation, any partitioning.
+
+    Scale shape: one map-side-combined (source, bucket) count over the
+    token stream; everything after operates on the sources x 256
+    model frame (KBs at any corpus size).""",
+    oracle="""
+WITH tok AS (
+    SELECT source,
+           CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT) % 256 AS b
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(token)
+),
+cnt AS (
+    SELECT source, b, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+),
+grid AS (
+    SELECT s.source, CAST(t.b AS BIGINT) AS b
+    FROM (SELECT DISTINCT source FROM documents) s,
+         unnest(generate_series(0, 255)) AS t(b)
+),
+dense AS (
+    SELECT g.source, g.b, COALESCE(c.c, 0) AS c
+    FROM grid g LEFT JOIN cnt c USING (source, b)
+),
+probs AS (
+    SELECT source, b, c,
+           sum(c) OVER (PARTITION BY source) AS n_s,
+           sum(c) OVER () AS n_all,
+           (c + 1.0) / (sum(c) OVER (PARTITION BY source) + 256)
+               AS p_s,
+           (sum(c) OVER (PARTITION BY b) + 1.0)
+               / (sum(c) OVER () + 256) AS p_a
+    FROM dense
+),
+terms AS (
+    SELECT source, n_s,
+           CAST(floor((p_s - p_a) * ln(p_s / p_a) * 1e9 + 0.5)
+                AS BIGINT) AS q
+    FROM probs
+)
+SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
+       CAST(sum(q) AS BIGINT) AS psi_nano,
+       sum(q) / 1e9 AS psi
+FROM terms
+GROUP BY source
+ORDER BY psi_nano DESC, source
+""",
+)
+def scale_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_cache
+
+    docs = spark.table("documents")
+    tok = scoped_cache(
+        docs.select(
+            "source", F.explode(tokens_expr(F.col("text"))).alias("token")
+        ).select("source", bucket_expr(F.col("token"), 256).alias("b"))
+    )
+    cnt = tok.groupBy("source", "b").agg(F.count("*").alias("c"))
+    grid = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(255))).alias("b"),
+        )
+        .select("source", F.col("b").cast("bigint").alias("b"))
+    )
+    dense = grid.join(cnt, ["source", "b"], "left").select(
+        "source", "b", F.coalesce("c", F.lit(0).cast("bigint")).alias("c")
+    )
+    w_src = Window.partitionBy("source")
+    w_b = Window.partitionBy("b")
+    w_all = Window.partitionBy()
+    p_s = (F.col("c") + F.lit(1.0)) / (F.sum("c").over(w_src) + F.lit(256))
+    p_a = (F.sum("c").over(w_b) + F.lit(1.0)) / (
+        F.sum("c").over(w_all) + F.lit(256)
+    )
+    terms = dense.select(
+        "source",
+        F.sum("c").over(w_src).alias("n_s"),
+        F.floor((p_s - p_a) * F.log(p_s / p_a) * 1e9 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.sum("q").alias("psi_nano"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "psi_nano",
+            (F.col("psi_nano") / F.lit(1e9)).alias("psi"),
+        )
+        .orderBy(F.desc("psi_nano"), "source")
+    )
