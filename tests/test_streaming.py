@@ -1201,3 +1201,111 @@ def test_streaming_semantic_dedup_gate(spark, tmp_path):
         for s in ("model", "accepted", "assign", "decisions")
     }
     assert after == before
+
+
+def test_streaming_semantic_gate_crash_mid_commit_sequence(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the per-store txn commits (accepted landed, assign
+    and decisions did not): the restart replays the batch, the
+    already-committed store is skipped by its txn version, the missing
+    stores land exactly once, and the final state equals a crash-free
+    run's."""
+    import random
+    import shutil as _sh
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from conversation_with_vector_db_spark.sources import snapshot_log as sl
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        read_snapshot,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        stream_parquet_dir,
+        streaming_semantic_dedup_sink,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rng = random.Random(31)
+    base = [
+        (i, [1.0 + rng.uniform(-0.03, 0.03) for _ in range(8)])
+        for i in range(20)
+    ]
+    second = [(500, list(base[3][1])), (501, [0.0] * 7 + [4.0])]
+
+    root = tmp_path / "vs"
+    root.mkdir()
+
+    def land(rows, name):
+        part = root / "part"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / name))
+        _sh.rmtree(part)
+
+    land(base, "f0.parquet")
+    store, ckpt = str(tmp_path / "st"), str(tmp_path / "ck")
+
+    def run():
+        q = streaming_semantic_dedup_sink(
+            stream_parquet_dir(spark, str(root), schema), store, ckpt
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()  # batch 0: fit + accept base
+    land(second, "f1.parquet")
+
+    real_append = sl.append_snapshot_txn
+    state = {"calls": 0, "armed": True}
+
+    def dying_append(*a, **kw):
+        state["calls"] += 1
+        if state["armed"] and state["calls"] == 2:
+            state["armed"] = False
+            raise RuntimeError("injected crash between store commits")
+        return real_append(*a, **kw)
+
+    monkeypatch.setattr(sl, "append_snapshot_txn", dying_append)
+    try:
+        run()
+        raise AssertionError("stream should have died mid-sequence")
+    except Exception:
+        pass
+    monkeypatch.setattr(sl, "append_snapshot_txn", real_append)
+
+    # Torn state: accepted committed for batch 1, assign/decisions not.
+    acc = read_snapshot(spark, store + "/accepted")
+    assert acc.filter("batch_id = 1").count() == 1  # 501 only
+    dec = read_snapshot(spark, store + "/decisions")
+    assert dec.filter("batch_id = 1").count() == 0
+
+    run()  # replay: skip accepted, land assign + decisions
+    dec = {
+        r["vec_id"]: r
+        for r in read_snapshot(spark, store + "/decisions").collect()
+    }
+    assert len(dec) == len(base) + 2
+    assert dec[500]["is_dup"] and dec[500]["matched_id"] == 3
+    assert not dec[501]["is_dup"]
+    acc = read_snapshot(spark, store + "/accepted")
+    # No doubled rows anywhere: 20 base + 501, each exactly once.
+    assert acc.count() == 21
+    assert acc.filter("vec_id = 501").count() == 1
+    asg = read_snapshot(spark, store + "/assign")
+    assert asg.count() == 21
