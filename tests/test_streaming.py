@@ -1309,3 +1309,71 @@ def test_streaming_semantic_gate_crash_mid_commit_sequence(
     assert acc.filter("vec_id = 501").count() == 1
     asg = read_snapshot(spark, store + "/assign")
     assert asg.count() == 21
+
+
+def test_streaming_semantic_gate_refuses_foreign_store(spark, tmp_path):
+    """A FRESH checkpoint pointed at an existing store would restart
+    batch ids at 0 and blind the store reads (batch_id < N): the gate
+    must refuse loudly rather than silently re-accept the corpus."""
+    import random
+    import shutil as _sh
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        stream_parquet_dir,
+        streaming_semantic_dedup_sink,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rng = random.Random(41)
+    root = tmp_path / "vs2"
+    root.mkdir()
+
+    def land(rows, name):
+        part = root / "part"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / name))
+        _sh.rmtree(part)
+
+    land([(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)],
+         "f0.parquet")
+    land([(100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+          for i in range(5)], "f1.parquet")
+    store = str(tmp_path / "st2")
+    q = streaming_semantic_dedup_sink(
+        stream_parquet_dir(spark, str(root), schema),
+        store,
+        str(tmp_path / "ck_a"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Fresh checkpoint, same store: ids restart at 0 < stored txn 1.
+    q2 = streaming_semantic_dedup_sink(
+        stream_parquet_dir(spark, str(root), schema),
+        store,
+        str(tmp_path / "ck_b"),
+    ).start()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="does not own store"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
