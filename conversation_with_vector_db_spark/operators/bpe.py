@@ -171,6 +171,7 @@ def bpe_encode_stats(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Encode a corpus under a FROZEN merge table; per-document token
     accounting — the apply half of the tokenizer lifecycle.
@@ -180,8 +181,9 @@ def bpe_encode_stats(
     all JVM expressions. Documents then join their word stream to the
     (word, n_syms, n_chars) vocabulary — broadcast when the vocab is
     small (the common case: vocabularies are millions of rows against
-    billions of documents), and at worst a shuffle keyed on a word
-    column whose cardinality makes AQE's skew split effective.
+    billions of documents); pass ``broadcast_vocab=False`` past the
+    broadcast gate — the join then shuffles on a word key whose
+    cardinality makes AQE's skew split effective.
 
     Returns (doc_id, n_words, n_bpe_tokens, chars_per_token) where
     chars_per_token = tokenized chars / BPE tokens rounded to 4dp
@@ -211,7 +213,11 @@ def bpe_encode_stats(
     )
     per_doc = (
         tokenized.select(id_col, F.explode("_words").alias("word"))
-        .join(F.broadcast(vocab), "word")
+        .join(
+            F.broadcast(vocab) if broadcast_vocab
+            else vocab.hint("shuffle_hash"),
+            "word",
+        )
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_words"),

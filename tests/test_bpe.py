@@ -130,3 +130,25 @@ def test_merge_fold_randomized_against_reference(spark):
         }
         for i, w in enumerate(words):
             assert got[i] == _ref_merge(w, l, r), (i, w, l, r)
+
+
+def test_bpe_encode_shuffle_path_matches_broadcast(spark):
+    """The past-the-broadcast-gate vocab join must return the identical
+    frame (physical placement only)."""
+    from conversation_with_vector_db_spark.operators.bpe import (
+        bpe_encode_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the hat"), (2, "the that"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    merges = [("t", "h"), ("a", "t"), ("th", "e")]
+    a = [tuple(r) for r in bpe_encode_stats(docs, merges).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_encode_stats(
+            docs, merges, broadcast_vocab=False
+        ).collect()
+    ]
+    assert a == b
