@@ -372,6 +372,10 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
+    # Local-parity since the r8 semantic-dedup rotation: the near-dup
+    # family keeps driver rows via minhash/char-ngram/embedding-cosine;
+    # dedup_semantic_semdedup takes the slot.
+    driver=False,
     doc="""SimHash near-dup: 60-bit weighted-majority hash per doc
     (linear passes only), banded 4x15-bit exact-match blocking
     (pigeonhole guarantees recall at hamming<=3), verify by
@@ -1375,7 +1379,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semantic_semdedup",
-    driver=False,
+    # Driver tier since the r8 rotation (dedup_simhash to local parity).
     doc="""SemDeDup-style semantic pruning (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus, rank each item by
     its redundancy WITHIN its cluster (max cosine to any lower-id

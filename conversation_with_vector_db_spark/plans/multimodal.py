@@ -39,6 +39,9 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_decode_features",
+    # Local-parity since the r8 tokenizer rotation: multimodal keeps its
+    # driver row via mm_media_metadata; text_bpe_merges takes the slot.
+    driver=False,
     doc="""Arrow-batched decode/feature-extract via mapInPandas with the
     deterministic fake decoder (real decoders aren't in this
     environment; schema, batch shape, and partitioning are the real

@@ -1354,7 +1354,7 @@ SELECT * FROM (
 
 @query(
     "text_bpe_merges",
-    driver=False,
+    # Driver tier since the r8 rotation (mm_decode_features to local).
     doc="""Distributed BPE tokenizer training (Sennrich 2016,
     arXiv:1508.07909), 3 merge steps over the documents corpus — the
     vocabulary-construction stage of an LLM data pipeline. After the
