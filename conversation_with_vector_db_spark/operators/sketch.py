@@ -66,6 +66,86 @@ def mg_partition_summaries(
     return items.select(col).mapInPandas(summarize, out_schema)
 
 
+def cms_counters(
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """COUNT-MIN SKETCH counters over ``items[col]`` (Cormode &
+    Muthukrishnan 2005): ``depth`` independent hash rows of ``width``
+    counters each; counter (r, b) = number of items whose r-th hash
+    lands in bucket b.
+
+    Returned as a DataFrame ``(r int, b long, c long)`` with at most
+    depth*width rows — the sketch IS a tiny DataFrame, so it merges
+    across corpora/micro-batches by ``union().groupBy(r, b).sum(c)``
+    (counters are linear) and broadcasts to any estimator join.
+
+    Hashes are the engine's cross-portable md5 bucket
+    (:func:`~..functions.embedding.bucket_expr`) over a per-row
+    seeded key ``'r<r>:' || value`` — identical in Spark, DuckDB and
+    Python, so the whole sketch is value-reproducible in SQL.
+
+    Scale shape: the item stream is exploded ``depth`` ways and
+    aggregated with map-side combine — every partition emits at most
+    depth*width partial rows regardless of row count or distinct
+    cardinality; no state ever holds the vocabulary. That is the
+    point at 100 TB: frequency queries with bounded memory where
+    ``groupBy(token)`` would shuffle billions of distinct keys.
+    """
+    from ..functions.embedding import bucket_expr
+
+    rows = items.select(
+        F.col(col).cast("string").alias("_v"),
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("r"),
+    )
+    seeded = F.concat(
+        F.lit("r"), F.col("r").cast("string"), F.lit(":"), F.col("_v")
+    )
+    return (
+        rows.select("r", bucket_expr(seeded, width).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the count-min sketch for every value in
+    ``probes[col]``: estimate = min over the ``depth`` rows of the
+    counter at that value's bucket. Never undercounts (each counter
+    only ever adds colliding mass); overcount is bounded by
+    e*N/width with probability 1 - exp(-depth).
+
+    The sketch side is depth*width rows — broadcast — so estimation
+    is a map-side lookup join on the probe stream, no shuffle.
+    """
+    from ..functions.embedding import bucket_expr
+
+    keyed = probes.select(
+        F.col(col).cast("string").alias("_v"), *probes.columns
+    ).withColumn(
+        "r", F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+    )
+    seeded = F.concat(
+        F.lit("r"), F.col("r").cast("string"), F.lit(":"), F.col("_v")
+    )
+    keyed = keyed.withColumn("b", bucket_expr(seeded, width))
+    return (
+        keyed.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy(*probes.columns)
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
 def heavy_hitters_exact(
     items: DataFrame,
     col: str,

@@ -159,3 +159,37 @@ def interval_bucket_join(
         )
         .drop("_cell", "_t_us", "_lo_us", "_hi_us")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_us: str = "us",
+    tiebreak: str = "event_id",
+    gap_us: int = 900 * 1_000_000,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): assign each event a
+    per-``key`` session ordinal that increments wherever the idle gap
+    to the previous event exceeds ``gap_us`` (an event exactly
+    ``gap_us`` after its predecessor stays in the session — the
+    boundary matches a TTL that is refreshed on activity).
+
+    ONE hash shuffle on ``key`` serves both ordered passes (the lag
+    flag and the running session sum share the frame). ROWS framing
+    is order-sensitive among timestamp ties, so both passes order by
+    ``(ts_us, tiebreak)`` — tie rows never split sessions
+    differently across retries or engines.
+
+    Returns the input columns plus ``session_id`` (1-based bigint).
+    """
+    w = Window.partitionBy(key).orderBy(ts_us, tiebreak)
+    prev = F.lag(ts_us).over(w)
+    flagged = events.withColumn(
+        "_new_sess",
+        (prev.isNull() | (F.col(ts_us) - prev > F.lit(gap_us)))
+        .cast("long"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn(
+        "session_id", F.sum("_new_sess").over(run)
+    ).drop("_new_sess")

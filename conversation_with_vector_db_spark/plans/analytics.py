@@ -852,3 +852,83 @@ def a17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("locf_v").alias("locf_value"),
         interp.alias("interp_value"),
     ).orderBy("event_type", "bucket")
+
+
+@query(
+    "a18_sessionization",
+    driver=False,
+    doc="""Batch sessionization (gaps-and-islands): per user, events
+    ordered by time split into sessions wherever the idle gap exceeds
+    900 s — the BATCH analog of the reference's 15-min conversation
+    TTL (controllers/conversationController.js:14,57,78; SURVEY X3
+    covers the live `session_window` / `applyInPandasWithState`
+    form, this is the backfill/replay form over the event log).
+    Output: one row per (user, session ordinal) with event count,
+    start/end epoch-micros and integer duration seconds.
+
+    Session boundaries are order-insensitive under timestamp ties
+    (a zero gap never opens a session), and all arithmetic is integer
+    micros end to end, so parity is value-level.
+
+    Scale shape: ONE hash shuffle on user_id serves both ordered
+    windows (lag + running sum share the frame) and the per-session
+    rollup groups within the same partitions; users parallelize
+    across the cluster and no window is longer than one user's
+    history. This is the canonical event-log pattern a 100 TB
+    clickstream pipeline runs daily.""",
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+flagged AS (
+    SELECT user_id, us, event_id,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 900000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sessed AS (
+    -- ROWS framing is order-sensitive among timestamp ties, so the
+    -- running sum replays the exact (us, event_id) order the flag
+    -- was computed under.
+    SELECT user_id, us,
+           CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+FROM sessed
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def a18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import sessionize
+
+    e = spark.table("events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    sessed = sessionize(
+        e, key="user_id", ts_us="us", gap_us=900 * 1_000_000
+    )
+    return (
+        sessed.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.expr("(end_us - start_us) div 1000000"),
+        )
+        .orderBy("user_id", "session_id")
+    )

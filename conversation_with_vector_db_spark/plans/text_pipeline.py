@@ -947,6 +947,89 @@ def text_heavy_hitters_sketch(
 
 
 @query(
+    "text_cms_freq",
+    driver=False,
+    doc="""Count-min sketch frequency estimation (Cormode &
+    Muthukrishnan 2005) over the document token stream: a 4x512
+    counter grid built in ONE map-side-combined aggregation (every
+    executor emits at most depth*width partial rows no matter how
+    many tokens or distinct terms it saw), point-queried for the
+    exact top-20 tokens. Output per token: exact count, CMS estimate,
+    and the overcount (collision mass) — never negative, the sketch's
+    one-sided guarantee.
+
+    The companion to `text_heavy_hitters_sketch`'s Misra-Gries plan:
+    MG answers "which items are frequent" with a candidate set, CMS
+    answers "how frequent is THIS item" with fixed memory. Counters
+    are linear, so sketches of two corpora (or of a stream's
+    micro-batches) merge by summing (r, b) cells — the property that
+    makes this the 100 TB shape for per-term stats where a
+    groupBy(token) would shuffle the whole vocabulary.
+
+    Hashes are the engine's md5 bucket over a seeded key, identical
+    in Spark and DuckDB, so the ENTIRE sketch — every counter, every
+    estimate — is value-parity-checked in SQL (an approximate
+    structure with an exact oracle, the `ann_bq_hamming_topk`
+    discipline).""",
+    oracle="""
+WITH tok AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+sketch AS (
+    SELECT rr.r,
+           CAST(('0x' || substr(md5('r' || rr.r || ':' || token), 1, 8))
+                AS BIGINT) % 512 AS b,
+           CAST(count(*) AS BIGINT) AS c
+    FROM tok, unnest([0, 1, 2, 3]) AS rr(r)
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+    FROM tok GROUP BY token
+    ORDER BY exact_n DESC, token LIMIT 20
+),
+probe AS (
+    SELECT e.token, e.exact_n, rr.r,
+           CAST(('0x' || substr(md5('r' || rr.r || ':' || e.token), 1, 8))
+                AS BIGINT) % 512 AS b
+    FROM exact e, unnest([0, 1, 2, 3]) AS rr(r)
+)
+SELECT p.token, p.exact_n,
+       CAST(min(s.c) AS BIGINT) AS cms_est,
+       CAST(min(s.c) - p.exact_n AS BIGINT) AS overcount
+FROM probe p JOIN sketch s USING (r, b)
+GROUP BY p.token, p.exact_n
+ORDER BY p.exact_n DESC, p.token
+""",
+)
+def text_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.embedding import tokens_expr
+    from ..operators.cache import scoped_cache
+    from ..operators.sketch import cms_counters, cms_estimate
+
+    tok = scoped_cache(
+        spark.table("documents").select(
+            F.explode(tokens_expr(F.col("text"))).alias("token")
+        )
+    )
+    sketch = cms_counters(tok, "token", depth=4, width=512)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, exact, "token", depth=4, width=512)
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "token")
+
+
+@query(
     "t13_pack_sequences",
     doc="""Training-sequence packing — the GPT-style concat-and-chunk
     step of a pretraining data pipeline: documents are concatenated in

@@ -862,3 +862,63 @@ def test_prefix_filter_jaccard_brute_force_random(spark):
         assert full == pfx, t
         if t == 0.5:
             assert any(a == 0 and b == 200 for a, b, _ in full)
+
+
+def test_cms_never_undercounts_and_counters_merge(spark):
+    """Count-min sketch hard guarantees on a Zipf stream whose
+    distinct count dwarfs the 4x512 grid: (a) every point estimate
+    >= the exact count (counters only ever ADD colliding mass);
+    (b) counters are linear — the sketch of A union B equals the
+    cell-wise sum of the two halves' sketches (the property that
+    merges per-corpus / per-micro-batch sketches at scale); (c) the
+    e*N/width error bound holds for the overwhelming share of probes
+    (deterministic here: fixed seed, fixed md5 hashes)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = [f"v{v}" for v in rng.zipf(1.4, size=120_000)]
+    df = spark.createDataFrame(pd.DataFrame({"item": vals}))
+    n = len(vals)
+
+    sketch = cms_counters(df, "item", depth=4, width=512)
+    # (b) linearity: a deterministic row-hash split's half-sketches
+    # sum to the full sketch cell-wise.
+    w = F.abs(F.crc32(F.col("item")) % 2)
+    a = df.filter(w == 0)
+    b = df.filter(w == 1)
+    merged = (
+        cms_counters(a, "item", 4, 512)
+        .unionByName(cms_counters(b, "item", 4, 512))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert (
+        merged.exceptAll(sketch).count() == 0
+        and sketch.exceptAll(merged).count() == 0
+    )
+
+    # Probes: exact top-30 plus a deterministic slice of the tail.
+    exact = (
+        df.groupBy("item")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "item")
+    )
+    probes = exact.limit(30).unionByName(
+        exact.filter(F.col("exact_n") <= 3).orderBy("item").limit(30)
+    )
+    est = cms_estimate(sketch, probes, "item", 4, 512).collect()
+    assert len(est) == 60
+    # (a) one-sided: never undercounts.
+    assert all(r["cms_est"] >= r["exact_n"] for r in est)
+    # (c) the classic bound, deterministic under the fixed seed.
+    bound = 2.718281828 * n / 512
+    within = sum(r["cms_est"] - r["exact_n"] <= bound for r in est)
+    assert within >= 54  # >= 90% of probes

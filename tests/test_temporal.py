@@ -194,3 +194,50 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_boundary_and_ordinals(spark):
+    """Gap exactly == gap_us stays in the session (TTL refreshed on
+    activity); gap_us + 1 opens a new one; ordinals are per-key and
+    1-based."""
+    from conversation_with_vector_db_spark.operators.temporal import (
+        sessionize,
+    )
+
+    g = 900 * 1_000_000
+    rows = [
+        (1, 0, 1),
+        (1, g, 2),          # exactly the TTL later: same session
+        (1, 2 * g + 1, 3),  # one microsecond past: new session
+        (2, 5, 4),          # independent key restarts at 1
+    ]
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(
+            spark.createDataFrame(
+                rows, "user_id long, us long, event_id long"
+            )
+        ).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
+def test_sessionize_tied_timestamps_never_split(spark):
+    """Two events sharing the boundary-opening timestamp land in the
+    SAME (new) session regardless of partitioning: the zero gap can't
+    flag, and the running sum replays the (ts, tiebreak) order."""
+    from conversation_with_vector_db_spark.operators.temporal import (
+        sessionize,
+    )
+
+    g = 900 * 1_000_000
+    rows = [(1, 0, 1), (1, 2 * g, 3), (1, 2 * g, 2)]
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "user_id long, us long, event_id long"
+        ).repartition(parts)
+        got = {
+            r["event_id"]: r["session_id"]
+            for r in sessionize(df).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 2}
