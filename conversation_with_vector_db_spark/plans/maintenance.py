@@ -562,6 +562,85 @@ def s14_snapshot_log_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(predrop.agg(F.count("*").alias("predrop_rows")))
 
 
+@query(
+    "s15_branch_lifecycle",
+    driver=False,
+    doc="""Branch-ref lifecycle over the snapshot log
+    (sources/branching.py — the Nessie/Iceberg-branch working model):
+    fork the corpus table zero-copy, run a backfill on the branch
+    while the parent keeps ingesting, publish the branch as ONE
+    atomic metadata-only merge commit, and verify isolation both ways
+    plus time travel to the pre-merge parent. Every mutation is a
+    physical CAS commit on a real on-disk table; the oracle replays
+    the same set algebra over the raw fixture. The engine-level
+    guarantees (conflict detection, cross-ref GC, drop guard,
+    crash-repair) are pinned in tests/test_branching.py.""",
+    oracle="""
+WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+brch AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+par  AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2),
+fin  AS (SELECT * FROM base UNION ALL SELECT * FROM brch
+         UNION ALL SELECT * FROM par)
+SELECT (SELECT count(*) FROM fin) AS n_final,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM fin) AS chars_final,
+       (SELECT count(*) FROM base) + (SELECT count(*) FROM par)
+           AS n_premerge,
+       (SELECT count(*) FROM base) + (SELECT count(*) FROM brch)
+           AS n_branch_head,
+       (SELECT count(*) FROM base) AS n_fork_snapshot
+""",
+)
+def s15_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import branching as br
+    from ..sources.snapshot_log import (
+        append_snapshot,
+        create_table,
+        latest_version,
+        read_snapshot,
+    )
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_branch_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    create_table(t)
+    append_snapshot(docs.filter(F.col("doc_id") % 3 == 0), t)
+    v_fork = latest_version(t)
+
+    b = br.create_branch(t, "backfill")
+    append_snapshot(docs.filter(F.col("doc_id") % 3 == 1), b)
+    append_snapshot(docs.filter(F.col("doc_id") % 3 == 2), t)
+    v_premerge = latest_version(t)
+
+    n_branch_head = read_snapshot(spark, b).count()
+    br.merge_branch(t, "backfill")
+
+    final = read_snapshot(spark, t)
+    premerge = read_snapshot(spark, t, version=v_premerge)
+    fork_view = read_snapshot(spark, b, version=0)
+    return (
+        final.agg(
+            F.count("*").alias("n_final"),
+            F.sum("n_chars").cast("long").alias("chars_final"),
+        )
+        .crossJoin(premerge.agg(F.count("*").alias("n_premerge")))
+        .crossJoin(
+            spark.range(1).select(
+                F.lit(n_branch_head).cast("long").alias("n_branch_head")
+            )
+        )
+        .crossJoin(fork_view.agg(F.count("*").alias("n_fork_snapshot")))
+        # pin the fork version as used (plan-time assertion, no output)
+        .where(F.lit(v_fork == 1))
+    )
+
+
 def _z_sql_terms(scol: str, offset: int, bits: int = 16) -> str:
     """The oracle's Morton-interleave arm for one scaled column:
     sum_i ((s >> i) & 1) * 2^(2i + offset) — generated, not

@@ -1,0 +1,342 @@
+"""Branch refs over the snapshot log: zero-copy table branches with
+metadata-only merge — the Nessie / Iceberg-branch / LakeFS working
+model (branch, write in isolation, merge-or-conflict, GC across refs),
+re-expressed on this repo's delta-manifest commit layer.
+
+Design:
+
+* A branch of ``table`` is a FULL snapshot-log table rooted at
+  ``table/_refs/<name>/``: its own ``_commits/`` CAS log, its own
+  ``data/`` for segments written on the branch. Creating it copies NO
+  data — the branch's version-0 manifest embeds a ``live`` list whose
+  entries are relative paths reaching back into the parent's ``data/``
+  (``../../data/<seg>``). Every snapshot-log operation — append,
+  txn-append, keyed upsert/delete, compaction, time travel — works on
+  the branch dir UNCHANGED, because segments are immutable and the
+  log only ever manipulates path lists. (On an object store the same
+  design stores fully-qualified keys; the relative form is the
+  local-FS spelling of "refs share one immutable segment pool".)
+* Branch writers and parent writers NEVER contend: different CAS logs.
+  Isolation is by construction, not by locking.
+* ``merge_branch`` is pure metadata, O(branch delta): it diffs the
+  branch head's live set against the recorded fork set and commits
+  (added, removed) onto the parent in ONE atomic version.
+  ``commit_segments`` supplies the conflict rule for free — a merge
+  whose ``removed`` set is no longer fully live at the parent head
+  (the parent compacted/rewrote/deleted one of those segments since
+  the fork) raises :class:`CommitConflictError`; append-only branches
+  commute with any amount of parent progress, exactly like appends.
+  No data moves at merge: branch-written segments stay physically
+  under ``_refs/<name>/data/`` and enter the parent's live list by
+  path — a later parent compaction folds them into ``data/`` in the
+  normal course of maintenance.
+* GC across refs: the parent's ``vacuum`` reaps segments the PARENT
+  no longer references, which would tear branches that still inherit
+  them. :func:`vacuum_with_branches` passes the union of every
+  branch's reachable set as the ``protect`` list — the cross-ref
+  reachability pass every multi-ref format needs (Nessie GC). The
+  fork set is ALSO persisted outside the branch's vacuum-able log
+  (``branch.json``), so protection and merge survive branch-side
+  checkpoint/vacuum cycles.
+
+Reference parity note: the reference app has no branches (a Mongo +
+Pinecone store mutates in place); this is engine infrastructure for
+the 100 TB posture — staging a risky backfill/reprocess on a branch
+of the corpus table and publishing it as one atomic merge commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from .snapshot_log import (
+    CommitConflictError,
+    _read_manifest,
+    _try_commit,
+    commit_segments,
+    latest_version,
+    live_segments,
+    segment_stats,
+    table_meta,
+    vacuum,
+    versions,
+    _checkpoint_versions,
+    _ckpt_path,
+    _COMMITS,
+    _DATA,
+)
+
+_REFS = "_refs"
+_NAME_RE = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+_BRANCH_META = "branch.json"
+
+__all__ = [
+    "branch_dir",
+    "create_branch",
+    "drop_branch",
+    "list_branches",
+    "merge_branch",
+    "protected_segments",
+    "vacuum_with_branches",
+]
+
+
+def branch_dir(table_dir: str, name: str) -> str:
+    if not _NAME_RE.match(name):
+        raise ValueError(f"invalid branch name: {name!r}")
+    return os.path.join(table_dir, _REFS, name)
+
+
+def list_branches(table_dir: str) -> list[str]:
+    """Branch refs with a committed version 0 — including half-born
+    refs whose creator died before writing ``branch.json`` (they are
+    still committed forks and must count for GC protection; reads of
+    their fork set fall back to the v0 manifest)."""
+    try:
+        names = os.listdir(os.path.join(table_dir, _REFS))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        n
+        for n in names
+        if os.path.isfile(
+            os.path.join(table_dir, _REFS, n, _BRANCH_META)
+        )
+        or 0 in set(versions(os.path.join(table_dir, _REFS, n)))
+    )
+
+
+def _to_branch_rel(table_dir: str, bdir: str, rel: str) -> str:
+    return os.path.relpath(os.path.join(table_dir, rel), bdir)
+
+
+def _to_parent_rel(table_dir: str, bdir: str, rel: str) -> str:
+    out = os.path.relpath(os.path.join(bdir, rel), table_dir)
+    if out.startswith(".."):
+        # A branch manifest may only reference segments inside the
+        # parent tree (its own data/ or inherited data/); anything
+        # else is corruption, refuse rather than mis-merge.
+        raise ValueError(f"branch segment escapes table root: {rel!r}")
+    return out
+
+
+def create_branch(
+    table_dir: str, name: str, at_version: int | None = None
+) -> str:
+    """Fork ``table_dir`` at ``at_version`` (default head) into a new
+    branch ref. O(live-set metadata): writes one manifest embedding
+    the inherited segment list (and its recorded key stats and
+    effective table meta, so manifest-level pruning and model
+    pointers carry over) — no data is copied or moved.
+
+    The fork set is also persisted to ``branch.json`` outside the
+    commit log, so merge and cross-ref GC never depend on the
+    branch's own retention window.
+
+    A fork racing the parent's vacuum re-verifies every inherited
+    segment after publishing version 0 and aborts (removing the
+    half-born ref) if any vanished — the same snapshot-phase
+    discipline vacuum itself uses."""
+    if at_version is None:
+        at_version = latest_version(table_dir)
+    live = live_segments(table_dir, at_version)
+    stats = segment_stats(table_dir, at_version)
+    meta = table_meta(table_dir, at_version)
+    bdir = branch_dir(table_dir, name)
+    if os.path.exists(os.path.join(bdir, _BRANCH_META)):
+        raise FileExistsError(f"branch already exists: {name}")
+    os.makedirs(os.path.join(bdir, _COMMITS), exist_ok=True)
+    os.makedirs(os.path.join(bdir, _DATA), exist_ok=True)
+    rewritten = [_to_branch_rel(table_dir, bdir, s) for s in live]
+    manifest = {
+        "version": 0,
+        "op": "branch",
+        "added": [],
+        "removed": [],
+        "live": rewritten,
+        "stats": {
+            _to_branch_rel(table_dir, bdir, rel): s
+            for rel, s in stats.items()
+            if rel in set(live)
+        },
+        "branch_of": {"from_version": int(at_version)},
+    }
+    if meta:
+        manifest["meta"] = dict(meta)
+    if not _try_commit(bdir, 0, manifest):
+        if not os.path.exists(os.path.join(bdir, _BRANCH_META)):
+            # A creator died between the v0 CAS and branch.json: the
+            # ref is committed but record-less. Repair from ITS v0
+            # (not ours — the winner's fork set is authoritative).
+            m0 = _read_manifest(bdir, 0)
+            _write_branch_meta(
+                bdir,
+                int(m0.get("branch_of", {}).get("from_version", -1)),
+                sorted(
+                    _to_parent_rel(table_dir, bdir, s)
+                    for s in m0["live"]
+                ),
+            )
+        raise FileExistsError(f"branch already exists: {name}")
+    # branch.json is written AFTER the v0 CAS (the loser of a racing
+    # create never clobbers the winner's fork record) and read by
+    # merge/GC forever after, immune to branch-side vacuums.
+    _write_branch_meta(bdir, int(at_version), sorted(live))
+    missing = [
+        s
+        for s in live
+        if not os.path.isdir(os.path.join(table_dir, s))
+    ]
+    if missing:
+        shutil.rmtree(bdir, ignore_errors=True)
+        raise CommitConflictError(
+            f"fork of {table_dir} at v{at_version} raced a vacuum; "
+            f"segments gone: {missing[:3]}"
+        )
+    return bdir
+
+
+def _write_branch_meta(
+    bdir: str, from_version: int, fork_live: list[str]
+) -> None:
+    with open(os.path.join(bdir, _BRANCH_META), "w") as f:
+        json.dump(
+            {"from_version": from_version, "fork_live": fork_live},
+            f,
+            sort_keys=True,
+        )
+
+
+def _fork_live(bdir: str) -> list[str]:
+    try:
+        with open(os.path.join(bdir, _BRANCH_META)) as f:
+            return list(json.load(f)["fork_live"])
+    except FileNotFoundError:
+        # Half-born ref (creator died before branch.json): fall back
+        # to its committed v0, which is equivalent.
+        m0 = _read_manifest(bdir, 0)
+        table_dir = os.path.dirname(os.path.dirname(bdir))
+        return sorted(
+            _to_parent_rel(table_dir, bdir, s) for s in m0["live"]
+        )
+
+
+def merge_branch(table_dir: str, name: str) -> int:
+    """Publish the branch's net effect onto the parent as ONE atomic
+    commit — pure metadata, no Spark job, no data movement:
+    ``added`` = segments live at the branch head but not in the fork
+    set, ``removed`` = fork segments the branch dropped (compacted,
+    deleted, rewrote). Key stats recorded on the branch ride along,
+    so parent-side pruning keeps working on merged segments.
+
+    Conflict semantics come from the commit layer itself: if the
+    parent no longer has every ``removed`` segment live (it
+    compacted or deleted one of them since the fork),
+    :class:`CommitConflictError` — re-plan (rebranch from the new
+    head and replay). An append-only branch has an empty ``removed``
+    and merges cleanly under ANY concurrent parent progress.
+
+    Returns the parent version holding the merge (the current head
+    when the branch turns out to be a no-op)."""
+    bdir = branch_dir(table_dir, name)
+    head_b = latest_version(bdir)
+    live_b = [
+        _to_parent_rel(table_dir, bdir, s)
+        for s in live_segments(bdir, head_b)
+    ]
+    fork = set(_fork_live(bdir))
+    added = sorted(set(live_b) - fork)
+    removed = sorted(fork - set(live_b))
+    if not added and not removed:
+        return latest_version(table_dir)
+    stats_b = segment_stats(bdir, head_b)
+    stats = {
+        _to_parent_rel(table_dir, bdir, rel): s
+        for rel, s in stats_b.items()
+    }
+    return commit_segments(
+        table_dir,
+        added=added,
+        removed=removed,
+        op="merge",
+        stats={rel: s for rel, s in stats.items() if rel in set(added)},
+    )
+
+
+def drop_branch(table_dir: str, name: str) -> None:
+    """Delete a branch ref and every segment under it. Refuses while
+    ANY retained parent version still references a branch-local
+    segment (a merged-but-not-yet-compacted branch, or a
+    time-travelable window that saw the merge): dropping it would
+    tear the parent. Run the parent's compaction (folds merged
+    segments into the parent's own ``data/``) and a vacuum past the
+    merge window first, then drop."""
+    bdir = branch_dir(table_dir, name)
+    prefix = os.path.join(_REFS, name, _DATA) + os.sep
+    held = 0
+    for v in versions(table_dir):
+        try:
+            held = sum(
+                1
+                for s in live_segments(table_dir, v)
+                if s.startswith(prefix)
+            )
+        except FileNotFoundError:
+            continue  # version vacuumed mid-scan; its refs went too
+        if held:
+            raise ValueError(
+                f"branch {name!r} still backs {held} segment(s) of "
+                f"parent v{v}; compact and vacuum the parent before "
+                "dropping it"
+            )
+    shutil.rmtree(bdir, ignore_errors=True)
+
+
+def protected_segments(table_dir: str) -> set[str]:
+    """Parent-``data/`` segments any branch can still reach: the
+    union, over branches, of the persisted fork set and every
+    surviving branch manifest/checkpoint reference — mapped to
+    parent-relative paths. Conservative by design: a segment is only
+    reclaimable when NO ref can name it."""
+    out: set[str] = set()
+    data_prefix = _DATA + os.sep
+    for name in list_branches(table_dir):
+        bdir = branch_dir(table_dir, name)
+        refs: set[str] = set(_fork_live(bdir))
+        for v in versions(bdir):
+            try:
+                m = _read_manifest(bdir, v)
+            except FileNotFoundError:
+                continue
+            for rel in list(m.get("added", ())) + list(m.get("live", ())):
+                refs.add(_to_parent_rel(table_dir, bdir, rel))
+        for cv in _checkpoint_versions(bdir):
+            try:
+                with open(_ckpt_path(bdir, cv)) as f:
+                    ck = json.load(f)
+            except FileNotFoundError:
+                continue
+            for rel in ck.get("live", ()):
+                refs.add(_to_parent_rel(table_dir, bdir, rel))
+        out.update(r for r in refs if r.startswith(data_prefix))
+    return out
+
+
+def vacuum_with_branches(
+    table_dir: str,
+    keep_versions: int = 1,
+    orphan_min_age_sec: float = 3600.0,
+) -> list[str]:
+    """Cross-ref GC: the parent's vacuum with every branch-reachable
+    segment protected. The ONLY safe vacuum on a table that has
+    branches — the plain :func:`~.snapshot_log.vacuum` sees one log
+    and would reap segments a branch still inherits."""
+    return vacuum(
+        table_dir,
+        keep_versions=keep_versions,
+        orphan_min_age_sec=orphan_min_age_sec,
+        protect=protected_segments(table_dir),
+    )

@@ -78,6 +78,7 @@ __all__ = [
     "live_segments",
     "read_snapshot",
     "rewrite_snapshot",
+    "segment_path",
     "segment_stats",
     "table_meta",
     "vacuum",
@@ -445,6 +446,14 @@ def _try_commit(table_dir: str, version: int, manifest: dict) -> bool:
     return True
 
 
+def segment_path(table_dir: str, rel: str) -> str:
+    """Absolute path of a segment. Normalized because branch refs
+    (sources/branching.py) inherit parent segments through
+    ``../../data/...`` relative entries, and Hadoop's ``Path`` does
+    not resolve ``..`` components the way the local FS does."""
+    return os.path.normpath(os.path.join(table_dir, rel))
+
+
 def _write_segment(df: DataFrame, table_dir: str) -> str:
     """Write one immutable data segment; returns its relative path.
     Invisible until a committed manifest references it."""
@@ -638,7 +647,7 @@ def read_snapshot(
             "schema-less empty reads are undefined on bare parquet"
         )
     return spark.read.parquet(
-        *[os.path.join(table_dir, s) for s in segs]
+        *[segment_path(table_dir, s) for s in segs]
     )
 
 
@@ -652,7 +661,7 @@ def _segment_bytes(table_dir: str, rel: str) -> int:
     """Driver-side metadata sizing of one segment directory (O(files)
     stat calls, never reads data rows)."""
     total = 0
-    for root, _dirs, files in os.walk(os.path.join(table_dir, rel)):
+    for root, _dirs, files in os.walk(segment_path(table_dir, rel)):
         for name in files:
             if name.startswith((".", "_")):
                 continue  # _SUCCESS / checksums / hidden droppings
@@ -775,7 +784,7 @@ def compact_snapshots(
                 for s in g:
                     seg_to_grp[os.path.basename(s)] = gi
             scan = spark.read.parquet(
-                *[os.path.join(table_dir, s) for s in fold]
+                *[segment_path(table_dir, s) for s in fold]
             )
             grp_map = spark.createDataFrame(
                 list(seg_to_grp.items()), "_seg string, _grp int"
@@ -898,6 +907,7 @@ def vacuum(
     table_dir: str,
     keep_versions: int = 1,
     orphan_min_age_sec: float = 3600.0,
+    protect: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
     """Delete segments referenced ONLY by manifests older than the
     last ``keep_versions`` (plus orphans from writers that died before
@@ -909,6 +919,9 @@ def vacuum(
     append that hasn't CAS'd its manifest yet, so orphans are only
     reclaimed once older than ``orphan_min_age_sec`` (Delta's retention
     rule); segments dropped by a committed rewrite are safe at any age.
+    ``protect`` names segments that must survive regardless of this
+    log's references — external refs such as branch forks
+    (sources/branching.py's cross-ref GC pass supplies it).
     Returns the deleted relative paths."""
     import time
 
@@ -976,7 +989,7 @@ def vacuum(
     deleted = []
     for name in sorted(os.listdir(data_dir)):
         rel = os.path.join(_DATA, name)
-        if rel in referenced:
+        if rel in referenced or rel in protect:
             continue
         if rel not in ever_committed:
             try:

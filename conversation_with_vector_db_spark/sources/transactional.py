@@ -59,6 +59,7 @@ from .snapshot_log import (
     create_table,
     latest_version,
     live_segments,
+    segment_path,
     segment_stats,
 )
 
@@ -355,7 +356,9 @@ def append_partitioned(
 def _read_segments(
     spark: SparkSession, table_dir: str, rels: list[str]
 ) -> DataFrame:
-    return spark.read.parquet(*[os.path.join(table_dir, r) for r in rels])
+    return spark.read.parquet(
+        *[segment_path(table_dir, r) for r in rels]
+    )
 
 
 def read_table(

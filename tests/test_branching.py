@@ -1,0 +1,216 @@
+"""Branch refs over the snapshot log (sources/branching.py):
+zero-copy fork, isolated writers, metadata-only merge with
+segment-level conflict detection, cross-ref GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from conversation_with_vector_db_spark.sources.branching import (
+    branch_dir,
+    create_branch,
+    drop_branch,
+    list_branches,
+    merge_branch,
+    protected_segments,
+    vacuum_with_branches,
+)
+from conversation_with_vector_db_spark.sources.snapshot_log import (
+    CommitConflictError,
+    append_snapshot,
+    compact_snapshots,
+    create_table,
+    latest_version,
+    live_segments,
+    read_snapshot,
+    rewrite_snapshot,
+    vacuum,
+)
+
+
+def _ids(df) -> list[int]:
+    return sorted(r["id"] for r in df.collect())
+
+
+def _mk(spark, tmp_path, lo=0, hi=10):
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(lo, hi), t)
+    return t
+
+
+def test_branch_is_zero_copy_and_isolated(spark, tmp_path):
+    """Creating a branch copies no data; branch writes are invisible
+    to the parent and parent writes after the fork are invisible to
+    the branch (snapshot semantics of the fork point)."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    assert list_branches(t) == ["dev"]
+    # Zero-copy: the branch's own data dir holds nothing yet.
+    assert os.listdir(os.path.join(b, "data")) == []
+    assert _ids(read_snapshot(spark, b)) == list(range(10))
+
+    append_snapshot(spark.range(100, 105), b)   # branch-only
+    append_snapshot(spark.range(200, 205), t)   # parent-only
+    assert _ids(read_snapshot(spark, b)) == list(range(10)) + list(
+        range(100, 105)
+    )
+    assert _ids(read_snapshot(spark, t)) == list(range(10)) + list(
+        range(200, 205)
+    )
+
+
+def test_merge_appends_is_metadata_only_and_atomic(spark, tmp_path):
+    """An append-only branch merges as ONE parent commit, coexisting
+    with parent progress since the fork; the merged segment is the
+    branch's physical file (no copy)."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    append_snapshot(spark.range(100, 110), b)
+    append_snapshot(spark.range(200, 210), t)  # concurrent parent work
+    v0 = latest_version(t)
+    v = merge_branch(t, "dev")
+    assert v == v0 + 1  # exactly one commit
+    assert _ids(read_snapshot(spark, t)) == (
+        list(range(10)) + list(range(100, 110)) + list(range(200, 210))
+    )
+    # Zero-copy merge: the new live entry points INTO the ref dir.
+    merged = [
+        s for s in live_segments(t) if s.startswith("_refs/dev/")
+    ]
+    assert len(merged) == 1
+
+
+def test_merge_conflict_when_parent_rewrote_fork_segment(spark, tmp_path):
+    """A branch that REWROTE an inherited segment conflicts if the
+    parent also rewrote it since the fork — segment-level
+    write-write detection via the commit layer."""
+    t = _mk(spark, tmp_path)
+    seg = live_segments(t)[0]
+    b = create_branch(t, "dev")
+    # Branch folds the inherited segment into its own rewrite.
+    bseg = live_segments(b)[0]
+    rewrite_snapshot(spark.range(0, 5), b, remove=[bseg])
+    # Parent compacts/rewrites the same segment meanwhile.
+    rewrite_snapshot(spark.range(0, 10), t, remove=[seg])
+    with pytest.raises(CommitConflictError):
+        merge_branch(t, "dev")
+
+
+def test_merge_carries_branch_rewrites_when_parent_idle(spark, tmp_path):
+    """Branch-side rewrite of inherited data merges cleanly when the
+    parent left those segments alone: removed set validates, reads
+    equal the branch head."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    bseg = live_segments(b)[0]
+    rewrite_snapshot(spark.range(50, 55), b, remove=[bseg])
+    merge_branch(t, "dev")
+    assert _ids(read_snapshot(spark, t)) == list(range(50, 55))
+
+
+def test_merge_empty_branch_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    create_branch(t, "dev")
+    v = latest_version(t)
+    assert merge_branch(t, "dev") == v
+    assert latest_version(t) == v
+
+
+def test_drop_branch_guard_until_parent_compacts(spark, tmp_path):
+    """Dropping a merged branch is refused while the parent still
+    references branch-local segments; after the parent compacts them
+    into its own data/ and vacuums the merge window, the drop
+    succeeds and the parent still reads correctly."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    append_snapshot(spark.range(100, 110), b)
+    merge_branch(t, "dev")
+    with pytest.raises(ValueError, match="still backs"):
+        drop_branch(t, "dev")
+    compact_snapshots(spark, t)
+    with pytest.raises(ValueError, match="still backs"):
+        drop_branch(t, "dev")  # time-travelable merge window remains
+    vacuum(t, keep_versions=1, orphan_min_age_sec=0)
+    drop_branch(t, "dev")
+    assert list_branches(t) == []
+    assert _ids(read_snapshot(spark, t)) == list(range(10)) + list(
+        range(100, 110)
+    )
+
+
+def test_vacuum_with_branches_protects_inherited_segments(
+    spark, tmp_path
+):
+    """The parent drops all its original data; a plain vacuum would
+    reap the fork's segments out from under the branch — the
+    cross-ref pass keeps them, and the branch still reads. After the
+    branch is gone, the segments become reclaimable."""
+    t = _mk(spark, tmp_path)
+    seg = live_segments(t)[0]
+    create_branch(t, "dev")
+    rewrite_snapshot(spark.range(500, 505), t, remove=[seg])
+    assert seg in protected_segments(t)
+    deleted = vacuum_with_branches(t, orphan_min_age_sec=0)
+    assert seg not in deleted
+    b = branch_dir(t, "dev")
+    assert _ids(read_snapshot(spark, b)) == list(range(10))
+    drop_branch(t, "dev")
+    deleted = vacuum_with_branches(t, orphan_min_age_sec=0)
+    assert seg in deleted
+
+
+def test_branch_compaction_localizes_then_parent_merge(spark, tmp_path):
+    """Compaction ON the branch folds inherited + branch segments
+    into branch-local files; the merge then swaps the parent's fork
+    segments for the folded one in a single conflict-checked
+    commit."""
+    t = _mk(spark, tmp_path)
+    append_snapshot(spark.range(10, 20), t)
+    b = create_branch(t, "dev")
+    append_snapshot(spark.range(100, 105), b)
+    compact_snapshots(spark, b, target_bytes=1 << 30)
+    assert all(
+        not s.startswith("..") for s in live_segments(b)
+    )  # fully localized
+    merge_branch(t, "dev")
+    assert _ids(read_snapshot(spark, t)) == list(range(20)) + list(
+        range(100, 105)
+    )
+
+
+def test_fork_snapshot_pins_version_not_head(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1 = latest_version(t)
+    append_snapshot(spark.range(10, 20), t)
+    create_branch(t, "old", at_version=v1)
+    assert _ids(read_snapshot(spark, branch_dir(t, "old"))) == list(
+        range(10)
+    )
+
+
+def test_create_branch_name_validation_and_duplicate(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError):
+        create_branch(t, "a/b")
+    create_branch(t, "dev")
+    with pytest.raises(FileExistsError):
+        create_branch(t, "dev")
+
+
+def test_half_born_ref_counts_for_gc_and_merges(spark, tmp_path):
+    """A creator dying between the v0 CAS and branch.json leaves a
+    committed fork: it must still protect its segments from GC, and
+    a retrying creator repairs the record instead of wedging."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    os.unlink(os.path.join(b, "branch.json"))  # simulate the crash
+    assert list_branches(t) == ["dev"]
+    seg = [s for s in live_segments(t)][0]
+    assert seg in protected_segments(t)
+    with pytest.raises(FileExistsError):
+        create_branch(t, "dev")  # retry repairs then reports exists
+    assert os.path.isfile(os.path.join(b, "branch.json"))
+    assert merge_branch(t, "dev") == latest_version(t)  # no-op merge
