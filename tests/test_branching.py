@@ -214,3 +214,94 @@ def test_half_born_ref_counts_for_gc_and_merges(spark, tmp_path):
         create_branch(t, "dev")  # retry repairs then reports exists
     assert os.path.isfile(os.path.join(b, "branch.json"))
     assert merge_branch(t, "dev") == latest_version(t)  # no-op merge
+
+
+def test_wap_transactional_mutations_on_branch(spark, tmp_path):
+    """Write-audit-publish: keyed upserts/deletes run against a BRANCH
+    of a partition-tagged transactional table (all of
+    sources/transactional.py works on a ref unchanged — same commit
+    layer), the parent keeps ingesting a different partition, and the
+    audit-approved state publishes as one merge commit."""
+    from conversation_with_vector_db_spark.sources import (
+        transactional as tx,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(20)],
+        "id long, val long, namespace int",
+    )
+    tx.create_partitioned_table(spark, base, t, key="id")
+
+    b = create_branch(t, "audit")
+    tx.upsert_by_key(
+        spark,
+        b,
+        spark.createDataFrame(
+            [(3, 999, 1), (5, 555, 1)], "id long, val long, namespace int"
+        ),
+        key="id",
+    )
+    tx.delete_by_key(
+        spark, b, spark.createDataFrame([(7,)], "id long"), key="id"
+    )
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(100, 1, 0), (102, 1, 0)], "id long, val long, namespace int"
+        ),
+        t,
+        key="id",
+    )
+
+    # Audit on the branch; parent untouched by branch mutations.
+    audit = {r["id"]: r["val"] for r in tx.read_table(spark, b).collect()}
+    assert audit[3] == 999 and audit[5] == 555 and 7 not in audit
+    parent_pre = {
+        r["id"]: r["val"] for r in tx.read_table(spark, t).collect()
+    }
+    assert parent_pre[3] == 30 and 7 in parent_pre
+
+    merge_branch(t, "audit")
+    got = {r["id"]: r["val"] for r in tx.read_table(spark, t).collect()}
+    want = {i: i * 10 for i in range(20)}
+    want.update({3: 999, 5: 555, 100: 1, 102: 1})
+    del want[7]
+    assert got == want
+
+
+def test_wap_conflict_when_both_refs_mutate_same_partition(
+    spark, tmp_path
+):
+    """Parent and branch both upsert the SAME partition (both rewrite
+    the fork segment): the merge must conflict, not silently pick a
+    winner — segment-level write-write detection."""
+    from conversation_with_vector_db_spark.sources import (
+        transactional as tx,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(10)],
+        "id long, val long, namespace int",
+    )
+    tx.create_partitioned_table(spark, base, t, key="id")
+    b = create_branch(t, "audit")
+    tx.upsert_by_key(
+        spark,
+        b,
+        spark.createDataFrame(
+            [(2, 1, 0)], "id long, val long, namespace int"
+        ),
+        key="id",
+    )
+    tx.upsert_by_key(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(4, 2, 0)], "id long, val long, namespace int"
+        ),
+        key="id",
+    )
+    with pytest.raises(CommitConflictError):
+        merge_branch(t, "audit")

@@ -309,3 +309,33 @@ def test_gapfill_windows_are_per_series(spark, sf_dir):
     fill on one task at any scale."""
     plan = _spark_plan(spark, sf_dir, "a17_gapfill_locf")
     assert "SinglePartition" not in plan, plan
+
+
+def test_sessionization_single_data_shuffle(spark, sf_dir):
+    """a18: ONE hashpartitioning(user_id) exchange feeds both ordered
+    windows AND the (user_id, session_id) rollup — hashing by user_id
+    alone satisfies the aggregate's clustered distribution, so no
+    second data shuffle appears (the only other exchange is the
+    presentation ORDER BY's range partitioning)."""
+    # Exchanges are placed by EnsureRequirements, so this one asserts
+    # on the executed plan (sparkPlan predates exchange insertion).
+    df = registry.all_queries()["a18_sessionization"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1, plan
+    assert "user_id" in hash_ex[0], plan
+    # Both windows share one sort: exactly one Sort below the windows
+    # carries (user_id, us, event_id).
+    assert plan.count("Window") == 2, plan
+
+
+def test_cms_sketch_is_partial_aggregated(spark, sf_dir):
+    """text_cms_freq: the counter build must be a map-side-combined
+    hash aggregate over (r, b) — every partition emits at most
+    depth*width partial rows — and the estimate join must broadcast
+    the tiny sketch, never shuffle the probe stream."""
+    plan = _spark_plan(spark, sf_dir, "text_cms_freq")
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
