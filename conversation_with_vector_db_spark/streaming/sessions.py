@@ -835,3 +835,63 @@ def streaming_semantic_dedup_sink(
         .foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def streaming_cms_sink(
+    item_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+    app_id: str = "cms-sketch",
+):
+    """Continuously maintained count-min sketch: each micro-batch is
+    reduced to its OWN tiny (r, b, c) partial sketch
+    (operators/sketch.cms_counters — at most depth*width rows per
+    batch regardless of batch size) and committed to a snapshot-log
+    store txn-tagged with the batch id. Counters are linear, so the
+    effective sketch is just the cell-wise SUM of committed partials
+    (:func:`read_cms_store`) — no read-modify-write, no state store,
+    and a replayed batch (crash between data write and checkpoint
+    advance) is skipped by the txn high-water mark, so no item is
+    ever double-counted. This is the streaming form of the batch
+    `text_cms_freq` plan: per-term frequency monitoring over an
+    unbounded ingest without ever holding the vocabulary."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.sketch import cms_counters
+        from ..sources.snapshot_log import (
+            append_snapshot_txn,
+            create_table,
+            versions,
+        )
+
+        if not versions(store_dir):
+            create_table(store_dir)
+        sk = cms_counters(batch_df, col, depth, width)
+        append_snapshot_txn(
+            sk.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            store_dir,
+            app=app_id,
+            txn_version=batch_id,
+        )
+
+    return (
+        item_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The effective sketch at the store's head: cell-wise sum of the
+    committed per-batch partials (counter linearity). Compatible with
+    :func:`~..operators.sketch.cms_estimate`."""
+    from ..sources.snapshot_log import read_snapshot
+
+    return (
+        read_snapshot(spark, store_dir)
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )

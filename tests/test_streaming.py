@@ -1377,3 +1377,97 @@ def test_streaming_semantic_gate_refuses_foreign_store(spark, tmp_path):
             q2.processAllAvailable()
         finally:
             q2.stop()
+
+
+def test_streaming_cms_sketch_converges_and_replays_nothing(
+    spark, tmp_path
+):
+    """The streamed count-min sketch (per-batch partials, cell-wise
+    txn-committed) must equal the BATCH sketch over the same corpus —
+    counter linearity end to end — and a checkpoint restart with no
+    new data must commit nothing (no double-counting)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from conversation_with_vector_db_spark.functions.embedding import (
+        tokens_expr,
+    )
+    from conversation_with_vector_db_spark.operators.sketch import (
+        cms_counters,
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        versions,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        read_cms_store,
+        stream_parquet_dir,
+        streaming_cms_sink,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("text", StringType())]
+    )
+    root = tmp_path / "cms_src"
+    root.mkdir()
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick quick fox"),
+        (3, "lorem ipsum dolor sit amet the end"),
+        (4, "fox fox fox dog dog the"),
+        (5, "a b c a b a"),
+        (6, "the final batch closes the stream"),
+    ]
+    import shutil as _sh
+
+    for i in range(3):
+        part = root / f"stage{i}"
+        spark.createDataFrame(
+            docs[2 * i : 2 * i + 2], schema
+        ).coalesce(1).write.parquet(str(part))
+        for f in part.glob("*.parquet"):
+            _sh.move(str(f), str(root / f"file{i}.parquet"))
+        _sh.rmtree(part)
+
+    store = str(tmp_path / "cms_store")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def tokens_stream():
+        return (
+            stream_parquet_dir(
+                spark, str(root), schema, max_files_per_trigger=1
+            )
+            .select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+        )
+
+    q = streaming_cms_sink(tokens_stream(), store, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    all_tokens = spark.createDataFrame(docs, schema).select(
+        F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    want = {
+        (r["r"], r["b"]): r["c"]
+        for r in cms_counters(all_tokens, "token").collect()
+    }
+    got = {
+        (r["r"], r["b"]): r["c"]
+        for r in read_cms_store(spark, store).collect()
+    }
+    assert got == want
+
+    before = versions(store)
+    q = streaming_cms_sink(tokens_stream(), store, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert versions(store) == before
+    got2 = {
+        (r["r"], r["b"]): r["c"]
+        for r in read_cms_store(spark, store).collect()
+    }
+    assert got2 == want
