@@ -283,6 +283,149 @@ def _segment_key_stats_distributed(
     return out
 
 
+#: Bloom sidecar probes per key. With the default 4096 bits this
+#: holds ~1% false positives around 500 distinct keys per segment;
+#: the sidecar is at most 64 longs inside the manifest's stats entry.
+_BLOOM_K = 4
+
+_BLOOM_DTYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _segment_key_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    rels: list[str],
+    key: str,
+    m_bits: int,
+) -> dict[str, dict]:
+    """Per-segment Bloom filter of the key column (the Delta
+    bloom-filter-index move, at SEGMENT granularity): ONE
+    column-pruned executor job over the just-staged files — k md5
+    positions per key, OR-folded into 64-bit words per (segment,
+    word) with map-side combine — collecting at most
+    ``len(rels) * m_bits/64`` tiny rows. The words ride inside the
+    commit's stats entries, so point-lookup mutations can prune
+    segments whose key SET provably misses every probe — exactly
+    where min/max ranges can't help (scattered keys inside every
+    segment's range).
+
+    Hash identity: position = md5(f"b{seed}:{str(key)}")[:8] as int
+    mod m — byte-identical between this build (Spark md5 over the
+    string cast) and the driver-side probe (hashlib over ``str``),
+    so false negatives are structurally impossible. Only integral
+    and string key types build blooms (float string forms differ
+    across engines); others stay range-pruned only."""
+    scan = spark.read.parquet(
+        *[segment_path(table_dir, r) for r in rels]
+    )
+    if scan.schema[key].dataType.simpleString() not in _BLOOM_DTYPES:
+        return {}
+    by_name = {os.path.basename(r): r for r in rels}
+    seg = F.coalesce(
+        F.expr(
+            "try_url_decode(regexp_extract("
+            "input_file_name(), '^.*/data/([^/]+)/', 1))"
+        ),
+        F.regexp_extract(F.input_file_name(), r"^.*/data/([^/]+)/", 1),
+    )
+    keyed = scan.select(
+        seg.alias("_seg"), F.col(key).cast("string").alias("_k")
+    ).where(F.col("_k").isNotNull())
+    positions = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{s}:"), F.col("_k"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for s in range(_BLOOM_K)
+        ]
+    )
+    words = (
+        keyed.select("_seg", F.explode(positions).alias("_p"))
+        .select(
+            "_seg",
+            F.expr("_p div 64").alias("_w"),
+            F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_b"),
+        )
+        .groupBy("_seg", "_w")
+        .agg(F.expr("bit_or(_b)").alias("_v"))
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in words:
+        rel = by_name.get(r["_seg"])
+        if rel is None:
+            continue
+        bl = out.setdefault(
+            rel, {"m": int(m_bits), "k": _BLOOM_K, "words": {}}
+        )
+        bl["words"][str(int(r["_w"]))] = int(r["_v"])
+    return out
+
+
+def _bloom_contains(bloom: dict, value) -> bool:
+    """Driver-side probe with the build's exact hash. Two's-complement
+    semantics survive the JSON round trip: Python's arithmetic shift
+    on the negative word sign-extends, so bit 63 tests correctly."""
+    import hashlib
+
+    m, k = int(bloom["m"]), int(bloom["k"])
+    words = bloom["words"]
+    for s in range(k):
+        p = (
+            int(
+                hashlib.md5(
+                    f"b{s}:{value}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % m
+        )
+        if not (int(words.get(str(p // 64), 0)) >> (p % 64)) & 1:
+            return False
+    return True
+
+
+def _bloom_any_match(
+    seg_stats: dict | None, key: str, probe_keys: list | None
+) -> bool:
+    """True unless the segment's Bloom sidecar PROVABLY contains none
+    of the probe keys. No sidecar, a different stats column, or an
+    unbounded probe set (``None``) conservatively return True."""
+    if (
+        probe_keys is None
+        or seg_stats is None
+        or seg_stats.get("col") != key
+        or "bloom" not in seg_stats
+    ):
+        return True
+    bloom = seg_stats["bloom"]
+    return any(_bloom_contains(bloom, v) for v in probe_keys)
+
+
+def _collect_probe_keys(
+    df: DataFrame, key: str, cap: int = 1024
+) -> list | None:
+    """The mutation's distinct non-null keys, or None when they exceed
+    ``cap`` — a TRUNCATED probe list would prune segments holding the
+    uncollected keys, so bloom pruning only ever runs on the full
+    set."""
+    rows = (
+        df.select(key)
+        .where(F.col(key).isNotNull())
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows]
+
+
 def _stats_may_match(
     seg_stats: dict | None, key: str, lo, hi
 ) -> bool:
@@ -304,6 +447,27 @@ def _stats_may_match(
     return not (smax < lo or smin > hi)
 
 
+def _write_stats(
+    spark: SparkSession,
+    table_dir: str,
+    rels: list[str],
+    key: str | None,
+    bloom_bits: int,
+) -> dict[str, dict] | None:
+    """Write-time stats for just-staged segments: min/max always
+    (when ``key`` given), plus Bloom sidecars when ``bloom_bits`` is
+    set (see :func:`_segment_key_blooms`)."""
+    if not key:
+        return None
+    stats = _segment_key_stats(table_dir, rels, key, spark=spark)
+    if bloom_bits:
+        for rel, bl in _segment_key_blooms(
+            spark, table_dir, rels, key, bloom_bits
+        ).items():
+            stats.setdefault(rel, {"col": key})["bloom"] = bl
+    return stats
+
+
 def create_partitioned_table(
     spark: SparkSession,
     df: DataFrame,
@@ -311,22 +475,21 @@ def create_partitioned_table(
     partition_col: str = "namespace",
     key: str | None = None,
     meta: dict | None = None,
+    bloom_bits: int = 0,
 ) -> int:
     """Initialize a snapshot-log table from ``df``, one tagged segment
     per partition, committed as version 1. ``key`` records footer
     min/max stats of that column per segment for sub-partition pruning
-    in later keyed rewrites; ``meta`` publishes table-metadata keys
+    in later keyed rewrites; ``bloom_bits`` additionally records a
+    per-segment Bloom sidecar of the key set (point-lookup pruning
+    where ranges can't help); ``meta`` publishes table-metadata keys
     atomically with the creating commit (see
     :func:`..snapshot_log.table_meta`)."""
     create_table(table_dir)
     rels = _stage_partition_segments(df, table_dir, partition_col)
-    stats = (
-        _segment_key_stats(table_dir, rels, key, spark=spark)
-        if key
-        else None
-    )
     return commit_segments(
-        table_dir, added=rels, removed=[], op="append", stats=stats,
+        table_dir, added=rels, removed=[], op="append",
+        stats=_write_stats(spark, table_dir, rels, key, bloom_bits),
         meta=meta,
     )
 
@@ -337,19 +500,16 @@ def append_partitioned(
     table_dir: str,
     partition_col: str = "namespace",
     key: str | None = None,
+    bloom_bits: int = 0,
 ) -> int:
     """S9 insert/insertMany: stage tagged segments, commit atomically —
     a multi-partition insert is ONE version, never a torn subset.
-    ``key`` records per-segment min/max stats (see
-    :func:`create_partitioned_table`)."""
+    ``key`` records per-segment min/max stats and ``bloom_bits`` the
+    optional Bloom sidecar (see :func:`create_partitioned_table`)."""
     rels = _stage_partition_segments(df, table_dir, partition_col)
-    stats = (
-        _segment_key_stats(table_dir, rels, key, spark=spark)
-        if key
-        else None
-    )
     return commit_segments(
-        table_dir, added=rels, removed=[], op="append", stats=stats
+        table_dir, added=rels, removed=[], op="append",
+        stats=_write_stats(spark, table_dir, rels, key, bloom_bits),
     )
 
 
@@ -447,6 +607,16 @@ def upsert_by_key(
             and tag in touched
             and _stats_may_match(stats.get(s), key, ulo, uhi)
         ]
+        # Bloom pass (sparse keys inside every range): only pay the
+        # distinct-key collect when a candidate actually carries a
+        # sidecar, and only prune on the COMPLETE probe set.
+        if any("bloom" in (stats.get(s) or {}) for s in old):
+            probe = _collect_probe_keys(updates, key)
+            old = [
+                s
+                for s in old
+                if _bloom_any_match(stats.get(s), key, probe)
+            ]
         if old:
             current = _read_segments(spark, table_dir, old)
             merged = current.join(
@@ -607,6 +777,13 @@ def delete_by_key(
             for s in candidates
             if _stats_may_match(stats.get(s), key, klo, khi)
         ]
+        if any("bloom" in (stats.get(s) or {}) for s in candidates):
+            probe = _collect_probe_keys(ids, key)
+            candidates = [
+                s
+                for s in candidates
+                if _bloom_any_match(stats.get(s), key, probe)
+            ]
         if not candidates:
             return head
         current = _read_segments(spark, table_dir, candidates)

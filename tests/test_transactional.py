@@ -1151,3 +1151,176 @@ def test_mor_random_walk_matches_dict_model(spark, tmp_path):
             (r["namespace"], r["id"]): r["val"] for r in got.collect()
         }
         assert state == model_then
+
+
+class TestBloomSidecars:
+    """Per-segment Bloom sidecars (the Delta bloom-filter-index move
+    at segment granularity): point-lookup pruning where min/max
+    ranges provably cannot help — interleaved keys put every segment
+    inside every other's range."""
+
+    def _interleaved_store(self, spark, tmp_path, bloom_bits=4096):
+        """Two same-namespace segments with fully overlapping key
+        ranges: evens 0..198 then odds 1..199."""
+        t = str(tmp_path / "tb")
+        evens = spark.range(0, 100).select(
+            (F.col("id") * 2).alias("vec_id"),
+            F.lit(0).cast("int").alias("label"),
+            F.lit(0).cast("int").alias("namespace"),
+        )
+        odds = spark.range(0, 100).select(
+            (F.col("id") * 2 + 1).alias("vec_id"),
+            F.lit(0).cast("int").alias("label"),
+            F.lit(0).cast("int").alias("namespace"),
+        )
+        create_partitioned_table(
+            spark, evens, t, key="vec_id", bloom_bits=bloom_bits
+        )
+        append_partitioned(
+            spark, odds, t, key="vec_id", bloom_bits=bloom_bits
+        )
+        return t
+
+    def test_no_false_negatives_and_range_overlap(self, spark, tmp_path):
+        """Every present key probes positive (hash identity between
+        the Spark build and the driver probe), and the fixture really
+        defeats range pruning (ranges overlap)."""
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            segment_stats,
+        )
+        from conversation_with_vector_db_spark.sources.transactional import (
+            _bloom_contains,
+            _stats_may_match,
+        )
+
+        t = self._interleaved_store(spark, tmp_path)
+        stats = segment_stats(t)
+        assert all("bloom" in s for s in stats.values())
+        evens_seg = next(s for s, st in stats.items() if st["min"] == 0)
+        odds_seg = next(s for s, st in stats.items() if st["min"] == 1)
+        # Ranges overlap: min/max alone cannot prune either side.
+        assert _stats_may_match(stats[evens_seg], "vec_id", 3, 3)
+        assert _stats_may_match(stats[odds_seg], "vec_id", 2, 2)
+        for k in range(0, 200, 2):
+            assert _bloom_contains(stats[evens_seg]["bloom"], k)
+        for k in range(1, 200, 2):
+            assert _bloom_contains(stats[odds_seg]["bloom"], k)
+
+    def test_upsert_bloom_prunes_same_range_segment(self, spark, tmp_path):
+        """Upserting two EVEN keys must leave the odd segment live,
+        unread, and byte-identical — proven by corrupting its files
+        first (any read would kill the job)."""
+        import glob
+
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            segment_stats,
+        )
+
+        t = self._interleaved_store(spark, tmp_path)
+        stats = segment_stats(t)
+        odds_seg = next(s for s, st in stats.items() if st["min"] == 1)
+        odd_files = glob.glob(os.path.join(t, odds_seg, "*.parquet"))
+        assert odd_files
+        saved = {}
+        for f in odd_files:
+            with open(f, "rb") as fh:
+                saved[f] = fh.read()
+            with open(f, "wb") as fh:
+                fh.write(b"corrupted: not parquet")
+        updates = spark.createDataFrame(
+            [(4, 999, 0), (150, 999, 0)],
+            "vec_id long, label int, namespace int",
+        )
+        upsert_by_key(spark, t, updates, key="vec_id")
+        assert odds_seg in live_segments(t)
+        for f in odd_files:
+            with open(f, "rb") as fh:
+                assert fh.read() == b"corrupted: not parquet"
+            with open(f, "wb") as fh:
+                fh.write(saved[f])
+        got = read_table(spark, t)
+        assert got.count() == 200
+        assert got.filter(F.col("label") == 999).count() == 2
+
+    def test_delete_bloom_prunes_same_range_segment(self, spark, tmp_path):
+        import glob
+
+        from conversation_with_vector_db_spark.sources.snapshot_log import (
+            segment_stats,
+        )
+
+        t = self._interleaved_store(spark, tmp_path)
+        stats = segment_stats(t)
+        evens_seg = next(s for s, st in stats.items() if st["min"] == 0)
+        even_files = glob.glob(os.path.join(t, evens_seg, "*.parquet"))
+        saved = {}
+        for f in even_files:
+            with open(f, "rb") as fh:
+                saved[f] = fh.read()
+            with open(f, "wb") as fh:
+                fh.write(b"corrupted: not parquet")
+        ids = spark.createDataFrame(
+            [(3, 0), (151, 0)], "vec_id long, namespace int"
+        )
+        delete_by_key(spark, t, ids, key="vec_id")
+        assert evens_seg in live_segments(t)
+        for f in even_files:
+            with open(f, "wb") as fh:
+                fh.write(saved[f])
+        got = read_table(spark, t)
+        assert got.count() == 198
+        assert got.filter(F.col("vec_id").isin(3, 151)).count() == 0
+
+    def test_unbounded_probe_set_disables_bloom_pruning(
+        self, spark, tmp_path
+    ):
+        """A probe set over the cap returns None and every segment
+        stays a candidate — a truncated list would prune segments
+        holding the uncollected keys (data loss)."""
+        from conversation_with_vector_db_spark.sources.transactional import (
+            _bloom_any_match,
+            _collect_probe_keys,
+        )
+
+        df = spark.range(0, 50).select(F.col("id").alias("vec_id"))
+        assert _collect_probe_keys(df, "vec_id", cap=10) is None
+        keys = _collect_probe_keys(df, "vec_id", cap=64)
+        assert sorted(keys) == list(range(50))
+        # None (unbounded) is always conservative.
+        assert _bloom_any_match(
+            {"col": "vec_id", "bloom": {"m": 64, "k": 1, "words": {}}},
+            "vec_id",
+            None,
+        )
+
+    def test_bloom_correct_end_to_end_random_ops(self, spark, tmp_path):
+        """Randomized sanity: interleave upserts/deletes of scattered
+        keys against a dict model on a bloomed table — pruning must
+        never change results."""
+        import random
+
+        rng = random.Random(7)
+        t = self._interleaved_store(spark, tmp_path)
+        model = {k: 0 for k in range(200)}
+        for step in range(6):
+            ks = rng.sample(range(200), 3)
+            if step % 2 == 0:
+                upd = spark.createDataFrame(
+                    [(k, step + 10, 0) for k in ks],
+                    "vec_id long, label int, namespace int",
+                )
+                upsert_by_key(spark, t, upd, key="vec_id")
+                for k in ks:
+                    model[k] = step + 10
+            else:
+                ids = spark.createDataFrame(
+                    [(k, 0) for k in ks], "vec_id long, namespace int"
+                )
+                delete_by_key(spark, t, ids, key="vec_id")
+                for k in ks:
+                    model.pop(k, None)
+        got = {
+            r["vec_id"]: r["label"]
+            for r in read_table(spark, t).collect()
+        }
+        assert got == model
