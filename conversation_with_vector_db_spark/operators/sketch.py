@@ -82,34 +82,50 @@ def cms_counters(
     across corpora/micro-batches by ``union().groupBy(r, b).sum(c)``
     (counters are linear) and broadcasts to any estimator join.
 
-    Hashes are the engine's cross-portable md5 bucket
-    (:func:`~..functions.embedding.bucket_expr`) over a per-row
-    seeded key ``'r<r>:' || value`` — identical in Spark, DuckDB and
-    Python, so the whole sketch is value-reproducible in SQL.
+    Hash rows are LANES of one md5: row r's position is hex digits
+    [8r, 8r+8) of ``md5(value)`` (md5's 128 bits fund four
+    independent 32-bit words) — ONE hash invocation per item instead
+    of ``depth``, with the identical expression available in DuckDB,
+    so the whole sketch is value-reproducible in SQL. Depths past 4
+    chain further md5s over a salted value.
 
-    Scale shape: the item stream is exploded ``depth`` ways and
-    aggregated with map-side combine — every partition emits at most
-    depth*width partial rows regardless of row count or distinct
+    Scale shape: the item stream is position-exploded ``depth`` ways
+    and aggregated with map-side combine — every partition emits at
+    most depth*width partial rows regardless of row count or distinct
     cardinality; no state ever holds the vocabulary. That is the
     point at 100 TB: frequency queries with bounded memory where
     ``groupBy(token)`` would shuffle billions of distinct keys.
     """
-    from ..functions.embedding import bucket_expr
-
-    rows = items.select(
-        F.col(col).cast("string").alias("_v"),
-        F.explode(
-            F.array(*[F.lit(r) for r in range(depth)])
-        ).alias("r"),
-    )
-    seeded = F.concat(
-        F.lit("r"), F.col("r").cast("string"), F.lit(":"), F.col("_v")
-    )
     return (
-        rows.select("r", bucket_expr(seeded, width).alias("b"))
+        items.select(F.col(col).cast("string").alias("_v"))
+        .select(
+            F.posexplode(_lane_positions(depth, width)).alias("r", "b")
+        )
         .groupBy("r", "b")
         .agg(F.count("*").alias("c"))
     )
+
+
+def _lane_positions(depth: int, width: int):
+    """Array column of the ``depth`` bucket positions for string
+    column ``_v``: lane r = md5 hex digits [8r mod 32, +8) of
+    ``md5(salt_r(_v))`` as int mod width, where salt changes every 4
+    lanes (md5 funds 4 lanes per invocation)."""
+    lanes = []
+    for r in range(depth):
+        block = r // 4
+        src = (
+            F.col("_v")
+            if block == 0
+            else F.concat(F.lit(f"s{block}:"), F.col("_v"))
+        )
+        lanes.append(
+            F.conv(
+                F.substring(F.md5(src), 1 + 8 * (r % 4), 8), 16, 10
+            ).cast("long")
+            % width
+        )
+    return F.array(*lanes)
 
 
 def cms_estimate(
@@ -128,17 +144,12 @@ def cms_estimate(
     The sketch side is depth*width rows — broadcast — so estimation
     is a map-side lookup join on the probe stream, no shuffle.
     """
-    from ..functions.embedding import bucket_expr
-
     keyed = probes.select(
         F.col(col).cast("string").alias("_v"), *probes.columns
-    ).withColumn(
-        "r", F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+    ).select(
+        *probes.columns,
+        F.posexplode(_lane_positions(depth, width)).alias("r", "b"),
     )
-    seeded = F.concat(
-        F.lit("r"), F.col("r").cast("string"), F.lit(":"), F.col("_v")
-    )
-    keyed = keyed.withColumn("b", bucket_expr(seeded, width))
     return (
         keyed.join(F.broadcast(sketch), ["r", "b"])
         .groupBy(*probes.columns)

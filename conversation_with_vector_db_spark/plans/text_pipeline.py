@@ -966,11 +966,12 @@ def text_heavy_hitters_sketch(
     makes this the 100 TB shape for per-term stats where a
     groupBy(token) would shuffle the whole vocabulary.
 
-    Hashes are the engine's md5 bucket over a seeded key, identical
-    in Spark and DuckDB, so the ENTIRE sketch — every counter, every
-    estimate — is value-parity-checked in SQL (an approximate
-    structure with an exact oracle, the `ann_bq_hamming_topk`
-    discipline).""",
+    Hash rows are lanes of ONE md5 (hex digits [8r, 8r+8) as a
+    32-bit word mod width — 128 bits fund all four rows), with the
+    identical expression in Spark and DuckDB, so the ENTIRE sketch —
+    every counter, every estimate — is value-parity-checked in SQL
+    (an approximate structure with an exact oracle, the
+    `ann_bq_hamming_topk` discipline).""",
     oracle="""
 WITH tok AS (
     SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
@@ -978,7 +979,7 @@ WITH tok AS (
 ),
 sketch AS (
     SELECT rr.r,
-           CAST(('0x' || substr(md5('r' || rr.r || ':' || token), 1, 8))
+           CAST(('0x' || substr(md5(token), 1 + 8 * rr.r, 8))
                 AS BIGINT) % 512 AS b,
            CAST(count(*) AS BIGINT) AS c
     FROM tok, unnest([0, 1, 2, 3]) AS rr(r)
@@ -991,7 +992,7 @@ exact AS (
 ),
 probe AS (
     SELECT e.token, e.exact_n, rr.r,
-           CAST(('0x' || substr(md5('r' || rr.r || ':' || e.token), 1, 8))
+           CAST(('0x' || substr(md5(e.token), 1 + 8 * rr.r, 8))
                 AS BIGINT) % 512 AS b
     FROM exact e, unnest([0, 1, 2, 3]) AS rr(r)
 )

@@ -23,6 +23,13 @@ QUERIES = [
     "text_bpe_merges",
     "text_bpe_encode",
     "scale_dsir_selection",
+    "scale_psi_drift",
+    "a18_sessionization",
+    "text_cms_freq",
+    "text_heavy_hitters_sketch",
+    "a17_gapfill_locf",
+    "j15_asof_attribution",
+    "j16_interval_attribution",
 ]
 
 
@@ -30,6 +37,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # Optional comma-separated subset (argv[2]): sf1 runs split the
+    # list because the semantic family's unrolled oracles run minutes
+    # at that scale; partial runs MERGE into the existing json.
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     import duckdb
@@ -61,6 +72,8 @@ def main() -> None:
 
     out: dict[str, dict[str, float]] = {}
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         q = registry.REGISTRY[name]
         # warm-up (codegen + any scoped caches), then min-of-3 wall.
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -94,7 +107,17 @@ def main() -> None:
         "queries": out,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_EXTRAS.json"), "w") as f:
+    path = os.path.join(
+        root, os.environ.get("EXTRAS_OUT", "BENCH_EXTRAS.json")
+    )
+    if only is not None and os.path.exists(path):
+        # Partial run: merge new per-query rows into the existing doc.
+        with open(path) as f:
+            prior = json.load(f)
+        prior.get("queries", {}).update(out)
+        prior["sf_dir"] = sf_dir
+        doc = prior
+    with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc))
 
