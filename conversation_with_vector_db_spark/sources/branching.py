@@ -113,12 +113,26 @@ def _to_branch_rel(table_dir: str, bdir: str, rel: str) -> str:
     return os.path.relpath(os.path.join(table_dir, rel), bdir)
 
 
+def _root_dir(table_dir: str) -> str:
+    """The OUTERMOST table of a ref tree: walk up while ``table_dir``
+    is itself a branch (parent directory named ``_refs``)."""
+    d = os.path.abspath(table_dir)
+    while os.path.basename(os.path.dirname(d)) == _REFS:
+        d = os.path.dirname(os.path.dirname(d))
+    return d
+
+
 def _to_parent_rel(table_dir: str, bdir: str, rel: str) -> str:
     out = os.path.relpath(os.path.join(bdir, rel), table_dir)
-    if out.startswith(".."):
+    resolved = os.path.normpath(os.path.join(os.path.abspath(bdir), rel))
+    root = _root_dir(table_dir)
+    if resolved != root and not resolved.startswith(root + os.sep):
         # A branch manifest may only reference segments inside the
-        # parent tree (its own data/ or inherited data/); anything
-        # else is corruption, refuse rather than mis-merge.
+        # ref tree's root (its own data/, an ancestor's data/);
+        # anything else is corruption, refuse rather than mis-merge.
+        # (An intermediate branch's parent-relative form legitimately
+        # starts with ../.. — nested refs — so the check is on the
+        # RESOLVED path, not the relative spelling.)
         raise ValueError(f"branch segment escapes table root: {rel!r}")
     return out
 
@@ -232,8 +246,20 @@ def merge_branch(table_dir: str, name: str) -> int:
     deleted, rewrote). Key stats recorded on the branch ride along,
     so parent-side pruning keeps working on merged segments.
 
-    Conflict semantics come from the commit layer itself: if the
-    parent no longer has every ``removed`` segment live (it
+    Table METADATA travels too: keys whose effective value changed on
+    the branch since the fork (a rollup watermark, a model pointer)
+    ride in the merge commit's ``meta`` map — atomically with the
+    data, like every meta publication on this log. A key BOTH refs
+    changed since the fork conflicts (silent newest-wins would drop
+    one side's update; validated against the head observed at merge
+    start — a meta writer racing the merge commit itself resolves
+    newest-wins, exactly like two concurrent meta writers on one
+    log), and a changed value naming a branch-local
+    artifact (a sidecar staged under the ref dir) is refused — the
+    parent could not resolve the pointer after the ref is dropped.
+
+    Conflict semantics for DATA come from the commit layer itself: if
+    the parent no longer has every ``removed`` segment live (it
     compacted or deleted one of them since the fork),
     :class:`CommitConflictError` — re-plan (rebranch from the new
     head and replay). An append-only branch has an empty ``removed``
@@ -250,7 +276,32 @@ def merge_branch(table_dir: str, name: str) -> int:
     fork = set(_fork_live(bdir))
     added = sorted(set(live_b) - fork)
     removed = sorted(fork - set(live_b))
-    if not added and not removed:
+    fork_meta = _read_manifest(bdir, 0).get("meta", {})
+    changed_meta = {
+        k: v
+        for k, v in table_meta(bdir, head_b).items()
+        if fork_meta.get(k) != v
+    }
+    if changed_meta:
+        parent_meta = table_meta(table_dir)
+        for k in changed_meta:
+            if parent_meta.get(k) != fork_meta.get(k):
+                raise CommitConflictError(
+                    f"meta key {k!r} changed on BOTH refs since the "
+                    f"fork of branch {name!r}; merge would silently "
+                    "drop one side's update — re-plan"
+                )
+        for k, v in changed_meta.items():
+            if (
+                isinstance(v, str)
+                and os.path.exists(os.path.join(bdir, v))
+                and not os.path.exists(os.path.join(table_dir, v))
+            ):
+                raise ValueError(
+                    f"meta key {k!r} points at branch-local artifact "
+                    f"{v!r}; stage it under the parent before merging"
+                )
+    if not added and not removed and not changed_meta:
         return latest_version(table_dir)
     stats_b = segment_stats(bdir, head_b)
     stats = {
@@ -263,6 +314,7 @@ def merge_branch(table_dir: str, name: str) -> int:
         removed=removed,
         op="merge",
         stats={rel: s for rel, s in stats.items() if rel in set(added)},
+        meta=changed_meta or None,
     )
 
 
@@ -296,32 +348,59 @@ def drop_branch(table_dir: str, name: str) -> None:
 
 
 def protected_segments(table_dir: str) -> set[str]:
-    """Parent-``data/`` segments any branch can still reach: the
-    union, over branches, of the persisted fork set and every
-    surviving branch manifest/checkpoint reference — mapped to
-    parent-relative paths. Conservative by design: a segment is only
-    reclaimable when NO ref can name it."""
+    """``table_dir``-level ``data/`` segments any branch — at ANY
+    nesting depth — can still reach: the union of every ref's
+    persisted fork set and every surviving branch manifest/checkpoint
+    reference, resolved and kept when it lands in this table's data
+    dir. Conservative by design: a segment is only reclaimable when
+    NO ref can name it."""
+    root = os.path.abspath(table_dir)
+    data_abs = os.path.join(root, _DATA) + os.sep
     out: set[str] = set()
-    data_prefix = _DATA + os.sep
-    for name in list_branches(table_dir):
-        bdir = branch_dir(table_dir, name)
-        refs: set[str] = set(_fork_live(bdir))
-        for v in versions(bdir):
-            try:
-                m = _read_manifest(bdir, v)
-            except FileNotFoundError:
-                continue
-            for rel in list(m.get("added", ())) + list(m.get("live", ())):
-                refs.add(_to_parent_rel(table_dir, bdir, rel))
-        for cv in _checkpoint_versions(bdir):
-            try:
-                with open(_ckpt_path(bdir, cv)) as f:
-                    ck = json.load(f)
-            except FileNotFoundError:
-                continue
-            for rel in ck.get("live", ()):
-                refs.add(_to_parent_rel(table_dir, bdir, rel))
-        out.update(r for r in refs if r.startswith(data_prefix))
+
+    def walk(tdir: str) -> None:
+        for name in list_branches(tdir):
+            bdir = branch_dir(tdir, name)
+            resolved: set[str] = set()
+            for rel in _fork_live(bdir):  # tdir-relative by contract
+                resolved.add(
+                    os.path.normpath(
+                        os.path.join(os.path.abspath(tdir), rel)
+                    )
+                )
+            for v in versions(bdir):
+                try:
+                    m = _read_manifest(bdir, v)
+                except FileNotFoundError:
+                    continue
+                for rel in list(m.get("added", ())) + list(
+                    m.get("live", ())
+                ):
+                    resolved.add(
+                        os.path.normpath(
+                            os.path.join(os.path.abspath(bdir), rel)
+                        )
+                    )
+            for cv in _checkpoint_versions(bdir):
+                try:
+                    with open(_ckpt_path(bdir, cv)) as f:
+                        ck = json.load(f)
+                except FileNotFoundError:
+                    continue
+                for rel in ck.get("live", ()):
+                    resolved.add(
+                        os.path.normpath(
+                            os.path.join(os.path.abspath(bdir), rel)
+                        )
+                    )
+            out.update(
+                os.path.relpath(p, root)
+                for p in resolved
+                if p.startswith(data_abs)
+            )
+            walk(bdir)
+
+    walk(table_dir)
     return out
 
 

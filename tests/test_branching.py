@@ -305,3 +305,116 @@ def test_wap_conflict_when_both_refs_mutate_same_partition(
     )
     with pytest.raises(CommitConflictError):
         merge_branch(t, "audit")
+
+
+def test_merge_carries_branch_meta_diff(spark, tmp_path):
+    """A meta key the branch changed (a watermark, a model pointer)
+    rides the merge commit; keys the branch left alone keep the
+    parent's newer value."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        commit_segments,
+        table_meta,
+    )
+
+    t = _mk(spark, tmp_path)
+    commit_segments(t, added=[], removed=[], op="meta",
+                    meta={"wm": 1, "other": "a"})
+    b = create_branch(t, "dev")
+    commit_segments(b, added=[], removed=[], op="meta", meta={"wm": 5})
+    commit_segments(t, added=[], removed=[], op="meta",
+                    meta={"other": "z"})  # disjoint parent update
+    merge_branch(t, "dev")
+    m = table_meta(t)
+    assert m["wm"] == 5 and m["other"] == "z"
+
+
+def test_merge_meta_conflict_when_both_refs_changed_key(spark, tmp_path):
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        commit_segments,
+    )
+
+    t = _mk(spark, tmp_path)
+    commit_segments(t, added=[], removed=[], op="meta", meta={"wm": 1})
+    create_branch(t, "dev")
+    b = branch_dir(t, "dev")
+    commit_segments(b, added=[], removed=[], op="meta", meta={"wm": 5})
+    commit_segments(t, added=[], removed=[], op="meta", meta={"wm": 9})
+    with pytest.raises(CommitConflictError, match="BOTH refs"):
+        merge_branch(t, "dev")
+
+
+def test_merge_refuses_branch_local_meta_artifact(spark, tmp_path):
+    """A meta pointer naming a file that exists only under the ref
+    dir (an IVF centroid sidecar staged on the branch) must refuse to
+    merge: the parent could never resolve it once the ref drops."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        commit_segments,
+    )
+
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    side = os.path.join(b, "centroids")
+    os.makedirs(side)
+    with open(os.path.join(side, "m-x"), "w") as f:
+        f.write("{}")
+    commit_segments(
+        b, added=[], removed=[], op="meta",
+        meta={"centroids": "centroids/m-x"},
+    )
+    with pytest.raises(ValueError, match="branch-local artifact"):
+        merge_branch(t, "dev")
+
+
+def test_concurrent_merges_of_disjoint_branches_both_land(
+    spark, tmp_path
+):
+    """Append-only branches commute: two threads merging two branches
+    race the CAS and both land exactly once."""
+    import threading
+
+    t = _mk(spark, tmp_path)
+    for name, lo in (("b1", 100), ("b2", 200)):
+        bd = create_branch(t, name)
+        append_snapshot(spark.range(lo, lo + 5), bd)
+    errors = []
+
+    def worker(name):
+        try:
+            merge_branch(t, name)
+        except Exception as e:  # noqa: BLE001 - surfaced via errors
+            errors.append(e)
+
+    ths = [
+        threading.Thread(target=worker, args=(n,)) for n in ("b1", "b2")
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errors
+    assert _ids(read_snapshot(spark, t)) == (
+        list(range(10)) + list(range(100, 105)) + list(range(200, 205))
+    )
+
+
+def test_branch_of_branch(spark, tmp_path):
+    """Nesting works through the generic relative-path rewrite: a
+    sub-branch inherits through two ref levels and merges back into
+    its immediate parent."""
+    t = _mk(spark, tmp_path)
+    b1 = create_branch(t, "b1")
+    append_snapshot(spark.range(100, 105), b1)
+    b2 = create_branch(b1, "b2")
+    assert _ids(read_snapshot(spark, b2)) == list(range(10)) + list(
+        range(100, 105)
+    )
+    append_snapshot(spark.range(300, 302), b2)
+    merge_branch(b1, "b2")
+    assert _ids(read_snapshot(spark, b1)) == (
+        list(range(10)) + list(range(100, 105)) + [300, 301]
+    )
+    # ...and the combined branch merges into the root.
+    merge_branch(t, "b1")
+    assert _ids(read_snapshot(spark, t)) == (
+        list(range(10)) + list(range(100, 105)) + [300, 301]
+    )
