@@ -855,6 +855,117 @@ def a17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a19_exact_percentiles",
+    driver=False,
+    doc="""EXACT order statistics (p25/p50/p75/p99 of
+    l_extendedprice) without a global sort — the two-phase
+    histogram-bracket plan: (1) ONE map-side-combined histogram over
+    1000-cent buckets + a cumulative window over that bounded frame
+    locates, for each integer-exact rank k = ceil(q*n), the bucket
+    holding the k-th smallest and its within-bucket offset; (2) only
+    rows in the (at most 4) selected buckets are ranked — a window
+    whose partitions are single buckets, never the corpus. Global
+    work is two scans and a histogram-sized window; DuckDB's
+    quantile-style global sort is exactly what this avoids at 100 TB
+    (the same no-corpus-sort discipline as
+    `text_quality_quantile_filter`, extended from threshold-lookup
+    to exact selection).
+
+    Everything is integer-exact: prices quantize to cents per row,
+    ranks derive from integer ceil-division, and the k-th VALUE of a
+    multiset is well-defined regardless of tie order, so parity is
+    value-level.""",
+    oracle="""
+WITH c AS (
+    SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM c),
+ks AS (
+    SELECT t.label, t.num, t.den,
+           CAST(((t.num * cnt + t.den - 1) // t.den) AS BIGINT) AS k
+    FROM n, (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                    ('p75', 3, 4), ('p99', 99, 100)) t(label, num, den)
+),
+ranked AS (
+    SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c
+)
+SELECT ks.label, ks.k AS rank_k,
+       r.cents AS value_cents,
+       r.cents / 100.0 AS value
+FROM ks JOIN ranked r ON r.rn = ks.k
+ORDER BY ks.label
+""",
+)
+def a19_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    ).alias("cents")
+    c = spark.table("lineitem").select(cents)
+    hist = c.groupBy(
+        F.expr("cents div 1000").alias("b")
+    ).agg(F.count("*").alias("cnt_b"))
+    # Cumulative counts over the BOUNDED histogram frame (thousands
+    # of rows at any sf — the single-partition window is histogram-
+    # sized, never corpus-sized).
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "b",
+        "cnt_b",
+        F.sum("cnt_b").over(w).alias("cum"),
+        (F.sum("cnt_b").over(w) - F.col("cnt_b")).alias("cum_prev"),
+        F.sum("cnt_b").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("cnt"),
+    )
+    qs = spark.createDataFrame(
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p99", 99, 100)],
+        "label string, num long, den long",
+    )
+    targets = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "k", F.expr("(num * cnt + den - 1) div den")
+        )
+        .filter((F.col("cum") >= F.col("k"))
+                & (F.col("cum_prev") < F.col("k")))
+        .select(
+            "label", "k", "b", (F.col("k") - F.col("cum_prev")).alias("off")
+        )
+    )
+    # Phase 2: rank ONLY the selected buckets' rows.
+    wanted = targets.select("b").distinct()
+    in_bucket = (
+        c.withColumn("b", F.expr("cents div 1000"))
+        .join(F.broadcast(wanted), "b")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("b").orderBy("cents")
+            ),
+        )
+    )
+    return (
+        targets.join(
+            in_bucket,
+            (targets["b"] == in_bucket["b"])
+            & (targets["off"] == in_bucket["rn"]),
+        )
+        .select(
+            "label",
+            F.col("k").alias("rank_k"),
+            F.col("cents").alias("value_cents"),
+            (F.col("cents") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "a18_sessionization",
     driver=False,
     doc="""Batch sessionization (gaps-and-islands): per user, events

@@ -339,3 +339,16 @@ def test_cms_sketch_is_partial_aggregated(spark, sf_dir):
     plan = _spark_plan(spark, sf_dir, "text_cms_freq")
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_percentiles_rank_window_is_bucket_partitioned(
+    spark, sf_dir
+):
+    """a19: the only corpus-row window must partition by bucket —
+    the global (empty-partition) windows may run over the bounded
+    histogram frame only, never over lineitem rows."""
+    plan = _spark_plan(spark, sf_dir, "a19_exact_percentiles")
+    assert "windowspecdefinition(b" in plan, plan
+    # The selected-bucket filter reaches phase 2 via a broadcast join,
+    # not a shuffle of the corpus.
+    assert "BroadcastHashJoin" in plan, plan
