@@ -855,6 +855,172 @@ def a17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a20_funnel_conversion",
+    driver=False,
+    doc="""Ordered funnel analysis (view -> click -> purchase): per
+    user, the first view, the first click STRICTLY AFTER that view,
+    the first purchase strictly after that click — the classic
+    product-analytics sequence query. Output: one row per step with
+    the surviving-user count and an integer-permille conversion from
+    the previous step (integer division, cross-engine exact).
+
+    Scale shape: three per-user min aggregations chained by
+    co-partitioned user_id joins — every stage hashes on the same
+    key, so at scale this is one partitioning reused, never an
+    event-stream self-join; timestamps compare as integer micros.""",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+    SELECT user_id, min(us) AS t1 FROM e
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.us) AS t2
+    FROM e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.us > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.us) AS t3
+    FROM e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.us > s2.t2
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT (SELECT count(*) FROM s1) AS n1,
+           (SELECT count(*) FROM s2) AS n2,
+           (SELECT count(*) FROM s3) AS n3
+)
+SELECT * FROM (
+    SELECT 'step_1_view' AS step, CAST(n1 AS BIGINT) AS users,
+           CAST(1000 AS BIGINT) AS permille_of_prev FROM counts
+    UNION ALL
+    SELECT 'step_2_click', CAST(n2 AS BIGINT),
+           CAST((n2 * 1000) // n1 AS BIGINT) FROM counts
+    UNION ALL
+    SELECT 'step_3_purchase', CAST(n3 AS BIGINT),
+           CAST((n3 * 1000) // n2 AS BIGINT) FROM counts
+) ORDER BY step
+""",
+)
+def a20_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.table("events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n1"))
+        .crossJoin(s2.agg(F.count("*").alias("n2")))
+        .crossJoin(s3.agg(F.count("*").alias("n3")))
+    )
+    steps = counts.selectExpr(
+        """stack(3,
+            'step_1_view', n1, CAST(1000 AS BIGINT),
+            'step_2_click', n2, (n2 * 1000) div n1,
+            'step_3_purchase', n3, (n3 * 1000) div n2
+        ) AS (step, users, permille_of_prev)"""
+    )
+    return steps.orderBy("step")
+
+
+@query(
+    "a21_retention_cohorts",
+    driver=False,
+    doc="""Weekly retention cohorts: users grouped by their FIRST
+    active epoch-week, each cohort's distinct active users counted at
+    every later week offset, with integer-permille retention against
+    the cohort size — the standard growth-analytics matrix. Epoch-day
+    and epoch-week ids are integer divisions of epoch micros, so the
+    whole computation is integer-exact cross-engine.
+
+    Scale shape: first-touch is one per-user min; the activity set is
+    one distinct over (user, week); the matrix is a groupBy over the
+    co-partitioned join of the two — user_id hashing reused across
+    every stage, cohort frame tiny.""",
+    oracle="""
+WITH e AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+    FROM events
+),
+first_touch AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, wk FROM e),
+cohort_size AS (
+    SELECT cohort_wk, count(*) AS n0 FROM first_touch GROUP BY cohort_wk
+),
+cells AS (
+    SELECT f.cohort_wk, a.wk - f.cohort_wk AS wk_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_touch f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT c.cohort_wk, c.wk_offset,
+       CAST(c.active_users AS BIGINT) AS active_users,
+       CAST(s.n0 AS BIGINT) AS cohort_size,
+       CAST((c.active_users * 1000) // s.n0 AS BIGINT)
+           AS retention_permille
+FROM cells c JOIN cohort_size s USING (cohort_wk)
+ORDER BY cohort_wk, wk_offset
+""",
+)
+def a21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk = F.expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+        " AS BIGINT)"
+    )
+    e = spark.table("events").select("user_id", wk.alias("wk"))
+    first_touch = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = e.distinct()
+    cohort_size = first_touch.groupBy("cohort_wk").agg(
+        F.count("*").alias("n0")
+    )
+    cells = (
+        activity.join(first_touch, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        cells.join(cohort_size, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "wk_offset",
+            F.col("active_users").cast("long").alias("active_users"),
+            F.col("n0").cast("long").alias("cohort_size"),
+            F.expr("(active_users * 1000) div n0").alias(
+                "retention_permille"
+            ),
+        )
+        .orderBy("cohort_wk", "wk_offset")
+    )
+
+
+@query(
     "a19_exact_percentiles",
     driver=False,
     doc="""EXACT order statistics (p25/p50/p75/p99 of
