@@ -856,7 +856,8 @@ def a17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a20_funnel_conversion",
-    driver=False,
+    # Driver tier since the late-r8 rotation (dedup_exact/j14 out) —
+    # sf0.01-parity and hostile-timezone verified at promotion.
     doc="""Ordered funnel analysis (view -> click -> purchase): per
     user, the first view, the first click STRICTLY AFTER that view,
     the first purchase strictly after that click — the classic

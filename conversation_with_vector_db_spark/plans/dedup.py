@@ -106,6 +106,11 @@ def _capped_shingle_index(
 
 @query(
     "dedup_exact",
+    # Local tier since the late-r8 rotation (s15/a20 in): the exact-
+    # hash semantics are embedded in pipeline_training_manifest and
+    # the family keeps 7 driver rows (char-ngram, clusters,
+    # embedding-cosine, incremental, minhash, semdedup, substring).
+    driver=False,
     doc="""Exact dedup: hash-groupBy on normalized content — one shuffle
     of (hash, id), canonical id = min. Finds the planted +500000000
     copies.""",

@@ -315,6 +315,9 @@ def j13_company_status_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j14_teams_membership_any",
+    # Local tier since the late-r8 rotation (s15/a20 in): the J family
+    # keeps driver rows via the flagship, j3, j9 and j10.
+    driver=False,
     doc="""J14+A10: teams-array membership expansion + any(hasAccess)
     (controllers/auth.js:113-125) — explode(teams) x join teams-side
     flag, then max(bool) per user. Teams arrays are built identically

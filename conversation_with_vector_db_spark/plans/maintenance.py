@@ -564,7 +564,8 @@ def s14_snapshot_log_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s15_branch_lifecycle",
-    driver=False,
+    # Driver tier since the late-r8 rotation (dedup_exact/j14 out) —
+    # sf0.01-parity and hostile-timezone verified at promotion.
     doc="""Branch-ref lifecycle over the snapshot log
     (sources/branching.py — the Nessie/Iceberg-branch working model):
     fork the corpus table zero-copy, run a backfill on the branch
