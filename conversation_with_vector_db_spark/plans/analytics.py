@@ -1133,6 +1133,102 @@ def a19_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a19b_grouped_median",
+    driver=False,
+    doc="""The GROUPED form of `a19_exact_percentiles`: exact median
+    of `value` per event_type, same two-phase histogram bracketing
+    but with every window partitioned by the group — cumulative
+    counts run over each group's bounded histogram and ranking runs
+    inside each group's single selected bucket. This is the shape
+    grouped order statistics take at 100 TB: no per-group sort, no
+    global anything; groups parallelize and the per-group state is a
+    histogram. Values quantize to 1e-4 units per row (the engine's
+    integer-exact discipline), ranks are integer ceil-division.""",
+    oracle="""
+WITH c AS (
+    SELECT event_type,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS q
+    FROM events
+),
+n AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM c GROUP BY event_type
+),
+ranked AS (
+    SELECT event_type, q,
+           row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn
+    FROM c
+)
+SELECT n.event_type, n.cnt,
+       CAST((n.cnt + 1) // 2 AS BIGINT) AS rank_k,
+       r.q / 10000.0 AS median_value
+FROM n JOIN ranked r
+  ON r.event_type = n.event_type AND r.rn = (n.cnt + 1) // 2
+ORDER BY n.event_type
+""",
+)
+def a19b_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("q")
+    c = spark.table("events").select("event_type", q)
+    hist = c.groupBy(
+        "event_type", F.expr("q div 1000").alias("b")
+    ).agg(F.count("*").alias("cnt_b"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "event_type",
+        "b",
+        "cnt_b",
+        F.sum("cnt_b").over(w).alias("cum"),
+        (F.sum("cnt_b").over(w) - F.col("cnt_b")).alias("cum_prev"),
+        F.sum("cnt_b").over(wall).alias("cnt"),
+    )
+    targets = (
+        cum.withColumn("k", F.expr("(cnt + 1) div 2"))
+        .filter(
+            (F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k"))
+        )
+        .select(
+            "event_type",
+            "cnt",
+            "k",
+            "b",
+            (F.col("k") - F.col("cum_prev")).alias("off"),
+        )
+    )
+    in_bucket = (
+        c.withColumn("b", F.expr("q div 1000"))
+        .join(F.broadcast(targets.select("event_type", "b")), ["event_type", "b"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "b").orderBy("q")
+            ),
+        )
+    )
+    return (
+        targets.join(
+            in_bucket.select("event_type", "b", "rn", "q"),
+            ["event_type", "b"],
+        )
+        .filter(F.col("rn") == F.col("off"))
+        .select(
+            "event_type",
+            "cnt",
+            F.col("k").alias("rank_k"),
+            (F.col("q") / F.lit(10000.0)).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "a18_sessionization",
     driver=False,
     doc="""Batch sessionization (gaps-and-islands): per user, events
