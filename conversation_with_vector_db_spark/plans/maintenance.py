@@ -642,6 +642,66 @@ def s15_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s16_python_datasource",
+    driver=False,
+    doc="""The snapshot log consumed through Spark's REGISTERED data
+    source surface (sources/datasource.py, the Spark 4 Python Data
+    Source API): build a real on-disk table from the corpus, read it
+    back with `spark.read.format("snapshot_log")` — once at the
+    pinned creation version (time travel through the format option)
+    and once at head after an append — and aggregate both. The oracle
+    replays the same set algebra over the raw fixture; the format's
+    filter pushdown / change-feed semantics are pinned in
+    tests/test_datasource.py.""",
+    oracle="""
+WITH v1 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+v2 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 1)
+SELECT (SELECT count(*) FROM v1) AS n_v1,
+       (SELECT count(*) FROM v1) + (SELECT count(*) FROM v2) AS n_head,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM v1)
+         + (SELECT CAST(sum(n_chars) AS BIGINT) FROM v2) AS chars_head,
+       (SELECT count(*) FROM v1 WHERE doc_id > 100) AS n_v1_filtered
+""",
+)
+def s16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.datasource import register
+    from ..sources.snapshot_log import append_snapshot, create_table
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_datasource_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    create_table(t)
+    append_snapshot(docs.filter(F.col("doc_id") % 2 == 0), t)
+    append_snapshot(docs.filter(F.col("doc_id") % 2 == 1), t)
+    register(spark)
+    head = spark.read.format("snapshot_log").option("path", t).load()
+    v1 = spark.read.format("snapshot_log").options(
+        path=t, version=1
+    ).load()
+    return (
+        v1.agg(F.count("*").alias("n_v1"))
+        .crossJoin(
+            head.agg(
+                F.count("*").alias("n_head"),
+                F.sum("n_chars").cast("long").alias("chars_head"),
+            )
+        )
+        .crossJoin(
+            v1.filter(F.col("doc_id") > 100).agg(
+                F.count("*").alias("n_v1_filtered")
+            )
+        )
+    )
+
+
 def _z_sql_terms(scol: str, offset: int, bits: int = 16) -> str:
     """The oracle's Morton-interleave arm for one scaled column:
     sum_i ((s >> i) & 1) * 2^(2i + offset) — generated, not

@@ -1,0 +1,293 @@
+"""The snapshot log as a REGISTERED Spark data source (the Spark 4
+Python Data Source API): ``spark.read.format("snapshot_log")`` for
+snapshot-isolated / time-travel batch reads with MANIFEST-STATS filter
+pruning pushed through ``pushFilters``, and
+``spark.readStream.format("snapshot_log")`` as a CHANGE FEED source
+that tails the commit log — versions are the offsets, so exactly-once
+delivery falls out of the stream checkpoint (the Delta CDF shape).
+
+Positioning: :func:`~.snapshot_log.read_snapshot` stays the FAST batch
+path — it hands the JVM parquet reader explicit segment paths, keeping
+whole-stage codegen and native column pruning. This source is the
+INTEGRATION surface: anything that speaks ``format(...)`` (SQL
+``CREATE TABLE ... USING``, spark.readStream, third-party tooling) can
+consume the table format without importing this package's Python API.
+Its scan runs through Arrow-batched Python workers (the Data Source
+API's execution model), so per-byte cost is higher; its segment-level
+pruning, however, happens BEFORE any byte is read:
+
+* ``pushFilters`` keeps comparison filters on the table's recorded
+  stats column and drops every segment whose manifest min/max range —
+  and, when present, Bloom sidecar — provably rejects them. All
+  filters are returned as "unapplied", so Spark re-evaluates them
+  row-wise: pruning can only skip provably-dead segments, never
+  change results (the same conservative contract as the keyed-rewrite
+  pruning in sources/transactional.py).
+* The stream reader's offset IS the commit version: ``latestOffset``
+  reads the head, a micro-batch (start, end] expands to the data
+  segments ADDED by append-shaped commits in that version window, and
+  a restart replays from the checkpointed version — no segment is
+  ever delivered twice. Rewrite/compaction commits are SKIPPED (their
+  "added" segments re-package rows already delivered); the feed is an
+  APPEND feed, like Delta CDF with readChangeFeed=insert-only. A
+  stream that falls behind the vacuum retention window fails with the
+  vacuumed-manifest error rather than silently skipping (the
+  documented retention trade).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from . import snapshot_log as sl
+from .transactional import _bloom_any_match
+
+__all__ = ["SnapshotLogDataSource", "register"]
+
+
+def _segment_files(table_dir: str, rel: str) -> list[str]:
+    seg = sl.segment_path(table_dir, rel)
+    out = []
+    for root, _dirs, files in os.walk(seg):
+        for name in sorted(files):
+            if name.endswith(".parquet") and not name.startswith(
+                (".", "_")
+            ):
+                out.append(os.path.join(root, name))
+    return out
+
+
+@dataclass
+class _SegmentPartition(InputPartition):
+    files: tuple
+    commit_version: int = -1
+
+
+def _range_may_match(st: dict | None, col, lo, hi) -> bool:
+    """One-sided-capable range check (the shared
+    ``_stats_may_match`` requires both bounds — mutations always have
+    them; pushed comparisons are often open-ended). Non-strict on
+    both edges, so it is conservative for strict operators too."""
+    if st is None or st.get("col") != col:
+        return True
+    smin, smax = st.get("min"), st.get("max")
+    if smin is None or smax is None:
+        return True
+    num = (int, float)
+    probe = lo if lo is not None else hi
+    same_family = (
+        isinstance(smin, num)
+        and isinstance(probe, num)
+        and not isinstance(probe, bool)
+    ) or (isinstance(smin, str) and isinstance(probe, str))
+    if not same_family:
+        return True
+    if lo is not None and smax < lo:
+        return False
+    if hi is not None and smin > hi:
+        return False
+    return True
+
+
+class _SnapshotReader(DataSourceReader):
+    """Batch: one input partition per live segment at the pinned
+    version; manifest-stats (+ Bloom) pruning in ``pushFilters``."""
+
+    def __init__(self, options, schema: StructType):
+        self._table_dir = options["path"]
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+        self._schema = schema
+        self._segs = sl.live_segments(self._table_dir, self._version)
+        self._stats = sl.segment_stats(
+            self._table_dir,
+            self._version
+            if self._version is not None
+            else sl.latest_version(self._table_dir),
+        )
+
+    def pushFilters(self, filters: list[Filter]):
+        """Prune SEGMENTS whose recorded key range / Bloom sidecar
+        provably rejects a pushed comparison; every filter is yielded
+        back (Spark re-applies row-wise), so this can only skip
+        provably-dead segments."""
+        for f in filters:
+            lo = hi = None
+            probes = None
+            if isinstance(f, EqualTo):
+                lo = hi = f.value
+                probes = [f.value]
+            elif isinstance(f, GreaterThan) or isinstance(
+                f, GreaterThanOrEqual
+            ):
+                lo = f.value
+            elif isinstance(f, LessThan) or isinstance(
+                f, LessThanOrEqual
+            ):
+                hi = f.value
+            elif isinstance(f, In):
+                vals = list(f.value)
+                if vals and all(v is not None for v in vals):
+                    lo, hi = min(vals), max(vals)
+                    probes = vals
+            else:
+                yield f
+                continue
+            col = f.attribute[-1] if f.attribute else None
+            self._segs = [
+                s
+                for s in self._segs
+                if _range_may_match(self._stats.get(s), col, lo, hi)
+                and _bloom_any_match(self._stats.get(s), col, probes)
+            ]
+            yield f  # conservatively re-applied row-wise by Spark
+
+    def partitions(self):
+        return [
+            _SegmentPartition(
+                files=tuple(_segment_files(self._table_dir, s))
+            )
+            for s in self._segs
+        ]
+
+    def read(self, partition: _SegmentPartition):
+        import pyarrow.parquet as pq
+
+        cols = self._schema.fieldNames()
+        for path in partition.files:
+            for batch in pq.ParquetFile(path).iter_batches(
+                columns=cols
+            ):
+                yield batch
+
+
+#: Commit ops whose ``added`` segments are NEW rows (the change feed
+#: emits these). Rewrite-shaped ops re-package already-delivered rows.
+_FEED_OPS = frozenset({"append", "append_txn", "merge", "create"})
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """Change feed: offset = commit version; batch (start, end] =
+    segments added by append-shaped commits in that window, each row
+    stamped with its ``_commit_version``."""
+
+    def __init__(self, options, schema: StructType):
+        self._table_dir = options["path"]
+        self._schema = schema
+        self._starting = int(options.get("startingVersion", -1))
+
+    def initialOffset(self):
+        if self._starting >= 0:
+            # Replay from startingVersion (inclusive).
+            return {"version": self._starting - 1}
+        return {"version": sl.latest_version(self._table_dir)}
+
+    def latestOffset(self):
+        return {"version": sl.latest_version(self._table_dir)}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            m = sl._read_manifest(self._table_dir, v)
+            if m.get("op") not in _FEED_OPS:
+                continue
+            for rel in m.get("added", ()):
+                if os.path.basename(rel).startswith("log-"):
+                    continue  # MOR overlay segments are not base rows
+                files = tuple(_segment_files(self._table_dir, rel))
+                if files:
+                    parts.append(
+                        _SegmentPartition(files=files, commit_version=v)
+                    )
+        return parts
+
+    def read(self, partition: _SegmentPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = self._schema.fieldNames()
+        stamp = "_commit_version" in names
+        cols = [c for c in names if c != "_commit_version"]
+        for path in partition.files:
+            for batch in pq.ParquetFile(path).iter_batches(columns=cols):
+                if not stamp:
+                    yield batch
+                    continue
+                arrays = list(batch.columns)
+                arrays.append(
+                    pa.array(
+                        [partition.commit_version] * batch.num_rows,
+                        type=pa.int64(),
+                    )
+                )
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=cols + ["_commit_version"]
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the stream checkpoint
+
+
+class SnapshotLogDataSource(DataSource):
+    """``format("snapshot_log")``. Options: ``path`` (table dir),
+    ``version`` (batch time travel), ``startingVersion`` (stream
+    replay floor; default = tail from the head at start)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_log"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        table_dir = self.options["path"]
+        v = self.options.get("version")
+        segs = sl.live_segments(
+            table_dir, int(v) if v is not None else None
+        )
+        if not segs:
+            raise ValueError(
+                f"cannot infer schema of empty table {table_dir}"
+            )
+        files = _segment_files(table_dir, segs[0])
+        arrow = pq.ParquetFile(files[0]).schema_arrow
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        spark_schema = from_arrow_schema(arrow)
+        if self.options.get("withCommitVersion", "").lower() == "true":
+            # Stream-only convenience: stamp each row with the commit
+            # that delivered it (batch readers don't add the column —
+            # pass this option on readStream only).
+            spark_schema = spark_schema.add("_commit_version", "long")
+        return spark_schema
+
+    def reader(self, schema: StructType) -> _SnapshotReader:
+        return _SnapshotReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> _SnapshotStreamReader:
+        return _SnapshotStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session (and enable
+    Python data source filter pushdown, which the reader's
+    segment-pruning ``pushFilters`` requires — runtime-settable)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotLogDataSource)

@@ -1,0 +1,181 @@
+"""The snapshot log as a registered Spark data source
+(sources/datasource.py, Spark 4 Python Data Source API): batch
+time-travel reads, manifest-stats filter pushdown, and the
+change-feed stream whose offsets are commit versions."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.sources.datasource import (
+    SnapshotLogDataSource,
+    _SnapshotReader,
+    register,
+)
+from conversation_with_vector_db_spark.sources.snapshot_log import (
+    append_snapshot,
+    create_table,
+    live_segments,
+    read_snapshot,
+    rewrite_snapshot,
+)
+
+
+@pytest.fixture()
+def ds_spark(spark):
+    register(spark)
+    return spark
+
+
+def _mk(spark, tmp_path):
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 10), t)
+    append_snapshot(spark.range(10, 15), t)
+    return t
+
+
+def test_batch_read_matches_native_and_time_travels(ds_spark, tmp_path):
+    t = _mk(ds_spark, tmp_path)
+    df = ds_spark.read.format("snapshot_log").option("path", t).load()
+    assert sorted(r.id for r in df.collect()) == list(range(15))
+    native = read_snapshot(ds_spark, t).schema
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in native.fields
+    ]  # nullability may differ between arrow inference and the scan
+    tt = ds_spark.read.format("snapshot_log").options(
+        path=t, version=1
+    ).load()
+    assert sorted(r.id for r in tt.collect()) == list(range(10))
+    # Row-wise filters still correct (pushFilters re-yields them all).
+    assert sorted(
+        r.id for r in df.filter(F.col("id") > 11).collect()
+    ) == [12, 13, 14]
+
+
+def test_push_filters_prune_segments_via_stats_and_bloom(
+    spark, tmp_path
+):
+    """The reader's pushFilters must drop segments whose manifest
+    min/max range — and Bloom sidecar, for scattered keys — provably
+    reject the pushed comparison, BEFORE any file is opened."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from conversation_with_vector_db_spark.sources.transactional import (
+        append_partitioned,
+        create_partitioned_table,
+    )
+
+    t = str(tmp_path / "tp")
+    lo = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).cast("int").alias("namespace"),
+    )
+    # Even keys only: an odd probe lands INSIDE the range but outside
+    # the key set — the case only the Bloom sidecar can prune.
+    hi = spark.range(50000, 50050).select(
+        (F.col("id") * 2).alias("vec_id"),
+        F.lit(0).cast("int").alias("namespace"),
+    )
+    create_partitioned_table(
+        spark, lo, t, key="vec_id", bloom_bits=4096
+    )
+    append_partitioned(spark, hi, t, key="vec_id", bloom_bits=4096)
+
+    reader = _SnapshotReader({"path": t}, read_snapshot(spark, t).schema)
+    assert len(reader.partitions()) == 2
+    # Range pruning: > 5000 can only be the high segment.
+    back = list(reader.pushFilters([GreaterThan(("vec_id",), 5000)]))
+    assert len(back) == 1  # every filter re-applied row-wise
+    assert len(reader.partitions()) == 1
+    # Bloom pruning: a key inside the surviving range but absent.
+    reader2 = _SnapshotReader(
+        {"path": t}, read_snapshot(spark, t).schema
+    )
+    list(reader2.pushFilters([EqualTo(("vec_id",), 100001)]))
+    assert len(reader2.partitions()) == 0  # odd key: bloom rejects
+
+
+def test_stream_change_feed_exactly_once(ds_spark, tmp_path):
+    """Offsets are commit versions: startingVersion replays the
+    window, appends while running are delivered once with their
+    commit version, rewrite-shaped commits never re-emit rows, and a
+    checkpoint restart delivers nothing."""
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    create_table(t)
+    append_snapshot(ds_spark.range(0, 5), t)   # v1
+    append_snapshot(ds_spark.range(5, 8), t)   # v2
+
+    got: list = []
+
+    def sink(df, _bid):
+        got.extend((r.id, r._commit_version) for r in df.collect())
+
+    def start():
+        return (
+            ds_spark.readStream.format("snapshot_log")
+            .option("path", t)
+            .option("startingVersion", 1)
+            .option("withCommitVersion", "true")
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    append_snapshot(ds_spark.range(8, 10), t)  # v3 while running
+    seg = live_segments(t)[0]
+    rewrite_snapshot(ds_spark.range(0, 5), t, remove=[seg])  # v4
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == [
+        (0, 1), (1, 1), (2, 1), (3, 1), (4, 1),
+        (5, 2), (6, 2), (7, 2), (8, 3), (9, 3),
+    ]
+
+    got.clear()
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert got == []  # restart on the same checkpoint: no replay
+
+
+def test_stream_tails_from_head_by_default(ds_spark, tmp_path):
+    """Without startingVersion the feed starts AT the current head:
+    pre-existing rows are not replayed, only new commits stream."""
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    create_table(t)
+    append_snapshot(ds_spark.range(0, 5), t)
+
+    got: list = []
+    q = (
+        ds_spark.readStream.format("snapshot_log")
+        .option("path", t)
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _b: got.extend(r.id for r in df.collect())
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    assert got == []
+    append_snapshot(ds_spark.range(100, 103), t)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == [100, 101, 102]
+
+
+def test_format_name_and_schema_inference(ds_spark, tmp_path):
+    assert SnapshotLogDataSource.name() == "snapshot_log"
+    t = _mk(ds_spark, tmp_path)
+    df = ds_spark.read.format("snapshot_log").option("path", t).load()
+    assert [f.name for f in df.schema.fields] == ["id"]
