@@ -25,6 +25,10 @@ QUERIES = [
     "scale_dsir_selection",
     "scale_psi_drift",
     "a18_sessionization",
+    "a19_exact_percentiles",
+    "a19b_grouped_median",
+    "a20_funnel_conversion",
+    "a21_retention_cohorts",
     "text_cms_freq",
     "text_heavy_hitters_sketch",
     "a17_gapfill_locf",
