@@ -43,7 +43,9 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -53,6 +55,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -284,6 +287,12 @@ class SnapshotLogDataSource(DataSource):
     def streamReader(self, schema: StructType) -> _SnapshotStreamReader:
         return _SnapshotStreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _SnapshotWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _SnapshotStreamWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     """Idempotently register the format with a session (and enable
@@ -291,3 +300,147 @@ def register(spark) -> None:
     segment-pruning ``pushFilters`` requires — runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotLogDataSource)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+def _task_stage_write(table_dir: str, iterator) -> "_FileCommit":
+    """Executor side: stream this task's Arrow batches into ONE
+    parquet file under a task-private ``data/.stage-w-<uuid>/`` dir.
+    No state is shared with the driver-side committer (the streaming
+    runtime may hold distinct writer instances), so the commit
+    message carries everything: the staged file path. A task that
+    dies leaves an invisible dot-dir for the age-gated vacuum; a
+    RETRIED task stages a second private dir and only the attempt
+    whose message reaches commit() is ever published."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        table_dir, "data", f".stage-w-{uuid.uuid4().hex}"
+    )
+    writer = None
+    rows = 0
+    path = os.path.join(stage, "part-0.parquet")
+    for batch in iterator:
+        if writer is None:
+            os.makedirs(stage, exist_ok=True)
+            writer = pq.ParquetWriter(path, batch.schema)
+        writer.write_batch(batch)
+        rows += batch.num_rows
+    if writer is None:
+        # Empty task (the runtime rejects a None commit message).
+        return _FileCommit(path="", rows=0)
+    writer.close()
+    return _FileCommit(path=path, rows=rows)
+
+
+def _assemble_segment(table_dir: str, messages) -> str | None:
+    """Driver side: move the files named by successful tasks' commit
+    messages into one fresh immutable segment dir; returns its rel
+    (None when every task was empty). Only message-named files are
+    published — a retried task's orphan attempt stays invisible."""
+    import uuid
+
+    keep = [m.path for m in messages if m is not None and m.path]
+    if not keep:
+        return None
+    rel = os.path.join("data", uuid.uuid4().hex)
+    seg = os.path.join(table_dir, rel)
+    os.makedirs(seg)
+    for i, path in enumerate(sorted(keep)):
+        os.rename(path, os.path.join(seg, f"part-{i}.parquet"))
+        _rmtree(os.path.dirname(path))
+    return rel
+
+
+def _discard_staged(messages) -> None:
+    for m in messages or ():
+        if m is not None and getattr(m, "path", ""):
+            _rmtree(os.path.dirname(m.path))
+
+
+class _SnapshotWriter(DataSourceArrowWriter):
+    """Batch writer: task-private staging, one segment per job,
+    published through the SAME CAS commit every other write path
+    uses — ``append`` is an O(1) delta commit; ``overwrite`` is a
+    conflict-checked rewrite of the prior live set (and an overwrite
+    of an EMPTY frame is a truncate). A writer dying at any point
+    leaves only invisible staged dot-dirs for the age-gated
+    vacuum."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._table_dir = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        return _task_stage_write(self._table_dir, iterator)
+
+    def commit(self, messages) -> None:
+        rel = _assemble_segment(self._table_dir, messages)
+        removed = (
+            [
+                s
+                for s in sl.live_segments(self._table_dir)
+                if not os.path.basename(s).startswith("log-")
+            ]
+            if self._overwrite
+            else []
+        )
+        if rel is None and not removed:
+            return  # empty append: nothing to publish
+        sl.commit_segments(
+            self._table_dir,
+            added=[rel] if rel else [],
+            removed=removed,
+            op="rewrite" if removed else "append",
+        )
+
+    def abort(self, messages) -> None:
+        _discard_staged(messages)
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: each micro-batch commits txn-tagged with its
+    batch id (``append_snapshot_txn`` semantics), so a replayed batch
+    — crash between the data write and the stream-checkpoint advance
+    — is detected by the per-app high-water mark and SKIPPED:
+    exactly-once with no sink-side dedup state. Empty batches still
+    record their txn so they are not replayed either."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._table_dir = options["path"]
+        self._app = options.get("appId", "pyds-sink")
+
+    def write(self, iterator):
+        return _task_stage_write(self._table_dir, iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        from .snapshot_log import last_txn_version
+
+        prev = last_txn_version(self._table_dir, self._app)
+        if prev is not None and prev >= batchId:
+            _discard_staged(messages)  # replay: publish nothing
+            return
+        rel = _assemble_segment(self._table_dir, messages)
+        sl.commit_segments(
+            self._table_dir,
+            added=[rel] if rel else [],
+            removed=[],
+            op="append_txn",
+            txn=(self._app, int(batchId)),
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        _discard_staged(messages)
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

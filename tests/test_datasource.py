@@ -5,6 +5,8 @@ change-feed stream whose offsets are commit versions."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -179,3 +181,95 @@ def test_format_name_and_schema_inference(ds_spark, tmp_path):
     t = _mk(ds_spark, tmp_path)
     df = ds_spark.read.format("snapshot_log").option("path", t).load()
     assert [f.name for f in df.schema.fields] == ["id"]
+
+
+def test_batch_writer_append_overwrite_truncate(ds_spark, tmp_path):
+    """df.write.format("snapshot_log"): append is a delta commit,
+    overwrite a conflict-checked rewrite, an empty overwrite a
+    truncate — and time travel still sees every prior version."""
+    t = str(tmp_path / "t")
+    create_table(t)
+    ds_spark.range(0, 10).write.format("snapshot_log").option(
+        "path", t
+    ).mode("append").save()
+    ds_spark.range(10, 15).write.format("snapshot_log").option(
+        "path", t
+    ).mode("append").save()
+    assert sorted(
+        r.id for r in read_snapshot(ds_spark, t).collect()
+    ) == list(range(15))
+    ds_spark.range(100, 103).write.format("snapshot_log").option(
+        "path", t
+    ).mode("overwrite").save()
+    assert sorted(
+        r.id for r in read_snapshot(ds_spark, t).collect()
+    ) == [100, 101, 102]
+    assert sorted(
+        r.id for r in read_snapshot(ds_spark, t, version=2).collect()
+    ) == list(range(15))
+    # Empty-frame overwrite = truncate: live set empties atomically.
+    ds_spark.range(0, 0).write.format("snapshot_log").option(
+        "path", t
+    ).mode("overwrite").save()
+    assert live_segments(t) == []
+    # No stray task-staging droppings survive a clean job.
+    data = os.path.join(t, "data")
+    assert [n for n in os.listdir(data)
+            if n.startswith(".stage-w-")] == []
+
+
+def test_stream_writer_txn_exactly_once(ds_spark, tmp_path):
+    """writeStream.format("snapshot_log"): micro-batches commit
+    txn-tagged with the batch id; a checkpoint restart over the same
+    input commits NOTHING new (the high-water mark skips replays)."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        last_txn_version,
+        versions,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        stream_parquet_dir,
+    )
+
+    root = tmp_path / "src"
+    root.mkdir()
+    schema = StructType([StructField("id", LongType())])
+    for i in range(3):
+        part = str(root / f"s{i}")
+        ds_spark.range(i * 10, i * 10 + 3).coalesce(1).write.parquet(
+            part
+        )
+        for f in glob.glob(part + "/*.parquet"):
+            sh.move(f, str(root / f"file{i}.parquet"))
+        sh.rmtree(part)
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    create_table(t)
+
+    def start():
+        return (
+            stream_parquet_dir(ds_spark, str(root), schema)
+            .writeStream.format("snapshot_log")
+            .option("path", t)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        r.id for r in read_snapshot(ds_spark, t).collect()
+    ) == [0, 1, 2, 10, 11, 12, 20, 21, 22]
+    assert last_txn_version(t, "pyds-sink") == 2
+    before = versions(t)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert versions(t) == before  # restart: no replay, no new commits
+
