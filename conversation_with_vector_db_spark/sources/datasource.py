@@ -65,6 +65,29 @@ from .transactional import _bloom_any_match
 __all__ = ["SnapshotLogDataSource", "register"]
 
 
+def _local_path(path: str) -> str:
+    """Accept the `file:` URI form the SQL catalog hands to OPTIONS
+    paths (CREATE TABLE ... USING snapshot_log) alongside plain local
+    paths."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+def _table_dir_opt(options) -> str:
+    """The table directory from reader/writer options: ``path`` for
+    the DataFrame API; ``table`` for SQL catalog tables (Spark
+    special-cases the ``path`` OPTION into the table location and
+    does NOT hand it back to the reader, so `CREATE TABLE ... USING
+    snapshot_log OPTIONS (table '<dir>')` is the SQL spelling)."""
+    for key in ("path", "table"):
+        if key in options:
+            return _local_path(options[key])
+    raise KeyError("snapshot_log requires a 'path' (or 'table') option")
+
+
 def _segment_files(table_dir: str, rel: str) -> list[str]:
     seg = sl.segment_path(table_dir, rel)
     out = []
@@ -114,7 +137,7 @@ class _SnapshotReader(DataSourceReader):
     version; manifest-stats (+ Bloom) pruning in ``pushFilters``."""
 
     def __init__(self, options, schema: StructType):
-        self._table_dir = options["path"]
+        self._table_dir = _table_dir_opt(options)
         v = options.get("version")
         self._version = int(v) if v is not None else None
         self._schema = schema
@@ -134,6 +157,14 @@ class _SnapshotReader(DataSourceReader):
         for f in filters:
             lo = hi = None
             probes = None
+            if getattr(f, "value", None) is None and not isinstance(
+                f, In
+            ):
+                # A NULL comparison never reaches here from the
+                # planner (it folds to IsNull), but a None literal
+                # must not bloom-prune everything — stay conservative.
+                yield f
+                continue
             if isinstance(f, EqualTo):
                 lo = hi = f.value
                 probes = [f.value]
@@ -192,7 +223,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     stamped with its ``_commit_version``."""
 
     def __init__(self, options, schema: StructType):
-        self._table_dir = options["path"]
+        self._table_dir = _table_dir_opt(options)
         self._schema = schema
         self._starting = int(options.get("startingVersion", -1))
 
@@ -260,7 +291,7 @@ class SnapshotLogDataSource(DataSource):
     def schema(self):
         import pyarrow.parquet as pq
 
-        table_dir = self.options["path"]
+        table_dir = _table_dir_opt(self.options)
         v = self.options.get("version")
         segs = sl.live_segments(
             table_dir, int(v) if v is not None else None
@@ -375,7 +406,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
     vacuum."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        self._table_dir = options["path"]
+        self._table_dir = _table_dir_opt(options)
         self._overwrite = overwrite
 
     def write(self, iterator):
@@ -414,7 +445,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     record their txn so they are not replayed either."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        self._table_dir = options["path"]
+        self._table_dir = _table_dir_opt(options)
         self._app = options.get("appId", "pyds-sink")
 
     def write(self, iterator):

@@ -273,3 +273,42 @@ def test_stream_writer_txn_exactly_once(ds_spark, tmp_path):
     q.stop()
     assert versions(t) == before  # restart: no replay, no new commits
 
+
+
+def test_sql_surface_via_temp_view(ds_spark, tmp_path):
+    """SQL over the format: the loaded frame registers as a view and
+    behaves like any table. (CREATE TABLE ... USING snapshot_log
+    parses, but this Spark build does not forward catalog storage
+    options back to a PYTHON data source reader at SELECT time —
+    path, OPTIONS and LOCATION all arrive empty — so the documented
+    SQL spelling is view registration over `.load()`.)"""
+    t = _mk(ds_spark, tmp_path)
+    ds_spark.read.format("snapshot_log").option("path", t).load(
+    ).createOrReplaceTempView("snap_sql_view")
+    got = ds_spark.sql(
+        "SELECT count(*) AS n, sum(id) AS s FROM snap_sql_view "
+        "WHERE id >= 5"
+    ).first()
+    assert (got.n, got.s) == (10, sum(range(5, 15)))
+
+
+def test_vacuum_reaps_aged_writer_staging(ds_spark, tmp_path):
+    """A writer task that died after staging leaves a data/.stage-w-*
+    dot-dir; it is invisible to readers and the age-gated vacuum
+    reclaims it like any other orphan."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        vacuum,
+    )
+
+    t = _mk(ds_spark, tmp_path)
+    dead = os.path.join(t, "data", ".stage-w-deadbeef")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert sorted(
+        r.id for r in read_snapshot(ds_spark, t).collect()
+    ) == list(range(15))  # invisible to reads
+    vacuum(t, orphan_min_age_sec=10_000)
+    assert os.path.isdir(dead)  # young: protected by the age gate
+    vacuum(t, orphan_min_age_sec=0)
+    assert not os.path.exists(dead)

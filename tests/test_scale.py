@@ -352,3 +352,44 @@ def test_alpha_mixture_damps_head_languages(spark, sf_dir):
     if head["n_before"] > 2 * m:
         # alpha=1/2 keeps ~sqrt(m*n) > m docs from the head language
         assert head["n_kept"] > m
+
+
+def test_aqe_skew_join_split_triggers(spark):
+    """AQE's runtime skew-join handling — the engine-level answer to
+    join skew that complements the explicit salting operators: with
+    skew thresholds tuned down, a sort-merge join against one hot key
+    must show skew-split partitions in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB",
+    )
+    s.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB"
+    )
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+
+    # 200k rows on ONE key vs a uniform right side.
+    left = s.range(0, 200_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    ).unionAll(
+        s.range(0, 1_000).select(
+            (F.col("id") % 97).alias("k"), F.col("id").alias("payload")
+        )
+    )
+    right = s.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    joined = left.join(right, "k")
+    # Execute THIS DataFrame's own plan (count() would plan a separate
+    # aggregate query), then read the finalized adaptive plan.
+    assert len(joined.collect()) == 200_000 + 1_000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "skew=true" in plan, plan
