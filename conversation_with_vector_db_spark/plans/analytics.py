@@ -1133,6 +1133,91 @@ def a19_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w6_scd2_intervals",
+    driver=False,
+    doc="""Slowly-changing-dimension Type 2 build — the warehouse
+    staple that turns an event stream into VERSIONED validity
+    intervals: per user, consecutive runs of the same event_type
+    collapse to one version row with [valid_from, valid_to) epoch
+    micros (NULL valid_to = current), a 1-based version ordinal, and
+    the run's event count. Change detection is lag() over the
+    ordered stream; interval closure is lead() over the change
+    points — ONE user_id shuffle serves both windows and the run
+    rollup (the a18 discipline), so dimensions of any width build in
+    a single pass. Tie-safe ordering by (us, event_id); all integer
+    micros.""",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_type, us, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs AS (
+    SELECT user_id, event_type, us,
+           CAST(sum(chg) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+    FROM flagged
+),
+versions AS (
+    SELECT user_id, version,
+           min(event_type) AS event_type,
+           CAST(min(us) AS BIGINT) AS valid_from,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY version) AS valid_to,
+       n_events
+FROM versions
+ORDER BY user_id, version
+""",
+)
+def w6_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.table("events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = e.withColumn(
+        "chg",
+        (prev.isNull() | (prev != F.col("event_type"))).cast("long"),
+    )
+    runs = flagged.withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    versions = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    return versions.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from")
+        .over(Window.partitionBy("user_id").orderBy("version"))
+        .alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "version")
+
+
+@query(
     "a19b_grouped_median",
     driver=False,
     doc="""The GROUPED form of `a19_exact_percentiles`: exact median

@@ -312,3 +312,52 @@ def test_vacuum_reaps_aged_writer_staging(ds_spark, tmp_path):
     assert os.path.isdir(dead)  # young: protected by the age gate
     vacuum(t, orphan_min_age_sec=0)
     assert not os.path.exists(dead)
+
+
+def test_format_writer_races_native_appends(ds_spark, tmp_path):
+    """The format writer commits through the SAME CAS as the native
+    write paths, so a thread appending via df.write.format(...) and a
+    thread appending via append_snapshot interleave freely: every
+    batch lands exactly once and the version sequence is
+    contiguous."""
+    import threading
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        versions,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    errors: list = []
+
+    def via_native():
+        try:
+            for i in range(3):
+                append_snapshot(
+                    ds_spark.range(1000 + i * 100, 1000 + i * 100 + 5), t
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced via errors
+            errors.append(e)
+
+    # Native appends race from a thread; the format writes run on the
+    # main thread (Python data source REGISTRATION does not resolve
+    # from freshly spawned py4j threads in this Spark build — the
+    # contention under test is the table's CAS, not the registry).
+    th = threading.Thread(target=via_native)
+    th.start()
+    for i in range(3):
+        ds_spark.range(i * 100, i * 100 + 5).write.format(
+            "snapshot_log"
+        ).option("path", t).mode("append").save()
+    th.join()
+    assert not errors
+    want = sorted(
+        x
+        for i in range(3)
+        for x in list(range(i * 100, i * 100 + 5))
+        + list(range(1000 + i * 100, 1000 + i * 100 + 5))
+    )
+    assert sorted(
+        r.id for r in read_snapshot(ds_spark, t).collect()
+    ) == want
+    assert versions(t) == list(range(7))  # create + 6 appends
