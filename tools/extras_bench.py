@@ -29,6 +29,7 @@ QUERIES = [
     "a19b_grouped_median",
     "a20_funnel_conversion",
     "a21_retention_cohorts",
+    "w6_scd2_intervals",
     "text_cms_freq",
     "text_heavy_hitters_sketch",
     "a17_gapfill_locf",
