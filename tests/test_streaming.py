@@ -1471,3 +1471,151 @@ def test_streaming_cms_sketch_converges_and_replays_nothing(
         for r in read_cms_store(spark, store).collect()
     }
     assert got2 == want
+
+
+def _flat_parquet_files(spark, root, batches, schema_ddl):
+    """Write each batch as one flat parquet FILE under root (the file
+    source does not recurse into subdirectories)."""
+    import glob
+    import shutil as sh
+
+    root.mkdir(exist_ok=True)
+    for i, rows in enumerate(batches):
+        part = root / f"s{i}"
+        spark.createDataFrame(rows, schema_ddl).coalesce(
+            1
+        ).write.parquet(str(part))
+        for f in glob.glob(str(part / "*.parquet")):
+            sh.move(f, str(root / f"file{i}.parquet"))
+        sh.rmtree(part)
+
+
+def test_stream_stream_interval_join_converges(spark, tmp_path):
+    """Stream-stream inner join with an event-time range condition
+    (the ad-attribution shape): both sides watermarked, clicks join
+    impressions of the same ad within 30 minutes AFTER the
+    impression. The converged result must equal the batch join —
+    including the click that arrives in a LATER micro-batch than its
+    impression (cross-batch state retention is the point of the
+    operator)."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    def ts(minute):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 10, minute)
+
+    imp_schema = StructType([
+        StructField("ad_id", LongType()),
+        StructField("imp_ts", TimestampType()),
+        StructField("cost", LongType()),
+    ])
+    clk_schema = StructType([
+        StructField("ad_id", LongType()),
+        StructField("clk_ts", TimestampType()),
+    ])
+    _flat_parquet_files(
+        spark,
+        tmp_path / "imps",
+        [
+            [(1, ts(0), 10), (2, ts(5), 20)],
+            [(3, ts(10), 30)],
+        ],
+        imp_schema,
+    )
+    _flat_parquet_files(
+        spark,
+        tmp_path / "clks",
+        [
+            [(1, ts(20))],          # in-window click, later batch
+            [(2, ts(50)), (3, ts(15))],  # ad 2: 45 min later — OUT
+        ],
+        clk_schema,
+    )
+
+    imps = stream_parquet_dir(
+        spark, str(tmp_path / "imps"), imp_schema
+    ).withWatermark("imp_ts", "1 hour")
+    clks = stream_parquet_dir(
+        spark, str(tmp_path / "clks"), clk_schema
+    ).withWatermark("clk_ts", "1 hour")
+    joined = imps.alias("i").join(
+        clks.alias("c"),
+        (F.col("i.ad_id") == F.col("c.ad_id"))
+        & (F.col("c.clk_ts") >= F.col("i.imp_ts"))
+        & (
+            F.col("c.clk_ts")
+            <= F.col("i.imp_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    q = (
+        joined.select("i.ad_id", "cost", "clk_ts")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.ad_id, r.cost) for r in spark.table("ss_join").collect()
+    )
+    assert got == [(1, 10), (3, 30)]  # ad 2's click fell outside
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark's built-in dropDuplicatesWithinWatermark: duplicates of
+    a key arriving in LATER micro-batches (within the watermark
+    delay) are suppressed; the converged output has exactly one row
+    per key."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    def ts(minute):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 12, minute)
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("ts", TimestampType()),
+    ])
+    _flat_parquet_files(
+        spark,
+        tmp_path / "dups",
+        [
+            [(1, ts(0)), (2, ts(1))],
+            [(1, ts(5)), (3, ts(6))],   # 1 is a cross-batch dup
+            [(2, ts(9)), (1, ts(10))],  # more dups of 1 and 2
+        ],
+        schema,
+    )
+    stream = stream_parquet_dir(
+        spark, str(tmp_path / "dups"), schema
+    ).withWatermark("ts", "1 hour")
+    q = (
+        stream.dropDuplicatesWithinWatermark(["k"])
+        .writeStream.format("memory")
+        .queryName("ddww")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.k for r in spark.table("ddww").collect())
+    assert got == [1, 2, 3]
