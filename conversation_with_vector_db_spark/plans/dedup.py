@@ -1549,3 +1549,59 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing, incoming, k=8, iters=3, threshold=0.92,
         vec_bytes=vec_bytes,
     )
+
+
+@query(
+    "dedup_fuzzy_linkage",
+    driver=False,
+    doc="""Fuzzy record linkage (operators/linkage.py): token-blocked
+    Levenshtein matching over the DISTINCT p_name value domain —
+    block on a shared whitespace token through one inverted-index
+    shuffle (DF-capped like the shingle index), length-band filter
+    inside the join, edit-distance verify once per deduplicated
+    candidate pair, then broadcast the value-level verdicts back onto
+    per-value row counts. The entity-resolution primitive the
+    set-similarity dedup family lacked: raw edit distance catches
+    typo-class variants that shingle Jaccard underweights. Contract
+    (shared-token AND |len diff|<=3 AND levenshtein<=3) is mirrored
+    exactly by the oracle.""",
+    oracle="""
+WITH names AS (
+    SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+),
+toks0 AS (
+    SELECT DISTINCT name, t.tok
+    FROM names, unnest(regexp_split_to_array(name, '\\s+')) AS t(tok)
+    WHERE length(t.tok) > 0
+),
+toks AS (
+    SELECT t.name, t.tok FROM toks0 t
+    JOIN (SELECT tok FROM toks0
+          GROUP BY tok HAVING count(*) <= 256) c USING (tok)
+),
+cand AS (
+    SELECT DISTINCT a.name AS name_a, b.name AS name_b
+    FROM toks a JOIN toks b USING (tok)
+    WHERE a.name < b.name
+      AND abs(length(a.name) - length(b.name)) <= 3
+),
+pairs AS (
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 3
+),
+counts AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1)
+SELECT p.name_a, p.name_b, p.dist,
+       ca.n AS rows_a, cb.n AS rows_b
+FROM pairs p
+JOIN counts ca ON ca.name = p.name_a
+JOIN counts cb ON cb.name = p.name_b
+ORDER BY name_a, name_b
+""",
+)
+def dedup_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fuzzy_linkage_report
+
+    return fuzzy_linkage_report(
+        spark.table("part"), "p_name", max_dist=3, max_token_df=256
+    ).orderBy("name_a", "name_b")
