@@ -909,3 +909,91 @@ def a16_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "m12_quality_expectations",
+    driver=False,
+    doc="""Declarative data-quality suite (operators/expectations.py,
+    the Deequ/Great-Expectations working model): seven expectations
+    over orders compiled into ONE map-side-combined aggregation scan
+    (not seven), plus a referential-integrity LEFT ANTI probe of
+    o_custkey against the customer dimension (broadcast — the parent
+    is dimension-sized), unioned into one (check, column, observed,
+    passed) report. The reference validates per-document at write
+    time (Mongoose schema validators, models/*.js); this is the
+    batch-audit form a 100 TB table needs — full-corpus metrics in
+    one scan, not a row-at-a-time gate.""",
+    oracle="""
+WITH m AS (
+    SELECT
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+        count(*) - count(DISTINCT o_orderkey) AS uq,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('O', 'F', 'P')
+                 THEN 1 ELSE 0 END) AS vi,
+        min(o_totalprice) AS mn,
+        max(o_totalprice) AS mx,
+        count(*) AS rc
+    FROM orders
+),
+ri AS (
+    SELECT count(*) AS orphans FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+)
+SELECT * FROM (
+    SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+           CAST(nn_ok AS DOUBLE) AS observed, nn_ok = 0 AS passed
+    FROM m
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', CAST(uq AS DOUBLE), uq = 0 FROM m
+    UNION ALL
+    SELECT 'not_null', 'o_custkey', CAST(nn_ck AS DOUBLE), nn_ck = 0
+    FROM m
+    UNION ALL
+    SELECT 'values_in', 'o_orderstatus', CAST(vi AS DOUBLE), vi = 0
+    FROM m
+    UNION ALL
+    SELECT 'min_at_least', 'o_totalprice', CAST(mn AS DOUBLE),
+           mn IS NULL OR mn >= 1.0 FROM m
+    UNION ALL
+    SELECT 'max_at_most', 'o_totalprice', CAST(mx AS DOUBLE),
+           mx IS NULL OR mx <= 10000000.0 FROM m
+    UNION ALL
+    SELECT 'row_count_between', '*', CAST(rc AS DOUBLE),
+           rc >= 1 AND rc <= 1000000000000 FROM m
+    UNION ALL
+    SELECT 'ref_integrity', 'o_custkey', CAST(orphans AS DOUBLE),
+           orphans = 0 FROM ri
+)
+ORDER BY "check", "column"
+""",
+)
+def m12_quality_expectations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.expectations import (
+        expectation_report,
+        referential_check,
+    )
+
+    orders = spark.table("orders")
+    report = expectation_report(
+        orders,
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("not_null", "o_custkey"),
+            ("values_in", "o_orderstatus", ("O", "F", "P")),
+            ("min_at_least", "o_totalprice", 1.0),
+            ("max_at_most", "o_totalprice", 10_000_000.0),
+            ("row_count_between", 1, 1_000_000_000_000),
+        ],
+    )
+    ri = referential_check(
+        orders, "o_custkey", spark.table("customer"), "c_custkey"
+    )
+    return report.unionByName(ri).orderBy("check", "column")

@@ -606,3 +606,82 @@ def v1e_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(
         emb, emb.filter(F.col("vec_id") < 5), dim=64, k=K
     ).orderBy("qid", "rank")
+
+
+@query(
+    "v11_rp_topk",
+    driver=False,
+    doc="""V1 variant through a Johnson-Lindenstrauss sketch
+    (operators/rp.py): md5-seeded Achlioptas sparse +-1 projection to
+    32 dims (stateless JVM fold, NO fit pass — the zero-state member
+    of the quantization family next to PQ/SQ8/BQ), cosine candidate
+    cut in the projected space, exact rescore of the survivors. The
+    matrix is a pure function of the seed so the oracle re-derives it
+    with SQL md5 and replays projection, cut and rescore — a fourth
+    value-parity-checked approximate search. On this fixture's
+    isotropic 64-d corpus the projected margin is thin (recall@10
+    ~0.9 at cand=200, pinned in tests); RP's economic regime is
+    high-d inputs (1536 -> 128 = 12x read cut, measured in
+    tools/ann_scale.py), the same realistic-vs-full-rank boundary the
+    PQ A/B documented.""",
+    oracle="""
+WITH ij AS (
+    SELECT i, j,
+           CASE CAST(('0x' || substr(md5('rp:' || CAST(i AS VARCHAR)
+                      || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 6
+             WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END AS r
+    FROM generate_series(1, 64) s1(i),
+         generate_series(1, 32) s2(j)
+),
+rv AS (SELECT j, list(r ORDER BY i) AS rv FROM ij GROUP BY j),
+proj AS (
+    SELECT e.vec_id, rv.j,
+           list_sum(list_transform(
+               list_zip(e.embedding::DOUBLE[], rv.rv),
+               p -> p[1] * p[2])) AS y
+    FROM embeddings e, rv
+),
+yv AS (SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY 1),
+q AS (SELECT vec_id AS qid, yv AS qy FROM yv WHERE vec_id < 5),
+cand AS (
+    SELECT qid, c.vec_id,
+           round(list_cosine_similarity(q.qy, c.yv), 4) AS psim
+    FROM q CROSS JOIN yv c
+),
+top AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY psim DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= 200
+),
+ref AS (
+    SELECT t.qid, t.vec_id,
+           round(list_cosine_similarity(
+               qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]),
+               4) AS sim
+    FROM top t
+    JOIN embeddings qq ON qq.vec_id = t.qid
+    JOIN embeddings cc ON cc.vec_id = t.vec_id
+)
+SELECT qid, vec_id, sim, rn AS rank FROM (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM ref) WHERE rn <= 10
+ORDER BY qid, rank
+""",
+)
+def v11_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rp import rp_topk
+
+    emb = spark.table("embeddings")
+    return rp_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        dim_in=64,
+        dim_out=32,
+        k=K,
+        cand=200,
+    ).orderBy("qid", "rank")

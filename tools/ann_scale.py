@@ -109,7 +109,7 @@ def gen_corpus(path: str, n: int, dim: int, n_clusters: int = 20,
 
 
 ALL_METHODS = ("exact", "lsh", "ivf", "ivf_indexed", "pq_indexed",
-               "bq", "bq_indexed")
+               "bq", "bq_indexed", "rp")
 
 
 def _prepare_corpus(spark, n: int, dim: int, workdir: str,
@@ -356,6 +356,24 @@ def run_scale(spark, n: int, dim: int, workdir: str, reps: int = 2,
             recall_at_k(pqx, exact, k=10).first().recall, 4
         )
         shutil.rmtree(pq_path, ignore_errors=True)
+    if "rp" in methods:
+        # Johnson-Lindenstrauss sketch: project to dim/12-ish, rank in
+        # the sketch, exact-rescore the survivors. Zero fit state —
+        # the candidate stage reads dim_out/dim of the exact scan.
+        from conversation_with_vector_db_spark.operators.rp import (
+            rp_topk_arrow,
+        )
+
+        rp_dim = max(32, dim // 12)
+        for cand in (80, 400):
+            rpx = timed(
+                f"rp_{rp_dim}d_c{cand}_query_sec",
+                rp_topk_arrow(corpus, queries, dim_in=dim,
+                              dim_out=rp_dim, k=10, cand=cand),
+            )
+            out[f"rp_recall_{rp_dim}d_c{cand}"] = round(
+                recall_at_k(rpx, exact, k=10).first().recall, 4
+            )
     corpus.unpersist()
     return out
 
