@@ -901,3 +901,36 @@ def scale_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("psi_nano"), "source")
     )
+
+
+@query(
+    "scale_weighted_sample",
+    driver=False,
+    doc="""Weighted sampling without replacement via priority
+    sampling (operators/sampling.py; Duffield-Lund-Thorup 2007):
+    md5-uniform u per doc, integer priority (u << 20) div weight,
+    global smallest-50 — heavier (longer) documents oversampled, the
+    mixture knob a training-data pipeline uses for source balancing.
+    All-integer arithmetic (no ln/pow whose ulps could differ across
+    engines) makes even the randomness value-parity checkable; the
+    top-k lowers to TakeOrderedAndProject, so the corpus never
+    globally sorts and an item's priority is append-stable.""",
+    oracle="""
+SELECT doc_id, n_chars,
+       (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) * 1048576)
+       // greatest(n_chars, 1) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 50
+""",
+)
+def scale_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_priority_sample
+
+    return weighted_priority_sample(
+        spark.table("documents").select("doc_id", "n_chars"),
+        weight_col="n_chars",
+        k=50,
+        id_col="doc_id",
+    )
