@@ -997,3 +997,110 @@ def m12_quality_expectations(
         orders, "o_custkey", spark.table("customer"), "c_custkey"
     )
     return report.unionByName(ri).orderBy("check", "column")
+
+
+@query(
+    "m13_merge_into_lifecycle",
+    driver=False,
+    doc="""SQL MERGE lifecycle (sources/transactional.merge_into):
+    one conflict-checked commit applies WHEN MATCHED AND t.label even
+    THEN UPDATE, WHEN MATCHED AND s.vec_id % 10 = 0 THEN DELETE
+    (clause order = priority), WHEN NOT MATCHED THEN INSERT — the
+    set-oriented form of the reference's per-document
+    findOneAndUpdate/delete loops. Physically: partition + key-range
+    + Bloom segment pruning, ONE full-outer join, a single CASE-chain
+    projection, staged segments, CAS commit. The oracle replays the
+    clause algebra over the raw fixture.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 3 AS INT) AS namespace
+    FROM embeddings
+),
+src_m AS (
+    SELECT vec_id, CAST(label + 10000 AS INT) AS label, namespace
+    FROM base WHERE vec_id % 5 = 0
+),
+src_i AS (
+    SELECT vec_id + 10000000 AS vec_id, label, namespace
+    FROM base WHERE vec_id % 7 = 3
+),
+merged AS (
+    SELECT b.vec_id,
+           CASE WHEN s.vec_id IS NOT NULL AND b.label % 2 = 0
+                THEN s.label ELSE b.label END AS label,
+           b.namespace,
+           CASE WHEN s.vec_id IS NOT NULL
+                 AND NOT (b.label % 2 = 0)
+                 AND s.vec_id % 10 = 0
+                THEN 1 ELSE 0 END AS del
+    FROM base b
+    LEFT JOIN src_m s
+      ON s.vec_id = b.vec_id AND s.namespace = b.namespace
+),
+kept AS (SELECT vec_id, label, namespace FROM merged WHERE del = 0),
+fin AS (SELECT * FROM kept UNION ALL SELECT * FROM src_i)
+SELECT count(*) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS label_sum,
+       CAST(sum(CASE WHEN label >= 10000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_patched,
+       CAST(sum(CASE WHEN vec_id >= 10000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inserted
+FROM fin
+""",
+)
+def m13_merge_into_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_merge_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t)
+    src = (
+        base.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            (F.col("label") + 10000).cast("int").alias("label"),
+            "namespace",
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 7 == 3).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                "label",
+                "namespace",
+            )
+        )
+    )
+    tx.merge_into(
+        spark,
+        t,
+        src,
+        key="vec_id",
+        matched=(
+            ("update", "t.label % 2 = 0", None),
+            ("delete", "s.vec_id % 10 = 0", None),
+        ),
+    )
+    head = tx.read_table(spark, t)
+    return head.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+        F.sum((F.col("label") >= 10000).cast("int"))
+        .cast("long")
+        .alias("n_patched"),
+        F.sum((F.col("vec_id") >= 10_000_000).cast("int"))
+        .cast("long")
+        .alias("n_inserted"),
+    )

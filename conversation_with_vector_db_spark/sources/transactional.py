@@ -983,3 +983,205 @@ def compact_change_log(
             _cleanup(table_dir, new_rels)
             last = e
     raise last if last is not None else CommitConflictError(table_dir)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    partition_col: str = "namespace",
+    matched: tuple = (("update", None, None),),
+    insert: bool = True,
+    insert_condition: str | None = None,
+    max_replans: int = 4,
+) -> int:
+    """SQL MERGE semantics (Delta/Iceberg ``MERGE INTO``) as ONE
+    conflict-checked snapshot-log commit: the general form of
+    :func:`upsert_by_key` (update-all + insert) and
+    :func:`delete_by_key` (delete), with conditional clauses.
+
+    ``matched`` is an ordered tuple of clauses
+    ``(action, condition, set_map)`` with ``action`` in
+    {"update", "delete"}; ``condition`` is a SQL boolean over the
+    aliases ``t`` (target row) and ``s`` (source row), ``None`` =
+    always; ``set_map`` maps target columns to SQL expressions over
+    ``t``/``s`` (``None`` = take the whole source row). The FIRST
+    clause whose condition holds wins — SQL MERGE clause-order
+    semantics. Unmatched target rows always survive; unmatched source
+    rows insert when ``insert`` (optionally gated by
+    ``insert_condition`` over ``s``).
+
+    Row identity is ``(partition_col, key)``. A source with duplicate
+    identities raises ``ValueError`` before anything stages — the
+    Delta "multiple source rows matched" rule, because two clauses
+    firing on one target row has no deterministic meaning.
+
+    Scale shape: candidate segments prune exactly like the upsert —
+    partition tags touched by the source, then recorded key min/max,
+    then Bloom sidecars — so a merge whose source hits one partition
+    reads and rewrites that partition only (untouched segments stay
+    live, inputFiles-style). The clause logic itself is ONE full-outer
+    join between the pruned target slice and the source, projected
+    through a single CASE chain — no per-clause passes. Crash at any
+    point leaves only invisible staged segments (vacuum fodder);
+    concurrent same-partition writers lose the CAS and re-plan.
+
+    Reference: MERGE is how the reference's per-document
+    findOneAndUpdate/delete loops (models/*.js) batch into one
+    set-oriented transactional write at engine scale.
+    """
+    dup = (
+        source.groupBy(partition_col, key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        r = dup[0]
+        raise ValueError(
+            "merge_into: source has duplicate identity "
+            f"({partition_col}={r[0]!r}, {key}={r[1]!r}) — SQL MERGE "
+            "forbids multiple source rows matching one target row"
+        )
+    for kind, _cond, _setm in matched:
+        if kind not in ("update", "delete"):
+            raise ValueError(f"merge_into: unknown clause action {kind!r}")
+
+    touched = {
+        str(r[0])
+        for r in source.select(partition_col).distinct().collect()
+    }
+    slo, shi = source.agg(F.min(key), F.max(key)).first()
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+            stats = segment_stats(table_dir, head)
+        except FileNotFoundError:
+            continue
+        _guard_no_log(live, table_dir, "merge_into")
+        old = [
+            s
+            for s in live
+            if not _is_log(s)
+            and (tag := _partition_of(s, partition_col)) is not None
+            and tag in touched
+            and _stats_may_match(stats.get(s), key, slo, shi)
+        ]
+        if any("bloom" in (stats.get(s) or {}) for s in old):
+            probe = _collect_probe_keys(source, key)
+            old = [
+                s
+                for s in old
+                if _bloom_any_match(stats.get(s), key, probe)
+            ]
+        if old:
+            current = _read_segments(spark, table_dir, old)
+        else:
+            # Nothing can match: the merge degenerates to the insert
+            # clause. The empty target still takes the TABLE's schema
+            # (a zero-row read of one live segment — footer only, the
+            # FALSE filter prunes every row group) so inserts cannot
+            # drift the column set; a table with no live segments at
+            # all borrows the source's shape.
+            base = [s_ for s_ in live if not _is_log(s_)]
+            current = (
+                _read_segments(spark, table_dir, base[:1]).filter(
+                    F.lit(False)
+                )
+                if base
+                else source.filter(F.lit(False))
+            )
+        tcols = current.columns
+        missing = [c for c in tcols if c not in source.columns]
+        needs_full_row = insert or any(
+            m is None and k == "update" for k, _c, m in matched
+        )
+        if missing and needs_full_row:
+            raise ValueError(
+                "merge_into: source lacks target columns "
+                f"{missing} required by insert/update-all clauses"
+            )
+
+        t = current.withColumn("_te", F.lit(1)).alias("t")
+        s = source.withColumn("_se", F.lit(1)).alias("s")
+        on = (
+            (F.col(f"t.{partition_col}") == F.col(f"s.{partition_col}"))
+            & (F.col(f"t.{key}") == F.col(f"s.{key}"))
+        )
+        j = t.join(s, on, "full_outer")
+
+        # One action label per row, clause order = priority order.
+        ins_ok = (
+            F.expr(insert_condition)
+            if insert_condition is not None
+            else F.lit(True)
+        )
+        act = F.when(
+            F.col("t._te").isNull(),
+            F.when(F.lit(insert) & ins_ok, F.lit("I")).otherwise(
+                F.lit("X")
+            ),
+        ).when(F.col("s._se").isNull(), F.lit("K"))
+        for i, (kind, cond, _setm) in enumerate(matched):
+            c = F.expr(cond) if cond is not None else F.lit(True)
+            act = act.when(c, F.lit(f"{kind[0].upper()}{i}"))
+        act = act.otherwise(F.lit("K"))
+        j = j.withColumn("_act", act).filter(
+            (F.col("_act") != "X") & ~F.col("_act").startswith("D")
+        )
+
+        outs = []
+        for c in tcols:
+            branches = []
+            # The insert branch only exists when inserts can happen —
+            # a dead `s.<c>` reference would still fail analysis when
+            # the source legitimately lacks non-key target columns.
+            if insert:
+                branches.append(("I", F.col(f"s.{c}")))
+            for i, (kind, _cond, setm) in enumerate(matched):
+                if kind != "update":
+                    continue
+                if setm is None:
+                    upd = F.col(f"s.{c}")
+                elif c in setm:
+                    upd = F.expr(setm[c])
+                else:
+                    upd = F.col(f"t.{c}")
+                branches.append((f"U{i}", upd))
+            if branches:
+                e = None
+                for label, val in branches:
+                    cond = F.col("_act") == label
+                    e = (
+                        F.when(cond, val)
+                        if e is None
+                        else e.when(cond, val)
+                    )
+                e = e.otherwise(F.col(f"t.{c}"))
+            else:
+                e = F.col(f"t.{c}")
+            outs.append(
+                e.cast(current.schema[c].dataType).alias(c)
+            )
+        merged = j.select(*outs)
+        new_rels = _stage_partition_segments(
+            merged, table_dir, partition_col
+        )
+        try:
+            return commit_segments(
+                table_dir,
+                added=new_rels,
+                removed=old,
+                op="merge",
+                stats=_segment_key_stats(
+                    table_dir, new_rels, key, spark=spark
+                ),
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e
+    raise last if last is not None else CommitConflictError(table_dir)

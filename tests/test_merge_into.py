@@ -1,0 +1,243 @@
+"""merge_into (sources/transactional.py): SQL MERGE clause semantics,
+clause-order priority, source-duplicate rejection, partition pruning,
+and identity scoping."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.sources import transactional as tx
+from conversation_with_vector_db_spark.sources.snapshot_log import (
+    live_segments,
+    latest_version,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = os.path.join(
+        tempfile.gettempdir(), "cvdb_merge_test", uuid.uuid4().hex
+    )
+    yield d
+
+
+def _mk(spark, tdir, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id: long, label: int, namespace: int"
+    )
+    tx.create_partitioned_table(spark, df, tdir)
+    return df
+
+
+def _state(spark, tdir):
+    return {
+        (r["vec_id"], r["namespace"]): r["label"]
+        for r in tx.read_table(spark, tdir).collect()
+    }
+
+
+def test_three_clause_merge(spark, tdir):
+    _mk(
+        spark,
+        tdir,
+        [(1, 2, 0), (2, 3, 0), (3, 4, 1), (4, 5, 1)],
+    )
+    src = spark.createDataFrame(
+        [
+            (1, 100, 0),  # matched, even target label -> update
+            (2, 100, 0),  # matched, odd target label  -> delete
+            (9, 100, 1),  # unmatched -> insert
+        ],
+        "vec_id: long, label: int, namespace: int",
+    )
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        matched=(
+            ("update", "t.label % 2 = 0", None),
+            ("delete", None, None),
+        ),
+    )
+    assert _state(spark, tdir) == {
+        (1, 0): 100,  # updated
+        (3, 1): 4,    # untouched
+        (4, 1): 5,    # untouched
+        (9, 1): 100,  # inserted
+    }
+
+
+def test_clause_order_priority(spark, tdir):
+    # Row satisfies BOTH clauses; the first (update) must win.
+    _mk(spark, tdir, [(1, 2, 0)])
+    src = spark.createDataFrame(
+        [(1, 50, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        matched=(
+            ("update", "t.label = 2", None),
+            ("delete", "s.label = 50", None),
+        ),
+        insert=False,
+    )
+    assert _state(spark, tdir) == {(1, 0): 50}
+
+
+def test_set_map_partial_update(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0)])
+    src = spark.createDataFrame(
+        [(1, 7, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        matched=(
+            ("update", None, {"label": "t.label + s.label * 10"}),
+        ),
+        insert=False,
+    )
+    assert _state(spark, tdir) == {(1, 0): 72}
+
+
+def test_duplicate_source_identity_rejected(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0)])
+    src = spark.createDataFrame(
+        [(1, 5, 0), (1, 6, 0)],
+        "vec_id: long, label: int, namespace: int",
+    )
+    with pytest.raises(ValueError, match="duplicate identity"):
+        tx.merge_into(spark, tdir, src, key="vec_id")
+    # Same key in DIFFERENT partitions is a legal source.
+    src2 = spark.createDataFrame(
+        [(1, 5, 0), (1, 6, 1)],
+        "vec_id: long, label: int, namespace: int",
+    )
+    tx.merge_into(spark, tdir, src2, key="vec_id")
+    assert _state(spark, tdir) == {(1, 0): 5, (1, 1): 6}
+
+
+def test_identity_is_partition_scoped(spark, tdir):
+    # Key 1 exists in namespace 0; source key 1 in namespace 1 is
+    # UNMATCHED (identity = (partition, key)) and inserts there.
+    _mk(spark, tdir, [(1, 2, 0)])
+    src = spark.createDataFrame(
+        [(1, 9, 1)], "vec_id: long, label: int, namespace: int"
+    )
+    tx.merge_into(spark, tdir, src, key="vec_id")
+    assert _state(spark, tdir) == {(1, 0): 2, (1, 1): 9}
+
+
+def test_insert_condition_and_insert_off(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0)])
+    src = spark.createDataFrame(
+        [(5, 10, 0), (6, 11, 0)],
+        "vec_id: long, label: int, namespace: int",
+    )
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        insert_condition="s.label % 2 = 0",
+    )
+    assert _state(spark, tdir) == {(1, 0): 2, (5, 0): 10}
+    tx.merge_into(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(7, 1, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        key="vec_id",
+        insert=False,
+    )
+    assert (7, 0) not in _state(spark, tdir)
+
+
+def test_untouched_partition_segments_survive_unrewritten(spark, tdir):
+    _mk(
+        spark,
+        tdir,
+        [(1, 2, 0), (2, 3, 1), (3, 4, 2)],
+    )
+    before = set(live_segments(tdir, latest_version(tdir)))
+    other = {
+        s for s in before if "namespace=1" in s or "namespace=2" in s
+    }
+    assert other, "fixture should partition-tag segments"
+    src = spark.createDataFrame(
+        [(1, 99, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    tx.merge_into(spark, tdir, src, key="vec_id", insert=False)
+    after = set(live_segments(tdir, latest_version(tdir)))
+    # Partitions 1 and 2 keep their exact physical segments.
+    assert other <= after
+    assert _state(spark, tdir)[(1, 0)] == 99
+
+
+def test_merge_into_empty_match_is_insert_only(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0)])
+    src = spark.createDataFrame(
+        [(100, 9, 3)], "vec_id: long, label: int, namespace: int"
+    )
+    # Key range [100, 100] misses every recorded range -> no segment
+    # read, pure insert commit.
+    tx.merge_into(spark, tdir, src, key="vec_id")
+    assert _state(spark, tdir) == {(1, 0): 2, (100, 3): 9}
+
+
+def test_update_all_requires_full_source_row(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0)])
+    src = spark.createDataFrame(
+        [(1, 0)], "vec_id: long, namespace: int"
+    )
+    with pytest.raises(ValueError, match="lacks target columns"):
+        tx.merge_into(spark, tdir, src, key="vec_id")
+    # With explicit set_map + insert off, a narrow source is fine.
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        matched=(("update", None, {"label": "t.label + 1"}),),
+        insert=False,
+    )
+    assert _state(spark, tdir) == {(1, 0): 3}
+
+
+def test_delete_all_matched(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0), (2, 3, 0)])
+    src = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0)],
+        "vec_id: long, label: int, namespace: int",
+    )
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    # The table is now empty: no live base segments remain (read_table
+    # refuses an empty selection by design).
+    from conversation_with_vector_db_spark.sources.transactional import (
+        _is_log,
+    )
+
+    assert [
+        s
+        for s in live_segments(tdir, latest_version(tdir))
+        if not _is_log(s)
+    ] == []
