@@ -934,3 +934,71 @@ def scale_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=50,
         id_col="doc_id",
     )
+
+
+@query(
+    "scale_pca_power",
+    driver=False,
+    doc="""PCA first component (operators/pca.py): corpus-scale =
+    ONE Arrow moment pass (partial x x^T / x / n sums per batch,
+    pos-keyed reduce — map-side-combined, vectors never shuffle);
+    driver-scale = the d x d covariance via C = S/n - mu mu^T and
+    THREE deterministic power-iteration steps from the all-ones
+    start (no RNG, no LAPACK eigensolver — on purpose: the oracle
+    unrolls the identical three iterations in SQL, making PCA the
+    fourth value-parity iterative family after Lloyd, the recursive
+    chunk closure, and the BPE merge chain). Output: per-dimension
+    loadings + Rayleigh quotient + explained-variance ratio, all
+    4dp. The learned counterpart to v11's oblivious JL projection.""",
+    oracle="""
+WITH x AS (
+    SELECT vec_id, CAST(u.i AS INT) AS i, CAST(u.v AS DOUBLE) AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS i) u
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+nn AS (SELECT count(*) AS n FROM embeddings
+       WHERE embedding IS NOT NULL AND len(embedding) = 64),
+mu AS (SELECT i, sum(v) / (SELECT n FROM nn) AS m FROM x GROUP BY i),
+s AS (
+    SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sij
+    FROM x a JOIN x b USING (vec_id)
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT s.i, s.j,
+           s.sij / (SELECT n FROM nn) - ma.m * mb.m AS cij
+    FROM s
+    JOIN mu ma ON ma.i = s.i
+    JOIN mu mb ON mb.i = s.j
+),
+v0 AS (SELECT CAST(i AS INT) AS i, 1.0 / sqrt(64.0) AS v
+       FROM generate_series(1, 64) t(i)),
+w1 AS (SELECT c.i AS i, sum(c.cij * v0.v) AS w
+       FROM c JOIN v0 ON v0.i = c.j GROUP BY c.i),
+v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
+w2 AS (SELECT c.i AS i, sum(c.cij * v1.v) AS w
+       FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
+w3 AS (SELECT c.i AS i, sum(c.cij * v2.v) AS w
+       FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i),
+v3 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w3) AS v FROM w3),
+w4 AS (SELECT c.i AS i, sum(c.cij * v3.v) AS w
+       FROM c JOIN v3 ON v3.i = c.j GROUP BY c.i),
+ray AS (SELECT sum(v3.v * w4.w) AS r FROM v3 JOIN w4 USING (i)),
+tr AS (SELECT sum(cij) AS t FROM c WHERE i = j)
+SELECT v3.i AS i, round(v3.v, 4) AS loading,
+       round((SELECT r FROM ray), 4) AS rayleigh_q,
+       round((SELECT r FROM ray) / (SELECT t FROM tr), 4)
+           AS explained_ratio
+FROM v3
+ORDER BY i
+""",
+)
+def scale_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_top_component
+
+    return pca_top_component(
+        spark, spark.table("embeddings"), dim=64
+    ).orderBy("i")
