@@ -1104,3 +1104,80 @@ def m13_merge_into_lifecycle(
         .cast("long")
         .alias("n_inserted"),
     )
+
+
+@query(
+    "s17_schema_evolution_lifecycle",
+    driver=False,
+    doc="""Schema evolution lifecycle (sources/evolution.py): create a
+    schema-tracked snapshot-log table at (doc_id, n_chars), append a
+    WIDENED batch carrying lang — the new column publishes in the
+    same commit as the rows that need it, zero bytes of old data
+    rewritten — then read the head (old rows project typed-NULL lang
+    in one declared-schema scan) and time-travel to v1 (the old
+    two-column shape). The Delta/Iceberg ADD COLUMN contract on this
+    engine's manifest meta channel; fail-closed rules (type change,
+    untracked table) are pinned in tests/test_evolution.py.""",
+    oracle="""
+WITH old_half AS (
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+),
+new_half AS (
+    SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+),
+head AS (
+    SELECT doc_id, n_chars, NULL AS lang FROM old_half
+    UNION ALL SELECT doc_id, n_chars, lang FROM new_half
+)
+SELECT (SELECT count(*) FROM head) AS n_rows,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM head) AS chars_sum,
+       (SELECT count(*) FROM head WHERE lang IS NULL) AS n_lang_null,
+       (SELECT count(*) FROM head WHERE lang = 'en') AS n_lang_en,
+       2 AS v1_cols,
+       (SELECT count(*) FROM old_half) AS v1_rows
+""",
+)
+def s17_schema_evolution_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import evolution as ev
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_evo_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    docs = spark.table("documents")
+    v1 = ev.create_evolved_table(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "n_chars"
+        ),
+        t,
+    )
+    ev.append_evolved(
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "n_chars", "lang"
+        ),
+        t,
+    )
+    head = ev.read_evolved(spark, t)
+    old = ev.read_evolved(spark, t, version=v1)
+    return head.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.sum(F.col("lang").isNull().cast("int"))
+        .cast("long")
+        .alias("n_lang_null"),
+        F.sum((F.col("lang") == "en").cast("int"))
+        .cast("long")
+        .alias("n_lang_en"),
+    ).crossJoin(
+        old.agg(
+            F.lit(len(old.columns)).alias("v1_cols"),
+            F.count("*").alias("v1_rows"),
+        )
+    )
