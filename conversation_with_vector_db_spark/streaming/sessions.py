@@ -895,3 +895,82 @@ def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .groupBy("r", "b")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def streaming_expectations_sink(
+    row_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    specs,
+    app_id: str = "expectations",
+):
+    """Continuous data-quality monitoring: every micro-batch runs the
+    ONE-scan expectation suite (operators/expectations.py) and commits
+    its per-batch metric rows — (check, column, observed, passed,
+    batch_id) — txn-tagged to a snapshot-log metrics store. This is
+    Deequ's metrics-repository pattern on the engine's own
+    transactional substrate: the store is itself a queryable table
+    (alert = a filter on passed = false), a replayed batch publishes
+    nothing (txn high-water mark), and the per-batch report is
+    spec-count rows however large the batch — the store grows with
+    TIME, not data volume.
+
+    Count-shaped checks (not_null / unique / values_in / ref checks
+    appended by the caller) are LINEAR: the corpus-level violation
+    count is the sum of per-batch observed, exactly like the CMS
+    partials one function up. min/max-shaped checks fold with min/max.
+    ``uniqueness`` is the one check that does NOT distribute across
+    batches (per-batch unique does not imply corpus unique); the
+    reader surfaces per-batch values and the docstring of
+    :func:`read_expectations_store` says which folds are sound.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.expectations import expectation_report
+        from ..sources.snapshot_log import (
+            append_snapshot_txn,
+            create_table,
+            versions,
+        )
+
+        if not versions(store_dir):
+            create_table(store_dir)
+        rep = expectation_report(batch_df, specs)
+        append_snapshot_txn(
+            rep.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            store_dir,
+            app=app_id,
+            txn_version=batch_id,
+        )
+
+    return (
+        row_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def read_expectations_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """Per-check fold of the metrics store: (check, column,
+    n_batches, n_failed, sum_observed, min_observed, max_observed).
+    ``sum_observed`` is the corpus-level violation count for the
+    count-shaped checks (they are linear across batches);
+    ``min_observed``/``max_observed`` fold the bound checks soundly
+    (min of per-batch minima IS the corpus minimum). Per-batch
+    uniqueness does NOT imply corpus uniqueness — for a corpus-level
+    unique gate, run the batch suite over the table itself."""
+    from ..sources.snapshot_log import read_snapshot
+
+    return (
+        read_snapshot(spark, store_dir)
+        .groupBy("check", "column")
+        .agg(
+            F.count("*").alias("n_batches"),
+            F.sum((~F.col("passed")).cast("int")).alias("n_failed"),
+            F.sum("observed").alias("sum_observed"),
+            F.min("observed").alias("min_observed"),
+            F.max("observed").alias("max_observed"),
+        )
+    )

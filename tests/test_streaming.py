@@ -1619,3 +1619,92 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         q.stop()
     got = sorted(r.k for r in spark.table("ddww").collect())
     assert got == [1, 2, 3]
+
+
+def test_streaming_expectations_sink(spark, tmp_path):
+    """Per-batch quality metrics commit exactly once; count-shaped
+    checks fold linearly to the batch-union truth; restart commits
+    nothing."""
+    from conversation_with_vector_db_spark.operators.expectations import (
+        expectation_report,
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        versions,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        read_expectations_store,
+        stream_parquet_dir,
+        streaming_expectations_sink,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema_ddl = "k: long, status: string, price: double"
+    batches = [
+        [(1, "O", 10.0), (2, "F", 20.0)],
+        [(3, None, -4.0), (4, "X", 5.0)],   # violations arrive
+        [(5, "P", 7.5), (None, "O", 1.0)],  # null key
+    ]
+    root = tmp_path / "exp_src"
+    _flat_parquet_files(spark, root, batches, schema_ddl)
+
+    specs = [
+        ("not_null", "k"),
+        ("not_null", "status"),
+        ("values_in", "status", ("O", "F", "P")),
+        ("min_at_least", "price", 0.0),
+    ]
+    store = str(tmp_path / "exp_store")
+    ckpt = str(tmp_path / "exp_ckpt")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("status", StringType()),
+            StructField("price", DoubleType()),
+        ]
+    )
+
+    def stream():
+        return stream_parquet_dir(
+            spark, str(root), schema, max_files_per_trigger=1
+        )
+
+    q = streaming_expectations_sink(stream(), store, ckpt, specs).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["check"], r["column"]): r
+        for r in read_expectations_store(spark, store).collect()
+    }
+    # Linear count checks match the batch-union truth.
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], schema_ddl
+    )
+    batch_truth = {
+        (r["check"], r["column"]): r["observed"]
+        for r in expectation_report(union, specs).collect()
+    }
+    for key in [
+        ("not_null", "k"),
+        ("not_null", "status"),
+        ("values_in", "status"),
+    ]:
+        assert got[key]["sum_observed"] == batch_truth[key]
+    # min fold is the corpus minimum.
+    assert got[("min_at_least", "price")]["min_observed"] == -4.0
+    # Each check saw all 3 batches; failures counted per batch.
+    assert all(r["n_batches"] == 3 for r in got.values())
+    assert got[("not_null", "k")]["n_failed"] == 1
+    assert got[("values_in", "status")]["n_failed"] == 1
+
+    before = versions(store)
+    q = streaming_expectations_sink(stream(), store, ckpt, specs).start()
+    q.processAllAvailable()
+    q.stop()
+    assert versions(store) == before
