@@ -243,6 +243,12 @@ IDX_NLIST, IDX_NPROBE, IDX_FLOOR = 16, 6, 0.40
 
 @query(
     "ann_ivf_indexed_suite",
+    # Local tier since the continuation-session r8 rotation
+    # (m12_quality_expectations promoted); the ANN family keeps driver
+    # rows via ann_ivf_table_lifecycle (which exercises the same
+    # indexed probe), ann_recall_suite, ann_pq_recall_suite and
+    # ann_bq_hamming_topk.
+    driver=False,
     doc="""Write-time IVF index + partition-pruned probe — the 100 TB
     read path (VERDICT r4 #3). Builds the ``ivf_write_index`` layout
     (corpus parquet partitioned by KMeans cell id + centroid sidecar)

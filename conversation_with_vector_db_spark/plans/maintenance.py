@@ -308,6 +308,10 @@ def m6_doc_patch_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m7_ttl_expiry",
+    # Local tier since the continuation-session r8 rotation (m13 MERGE
+    # lifecycle promoted); the maintenance family keeps driver rows via
+    # m8_merge_on_read, s14 and s15.
+    driver=False,
     doc="""M7: TTL expiry — reset-token expires:3600
     (models/token.js:15-19) / Redis EX 900
     (conversationController.js:14) as an event-time filter against a
@@ -913,7 +917,9 @@ def a16_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m12_quality_expectations",
-    driver=False,
+    # Driver tier since the continuation-session r8 rotation
+    # (ann_ivf_indexed_suite to local parity) — sf0.01-parity and
+    # hostile-timezone verified at promotion.
     doc="""Declarative data-quality suite (operators/expectations.py,
     the Deequ/Great-Expectations working model): seven expectations
     over orders compiled into ONE map-side-combined aggregation scan
@@ -1001,7 +1007,9 @@ def m12_quality_expectations(
 
 @query(
     "m13_merge_into_lifecycle",
-    driver=False,
+    # Driver tier since the continuation-session r8 rotation
+    # (m7_ttl_expiry to local parity) — sf0.01-parity and
+    # hostile-timezone verified at promotion.
     doc="""SQL MERGE lifecycle (sources/transactional.merge_into):
     one conflict-checked commit applies WHEN MATCHED AND t.label even
     THEN UPDATE, WHEN MATCHED AND s.vec_id % 10 = 0 THEN DELETE
