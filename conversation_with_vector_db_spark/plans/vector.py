@@ -674,10 +674,23 @@ ORDER BY qid, rank
 """,
 )
 def v11_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.rp import rp_topk
+    from ..operators.rp import rp_topk, rp_topk_arrow
+    from ..operators.vector import EXACT_TOPK_ARROW_MIN_BYTES
 
     emb = spark.table("embeddings")
-    return rp_topk(
+    # Same kernel gate as the exact scan: sub-MB corpora keep the
+    # worker-free literal fold; anything real takes the Arrow matmul
+    # (3.6x faster already at 2k x 64-d — the 2048-literal codegen
+    # tree costs more to compile per run than the whole query).
+    # Results are identical after the 4dp candidate cut (pinned by
+    # tests/test_rp.py), so the oracle covers both kernels.
+    vec_bytes = _vec_bytes(sf_dir)
+    small = (
+        vec_bytes is not None
+        and vec_bytes <= EXACT_TOPK_ARROW_MIN_BYTES
+    )
+    kernel = rp_topk if small else rp_topk_arrow
+    return kernel(
         emb,
         emb.filter(F.col("vec_id") < 5),
         dim_in=64,

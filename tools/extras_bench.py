@@ -35,6 +35,12 @@ QUERIES = [
     "a17_gapfill_locf",
     "j15_asof_attribution",
     "j16_interval_attribution",
+    # Second continuation session additions:
+    "dedup_fuzzy_linkage",
+    "v11_rp_topk",
+    "m12_quality_expectations",
+    "scale_weighted_sample",
+    "scale_pca_power",
 ]
 
 
