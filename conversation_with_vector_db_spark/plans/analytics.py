@@ -1391,3 +1391,91 @@ def a18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "graph_pagerank_bipartite",
+    driver=False,
+    doc="""PageRank (operators/graph.py) over the supplier<->part
+    link structure from lineitem — the fifth value-parity iterative
+    family, and the ranking companion to connected components. Three
+    damped iterations (d=0.85) from the uniform start, dangling mass
+    redistributed uniformly (the general kernel; this particular
+    graph has none), one edges-join-ranks shuffle per iteration with
+    localCheckpoint lineage truncation, 6dp ranks, top-20. The
+    oracle UNROLLS the identical three iterations in SQL including
+    the dangling terms.""",
+    oracle="""
+WITH e AS (
+    SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                    'p' || CAST(l_partkey AS VARCHAR) AS dst
+    FROM lineitem
+    UNION
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                    's' || CAST(l_suppkey AS VARCHAR)
+    FROM lineitem
+),
+nodes AS (SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.dst AS node, sum(r0.r / deg.d) AS c
+       FROM e JOIN r0 ON r0.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+d1 AS (SELECT coalesce(sum(r0.r), 0) AS dm FROM r0
+       LEFT JOIN deg ON deg.src = r0.node WHERE deg.src IS NULL),
+r1 AS (SELECT nodes.node,
+              0.15 / nn.n + 0.85 * (coalesce(c1.c, 0) + d1.dm / nn.n)
+                  AS r
+       FROM nodes LEFT JOIN c1 USING (node)
+       CROSS JOIN d1 CROSS JOIN nn),
+c2 AS (SELECT e.dst AS node, sum(r1.r / deg.d) AS c
+       FROM e JOIN r1 ON r1.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+d2 AS (SELECT coalesce(sum(r1.r), 0) AS dm FROM r1
+       LEFT JOIN deg ON deg.src = r1.node WHERE deg.src IS NULL),
+r2 AS (SELECT nodes.node,
+              0.15 / nn.n + 0.85 * (coalesce(c2.c, 0) + d2.dm / nn.n)
+                  AS r
+       FROM nodes LEFT JOIN c2 USING (node)
+       CROSS JOIN d2 CROSS JOIN nn),
+c3 AS (SELECT e.dst AS node, sum(r2.r / deg.d) AS c
+       FROM e JOIN r2 ON r2.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+d3 AS (SELECT coalesce(sum(r2.r), 0) AS dm FROM r2
+       LEFT JOIN deg ON deg.src = r2.node WHERE deg.src IS NULL),
+r3 AS (SELECT nodes.node,
+              0.15 / nn.n + 0.85 * (coalesce(c3.c, 0) + d3.dm / nn.n)
+                  AS r
+       FROM nodes LEFT JOIN c3 USING (node)
+       CROSS JOIN d3 CROSS JOIN nn)
+SELECT node, round(r, 6) AS rank
+FROM r3
+ORDER BY rank DESC, node
+LIMIT 20
+""",
+)
+def graph_pagerank_bipartite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = spark.table("lineitem").select(
+        F.concat(
+            F.lit("s"), F.col("l_suppkey").cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("p"), F.col("l_partkey").cast("string")
+        ).alias("dst"),
+    )
+    edges = li.unionByName(
+        li.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    return (
+        pagerank(edges, iters=3, damping=0.85)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
