@@ -1189,3 +1189,63 @@ def s17_schema_evolution_lifecycle(
             F.count("*").alias("v1_rows"),
         )
     )
+
+
+@query(
+    "m14_delete_where_lifecycle",
+    driver=False,
+    doc="""Predicate DELETE lifecycle
+    (sources/transactional.delete_where): one conflict-checked
+    copy-on-write commit removes every row matching an arbitrary
+    predicate — the retention/TTL-enforcement write that M7's read
+    filter only simulates. Hit-set pruning (probe pass groups matches
+    by the url-decoded input_file_name identity) rewrites ONLY
+    segments that contain matches; a pre-delete version stays
+    time-travelable. NULL-evaluating predicates keep their rows (SQL
+    DELETE semantics), no-match predicates commit nothing — both
+    pinned in tests/test_merge_into.py.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 3 AS INT) AS namespace
+    FROM embeddings
+),
+kept AS (
+    SELECT * FROM base
+    WHERE NOT (label % 4 = 1 AND namespace <> 2)
+)
+SELECT (SELECT count(*) FROM kept) AS n_rows,
+       (SELECT CAST(sum(label) AS BIGINT) FROM kept) AS label_sum,
+       (SELECT count(*) FROM base) AS predelete_rows
+""",
+)
+def m14_delete_where_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+    from ..sources.snapshot_log import latest_version
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_delw_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t)
+    v_pre = latest_version(t)
+    tx.delete_where(
+        spark, t, "label % 4 = 1 AND namespace <> 2", key="vec_id"
+    )
+    head = tx.read_table(spark, t)
+    pre = tx.read_table(spark, t, version=v_pre)
+    return head.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+    ).crossJoin(pre.agg(F.count("*").alias("predelete_rows")))

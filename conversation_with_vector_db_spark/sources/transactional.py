@@ -1185,3 +1185,101 @@ def merge_into(
             _cleanup(table_dir, new_rels)
             last = e
     raise last if last is not None else CommitConflictError(table_dir)
+
+
+#: Shared url-decoded input_file_name -> segment-dir identity (the
+#: compact_snapshots / distributed-stats expression).
+def _seg_of_file() -> F.Column:
+    return F.coalesce(
+        F.expr(
+            "try_url_decode(regexp_extract("
+            "input_file_name(), '^.*/data/([^/]+)/', 1))"
+        ),
+        F.regexp_extract(
+            F.input_file_name(), r"^.*/data/([^/]+)/", 1
+        ),
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    partition_col: str = "namespace",
+    key: str | None = None,
+    max_replans: int = 4,
+) -> int:
+    """Predicate delete (``DELETE FROM t WHERE <condition>``) as one
+    conflict-checked commit — the retention/GDPR/TTL enforcement
+    companion to :func:`delete_by_key` (which needs an explicit key
+    list; this one takes an arbitrary row predicate).
+
+    Two-phase copy-on-write with HIT-SET pruning: a probe pass finds
+    which segments actually CONTAIN matching rows (grouped by the
+    url-decoded ``input_file_name`` identity compaction uses), and
+    only those rewrite — a delete of one partition's cold rows leaves
+    every other physical segment live and untouched, however large
+    the table. Matching no rows commits NOTHING (a no-op predicate
+    must not churn versions). NULL-evaluating predicates keep the row
+    (SQL DELETE semantics: only TRUE deletes), pinned by test.
+
+    ``key`` optionally recomputes min/max stats (+ keeping pruning
+    quality) for the rewritten segments. Crash anywhere leaves staged
+    invisible segments for vacuum; concurrent writers on the same
+    segments lose the CAS and this re-plans from the new head.
+    """
+    cond = F.expr(condition)
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue
+        _guard_no_log(live, table_dir, "delete_where")
+        cands = [s for s in live if not _is_log(s)]
+        if not cands:
+            return head
+        scan = _read_segments(spark, table_dir, cands)
+        hits = {
+            str(r[0])
+            for r in scan.where(cond)
+            .select(_seg_of_file().alias("_seg"))
+            .distinct()
+            .collect()
+        }
+        if not hits:
+            return head
+        by_name = {os.path.basename(r): r for r in cands}
+        unmapped = hits - set(by_name)
+        if unmapped:
+            raise RuntimeError(
+                f"delete_where: matched rows in unmapped segment "
+                f"dirs {sorted(unmapped)} at {table_dir} — aborting "
+                "rather than risking row loss"
+            )
+        old = sorted(by_name[h] for h in hits)
+        survivors = _read_segments(spark, table_dir, old).where(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        new_rels = _stage_partition_segments(
+            survivors, table_dir, partition_col
+        )
+        try:
+            return commit_segments(
+                table_dir,
+                added=new_rels,
+                removed=old,
+                op="delete_where",
+                stats=(
+                    _segment_key_stats(
+                        table_dir, new_rels, key, spark=spark
+                    )
+                    if key
+                    else None
+                ),
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e
+    raise last if last is not None else CommitConflictError(table_dir)

@@ -241,3 +241,50 @@ def test_delete_all_matched(spark, tdir):
         for s in live_segments(tdir, latest_version(tdir))
         if not _is_log(s)
     ] == []
+
+
+def test_delete_where_prunes_to_hit_segments(spark, tdir):
+    _mk(
+        spark,
+        tdir,
+        [(1, 2, 0), (2, 9, 0), (3, 2, 1), (4, 2, 2)],
+    )
+    before = set(live_segments(tdir, latest_version(tdir)))
+    untouched = {
+        s for s in before if "namespace=1" in s or "namespace=2" in s
+    }
+    assert untouched
+    tx.delete_where(spark, tdir, "label = 9")
+    after = set(live_segments(tdir, latest_version(tdir)))
+    # Only the namespace=0 segment (the one containing label 9) was
+    # rewritten; the rest are physically identical.
+    assert untouched <= after
+    assert _state(spark, tdir) == {(1, 0): 2, (3, 1): 2, (4, 2): 2}
+
+
+def test_delete_where_no_match_commits_nothing(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0)])
+    v = latest_version(tdir)
+    assert tx.delete_where(spark, tdir, "label = 777") == v
+    assert latest_version(tdir) == v
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tdir):
+    df = spark.createDataFrame(
+        [(1, None, 0), (2, 9, 0)],
+        "vec_id: long, label: int, namespace: int",
+    )
+    tx.create_partitioned_table(spark, df, tdir)
+    # label > 5 is NULL for vec_id 1: SQL DELETE only removes TRUE.
+    tx.delete_where(spark, tdir, "label > 5")
+    assert _state(spark, tdir) == {(1, 0): None}
+
+
+def test_delete_where_cross_partition_predicate(spark, tdir):
+    _mk(
+        spark,
+        tdir,
+        [(1, 2, 0), (2, 2, 1), (3, 7, 1), (4, 2, 2)],
+    )
+    tx.delete_where(spark, tdir, "label = 2 AND namespace >= 1")
+    assert _state(spark, tdir) == {(1, 0): 2, (3, 1): 7}
