@@ -1283,3 +1283,123 @@ def delete_where(
             _cleanup(table_dir, new_rels)
             last = e
     raise last if last is not None else CommitConflictError(table_dir)
+
+
+def _stage_clustered_segments(
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str,
+    bucket_col: str,
+) -> list[str]:
+    """Nested staging for clustered rewrites: one ``partitionBy(tag,
+    bucket)`` job, then each (tag, bucket) leaf renames to its OWN
+    tagged segment — so every output segment covers one cluster
+    bucket's narrow key range and the manifest stats prune hard.
+    Same crash posture as :func:`_stage_partition_segments` (staged
+    junk is invisible vacuum fodder)."""
+    stage_rel = os.path.join("data", f".stage-{uuid.uuid4().hex}")
+    stage = os.path.join(table_dir, stage_rel)
+    (
+        df.withColumn(_PART_TMP, F.col(partition_col).cast("string"))
+        .write.partitionBy(_PART_TMP, bucket_col)
+        .parquet(stage)
+    )
+    prefix = _PART_TMP + "="
+    rels: list[str] = []
+    for tag_dir in sorted(os.listdir(stage)):
+        if not tag_dir.startswith(prefix):
+            continue
+        val = unquote(tag_dir[len(prefix):])
+        tag_path = os.path.join(stage, tag_dir)
+        for bucket_dir in sorted(os.listdir(tag_path)):
+            if not bucket_dir.startswith(bucket_col + "="):
+                continue
+            rel = os.path.join(
+                "data",
+                f"seg-{uuid.uuid4().hex}-{partition_col}="
+                f"{quote(val, safe='')}",
+            )
+            os.rename(
+                os.path.join(tag_path, bucket_dir),
+                os.path.join(table_dir, rel),
+            )
+            rels.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rels
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    by: tuple,
+    key: str | None = None,
+    partition_col: str = "namespace",
+    n_buckets: int = 8,
+    max_replans: int = 4,
+) -> int:
+    """OPTIMIZE ... ZORDER BY for transactional tables (Delta's
+    clustered rewrite): rewrite the base segments so each output
+    segment covers a NARROW range of the clustering key(s), then let
+    the existing manifest min/max stats (+ optional ``key`` stats
+    recompute) turn every later keyed upsert/delete/merge probe into
+    a 1-in-``n_buckets`` segment read instead of a full-table one.
+    Binpack compaction (:func:`..snapshot_log.compact_snapshots`)
+    fixes the FILE COUNT; this fixes the FILE-to-KEY-RANGE alignment
+    — the two maintenance axes are orthogonal and compose.
+
+    ``by`` is one column (range clustering — a straight sort bucket)
+    or two (Morton-interleaved Z-order via operators/layout.py, the
+    multi-dimensional trade: each dimension prunes somewhat instead
+    of one pruning perfectly). The bucket cut is an ``ntile`` over
+    the cluster value — ONE global sort shuffle, the price every
+    OPTIMIZE pays, scheduled like any other heavyweight maintenance
+    job. The swap is one conflict-checked rewrite commit: concurrent
+    appends survive (post-CAS live set), concurrent rewriters lose
+    cleanly and re-plan."""
+    from pyspark.sql import Window
+
+    from ..operators.layout import with_z_value
+
+    if len(by) not in (1, 2):
+        raise ValueError("zorder_rewrite: `by` takes 1 or 2 columns")
+    last: Exception | None = None
+    for _ in range(max_replans):
+        head = latest_version(table_dir)
+        try:
+            live = live_segments(table_dir, head)
+        except FileNotFoundError:
+            continue
+        _guard_no_log(live, table_dir, "zorder_rewrite")
+        old = [s for s in live if not _is_log(s)]
+        if not old:
+            return head
+        cur = _read_segments(spark, table_dir, old)
+        if len(by) == 2:
+            zed = with_z_value(cur, by[0], by[1], out_col="_zv")
+        else:
+            zed = cur.withColumn("_zv", F.col(by[0]))
+        w = Window.orderBy(F.col("_zv"), *[F.col(c) for c in by])
+        zed = zed.withColumn(
+            "_zb", F.ntile(n_buckets).over(w)
+        ).drop("_zv")
+        new_rels = _stage_clustered_segments(
+            zed, table_dir, partition_col, "_zb"
+        )
+        try:
+            return commit_segments(
+                table_dir,
+                added=new_rels,
+                removed=old,
+                op="zorder",
+                stats=(
+                    _segment_key_stats(
+                        table_dir, new_rels, key, spark=spark
+                    )
+                    if key
+                    else None
+                ),
+            )
+        except CommitConflictError as e:
+            _cleanup(table_dir, new_rels)
+            last = e
+    raise last if last is not None else CommitConflictError(table_dir)
