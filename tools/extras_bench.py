@@ -41,6 +41,10 @@ QUERIES = [
     "m12_quality_expectations",
     "scale_weighted_sample",
     "scale_pca_power",
+    "graph_pagerank_bipartite",
+    "m14_delete_where_lifecycle",
+    "m13_merge_into_lifecycle",
+    "s17_schema_evolution_lifecycle",
 ]
 
 
