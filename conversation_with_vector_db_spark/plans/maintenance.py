@@ -1249,3 +1249,70 @@ def m14_delete_where_lifecycle(
         F.count("*").alias("n_rows"),
         F.sum("label").cast("long").alias("label_sum"),
     ).crossJoin(pre.agg(F.count("*").alias("predelete_rows")))
+
+
+@query(
+    "m15_table_history",
+    driver=False,
+    doc="""DESCRIBE HISTORY (sources/snapshot_log.table_history): the
+    audit trail of a transactional table as a queryable DataFrame —
+    version, op, segment delta counts, txn tag, meta flag, straight
+    from the manifests. The lifecycle here runs create (3 tagged
+    segments) -> partition-scoped upsert (1-for-1 segment swap in the
+    touched namespace) -> cross-namespace keyed delete (3-for-3) ->
+    metadata-only namespace drop (0 added, 1 removed) and the oracle
+    pins the ENTIRE expected history as literals — segment-count
+    determinism is itself part of the contract (partition-scoped ops
+    must not touch other namespaces' segments).""",
+    oracle="""
+SELECT * FROM (VALUES
+    (0, 'create',  0, 0, false),
+    (1, 'append',  3, 0, false),
+    (2, 'upsert',  1, 1, false),
+    (3, 'delete',  3, 3, false),
+    (4, 'drop_partition', 0, 1, false)
+) AS t(version, op, n_added, n_removed, has_meta)
+ORDER BY version
+""",
+)
+def m15_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+    from ..sources.snapshot_log import table_history
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_hist_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t)
+    tx.upsert_by_key(
+        spark,
+        t,
+        base.filter(
+            (F.col("vec_id") % 40 == 0) & (F.col("namespace") == 0)
+        ).select(
+            "vec_id", (F.col("label") + 1000).alias("label"), "namespace"
+        ),
+        key="vec_id",
+    )
+    tx.delete_by_key(
+        spark,
+        t,
+        base.filter(F.col("vec_id") % 50 == 0).select("vec_id"),
+        key="vec_id",
+    )
+    tx.drop_partition(spark, t, "namespace", 2)
+    return (
+        table_history(spark, t)
+        .select("version", "op", "n_added", "n_removed", "has_meta")
+        .orderBy("version")
+    )

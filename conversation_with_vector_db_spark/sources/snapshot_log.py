@@ -1032,3 +1032,37 @@ def vacuum(
         except OSError:
             pass  # already reaped by a concurrent vacuum
     return deleted
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — (version,
+    op, n_added, n_removed, txn_app, txn_version, has_meta) — read
+    straight from the manifests (metadata-sized driver work, like
+    every catalog read; the result is a DataFrame so history joins,
+    filters and audits compose with everything else). Versions whose
+    manifest a concurrent vacuum already reaped surface with NULL op
+    rather than failing the whole audit."""
+    rows = []
+    for v in versions(table_dir):
+        try:
+            m = _read_manifest(table_dir, v)
+        except FileNotFoundError:
+            rows.append((v, None, None, None, None, None, None))
+            continue
+        txn = m.get("txn") or {}
+        rows.append(
+            (
+                v,
+                m.get("op"),
+                len(m.get("added", [])),
+                len(m.get("removed", [])),
+                txn.get("app"),
+                txn.get("version"),
+                bool(m.get("meta")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version: int, op: string, n_added: int, n_removed: int, "
+        "txn_app: string, txn_version: long, has_meta: boolean",
+    )

@@ -660,3 +660,47 @@ def test_table_meta_newest_wins_and_survives_vacuum(spark, tmp_path):
     s4 = _write_segment(spark.range(15, 20), t)
     v4 = commit_segments(t, added=[s4], removed=[])
     assert table_meta(t, v4) == {"model": "B", "extra": 1}
+
+
+def test_table_history_surfaces_txn_meta_and_vacuumed_rows(
+    spark, tmp_path
+):
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        append_snapshot_txn,
+        commit_segments,
+        create_table,
+        table_history,
+        _write_segment,
+    )
+
+    t = str(tmp_path / "hist_t")
+    create_table(t)
+    df = spark.createDataFrame([(1,)], "id: long")
+    append_snapshot_txn(df, t, app="etl", txn_version=7)
+    rel = _write_segment(df, t)
+    commit_segments(
+        t, added=[rel], removed=[], op="append", meta={"k": "v"}
+    )
+    hist = {
+        r["version"]: r for r in table_history(spark, t).collect()
+    }
+    assert hist[1]["txn_app"] == "etl"
+    assert hist[1]["txn_version"] == 7
+    assert hist[2]["has_meta"] is True
+    assert hist[2]["txn_app"] is None
+    # A reaped manifest degrades to a NULL-op row, not a failure.
+    import os
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        _manifest_path,
+    )
+
+    os.unlink(_manifest_path(t, 1))
+    hist2 = {
+        r["version"]: r for r in table_history(spark, t).collect()
+    }
+    # A fully reaped version drops out of the listing entirely (the
+    # NULL-op row covers only the list-then-read race); the rest of
+    # the audit stays intact.
+    assert 1 not in hist2
+    assert hist2[2]["op"] == "append"
