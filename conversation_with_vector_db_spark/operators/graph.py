@@ -69,14 +69,19 @@ def pagerank(
             ranked.where(is_dangling)
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
         )
+        shares = ranked.where(~is_dangling).select(
+            F.col("node").alias("src"),
+            (F.col("r") / F.col("deg")).alias("share"),
+        )
+        # The rank table is NODE-sized while the edge list is
+        # EDGE-sized; up to ~10M nodes the shares frame broadcasts
+        # (a few hundred MB ceiling) so the per-iteration
+        # contribution join never shuffles the edges — past that,
+        # shuffle-hash with the edge list pre-partitioned by src.
+        if n <= 10_000_000:
+            shares = F.broadcast(shares)
         contrib = (
-            e.join(
-                ranked.where(~is_dangling).select(
-                    F.col("node").alias("src"),
-                    (F.col("r") / F.col("deg")).alias("share"),
-                ),
-                "src",
-            )
+            e.join(shares, "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
         )
