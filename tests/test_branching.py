@@ -418,3 +418,68 @@ def test_branch_of_branch(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == (
         list(range(10)) + list(range(100, 105)) + [300, 301]
     )
+
+
+def test_wap_audit_gate_with_expectations(spark, tmp_path):
+    """The full write-audit-publish loop with the quality suite as
+    the audit: stage a batch on a branch, run expectation_report
+    against the BRANCH head, refuse to merge while any check fails,
+    fix on the branch, re-audit, publish. The parent never observes
+    the bad rows at any point."""
+    from conversation_with_vector_db_spark.operators.expectations import (
+        expectation_report,
+    )
+    from conversation_with_vector_db_spark.sources import (
+        transactional as tx,
+    )
+    from conversation_with_vector_db_spark.sources.branching import (
+        branch_dir,
+        create_branch,
+        merge_branch,
+    )
+
+    t = str(tmp_path / "wap_exp")
+    base = spark.createDataFrame(
+        [(1, "O", 0), (2, "F", 0)],
+        "k: long, status: string, namespace: int",
+    )
+    tx.create_partitioned_table(spark, base, t)
+
+    create_branch(t, "audit")
+    bdir = branch_dir(t, "audit")
+    # Stage a batch containing violations ON THE BRANCH.
+    staged = spark.createDataFrame(
+        [(3, "P", 1), (4, "X", 1), (None, "O", 1)],
+        "k: long, status: string, namespace: int",
+    )
+    tx.append_partitioned(spark, staged, bdir)
+
+    specs = [
+        ("not_null", "k"),
+        ("values_in", "status", ("O", "F", "P")),
+    ]
+
+    def audit_passed(table):
+        rows = expectation_report(
+            tx.read_table(spark, table), specs
+        ).collect()
+        return all(r["passed"] for r in rows)
+
+    assert not audit_passed(bdir)
+    # Parent untouched and still clean.
+    assert audit_passed(t)
+    assert tx.read_table(spark, t).count() == 2
+
+    # Remediate on the branch: drop the violating rows, then re-audit.
+    tx.delete_where(
+        spark, bdir, "k IS NULL OR status NOT IN ('O', 'F', 'P')"
+    )
+    assert audit_passed(bdir)
+    merge_branch(t, "audit")
+    got = {
+        (r["k"], r["status"])
+        for r in tx.read_table(spark, t).collect()
+    }
+    # The good staged row published; both violations never reached
+    # the parent.
+    assert got == {(1, "O"), (2, "F"), (3, "P")}
