@@ -104,3 +104,75 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007): every
+    node starts as its own label; each round it adopts the MOST
+    FREQUENT label among its in-neighbors, ties broken by the
+    smallest label — a deterministic argmax, so the oracle replays
+    the rounds with a windowed row_number. Fixed ``iters``, no
+    convergence test (synchronous LPA can oscillate on bipartite
+    structure; a fixed unrolled horizon is the determinism trade
+    every iterative family here makes, and the tie-break makes each
+    round a pure function of the last).
+
+    Community detection vs :func:`~..dedup.connected_components`'
+    connectivity: CC's min-label convergence answers "can these
+    nodes reach each other at all"; frequency voting answers "where
+    is the density" — two components of one near-dup graph stay
+    separate under CC but a weakly-bridged dense pair splits under
+    LPA.
+
+    Scale shape per round: edges join labels on src (node-sized
+    label table broadcasts under the same <=10M gate PageRank uses),
+    one (dst, label) count aggregation, one per-dst argmax window —
+    WindowGroupLimit keeps the shuffle at candidate width. Isolated
+    label table rows never grow past the node count."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("label_propagation: empty graph")
+    labels = nodes.withColumn("lbl", F.col("node"))
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        lab_src = labels.select(
+            F.col("node").alias("src"), "lbl"
+        )
+        if n <= 10_000_000:
+            lab_src = F.broadcast(lab_src)
+        counts = (
+            e.join(lab_src, "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.desc("cnt"), F.asc("lbl")
+        )
+        pick = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("lbl").alias("_new"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

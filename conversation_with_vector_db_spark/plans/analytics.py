@@ -1479,3 +1479,84 @@ def graph_pagerank_bipartite(
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+@query(
+    "graph_label_communities",
+    driver=False,
+    doc="""Label propagation communities (operators/graph.py,
+    Raghavan et al. 2007) over the supplier<->part graph: three
+    synchronous rounds of adopt-the-most-frequent-neighbor-label
+    with the deterministic smallest-label tie-break, reported as
+    community sizes. The density companion to PageRank's centrality
+    and connected components' reachability. The oracle unrolls the
+    identical three argmax rounds with windowed row_numbers.""",
+    oracle="""
+WITH e AS (
+    SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                    'p' || CAST(l_partkey AS VARCHAR) AS dst
+    FROM lineitem
+    UNION
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                    's' || CAST(l_suppkey AS VARCHAR)
+    FROM lineitem
+),
+nodes AS (SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+c1 AS (SELECT e.dst AS node, l0.lbl, count(*) AS cnt
+       FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+p1 AS (SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+        PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+    FROM c1) WHERE rn = 1),
+l1 AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+       FROM l0 l LEFT JOIN p1 p USING (node)),
+c2 AS (SELECT e.dst AS node, l1.lbl, count(*) AS cnt
+       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+p2 AS (SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+        PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+    FROM c2) WHERE rn = 1),
+l2 AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+       FROM l1 l LEFT JOIN p2 p USING (node)),
+c3 AS (SELECT e.dst AS node, l2.lbl, count(*) AS cnt
+       FROM e JOIN l2 ON l2.node = e.src GROUP BY 1, 2),
+p3 AS (SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+        PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+    FROM c3) WHERE rn = 1),
+l3 AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+       FROM l2 l LEFT JOIN p3 p USING (node))
+SELECT lbl AS community, count(*) AS n_members
+FROM l3
+GROUP BY 1
+ORDER BY n_members DESC, community
+LIMIT 20
+""",
+)
+def graph_label_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = spark.table("lineitem").select(
+        F.concat(
+            F.lit("s"), F.col("l_suppkey").cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("p"), F.col("l_partkey").cast("string")
+        ).alias("dst"),
+    )
+    edges = li.unionByName(
+        li.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    return (
+        label_propagation(edges, iters=3)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

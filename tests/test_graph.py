@@ -62,3 +62,45 @@ def test_empty_graph_raises(spark):
     df = spark.createDataFrame([], "src: string, dst: string")
     with pytest.raises(ValueError, match="empty graph"):
         pagerank(df)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from conversation_with_vector_db_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # Two triangles bridged by one edge: LPA keeps them as two
+    # communities (the bridge is outvoted) where connected
+    # components would merge them.
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    bridge = [("c", "x")]
+    edges = []
+    for s, t in tri1 + tri2 + bridge:
+        edges += [(s, t), (t, s)]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+
+
+def test_label_propagation_tie_break_is_min_label(spark):
+    from conversation_with_vector_db_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # b's neighbors a and c tie at one vote each after round 1 of a
+    # path graph; the smaller label must win deterministically.
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "b"), ("b", "c")],
+        "src: string, dst: string",
+    )
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(df, iters=1).collect()
+    }
+    assert got["b"] == "a"
