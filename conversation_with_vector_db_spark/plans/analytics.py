@@ -1560,3 +1560,67 @@ def graph_label_communities(
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+@query(
+    "a23_rolling_anomaly",
+    driver=False,
+    doc="""Trailing-window anomaly detection over the event stream:
+    per user, each event's value scores a z-statistic against the
+    PRECEDING 20 events' mean/sample-stddev (never its own row — no
+    self-contamination), flagged when the 4dp-rounded z clears 2.0
+    with at least 10 prior observations. The streaming-shaped
+    outlier gate a training-data feed runs before ingest; one
+    user_id shuffle serves both window aggregates, integer
+    epoch-micros ordering with event_id tie-break (the a18
+    discipline) keeps the frame engine-identical.""",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us, value
+    FROM events
+),
+scored AS (
+    SELECT user_id, event_id, us, value,
+           avg(value) OVER w AS mu,
+           stddev_samp(value) OVER w AS sd,
+           count(value) OVER w AS n
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value,
+       round((value - mu) / sd, 4) AS z
+FROM scored
+WHERE n >= 10 AND sd > 0
+  AND round((value - mu) / sd, 4) >= 2.0
+ORDER BY user_id, event_id
+""",
+)
+def a23_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    e = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("n"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        scored.where(
+            (F.col("n") >= 10) & (F.col("sd") > 0) & (z >= 2.0)
+        )
+        .select("user_id", "event_id", "value", z.alias("z"))
+        .orderBy("user_id", "event_id")
+    )
