@@ -45,6 +45,8 @@ QUERIES = [
     "m14_delete_where_lifecycle",
     "m13_merge_into_lifecycle",
     "s17_schema_evolution_lifecycle",
+    "graph_label_communities",
+    "a23_rolling_anomaly",
 ]
 
 
