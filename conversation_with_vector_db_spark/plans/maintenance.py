@@ -1316,3 +1316,95 @@ def m15_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "op", "n_added", "n_removed", "has_meta")
         .orderBy("version")
     )
+
+
+@query(
+    "m16_table_changes",
+    driver=False,
+    doc="""Change data feed between versions
+    (sources/transactional.table_changes — Delta CDF's read shape,
+    DERIVED from the segment delta rather than stored): the lifecycle
+    runs create -> keyed upsert (+10000 on vec_id%40) -> keyed delete
+    (vec_id%50) -> append of new ids, then reads the feed across the
+    whole range. Cross-version collapse falls out of the definition:
+    a row updated THEN deleted reports one delete with its ORIGINAL
+    before-image; rows merely rewritten (compaction/Z-order) produce
+    nothing (full-row identity — pinned in tests). Only segments that
+    entered or left the live set are scanned (inputFiles-pinned).""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 3 AS INT) AS namespace
+    FROM embeddings
+)
+SELECT
+    (SELECT count(*) FROM base WHERE vec_id % 7 = 3) AS n_insert,
+    (SELECT count(*) FROM base WHERE vec_id % 50 = 0) AS n_delete,
+    (SELECT count(*) FROM base
+     WHERE vec_id % 40 = 0 AND vec_id % 50 <> 0) AS n_update_pairs,
+    (SELECT CAST(coalesce(sum(label + 10000), 0) AS BIGINT) FROM base
+     WHERE vec_id % 40 = 0 AND vec_id % 50 <> 0) AS post_label_sum,
+    (SELECT CAST(coalesce(sum(label), 0) AS BIGINT) FROM base
+     WHERE vec_id % 50 = 0) AS deleted_label_sum
+""",
+)
+def m16_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+    from ..sources.snapshot_log import latest_version
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_cdf_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t)
+    v0 = latest_version(t)
+    tx.upsert_by_key(
+        spark,
+        t,
+        base.filter(F.col("vec_id") % 40 == 0).select(
+            "vec_id",
+            (F.col("label") + 10000).alias("label"),
+            "namespace",
+        ),
+        key="vec_id",
+    )
+    tx.delete_by_key(
+        spark,
+        t,
+        base.filter(F.col("vec_id") % 50 == 0).select("vec_id"),
+        key="vec_id",
+    )
+    tx.append_partitioned(
+        spark,
+        base.filter(F.col("vec_id") % 7 == 3).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            "label",
+            "namespace",
+        ),
+        t,
+    )
+    ch = tx.table_changes(spark, t, v0, key="vec_id")
+    ct = F.col("_change_type")
+    return ch.agg(
+        F.sum((ct == "insert").cast("int")).cast("long").alias("n_insert"),
+        F.sum((ct == "delete").cast("int")).cast("long").alias("n_delete"),
+        F.sum((ct == "update_postimage").cast("int"))
+        .cast("long")
+        .alias("n_update_pairs"),
+        F.coalesce(
+            F.sum(F.when(ct == "update_postimage", F.col("label"))),
+            F.lit(0),
+        ).cast("long").alias("post_label_sum"),
+        F.coalesce(
+            F.sum(F.when(ct == "delete", F.col("label"))), F.lit(0)
+        ).cast("long").alias("deleted_label_sum"),
+    )

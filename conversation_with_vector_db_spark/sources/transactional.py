@@ -1403,3 +1403,103 @@ def zorder_rewrite(
             _cleanup(table_dir, new_rels)
             last = e
     raise last if last is not None else CommitConflictError(table_dir)
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int | None = None,
+    key: str = "vec_id",
+    partition_col: str = "namespace",
+) -> DataFrame:
+    """Change data feed between two versions (Delta CDF's read shape,
+    derived rather than stored): every row change in ``(v_from,
+    v_to]`` as ``_change_type`` in {insert, delete, update_preimage,
+    update_postimage} plus the full row image.
+
+    The scale property: changes are computed from the SEGMENT DELTA,
+    not two table reads — only segments that entered or left the live
+    set between the versions are scanned, so a one-partition upsert's
+    feed reads two segments however large the table is. Identity is
+    (partition_col, key); a key present on both sides with an
+    IDENTICAL full row is no change at all, which is what makes pure
+    rewrites (binpack compaction, Z-order clustering) correctly
+    produce an EMPTY feed — data-invariant maintenance is invisible
+    to downstream consumers, pinned by test.
+
+    Consumers that need exactly-once incremental processing should
+    prefer the streaming change feed (sources/datasource.py) for
+    append-mostly tables; this is the RANGE read for keyed-mutation
+    tables (audits, slowly-changing-dimension rebuilds, downstream
+    merge sources)."""
+    if v_to is None:
+        v_to = latest_version(table_dir)
+    old_live = {
+        s for s in live_segments(table_dir, v_from) if not _is_log(s)
+    }
+    new_live = {
+        s for s in live_segments(table_dir, v_to) if not _is_log(s)
+    }
+    gone = sorted(old_live - new_live)
+    came = sorted(new_live - old_live)
+    if not gone and not came:
+        # Version range touched nothing (or only metadata).
+        empty = _read_segments(
+            spark, table_dir, sorted(new_live or old_live)[:1]
+        ).filter(F.lit(False)) if (new_live or old_live) else None
+        if empty is None:
+            raise ValueError(
+                f"table_changes: no segments at either version of "
+                f"{table_dir}"
+            )
+        return empty.withColumn("_change_type", F.lit(""))
+    before = (
+        _read_segments(spark, table_dir, gone)
+        if gone
+        else _read_segments(spark, table_dir, sorted(new_live)[:1])
+        .filter(F.lit(False))
+    )
+    after = (
+        _read_segments(spark, table_dir, came)
+        if came
+        else before.filter(F.lit(False))
+    )
+    cols = before.columns
+    b = before.alias("b").withColumn("_be", F.lit(1))
+    a = after.alias("a").withColumn("_ae", F.lit(1))
+    on = (
+        (F.col(f"b.{partition_col}") == F.col(f"a.{partition_col}"))
+        & (F.col(f"b.{key}") == F.col(f"a.{key}"))
+    )
+    j = b.join(a, on, "full_outer")
+    same_row = None
+    for c in cols:
+        eq = F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
+        same_row = eq if same_row is None else (same_row & eq)
+    deletes = j.where(F.col("_ae").isNull()).select(
+        F.lit("delete").alias("_change_type"),
+        *[F.col(f"b.{c}").alias(c) for c in cols],
+    )
+    inserts = j.where(F.col("_be").isNull()).select(
+        F.lit("insert").alias("_change_type"),
+        *[F.col(f"a.{c}").alias(c) for c in cols],
+    )
+    changed = j.where(
+        F.col("_be").isNotNull()
+        & F.col("_ae").isNotNull()
+        & ~same_row
+    )
+    pre = changed.select(
+        F.lit("update_preimage").alias("_change_type"),
+        *[F.col(f"b.{c}").alias(c) for c in cols],
+    )
+    post = changed.select(
+        F.lit("update_postimage").alias("_change_type"),
+        *[F.col(f"a.{c}").alias(c) for c in cols],
+    )
+    return (
+        deletes.unionByName(inserts)
+        .unionByName(pre)
+        .unionByName(post)
+    )

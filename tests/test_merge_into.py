@@ -288,3 +288,81 @@ def test_delete_where_cross_partition_predicate(spark, tdir):
     )
     tx.delete_where(spark, tdir, "label = 2 AND namespace >= 1")
     assert _state(spark, tdir) == {(1, 0): 2, (3, 1): 7}
+
+
+def test_table_changes_classifies_and_reads_only_delta(spark, tdir):
+    _mk(
+        spark,
+        tdir,
+        [(1, 2, 0), (2, 3, 0), (3, 4, 1), (4, 5, 2)],
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        latest_version as lv,
+    )
+
+    v0 = lv(tdir)
+    # Update key 1, delete key 2, insert key 9 — all in namespace 0.
+    tx.merge_into(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(1, 100, 0), (2, 0, 0), (9, 7, 0)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        key="vec_id",
+        matched=(
+            ("update", "s.vec_id = 1", None),
+            ("delete", None, None),
+        ),
+    )
+    ch = tx.table_changes(spark, tdir, v0, key="vec_id")
+    got = {
+        (r["_change_type"], r["vec_id"], r["label"])
+        for r in ch.collect()
+    }
+    assert got == {
+        ("update_preimage", 1, 2),
+        ("update_postimage", 1, 100),
+        ("delete", 2, 3),
+        ("insert", 9, 7),
+    }
+    # The feed's scan reads only the delta segments (namespace 0's
+    # before/after), never namespaces 1 and 2.
+    files = ch.inputFiles()
+    assert files and all(
+        "namespace=1" not in f and "namespace=2" not in f
+        for f in files
+    )
+
+
+def test_table_changes_pure_rewrite_is_empty(spark, tdir):
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        compact_snapshots,
+        latest_version as lv,
+    )
+
+    _mk(spark, tdir, [(i, i % 5, 0) for i in range(50)])
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(100 + i, 1, 0) for i in range(10)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        tdir,
+    )
+    v0 = lv(tdir)
+    compact_snapshots(spark, tdir, target_bytes=1 << 30)
+    assert lv(tdir) > v0
+    # Compaction rewrote segments but changed no rows: empty feed.
+    assert tx.table_changes(spark, tdir, v0, key="vec_id").count() == 0
+
+
+def test_table_changes_zorder_is_invisible_too(spark, tdir):
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        latest_version as lv,
+    )
+
+    _mk(spark, tdir, [((i * 193) % 60, i % 5, 0) for i in range(60)])
+    v0 = lv(tdir)
+    tx.zorder_rewrite(spark, tdir, by=("vec_id",), key="vec_id")
+    assert tx.table_changes(spark, tdir, v0, key="vec_id").count() == 0
