@@ -366,3 +366,100 @@ def test_table_changes_zorder_is_invisible_too(spark, tdir):
     v0 = lv(tdir)
     tx.zorder_rewrite(spark, tdir, by=("vec_id",), key="vec_id")
     assert tx.table_changes(spark, tdir, v0, key="vec_id").count() == 0
+
+
+def test_cdf_replication_loop_converges(spark, tdir):
+    """CDC replication end to end: a downstream replica follows the
+    source purely through table_changes ranges applied with
+    merge_into — after every round the replica equals the source,
+    including through a compaction (whose feed is empty)."""
+    import os
+    import uuid as _uuid
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        compact_snapshots,
+        latest_version as lv,
+    )
+
+    src = tdir
+    dst = tdir + "_replica"
+    _mk(spark, src, [(1, 2, 0), (2, 3, 1), (3, 4, 2)])
+    tx.create_partitioned_table(
+        spark, tx.read_table(spark, src), dst
+    )
+    cursor = lv(src)
+
+    def replicate():
+        nonlocal cursor
+        head = lv(src)
+        if head == cursor:
+            return
+        ch = tx.table_changes(spark, src, cursor, head, key="vec_id")
+        # Deletes and upserts apply separately; postimages carry the
+        # full row so update == upsert on the replica.
+        dels = ch.where(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        ups = ch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        if dels.limit(1).count():
+            tx.merge_into(
+                spark,
+                dst,
+                dels,
+                key="vec_id",
+                matched=(("delete", None, None),),
+                insert=False,
+            )
+        if ups.limit(1).count():
+            tx.merge_into(spark, dst, ups, key="vec_id")
+        cursor = head
+
+    def assert_synced():
+        assert _state(spark, src) == _state(spark, dst)
+
+    # Round 1: updates + inserts.
+    tx.upsert_by_key(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(1, 100, 0), (9, 7, 1)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        key="vec_id",
+    )
+    replicate()
+    assert_synced()
+
+    # Round 2: deletes.
+    tx.delete_by_key(
+        spark,
+        src,
+        spark.createDataFrame([(2,)], "vec_id: long"),
+        key="vec_id",
+    )
+    replicate()
+    assert_synced()
+
+    # Round 3: compaction on the source — empty feed, replica
+    # untouched, still synced.
+    v_before_dst = lv(dst)
+    compact_snapshots(spark, src, target_bytes=1 << 30)
+    replicate()
+    assert lv(dst) == v_before_dst
+    assert_synced()
+
+    # Round 4: predicate delete + merge in one range.
+    tx.delete_where(spark, src, "label >= 100")
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(3, 44, 2), (12, 5, 0)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        key="vec_id",
+    )
+    replicate()
+    assert_synced()
