@@ -1408,3 +1408,90 @@ def m16_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ct == "delete", F.col("label"))), F.lit(0)
         ).cast("long").alias("deleted_label_sum"),
     )
+
+
+@query(
+    "m17_check_constraints",
+    driver=False,
+    doc="""CHECK-constraint lifecycle
+    (sources/transactional.add_check_constraint + write-time
+    enforcement): add `label >= 0` (validated against the existing
+    table first), attempt an upsert carrying violations — the commit
+    is REFUSED atomically (no version, no partial rows; fail-closed:
+    NULL predicates count as violations) — then land the conformant
+    subset. The Delta ALTER TABLE ADD CONSTRAINT CHECK contract on
+    the manifest meta channel; per-path refusal is pinned in
+    tests/test_constraints.py. The oracle replays the surviving
+    state: base rows plus ONLY the conformant updates.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 3 AS INT) AS namespace
+    FROM embeddings
+),
+good AS (
+    SELECT vec_id, CAST(label + 10000 AS INT) AS label, namespace
+    FROM base WHERE vec_id % 40 = 0
+),
+fin AS (
+    SELECT b.vec_id,
+           coalesce(g.label, b.label) AS label,
+           b.namespace
+    FROM base b
+    LEFT JOIN good g
+      ON g.vec_id = b.vec_id AND g.namespace = b.namespace
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS label_sum,
+       1 AS n_constraints,
+       1 AS n_refused
+FROM fin
+""",
+)
+def m17_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_check_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t)
+    tx.add_check_constraint(spark, t, "nonneg", "label >= 0")
+    bad = base.filter(F.col("vec_id") % 40 == 0).select(
+        "vec_id",
+        (-(F.col("label") + 1)).cast("int").alias("label"),
+        "namespace",
+    )
+    refused = 0
+    try:
+        tx.upsert_by_key(spark, t, bad, key="vec_id")
+    except tx.ConstraintViolationError:
+        refused = 1
+    tx.upsert_by_key(
+        spark,
+        t,
+        base.filter(F.col("vec_id") % 40 == 0).select(
+            "vec_id",
+            (F.col("label") + 10000).cast("int").alias("label"),
+            "namespace",
+        ),
+        key="vec_id",
+    )
+    head = tx.read_table(spark, t)
+    return head.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+        F.lit(len(tx.table_constraints(t))).alias("n_constraints"),
+        F.lit(refused).alias("n_refused"),
+    )

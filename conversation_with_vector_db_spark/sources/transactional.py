@@ -61,6 +61,7 @@ from .snapshot_log import (
     live_segments,
     segment_path,
     segment_stats,
+    table_meta,
 )
 
 __all__ = [
@@ -507,6 +508,11 @@ def append_partitioned(
     ``key`` records per-segment min/max stats and ``bloom_bits`` the
     optional Bloom sidecar (see :func:`create_partitioned_table`)."""
     rels = _stage_partition_segments(df, table_dir, partition_col)
+    try:
+        _enforce_constraints_on_staged(spark, table_dir, rels)
+    except ConstraintViolationError:
+        _cleanup(table_dir, rels)
+        raise
     return commit_segments(
         table_dir, added=rels, removed=[], op="append",
         stats=_write_stats(spark, table_dir, rels, key, bloom_bits),
@@ -628,6 +634,11 @@ def upsert_by_key(
             merged = updates
         new_rels = _stage_partition_segments(merged, table_dir, partition_col)
         try:
+            _enforce_constraints_on_staged(spark, table_dir, new_rels)
+        except ConstraintViolationError:
+            _cleanup(table_dir, new_rels)
+            raise
+        try:
             return commit_segments(
                 table_dir, added=new_rels, removed=old, op="upsert",
                 stats=_segment_key_stats(
@@ -714,6 +725,11 @@ def upsert_by_key_global(
         else:
             merged = updates
         new_rels = _stage_partition_segments(merged, table_dir, partition_col)
+        try:
+            _enforce_constraints_on_staged(spark, table_dir, new_rels)
+        except ConstraintViolationError:
+            _cleanup(table_dir, new_rels)
+            raise
         try:
             return commit_segments(
                 table_dir, added=new_rels, removed=old, op="upsert_global",
@@ -1172,6 +1188,11 @@ def merge_into(
             merged, table_dir, partition_col
         )
         try:
+            _enforce_constraints_on_staged(spark, table_dir, new_rels)
+        except ConstraintViolationError:
+            _cleanup(table_dir, new_rels)
+            raise
+        try:
             return commit_segments(
                 table_dir,
                 added=new_rels,
@@ -1503,3 +1524,102 @@ def table_changes(
         .unionByName(pre)
         .unionByName(post)
     )
+
+
+#: Manifest meta key holding the CHECK-constraint map (name -> SQL
+#: boolean predicate over the table's columns).
+CONSTRAINTS_KEY = "constraints"
+
+
+class ConstraintViolationError(ValueError):
+    pass
+
+
+def table_constraints(table_dir: str) -> dict[str, str]:
+    """Effective CHECK constraints at the head (newest-wins meta)."""
+    import json as _json
+
+    raw = table_meta(table_dir).get(CONSTRAINTS_KEY)
+    return _json.loads(raw) if raw else {}
+
+
+def add_check_constraint(
+    spark: SparkSession, table_dir: str, name: str, predicate: str
+) -> int:
+    """Delta-style ALTER TABLE ADD CONSTRAINT CHECK: validates the
+    EXISTING table first (a constraint the data already violates must
+    not be addable — it would make the guarantee a lie), then
+    publishes the constraint map as a metadata-only commit. From that
+    version on, every row-introducing transactional write
+    (append_partitioned, upsert_by_key[_global], merge_into)
+    validates its STAGED output before the CAS and refuses the commit
+    on violation — a constraint holds for every committed version at
+    or after its own, which is also what time travel observes."""
+    import json as _json
+
+    cur = table_constraints(table_dir)
+    try:
+        head_df = read_table(spark, table_dir)
+    except ValueError:
+        head_df = None  # empty table: vacuously satisfied
+    if head_df is not None:
+        bad = head_df.where(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        ).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name!r}: {bad} existing "
+                f"row(s) violate ({predicate})"
+            )
+    cur[name] = predicate
+    return commit_segments(
+        table_dir,
+        added=[],
+        removed=[],
+        op="add_constraint",
+        meta={CONSTRAINTS_KEY: _json.dumps(cur)},
+    )
+
+
+def drop_check_constraint(table_dir: str, name: str) -> int:
+    import json as _json
+
+    cur = table_constraints(table_dir)
+    cur.pop(name, None)
+    return commit_segments(
+        table_dir,
+        added=[],
+        removed=[],
+        op="drop_constraint",
+        meta={CONSTRAINTS_KEY: _json.dumps(cur)},
+    )
+
+
+def _enforce_constraints_on_staged(
+    spark: SparkSession, table_dir: str, new_rels: list[str]
+) -> None:
+    """Validate staged (not-yet-committed) segments against the
+    head's constraint map; raise and let the caller clean up on any
+    violation. Costs one scan of the NEW segments only — the
+    Delta/Iceberg write-validation shape — and nothing at all on
+    constraint-free tables (one metadata read)."""
+    cons = table_constraints(table_dir)
+    if not cons or not new_rels:
+        return
+    staged = _read_segments(spark, table_dir, new_rels)
+    checks = [
+        F.sum(
+            (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
+        ).alias(name)
+        for name, pred in sorted(cons.items())
+    ]
+    row = staged.agg(*checks).first()
+    bad = {
+        name: int(row[name])
+        for name, _ in sorted(cons.items())
+        if row[name]
+    }
+    if bad:
+        raise ConstraintViolationError(
+            f"write violates CHECK constraint(s) {bad} at {table_dir}"
+        )

@@ -1,0 +1,143 @@
+"""CHECK constraints (sources/transactional.py): add-time validation,
+write-time refusal across every row-introducing path, NULL semantics,
+drop, and time-travel visibility."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.sources import transactional as tx
+from conversation_with_vector_db_spark.sources.snapshot_log import (
+    latest_version,
+)
+
+
+@pytest.fixture()
+def tdir():
+    yield os.path.join(
+        tempfile.gettempdir(), "cvdb_check_test", uuid.uuid4().hex
+    )
+
+
+def _mk(spark, tdir, rows=((1, 2, 0), (2, 3, 1))):
+    df = spark.createDataFrame(
+        list(rows), "vec_id: long, label: int, namespace: int"
+    )
+    tx.create_partitioned_table(spark, df, tdir)
+
+
+def _state(spark, tdir):
+    return {
+        (r["vec_id"], r["namespace"]): r["label"]
+        for r in tx.read_table(spark, tdir).collect()
+    }
+
+
+def test_add_validates_existing_rows(spark, tdir):
+    _mk(spark, tdir, [(1, -5, 0)])
+    with pytest.raises(
+        tx.ConstraintViolationError, match="existing"
+    ):
+        tx.add_check_constraint(
+            spark, tdir, "nonneg", "label >= 0"
+        )
+    assert "nonneg" not in tx.table_constraints(tdir)
+
+
+def test_append_refused_and_table_unchanged(spark, tdir):
+    _mk(spark, tdir)
+    tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+    v = latest_version(tdir)
+    bad = spark.createDataFrame(
+        [(5, -1, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    with pytest.raises(tx.ConstraintViolationError, match="nonneg"):
+        tx.append_partitioned(spark, bad, tdir)
+    assert latest_version(tdir) == v
+    assert (5, 0) not in _state(spark, tdir)
+    # A clean append still lands.
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(5, 1, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        tdir,
+    )
+    assert _state(spark, tdir)[(5, 0)] == 1
+
+
+def test_upsert_and_merge_refused(spark, tdir):
+    _mk(spark, tdir)
+    tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+    v = latest_version(tdir)
+    bad = spark.createDataFrame(
+        [(1, -9, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.upsert_by_key(spark, tdir, bad, key="vec_id")
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.merge_into(spark, tdir, bad, key="vec_id")
+    assert latest_version(tdir) == v
+    assert _state(spark, tdir)[(1, 0)] == 2
+
+
+def test_null_predicate_counts_as_violation(spark, tdir):
+    # CHECK semantics here are fail-closed: a row where the predicate
+    # is NULL is NOT provably conformant and is refused.
+    _mk(spark, tdir)
+    tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+    bad = spark.createDataFrame(
+        [(7, None, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.append_partitioned(spark, bad, tdir)
+
+
+def test_drop_constraint_reopens_writes(spark, tdir):
+    _mk(spark, tdir)
+    tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+    tx.drop_check_constraint(tdir, "nonneg")
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(9, -3, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        tdir,
+    )
+    assert _state(spark, tdir)[(9, 0)] == -3
+
+
+def test_multiple_constraints_reported_together(spark, tdir):
+    _mk(spark, tdir)
+    tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+    tx.add_check_constraint(
+        spark, tdir, "small_ns", "namespace <= 5"
+    )
+    bad = spark.createDataFrame(
+        [(8, -1, 9)], "vec_id: long, label: int, namespace: int"
+    )
+    with pytest.raises(
+        tx.ConstraintViolationError, match="nonneg"
+    ) as ei:
+        tx.append_partitioned(spark, bad, tdir)
+    assert "small_ns" in str(ei.value)
+
+
+def test_constraint_free_tables_pay_nothing_extra(spark, tdir):
+    # No constraints -> the enforcement hook is a metadata read only;
+    # writes behave exactly as before (smoke: plain lifecycle works).
+    _mk(spark, tdir)
+    tx.upsert_by_key(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(1, 50, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        key="vec_id",
+    )
+    assert _state(spark, tdir)[(1, 0)] == 50
