@@ -1411,6 +1411,110 @@ def m16_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m18_restore_lifecycle",
+    driver=False,
+    doc="""RESTORE TABLE lifecycle (snapshot_log.restore_table —
+    Delta Lake's RESTORE ... TO VERSION AS OF): build a table, append
+    a good batch, land a corrupting upsert, then restore to the
+    pre-corruption version. Restore is ONE forward rewrite-shaped
+    commit re-referencing the immutable old segments (nothing
+    copied; history keeps moving forward, so the corruption stays
+    time-travelable and the restore itself is undoable). The query
+    returns the head state plus two self-checks: the restore-op count
+    from DESCRIBE HISTORY and the row diff between head and the
+    restore target (must be 0). The oracle replays the surviving
+    state: base rows + the good append, corruption absent.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 3 AS INT) AS namespace
+    FROM embeddings
+),
+appended AS (
+    SELECT vec_id + 1000000 AS vec_id,
+           CAST(label + 5 AS INT) AS label,
+           namespace
+    FROM base WHERE vec_id % 50 = 0
+),
+fin AS (
+    SELECT * FROM base UNION ALL SELECT * FROM appended
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS label_sum,
+       1 AS n_restores,
+       0 AS diff_vs_target
+FROM fin
+""",
+)
+def m18_restore_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+    from ..sources.snapshot_log import (
+        latest_version,
+        restore_table,
+        table_history,
+    )
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_restore_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t)
+    tx.append_partitioned(
+        spark,
+        base.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            (F.col("label") + 5).cast("int").alias("label"),
+            "namespace",
+        ),
+        t,
+    )
+    v_good = latest_version(t)
+    tx.upsert_by_key(
+        spark,
+        t,
+        base.filter(F.col("vec_id") % 25 == 0).select(
+            "vec_id",
+            (F.col("label") + 777).cast("int").alias("label"),
+            "namespace",
+        ),
+        key="vec_id",
+    )
+    restore_table(t, v_good)
+    head = tx.read_table(spark, t)
+    target = tx.read_table(spark, t, version=v_good)
+    diff = (
+        head.select("vec_id", "label", "namespace")
+        .exceptAll(target.select("vec_id", "label", "namespace"))
+        .unionAll(
+            target.select("vec_id", "label", "namespace").exceptAll(
+                head.select("vec_id", "label", "namespace")
+            )
+        )
+        .count()
+    )
+    n_restores = (
+        table_history(spark, t).where(F.col("op") == "restore").count()
+    )
+    return head.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+        F.lit(n_restores).cast("int").alias("n_restores"),
+        F.lit(diff).cast("int").alias("diff_vs_target"),
+    )
+
+
+@query(
     "m17_check_constraints",
     driver=False,
     doc="""CHECK-constraint lifecycle

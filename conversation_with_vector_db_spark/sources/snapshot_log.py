@@ -77,6 +77,7 @@ __all__ = [
     "latest_version",
     "live_segments",
     "read_snapshot",
+    "restore_table",
     "rewrite_snapshot",
     "segment_path",
     "segment_stats",
@@ -1032,6 +1033,64 @@ def vacuum(
         except OSError:
             pass  # already reaped by a concurrent vacuum
     return deleted
+
+
+def restore_table(table_dir: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` (Delta Lake's
+    RESTORE command; reference parity: the rollback path the Mongoose
+    layer lacks entirely — here it falls out of the log): ONE new
+    commit whose delta makes the head's live set, per-segment stats,
+    and table meta exactly what they were at ``version``. Nothing is
+    copied — segments are immutable, so restore re-references the old
+    ones (added = target - current, removed = current - target) and
+    history moves FORWARD: the restored-away versions remain time-
+    travelable and a second restore can undo the first.
+
+    Fail-closed: if any target segment's data file was already
+    vacuumed, raises ``ValueError`` before committing anything (the
+    same guarantee Delta documents — restore never publishes a head
+    that references missing data). Meta keys introduced AFTER
+    ``version`` are republished as ``None`` (= cleared: every consumer
+    reads via ``.get(key)``, so a None value is indistinguishable from
+    absence). The commit is rewrite-shaped, so it conflict-checks
+    against concurrent rewrites via the normal CAS revalidation; a
+    concurrent APPEND that lands while the restore commits survives it
+    (its segment is in neither version's live set — the same
+    resolution Delta applies to restore-vs-append races)."""
+    target = live_segments(table_dir, version)
+    gone = [
+        r for r in target
+        if not os.path.exists(segment_path(table_dir, r))
+    ]
+    if gone:
+        raise ValueError(
+            f"cannot restore {table_dir} to v{version}: "
+            f"{len(gone)} segment(s) already vacuumed, e.g. {gone[0]}"
+        )
+    target_stats = segment_stats(table_dir, version)
+    target_meta = _collect_meta(table_dir, version)
+    head = latest_version(table_dir)
+    current = live_segments(table_dir, head)
+    current_meta = _collect_meta(table_dir, head)
+    cur_set, tgt_set = set(current), set(target)
+    added = [r for r in target if r not in cur_set]
+    removed = [r for r in current if r not in tgt_set]
+    meta_patch: dict = {
+        k: v for k, v in target_meta.items()
+        if current_meta.get(k) != v
+    }
+    for k in current_meta:
+        if k not in target_meta and current_meta[k] is not None:
+            meta_patch[k] = None
+    return commit_segments(
+        table_dir,
+        added=added,
+        removed=removed,
+        op="restore",
+        stats={r: target_stats[r] for r in added if r in target_stats}
+        or None,
+        meta=meta_patch or None,
+    )
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
