@@ -279,10 +279,208 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         pass  # progress lives in the stream checkpoint
 
 
+#: Commit ops that re-package live rows without changing table
+#: content (binpack compaction, Z-order clustering, IVF cell moves,
+#: MOR log folds): the CDC feed SKIPS them outright — deriving their
+#: diff would read every touched segment to discover zero changes.
+#: ``append_log`` is the MOR overlay (not base rows) and is skipped
+#: like the append feed skips ``log-`` segments.
+_INVARIANT_OPS = frozenset(
+    {"compact", "zorder", "rebalance", "compact_log", "append_log"}
+)
+
+
+@dataclass
+class _CDCPartition(InputPartition):
+    files_before: tuple
+    files_after: tuple
+    commit_version: int
+
+
+def _canon(v):
+    """Hashable, equality-stable form of one cell (arrays -> tuples,
+    NaN self-equal like Spark's eqNullSafe-over-double semantics)."""
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, float) and v != v:
+        return ("__nan__",)
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+class _ChangeFeedStreamReader(DataSourceStreamReader):
+    """``readChangeFeed=true``: the FULL change-data-feed stream —
+    every micro-batch delivers the rows of
+    :func:`~.transactional.table_changes` for its commit window
+    (``_change_type`` in {insert, delete, update_preimage,
+    update_postimage}), stamped with ``_commit_version``. Offsets are
+    commit versions, so exactly-once delivery falls out of the stream
+    checkpoint exactly like the append feed; identity is
+    (``partitionCol``, ``key``) — the same contract as the batch
+    range read, and the two are pinned equal by test.
+
+    Scale shape: an append-shaped commit needs NO preimage read (one
+    insert-only partition per added segment, full parallelism); a
+    mutation commit becomes ONE partition carrying that commit's
+    before/after segment files — bounded by the commit's touched
+    segments, never the table (a one-partition upsert's feed reads two
+    segments however large the table is). Data-invariant maintenance
+    (compaction, Z-order, cell rebalance) is skipped outright. The
+    in-partition diff materializes both sides of ONE COMMIT in the
+    Python worker — the derive-on-read trade; tables whose single
+    commits rewrite more than a worker's memory should checkpoint more
+    often or consume the batch range read. A stream that falls behind
+    the vacuum retention window fails with the vacuumed-manifest error
+    (preimage files are gone), the documented retention trade."""
+
+    def __init__(self, options, schema: StructType):
+        self._table_dir = _table_dir_opt(options)
+        self._schema = schema
+        self._starting = int(options.get("startingVersion", -1))
+        self._key = options.get("key", "vec_id")
+        self._pc = options.get("partitionCol", "namespace")
+
+    def initialOffset(self):
+        if self._starting >= 0:
+            return {"version": self._starting - 1}
+        return {"version": sl.latest_version(self._table_dir)}
+
+    def latestOffset(self):
+        return {"version": sl.latest_version(self._table_dir)}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(
+            int(start["version"]) + 1, int(end["version"]) + 1
+        ):
+            m = sl._read_manifest(self._table_dir, v)
+            if m.get("op") in _INVARIANT_OPS:
+                continue
+            added = [
+                r for r in m.get("added", ())
+                if not os.path.basename(r).startswith("log-")
+            ]
+            removed = [
+                r for r in m.get("removed", ())
+                if not os.path.basename(r).startswith("log-")
+            ]
+            if not added and not removed:
+                continue  # metadata-only commit
+            if not removed:
+                for rel in added:  # insert fast path: no preimage
+                    files = tuple(
+                        _segment_files(self._table_dir, rel)
+                    )
+                    if files:
+                        parts.append(
+                            _CDCPartition(
+                                files_before=(),
+                                files_after=files,
+                                commit_version=v,
+                            )
+                        )
+                continue
+            before, after = [], []
+            for rel in removed:
+                before.extend(_segment_files(self._table_dir, rel))
+            for rel in added:
+                after.extend(_segment_files(self._table_dir, rel))
+            parts.append(
+                _CDCPartition(
+                    files_before=tuple(before),
+                    files_after=tuple(after),
+                    commit_version=v,
+                )
+            )
+        return parts
+
+    def read(self, partition: _CDCPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # The DECLARED schema fixes name order and physical types:
+        # segments written by different paths (create vs upsert vs
+        # merge) store columns in different orders, and the JVM reads
+        # Arrow batches positionally.
+        out_schema = to_arrow_schema(self._schema)
+        cols = [
+            f.name
+            for f in out_schema
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+
+        def _load(files):
+            if not files:
+                return []
+            tabs = [pq.read_table(p, columns=cols) for p in files]
+            return pa.concat_tables(tabs).to_pylist()
+
+        after = _load(partition.files_after)
+        v = partition.commit_version
+        if not partition.files_before:
+            rows = [
+                {**r, "_change_type": "insert", "_commit_version": v}
+                for r in after
+            ]
+            if rows:
+                yield from pa.Table.from_pylist(
+                    rows, schema=out_schema
+                ).to_batches()
+            return
+        before = _load(partition.files_before)
+        k, pc = self._key, self._pc
+        bmap = {(r[pc], r[k]): r for r in before}
+        amap = {(r[pc], r[k]): r for r in after}
+        rows = []
+        for ident, r in bmap.items():
+            if ident not in amap:
+                rows.append(
+                    {**r, "_change_type": "delete",
+                     "_commit_version": v}
+                )
+        for ident, r in amap.items():
+            if ident not in bmap:
+                rows.append(
+                    {**r, "_change_type": "insert",
+                     "_commit_version": v}
+                )
+                continue
+            b = bmap[ident]
+            if any(
+                _canon(b[c]) != _canon(r[c]) for c in cols
+            ):
+                rows.append(
+                    {**b, "_change_type": "update_preimage",
+                     "_commit_version": v}
+                )
+                rows.append(
+                    {**r, "_change_type": "update_postimage",
+                     "_commit_version": v}
+                )
+        if rows:
+            yield from pa.Table.from_pylist(
+                rows, schema=out_schema
+            ).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the stream checkpoint
+
+
 class SnapshotLogDataSource(DataSource):
     """``format("snapshot_log")``. Options: ``path`` (table dir),
     ``version`` (batch time travel), ``startingVersion`` (stream
-    replay floor; default = tail from the head at start)."""
+    replay floor; default = tail from the head at start),
+    ``readChangeFeed`` (stream: full CDC rows — inserts, deletes,
+    update pre/postimages — derived per commit window; with ``key`` /
+    ``partitionCol`` naming the row identity, defaults vec_id /
+    namespace)."""
 
     @classmethod
     def name(cls) -> str:
@@ -305,6 +503,11 @@ class SnapshotLogDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         spark_schema = from_arrow_schema(arrow)
+        if self.options.get("readChangeFeed", "").lower() == "true":
+            # CDC stream: Delta CDF's column contract.
+            return spark_schema.add("_change_type", "string").add(
+                "_commit_version", "long"
+            )
         if self.options.get("withCommitVersion", "").lower() == "true":
             # Stream-only convenience: stamp each row with the commit
             # that delivered it (batch readers don't add the column —
@@ -315,7 +518,9 @@ class SnapshotLogDataSource(DataSource):
     def reader(self, schema: StructType) -> _SnapshotReader:
         return _SnapshotReader(self.options, schema)
 
-    def streamReader(self, schema: StructType) -> _SnapshotStreamReader:
+    def streamReader(self, schema: StructType):
+        if self.options.get("readChangeFeed", "").lower() == "true":
+            return _ChangeFeedStreamReader(self.options, schema)
         return _SnapshotStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
