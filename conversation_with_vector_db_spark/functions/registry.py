@@ -78,6 +78,48 @@ def register_udfs(spark: SparkSession) -> list[str]:
     return sorted(WHITELIST)
 
 
+class _ChunkUDTF:
+    """``chunk_udtf(text, size)`` — the row-set (one-to-many) member
+    of the governed function surface, as a Spark 4 Python UDTF: the
+    reference's parameterized row-returning functions
+    (utils/assistant.js meeting rows; utils/textutils.js splitter)
+    are UDTF-shaped, and this is their SQL spelling
+    (``FROM docs, LATERAL chunk_udtf(text, 100)``). Arrow-batched
+    like every Python boundary here; the DECLARATIVE
+    sequence+substring plan (plans/text_pipeline.chunk_fixed) stays
+    the scale path — this is the governed escape hatch for logic SQL
+    can't express, value-pinned against that plan by the d9 oracle.
+    Empty/NULL text yields one empty chunk, matching chunk_fixed's
+    greatest(ceil(len/size), 1) contract."""
+
+    def eval(self, text, size: int):
+        text = text or ""
+        n = max(-(-len(text) // size), 1)
+        for i in range(n):
+            piece = text[i * size : (i + 1) * size]
+            yield i, piece, len(piece)
+
+
+#: The UDTF whitelist: name -> (class, returnType DDL). Registration
+#: is gated exactly like the scalar WHITELIST.
+UDTF_WHITELIST: dict[str, tuple[type, str]] = {
+    "chunk_udtf": (
+        _ChunkUDTF,
+        "chunk_id int, chunk string, n_chars int",
+    ),
+}
+
+
+def register_udtfs(spark: SparkSession) -> list[str]:
+    """Install every whitelisted table function (Python UDTF) into
+    the session catalog for SQL LATERAL use."""
+    from pyspark.sql.functions import udtf
+
+    for name, (cls, ddl) in UDTF_WHITELIST.items():
+        spark.udtf.register(name, udtf(cls, returnType=ddl))
+    return sorted(UDTF_WHITELIST)
+
+
 def compile_definition(name: str, source: str | None = None) -> Callable:
     """D2: the 'compile stored source' gate. The reference eval's the
     stored string; here source is ignored and only whitelisted names

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..functions.registry import (
     meeting_summary,
     register_udfs,
+    register_udtfs,
     sql_passthrough,
     validation_gate,
 )
@@ -44,6 +45,45 @@ def d1_registered_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM prompts
         WHERE userid = 21
         ORDER BY prompt_id
+        """
+    )
+
+
+@query(
+    "d9_sql_udtf_lateral",
+    driver=False,
+    doc="""The UDTF surface (Spark 4 Python UDTFs): the whitelisted
+    table-function registry's chunk_udtf applied through SQL with a
+    LATERAL correlation — the row-set form of the governed function
+    escape hatch (the reference's row-returning assistant functions,
+    utils/assistant.js:123-170, are UDTF-shaped). Value-pinned
+    against the declarative sequence+substring chunker via the
+    oracle, so the Python table function and the codegen scale path
+    (t1b_chunk_fixed) are provably the same operator.""",
+    oracle="""
+SELECT d.doc_id,
+       CAST(i - 1 AS INT) AS chunk_id,
+       substring(d.text, CAST((i - 1) * 100 + 1 AS INT), 100)
+           AS chunk,
+       CAST(length(substring(d.text, CAST((i - 1) * 100 + 1 AS INT),
+            100)) AS INT) AS n_chars
+FROM documents d,
+     unnest(generate_series(
+         1, CAST(greatest(ceil(length(d.text) / 100.0), 1) AS BIGINT)))
+     AS t(i)
+WHERE d.doc_id < 50
+ORDER BY doc_id, chunk_id
+""",
+)
+def d9_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_chars
+        FROM documents d,
+             LATERAL chunk_udtf(d.text, 100) c
+        WHERE d.doc_id < 50
+        ORDER BY doc_id, chunk_id
         """
     )
 

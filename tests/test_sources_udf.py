@@ -551,3 +551,39 @@ def test_snapshot_diff_all_four_statuses_live(spark, sf_dir):
         .count()
     )
     assert rows["added"]["n_docs"] == n_plants - n_plants_removed
+
+
+def test_chunk_udtf_matches_declarative_chunker_and_null_edge(spark):
+    """The governed UDTF (functions/registry.UDTF_WHITELIST) is the
+    same operator as the declarative chunk_fixed plan, including the
+    empty/NULL-text one-empty-chunk contract."""
+    from conversation_with_vector_db_spark.functions.registry import (
+        register_udtfs,
+    )
+    from conversation_with_vector_db_spark.plans.text_pipeline import (
+        chunk_fixed,
+    )
+
+    assert "chunk_udtf" in register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a" * 25), (2, ""), (3, None)], "doc_id: long, text: string"
+    )
+    df.createOrReplaceTempView("_udtf_docs")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk"], r["n_chars"])
+        for r in spark.sql(
+            """
+            SELECT d.doc_id, c.chunk_id, c.chunk, c.n_chars
+            FROM _udtf_docs d, LATERAL chunk_udtf(d.text, 10) c
+            """
+        ).collect()
+    )
+    declarative = sorted(
+        (r["doc_id"], r["chunk_id"], r["text"], r["n_chars"])
+        for r in chunk_fixed(
+            df.withColumn("text", F.coalesce("text", F.lit(""))),
+            size=10,
+        ).collect()
+    )
+    assert got == declarative
+    assert (2, 0, "", 0) in got and (3, 0, "", 0) in got
