@@ -784,7 +784,13 @@ def compact_snapshots(
             for gi, g in enumerate(groups):
                 for s in g:
                     seg_to_grp[os.path.basename(s)] = gi
-            scan = spark.read.parquet(
+            # mergeSchema: segments may carry HETEROGENEOUS schemas
+            # (sources/evolution.py adds columns with zero rewrite) —
+            # first-file schema inference would silently DROP the
+            # younger columns from every folded row. The union schema
+            # null-fills missing columns, which is exactly what the
+            # recorded-schema read backfills anyway.
+            scan = spark.read.option("mergeSchema", "true").parquet(
                 *[segment_path(table_dir, s) for s in fold]
             )
             grp_map = spark.createDataFrame(
