@@ -916,6 +916,132 @@ def a16_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a25_ivm_group_aggregate",
+    driver=False,
+    doc="""CDC-driven incremental view maintenance (engine extra —
+    sources/rollup.ivm_refresh): a grouped count/sum view over a
+    KEYED-MUTATION table, maintained through upserts, group-moving
+    updates, deletes and inserts WITHOUT the full rebuild the
+    append-only rollup needs on any removal. Each refresh folds the
+    change feed since the view's watermark (table_changes — only
+    touched segments read) to SIGNED per-group partials
+    (insert/postimage +1/+v, delete/preimage -1/-v) appended in one
+    commit with the watermark in its meta; source compaction nets to
+    an empty feed (watermark move, no rebuild). The oracle is the
+    direct GROUP BY over the final source state: however the refresh
+    history interleaved, the merged view must equal it.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 5 AS INT) AS namespace
+    FROM embeddings
+),
+upd AS (
+    SELECT vec_id, CAST(label + 10000 AS INT) AS label,
+           CAST((vec_id + 1) % 5 AS INT) AS namespace
+    FROM base WHERE vec_id % 40 = 0
+),
+ins AS (
+    SELECT vec_id + 1000000 AS vec_id, CAST(label + 3 AS INT) AS label,
+           namespace
+    FROM base WHERE vec_id % 100 = 0
+),
+merged AS (
+    SELECT b.vec_id,
+           coalesce(u.label, b.label) AS label,
+           coalesce(u.namespace, b.namespace) AS namespace
+    FROM base b LEFT JOIN upd u ON u.vec_id = b.vec_id
+),
+fin AS (
+    SELECT * FROM merged WHERE vec_id % 17 <> 3
+    UNION ALL SELECT * FROM ins
+)
+SELECT namespace AS grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS total
+FROM fin GROUP BY 1 ORDER BY grp
+""",
+)
+def a25_ivm_group_aggregate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+    from ..sources.rollup import ivm_read, ivm_refresh
+    from ..sources.snapshot_log import compact_snapshots
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_ivm_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    src = os.path.join(parent, uuid.uuid4().hex)
+    view = src + "-view"
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 5).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, src, key="vec_id")
+    ivm_refresh(spark, src, view)  # full build
+
+    # Group-moving updates (identity crosses partitions).
+    tx.upsert_by_key_global(
+        spark,
+        src,
+        base.filter(F.col("vec_id") % 40 == 0).select(
+            "vec_id",
+            (F.col("label") + 10000).cast("int").alias("label"),
+            ((F.col("vec_id") + 1) % 5).cast("int").alias("namespace"),
+        ),
+        key="vec_id",
+    )
+    ivm_refresh(spark, src, view)  # incremental: signed partials
+
+    # Deletes (at the rows' CURRENT namespace) + fresh inserts.
+    cur_ns = F.when(
+        F.col("vec_id") % 40 == 0,
+        ((F.col("vec_id") + 1) % 5).cast("int"),
+    ).otherwise((F.col("vec_id") % 5).cast("int"))
+    tx.merge_into(
+        spark,
+        src,
+        base.filter(F.col("vec_id") % 17 == 3).select(
+            "vec_id",
+            F.lit(0).cast("int").alias("label"),
+            cur_ns.alias("namespace"),
+        ),
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    tx.append_partitioned(
+        spark,
+        base.filter(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            (F.col("label") + 3).cast("int").alias("label"),
+            "namespace",
+        ),
+        src,
+    )
+    ivm_refresh(spark, src, view)  # incremental again
+
+    compact_snapshots(spark, src)  # pure rewrite: empty feed
+    ivm_refresh(spark, src, view)  # watermark move only
+
+    return (
+        ivm_read(spark, view)
+        .select(
+            "grp",
+            "n_rows",
+            F.col("total").cast("long").alias("total"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
     "m12_quality_expectations",
     # Driver tier since the continuation-session r8 rotation
     # (ann_ivf_indexed_suite to local parity) — sf0.01-parity and

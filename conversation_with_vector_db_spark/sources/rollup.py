@@ -168,3 +168,136 @@ def rollup_read(spark: SparkSession, rollup_dir: str) -> DataFrame:
         )
         .withColumn("avg", F.col("total") / F.col("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven incremental view maintenance: the mutation-tolerant form.
+# ---------------------------------------------------------------------------
+
+IVM_TXN_APP = "ivm_refresh"
+
+
+def ivm_refresh(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    group_col: str = "namespace",
+    value_col: str = "label",
+    key: str = "vec_id",
+    partition_col: str = "namespace",
+) -> dict:
+    """Incremental view maintenance over a KEYED-MUTATION source: a
+    grouped count/sum aggregate kept current through upserts, deletes,
+    merges and restores WITHOUT the full rebuild :func:`rollup_refresh`
+    must fall back to on any removal.
+
+    The classic IVM move (deferred view maintenance with delta
+    relations): the change feed between the view's watermark and the
+    source head (:func:`~.transactional.table_changes` — computed from
+    the SEGMENT DELTA, so only touched segments are read) folds to
+    SIGNED per-group partials — insert/update_postimage contribute
+    (+1, +v), delete/update_preimage contribute (-1, -v); a row whose
+    GROUP moved subtracts from the old group and adds to the new one
+    through its pre/post pair. One tiny partial segment appends per
+    refresh; the watermark rides the same commit's ``meta`` and a
+    ``txn`` tag makes crashed retries no-ops (the
+    :func:`rollup_refresh` atomicity contract, unchanged).
+
+    Only LINEAR aggregates can be maintained this way — a deleted
+    minimum cannot be retracted from a min partial — which is exactly
+    the restriction every IVM system documents; min/max stay with the
+    append-only rollup or a full rebuild. Pure rewrites (compaction,
+    Z-order) net to an EMPTY feed and move the watermark; a vacuumed
+    watermark version falls back to one full rebuild. Groups netted to
+    zero rows vanish at read (``HAVING n > 0``). Returns
+    ``{"mode": "noop"|"incremental"|"full", "source_version": v}``."""
+    from .transactional import table_changes
+
+    v_head = latest_version(source_dir)
+    create_table(view_dir)
+
+    meta = table_meta(view_dir)
+    v_done = meta.get("ivm_source_version")
+    if v_done is not None and int(v_done) >= v_head:
+        return {"mode": "noop", "source_version": v_head}
+    prev_txn = last_txn_version(view_dir, IVM_TXN_APP)
+    if prev_txn is not None and prev_txn >= v_head:
+        return {"mode": "noop", "source_version": v_head}
+
+    commit_meta = {"ivm_source_version": v_head}
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+    if v_done is not None:
+        try:
+            ch = table_changes(
+                spark, source_dir, int(v_done), v_head,
+                key=key, partition_col=partition_col,
+            )
+        except (FileNotFoundError, ValueError):
+            v_done = None  # watermark vacuumed: delta unknowable
+        else:
+            part = (
+                ch.where(F.col("_change_type") != "")
+                .select(
+                    F.col(group_col).alias("grp"),
+                    sign.alias("_s"),
+                    F.col(value_col).alias("_v"),
+                )
+                .groupBy("grp")
+                .agg(
+                    F.sum("_s").cast("long").alias("n"),
+                    F.sum(F.col("_s") * F.col("_v")).alias("total"),
+                )
+                .where((F.col("n") != 0) | (F.col("total") != 0))
+            )
+            if part.limit(1).count() == 0:
+                commit_segments(
+                    view_dir, added=[], removed=[], op="ivm_noop",
+                    txn=(IVM_TXN_APP, v_head), meta=commit_meta,
+                )
+                return {"mode": "incremental",
+                        "source_version": v_head}
+            rel = _write_segment(part, view_dir)
+            commit_segments(
+                view_dir, added=[rel], removed=[], op="ivm_delta",
+                txn=(IVM_TXN_APP, v_head), meta=commit_meta,
+            )
+            return {"mode": "incremental", "source_version": v_head}
+
+    view_live = live_segments(view_dir, latest_version(view_dir))
+    part = (
+        read_snapshot(spark, source_dir, v_head)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_v").alias("total"),
+        )
+    )
+    rel = _write_segment(part, view_dir)
+    commit_segments(
+        view_dir, added=[rel], removed=view_live, op="ivm_full",
+        txn=(IVM_TXN_APP, v_head), meta=commit_meta,
+    )
+    return {"mode": "full", "source_version": v_head}
+
+
+def ivm_read(spark: SparkSession, view_dir: str) -> DataFrame:
+    """Merged view: (grp, n_rows, total, avg) — one tiny groupBy over
+    group-level signed partials; groups netted to zero rows vanish."""
+    p = read_snapshot(spark, view_dir)
+    return (
+        p.groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("total").alias("total"),
+        )
+        .where(F.col("n_rows") > 0)
+        .withColumn("avg", F.col("total") / F.col("n_rows"))
+    )

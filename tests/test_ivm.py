@@ -1,0 +1,170 @@
+"""CDC-driven incremental view maintenance (sources/rollup.ivm_*):
+signed-partial refresh under upserts/deletes, zero-group vanishing,
+compaction invariance, retry idempotence, vacuum fallback."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conversation_with_vector_db_spark.sources import transactional as tx
+from conversation_with_vector_db_spark.sources.rollup import (
+    ivm_read,
+    ivm_refresh,
+)
+from conversation_with_vector_db_spark.sources.snapshot_log import (
+    compact_snapshots,
+    latest_version,
+    vacuum,
+)
+
+SCHEMA = "vec_id: long, label: int, namespace: int"
+
+
+def _mk(spark, t, rows):
+    tx.create_partitioned_table(
+        spark, spark.createDataFrame(rows, SCHEMA), t, key="vec_id"
+    )
+
+
+def _direct(spark, t):
+    return {
+        r["namespace"]: (r["n"], r["total"])
+        for r in tx.read_table(spark, t)
+        .groupBy("namespace")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").alias("total"),
+        )
+        .collect()
+    }
+
+
+def _view(spark, v):
+    return {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in ivm_read(spark, v).collect()
+    }
+
+
+def test_ivm_converges_through_mutations(spark, tmp_path):
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(i, i * 10, i % 3) for i in range(1, 10)])
+    assert ivm_refresh(spark, src, v)["mode"] == "full"
+    assert _view(spark, v) == _direct(spark, src)
+
+    # Updates (one moves groups), an insert, a delete.
+    tx.upsert_by_key_global(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(1, 999, 2), (2, 5, 2), (100, 7, 0)], SCHEMA
+        ),
+        key="vec_id",
+    )
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame([(3, 0, 0)], SCHEMA),
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    r = ivm_refresh(spark, src, v)
+    assert r["mode"] == "incremental"
+    assert _view(spark, v) == _direct(spark, src)
+
+    # Third round on top of the folded partials.
+    tx.upsert_by_key(
+        spark,
+        src,
+        spark.createDataFrame([(4, -50, 1)], SCHEMA),
+        key="vec_id",
+    )
+    assert ivm_refresh(spark, src, v)["mode"] == "incremental"
+    assert _view(spark, v) == _direct(spark, src)
+
+
+def test_ivm_group_vanishes_when_emptied(spark, tmp_path):
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(1, 10, 0), (2, 20, 1)])
+    ivm_refresh(spark, src, v)
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame([(2, 0, 1)], SCHEMA),
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    ivm_refresh(spark, src, v)
+    got = _view(spark, v)
+    assert 1 not in got and got[0] == (1, 10)
+
+
+def test_ivm_refresh_is_idempotent_and_noops_at_head(spark, tmp_path):
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(1, 10, 0)])
+    ivm_refresh(spark, src, v)
+    assert ivm_refresh(spark, src, v)["mode"] == "noop"
+    head = latest_version(v)
+    assert ivm_refresh(spark, src, v)["mode"] == "noop"
+    assert latest_version(v) == head  # no empty commits pile up
+
+
+def test_ivm_source_compaction_moves_watermark_only(spark, tmp_path):
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(i, i, i % 2) for i in range(6)])
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame([(50, 5, 0)], SCHEMA),
+        src,
+    )
+    ivm_refresh(spark, src, v)
+    before = _view(spark, v)
+    compact_snapshots(spark, src)  # removal, but a PURE rewrite
+    r = ivm_refresh(spark, src, v)
+    assert r["mode"] == "incremental"  # no full rebuild
+    assert _view(spark, v) == before == _direct(spark, src)
+    # Watermark actually moved: next refresh is a noop.
+    assert ivm_refresh(spark, src, v)["mode"] == "noop"
+
+
+def test_ivm_view_compaction_is_read_invariant(spark, tmp_path):
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(i, i, i % 2) for i in range(1, 7)])
+    ivm_refresh(spark, src, v)
+    for i in range(3):
+        tx.upsert_by_key(
+            spark,
+            src,
+            spark.createDataFrame([(1, 100 + i, 1)], SCHEMA),
+            key="vec_id",
+        )
+        ivm_refresh(spark, src, v)
+    before = _view(spark, v)
+    compact_snapshots(spark, v)  # fold the partial backlog
+    assert _view(spark, v) == before == _direct(spark, src)
+
+
+def test_ivm_vacuumed_watermark_falls_back_to_full(spark, tmp_path):
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(1, 10, 0), (2, 20, 1)])
+    ivm_refresh(spark, src, v)
+    for i in range(3, 8):
+        tx.upsert_by_key(
+            spark,
+            src,
+            spark.createDataFrame([(i, i, i % 2)], SCHEMA),
+            key="vec_id",
+        )
+    vacuum(src, keep_versions=1, orphan_min_age_sec=0.0)
+    r = ivm_refresh(spark, src, v)
+    assert r["mode"] == "full"
+    assert _view(spark, v) == _direct(spark, src)
