@@ -139,6 +139,15 @@ class _SnapshotReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self._table_dir = _table_dir_opt(options)
         v = options.get("version")
+        t = options.get("timestampAsOf")
+        if v is not None and t is not None:
+            raise ValueError(
+                "pass either 'version' or 'timestampAsOf', not both"
+            )
+        if t is not None:
+            # TIMESTAMP AS OF (unix seconds): resolve against the
+            # monotone effective commit times.
+            v = sl.version_at_timestamp(self._table_dir, float(t))
         self._version = int(v) if v is not None else None
         self._schema = schema
         self._segs = sl.live_segments(self._table_dir, self._version)
@@ -475,7 +484,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
 class SnapshotLogDataSource(DataSource):
     """``format("snapshot_log")``. Options: ``path`` (table dir),
-    ``version`` (batch time travel), ``startingVersion`` (stream
+    ``version`` (batch time travel), ``timestampAsOf`` (batch time
+    travel by unix-seconds wall clock — resolved against the
+    monotone effective commit times), ``startingVersion`` (stream
     replay floor; default = tail from the head at start),
     ``readChangeFeed`` (stream: full CDC rows — inserts, deletes,
     update pre/postimages — derived per commit window; with ``key`` /

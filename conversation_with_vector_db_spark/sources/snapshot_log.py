@@ -61,6 +61,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +83,7 @@ __all__ = [
     "segment_path",
     "segment_stats",
     "table_meta",
+    "version_at_timestamp",
     "vacuum",
     "versions",
 ]
@@ -132,8 +134,8 @@ def create_table(table_dir: str) -> None:
     _try_commit(
         table_dir,
         0,
-        {"version": 0, "op": "create", "added": [], "removed": [],
-         "live": []},
+        {"version": 0, "op": "create", "ts": time.time(),
+         "added": [], "removed": [], "live": []},
     )
 
 
@@ -514,6 +516,7 @@ def commit_segments(
         manifest = {
             "version": head + 1,
             "op": op,
+            "ts": time.time(),
             "added": list(added),
             "removed": sorted(removed),
         }
@@ -1041,6 +1044,53 @@ def vacuum(
     return deleted
 
 
+def commit_timestamp(table_dir: str, version: int) -> float:
+    """Commit time of ``version`` (unix seconds): the manifest's
+    in-commit ``ts`` stamp, falling back to the manifest FILE's mtime
+    for manifests written before stamps existed — the same legacy
+    Delta documents (file-mtime timestamps) before in-commit
+    timestamps replaced them."""
+    m = _read_manifest(table_dir, version)
+    ts = m.get("ts")
+    if ts is not None:
+        return float(ts)
+    return os.path.getmtime(_manifest_path(table_dir, version))
+
+
+def version_at_timestamp(table_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the version a reader at wall-clock ``ts``
+    would have seen — the largest version whose EFFECTIVE commit time
+    is <= ``ts``.
+
+    Effective commit time is the RUNNING MAX of the raw stamps up the
+    version chain: raw stamps come from each winning writer's own
+    clock, so skew between racing writers can locally regress them,
+    and resolving against the running max restores the guarantee that
+    matters — the version order and the time order never disagree
+    (Delta's in-commit-timestamp monotonicity contract, enforced at
+    read rather than by making every O(1) append read its
+    predecessor's manifest). Walks the RETAINED manifests (bounded by
+    vacuum retention, metadata-sized driver work); raises
+    ``ValueError`` for a ``ts`` before the oldest retained commit."""
+    best: int | None = None
+    running = float("-inf")
+    for v in versions(table_dir):
+        try:
+            running = max(running, commit_timestamp(table_dir, v))
+        except FileNotFoundError:
+            continue  # reaped under us; later versions still resolve
+        if running <= ts:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no committed version of {table_dir} at or before "
+            f"timestamp {ts}"
+        )
+    return best
+
+
 def restore_table(table_dir: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF ``version`` (Delta Lake's
     RESTORE command; reference parity: the rollback path the Mongoose
@@ -1112,9 +1162,13 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         try:
             m = _read_manifest(table_dir, v)
         except FileNotFoundError:
-            rows.append((v, None, None, None, None, None, None))
+            rows.append((v, None, None, None, None, None, None, None))
             continue
         txn = m.get("txn") or {}
+        try:
+            ts = commit_timestamp(table_dir, v)
+        except FileNotFoundError:
+            ts = None
         rows.append(
             (
                 v,
@@ -1124,10 +1178,12 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
                 txn.get("app"),
                 txn.get("version"),
                 bool(m.get("meta")),
+                ts,
             )
         )
     return spark.createDataFrame(
         rows,
         "version: int, op: string, n_added: int, n_removed: int, "
-        "txn_app: string, txn_version: long, has_meta: boolean",
+        "txn_app: string, txn_version: long, has_meta: boolean, "
+        "commit_ts: double",
     )
