@@ -884,6 +884,66 @@ def streaming_cms_sink(
     )
 
 
+def streaming_ivm_sink(
+    change_stream: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "namespace",
+    value_col: str = "label",
+    app_id: str = "ivm-view",
+):
+    """Streaming incremental view maintenance: the CDC stream
+    (sources/datasource.py ``readChangeFeed=true``) folded per
+    micro-batch to SIGNED per-group (count, sum) partials —
+    insert/postimage +1/+v, delete/preimage -1/-v, exactly
+    :func:`~..sources.rollup.ivm_refresh`'s delta algebra — and
+    committed to a snapshot-log view store txn-tagged with the batch
+    id. Signed partials are linear, so the effective view is the
+    group-wise sum of committed partials
+    (:func:`~..sources.rollup.ivm_read`), a replayed batch is skipped
+    by the txn high-water mark, and the stream checkpoint carries the
+    watermark the batch refresher keeps in table meta. Started from
+    ``startingVersion=1`` the feed delivers the initial rows as
+    inserts, so no separate full build exists to race the stream."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.snapshot_log import (
+            append_snapshot_txn,
+            create_table,
+            versions,
+        )
+
+        if not versions(view_dir):
+            create_table(view_dir)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        part = (
+            batch_df.where(F.col("_change_type") != "")
+            .select(
+                F.col(group_col).alias("grp"),
+                sign.alias("_s"),
+                F.col(value_col).alias("_v"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.sum("_s").cast("long").alias("n"),
+                F.sum(F.col("_s") * F.col("_v")).alias("total"),
+            )
+            .where((F.col("n") != 0) | (F.col("total") != 0))
+        )
+        append_snapshot_txn(
+            part, view_dir, app=app_id, txn_version=batch_id
+        )
+
+    return (
+        change_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """The effective sketch at the store's head: cell-wise sum of the
     committed per-batch partials (counter linearity). Compatible with

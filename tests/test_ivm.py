@@ -168,3 +168,66 @@ def test_ivm_vacuumed_watermark_falls_back_to_full(spark, tmp_path):
     r = ivm_refresh(spark, src, v)
     assert r["mode"] == "full"
     assert _view(spark, v) == _direct(spark, src)
+
+
+def test_streaming_ivm_sink_converges_and_restarts_clean(
+    spark, tmp_path
+):
+    """The streaming composition: readChangeFeed from table creation
+    -> signed partials per micro-batch -> txn-tagged view commits.
+    After each drain the view equals the direct aggregate; a
+    checkpoint restart commits nothing."""
+    from conversation_with_vector_db_spark.sources.datasource import (
+        register,
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        latest_version as lv,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        streaming_ivm_sink,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+    _mk(spark, src, [(i, i * 10, i % 3) for i in range(1, 7)])
+
+    def start():
+        stream = (
+            spark.readStream.format("snapshot_log")
+            .option("path", src)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 1)
+            .load()
+        )
+        return streaming_ivm_sink(stream, view, ck).start()
+
+    q = start()
+    q.processAllAvailable()
+    assert _view(spark, view) == _direct(spark, src)
+
+    tx.upsert_by_key_global(
+        spark,
+        src,
+        spark.createDataFrame([(1, 999, 2), (50, 5, 0)], SCHEMA),
+        key="vec_id",
+    )
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame([(2, 0, 2)], SCHEMA),
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert _view(spark, view) == _direct(spark, src)
+
+    head = lv(view)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert lv(view) == head  # restart commits nothing
+    assert _view(spark, view) == _direct(spark, src)
