@@ -436,6 +436,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
+    driver=False,  # local parity since the r8 third-session rotation
     doc="""Embedding-cosine near-dup with sub-quadratic candidate
     generation: random-hyperplane LSH bands (48 bits / 6 bands,
     md5-seeded planes — deterministic, so the oracle reproduces them in

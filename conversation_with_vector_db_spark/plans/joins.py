@@ -250,6 +250,7 @@ def j9_company_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j10_company_semi_join",
+    driver=False,  # local parity since the r8 third-session rotation
     doc="""J10: users-of-company then prompts {userid: {$in: userIds}}
     (service/aggregationService.js:14-16,28-30) => left-semi join; the
     probe side's payload never shuffles.""",

@@ -917,7 +917,8 @@ def a16_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a25_ivm_group_aggregate",
-    driver=False,
+    # Driver tier since the r8 third-session rotation (timestamp-free
+    # lifecycle; sf0.01 parity verified at promotion).
     doc="""CDC-driven incremental view maintenance (engine extra —
     sources/rollup.ivm_refresh): a grouped count/sum view over a
     KEYED-MUTATION table, maintained through upserts, group-moving
@@ -1538,7 +1539,8 @@ def m16_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m18_restore_lifecycle",
-    driver=False,
+    # Driver tier since the r8 third-session rotation (timestamp-free
+    # lifecycle; sf0.01 parity verified at promotion).
     doc="""RESTORE TABLE lifecycle (snapshot_log.restore_table —
     Delta Lake's RESTORE ... TO VERSION AS OF): build a table, append
     a good batch, land a corrupting upsert, then restore to the
