@@ -1643,6 +1643,99 @@ def m18_restore_lifecycle(
 
 
 @query(
+    "m19_merge_sync_by_source",
+    driver=False,
+    doc="""WHEN NOT MATCHED BY SOURCE (Delta 2.4's MERGE extension,
+    sources/transactional.merge_into): the full-table-sync shape —
+    update-all + insert + not-matched-by-source DELETE makes the
+    target exactly the source snapshot, including deletions in
+    partitions the source never names (the clause's presence disables
+    segment pruning: rows the source cannot name may live anywhere —
+    the documented full-sync cost). The oracle computes the synced
+    state directly from the source expression.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 3 AS INT) AS namespace
+    FROM embeddings
+),
+kept AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 4 = 0 THEN CAST(label + 7 AS INT)
+                ELSE label END AS label,
+           namespace
+    FROM base WHERE vec_id % 10 <> 0
+),
+ins AS (
+    SELECT vec_id + 2000000 AS vec_id, CAST(label + 3 AS INT) AS label,
+           namespace
+    FROM base WHERE vec_id % 100 = 0
+),
+fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+SELECT namespace,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS label_sum
+FROM fin GROUP BY 1 ORDER BY namespace
+""",
+)
+def m19_merge_sync_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_sync_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    t = os.path.join(parent, uuid.uuid4().hex)
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 3).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, t, key="vec_id")
+    source = (
+        base.filter(F.col("vec_id") % 10 != 0)
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 4 == 0,
+                (F.col("label") + 7).cast("int"),
+            )
+            .otherwise(F.col("label"))
+            .alias("label"),
+            "namespace",
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 100 == 0).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"),
+                (F.col("label") + 3).cast("int").alias("label"),
+                "namespace",
+            )
+        )
+    )
+    tx.merge_into(
+        spark,
+        t,
+        source,
+        key="vec_id",
+        not_matched_by_source=(("delete", None, None),),
+    )
+    return (
+        tx.read_table(spark, t)
+        .groupBy("namespace")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("label").cast("long").alias("label_sum"),
+        )
+        .orderBy("namespace")
+    )
+
+
+@query(
     "m17_check_constraints",
     driver=False,
     doc="""CHECK-constraint lifecycle

@@ -1010,6 +1010,7 @@ def merge_into(
     matched: tuple = (("update", None, None),),
     insert: bool = True,
     insert_condition: str | None = None,
+    not_matched_by_source: tuple = (),
     max_replans: int = 4,
 ) -> int:
     """SQL MERGE semantics (Delta/Iceberg ``MERGE INTO``) as ONE
@@ -1027,6 +1028,15 @@ def merge_into(
     semantics. Unmatched target rows always survive; unmatched source
     rows insert when ``insert`` (optionally gated by
     ``insert_condition`` over ``s``).
+
+    ``not_matched_by_source`` (Delta 2.4's WHEN NOT MATCHED BY SOURCE)
+    is an ordered tuple of ``(action, condition, set_map)`` clauses
+    applied to TARGET rows with no source match; conditions and set
+    maps may reference ``t`` only (there is no source row). An update
+    clause here REQUIRES a set_map. Scale note: these clauses touch
+    rows the source cannot name, so their presence disables segment
+    pruning — the merge reads and rewrites every live segment, exactly
+    the full-table-sync cost Delta documents for this clause shape.
 
     Row identity is ``(partition_col, key)``. A source with duplicate
     identities raises ``ValueError`` before anything stages — the
@@ -1064,6 +1074,14 @@ def merge_into(
     for kind, _cond, _setm in matched:
         if kind not in ("update", "delete"):
             raise ValueError(f"merge_into: unknown clause action {kind!r}")
+    for kind, _cond, setm in not_matched_by_source:
+        if kind not in ("update", "delete"):
+            raise ValueError(f"merge_into: unknown clause action {kind!r}")
+        if kind == "update" and not setm:
+            raise ValueError(
+                "merge_into: a not-matched-by-source UPDATE needs a "
+                "set_map — there is no source row to copy"
+            )
 
     touched = {
         str(r[0])
@@ -1079,15 +1097,22 @@ def merge_into(
         except FileNotFoundError:
             continue
         _guard_no_log(live, table_dir, "merge_into")
-        old = [
-            s
-            for s in live
-            if not _is_log(s)
-            and (tag := _partition_of(s, partition_col)) is not None
-            and tag in touched
-            and _stats_may_match(stats.get(s), key, slo, shi)
-        ]
-        if any("bloom" in (stats.get(s) or {}) for s in old):
+        if not_matched_by_source:
+            # These clauses act on rows the source cannot name: every
+            # live segment may hold one, so pruning is unsound here.
+            old = [s for s in live if not _is_log(s)]
+        else:
+            old = [
+                s
+                for s in live
+                if not _is_log(s)
+                and (tag := _partition_of(s, partition_col)) is not None
+                and tag in touched
+                and _stats_may_match(stats.get(s), key, slo, shi)
+            ]
+        if not not_matched_by_source and any(
+            "bloom" in (stats.get(s) or {}) for s in old
+        ):
             probe = _collect_probe_keys(source, key)
             old = [
                 s
@@ -1141,13 +1166,26 @@ def merge_into(
             F.when(F.lit(insert) & ins_ok, F.lit("I")).otherwise(
                 F.lit("X")
             ),
-        ).when(F.col("s._se").isNull(), F.lit("K"))
+        )
+        nmb = None
+        for i, (kind, cond, _setm) in enumerate(not_matched_by_source):
+            c = F.expr(cond) if cond is not None else F.lit(True)
+            lab = ("V" if kind == "update" else "E") + str(i)
+            nmb = (
+                F.when(c, F.lit(lab))
+                if nmb is None
+                else nmb.when(c, F.lit(lab))
+            )
+        nmb = nmb.otherwise(F.lit("K")) if nmb is not None else F.lit("K")
+        act = act.when(F.col("s._se").isNull(), nmb)
         for i, (kind, cond, _setm) in enumerate(matched):
             c = F.expr(cond) if cond is not None else F.lit(True)
             act = act.when(c, F.lit(f"{kind[0].upper()}{i}"))
         act = act.otherwise(F.lit("K"))
         j = j.withColumn("_act", act).filter(
-            (F.col("_act") != "X") & ~F.col("_act").startswith("D")
+            (F.col("_act") != "X")
+            & ~F.col("_act").startswith("D")
+            & ~F.col("_act").startswith("E")
         )
 
         outs = []
@@ -1168,6 +1206,12 @@ def merge_into(
                 else:
                     upd = F.col(f"t.{c}")
                 branches.append((f"U{i}", upd))
+            for i, (kind, _cond, setm) in enumerate(
+                not_matched_by_source
+            ):
+                if kind != "update" or c not in setm:
+                    continue
+                branches.append((f"V{i}", F.expr(setm[c])))
             if branches:
                 e = None
                 for label, val in branches:

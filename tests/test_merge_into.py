@@ -463,3 +463,86 @@ def test_cdf_replication_loop_converges(spark, tdir):
     )
     replicate()
     assert_synced()
+
+
+SCHEMA3 = "vec_id: long, label: int, namespace: int"
+
+
+def test_nmbs_delete_syncs_target_to_source(spark, tdir):
+    """update-all + insert + NOT MATCHED BY SOURCE delete = full
+    table sync: after the merge the target IS the source — including
+    deletions in partitions the source never names (which segment
+    pruning would have skipped; its presence must disable pruning)."""
+    _mk(spark, tdir, [(1, 2, 0), (2, 3, 1), (3, 4, 2), (4, 5, 2)])
+    src = spark.createDataFrame(
+        [(1, 100, 0), (9, 7, 1)], SCHEMA3
+    )  # namespaces 0 and 1 only: rows in namespace 2 must still go
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        not_matched_by_source=(("delete", None, None),),
+    )
+    assert _state(spark, tdir) == {(1, 0): 100, (9, 1): 7}
+
+
+def test_nmbs_conditional_delete_and_update(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0), (2, 3, 0), (3, -4, 0)])
+    src = spark.createDataFrame([(1, 50, 0)], SCHEMA3)
+    # Unmatched target rows: delete negatives, stale-mark the rest.
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        insert=False,
+        not_matched_by_source=(
+            ("delete", "t.label < 0", None),
+            ("update", None, {"label": "t.label + 1000"}),
+        ),
+    )
+    assert _state(spark, tdir) == {(1, 0): 50, (2, 0): 1003}
+
+
+def test_nmbs_first_clause_wins(spark, tdir):
+    _mk(spark, tdir, [(1, 10, 0)])
+    src = spark.createDataFrame([(99, 1, 0)], SCHEMA3)
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        insert=False,
+        not_matched_by_source=(
+            ("update", "t.label >= 0", {"label": "t.label * 2"}),
+            ("delete", None, None),  # unreachable for label>=0
+        ),
+    )
+    assert _state(spark, tdir) == {(1, 0): 20}
+
+
+def test_nmbs_update_requires_set_map(spark, tdir):
+    _mk(spark, tdir, [(1, 10, 0)])
+    src = spark.createDataFrame([(1, 11, 0)], SCHEMA3)
+    with pytest.raises(ValueError, match="set_map"):
+        tx.merge_into(
+            spark,
+            tdir,
+            src,
+            key="vec_id",
+            not_matched_by_source=(("update", None, None),),
+        )
+
+
+def test_nmbs_noop_when_all_matched(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0), (2, 3, 1)])
+    src = spark.createDataFrame([(1, 100, 0), (2, 200, 1)], SCHEMA3)
+    tx.merge_into(
+        spark,
+        tdir,
+        src,
+        key="vec_id",
+        not_matched_by_source=(("delete", None, None),),
+    )
+    assert _state(spark, tdir) == {(1, 0): 100, (2, 1): 200}
