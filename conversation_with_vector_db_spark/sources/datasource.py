@@ -304,6 +304,7 @@ class _CDCPartition(InputPartition):
     files_before: tuple
     files_after: tuple
     commit_version: int
+    commit_ts: float = 0.0
 
 
 def _canon(v):
@@ -370,6 +371,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             m = sl._read_manifest(self._table_dir, v)
             if m.get("op") in _INVARIANT_OPS:
                 continue
+            cts = float(m.get("ts") or 0.0) or sl.commit_timestamp(
+                self._table_dir, v
+            )
             added = [
                 r for r in m.get("added", ())
                 if not os.path.basename(r).startswith("log-")
@@ -391,6 +395,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                                 files_before=(),
                                 files_after=files,
                                 commit_version=v,
+                                commit_ts=cts,
                             )
                         )
                 continue
@@ -404,6 +409,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                     files_before=tuple(before),
                     files_after=tuple(after),
                     commit_version=v,
+                    commit_ts=cts,
                 )
             )
         return parts
@@ -419,11 +425,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         # merge) store columns in different orders, and the JVM reads
         # Arrow batches positionally.
         out_schema = to_arrow_schema(self._schema)
-        cols = [
-            f.name
-            for f in out_schema
-            if f.name not in ("_change_type", "_commit_version")
-        ]
+        stamps = ("_change_type", "_commit_version",
+                  "_commit_timestamp")
+        cols = [f.name for f in out_schema if f.name not in stamps]
 
         def _load(files):
             if not files:
@@ -433,9 +437,11 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
         after = _load(partition.files_after)
         v = partition.commit_version
+        cts = partition.commit_ts
         if not partition.files_before:
             rows = [
-                {**r, "_change_type": "insert", "_commit_version": v}
+                {**r, "_change_type": "insert", "_commit_version": v,
+                 "_commit_timestamp": cts}
                 for r in after
             ]
             if rows:
@@ -452,13 +458,13 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             if ident not in amap:
                 rows.append(
                     {**r, "_change_type": "delete",
-                     "_commit_version": v}
+                     "_commit_version": v, "_commit_timestamp": cts}
                 )
         for ident, r in amap.items():
             if ident not in bmap:
                 rows.append(
                     {**r, "_change_type": "insert",
-                     "_commit_version": v}
+                     "_commit_version": v, "_commit_timestamp": cts}
                 )
                 continue
             b = bmap[ident]
@@ -467,11 +473,11 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             ):
                 rows.append(
                     {**b, "_change_type": "update_preimage",
-                     "_commit_version": v}
+                     "_commit_version": v, "_commit_timestamp": cts}
                 )
                 rows.append(
                     {**r, "_change_type": "update_postimage",
-                     "_commit_version": v}
+                     "_commit_version": v, "_commit_timestamp": cts}
                 )
         if rows:
             yield from pa.Table.from_pylist(
@@ -516,8 +522,10 @@ class SnapshotLogDataSource(DataSource):
         spark_schema = from_arrow_schema(arrow)
         if self.options.get("readChangeFeed", "").lower() == "true":
             # CDC stream: Delta CDF's column contract.
-            return spark_schema.add("_change_type", "string").add(
-                "_commit_version", "long"
+            return (
+                spark_schema.add("_change_type", "string")
+                .add("_commit_version", "long")
+                .add("_commit_timestamp", "double")
             )
         if self.options.get("withCommitVersion", "").lower() == "true":
             # Stream-only convenience: stamp each row with the commit

@@ -267,3 +267,65 @@ def test_cdc_streaming_replication_converges(ds_spark, tmp_path):
     q.stop()
     assert _state(ds_spark, src) == _state(ds_spark, dst)
     assert _state(ds_spark, dst)[(2, 1)] == 55
+
+
+def test_cdc_stream_covers_restore_and_stamps_timestamps(
+    ds_spark, tmp_path
+):
+    """A RESTORE is a mutation commit: the feed derives its diff like
+    any other (the un-restore of an upsert reads as the inverse
+    changes), and every row carries the commit's in-commit
+    timestamp."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        commit_timestamp,
+        restore_table,
+    )
+
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(ds_spark, t, [(1, 2, 0), (2, 3, 1)])
+    v0 = latest_version(t)
+    tx.upsert_by_key(
+        ds_spark,
+        t,
+        ds_spark.createDataFrame([(1, 100, 0)], SCHEMA),
+        key="vec_id",
+    )
+    restore_table(t, v0)  # back out the upsert
+    vr = latest_version(t)
+
+    got: list = []
+    q = (
+        ds_spark.readStream.format("snapshot_log")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v0 + 1)
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    by_ver = {}
+    for r in got:
+        by_ver.setdefault(r["_commit_version"], []).append(
+            (r["_change_type"], r["vec_id"], r["label"])
+        )
+    assert sorted(by_ver[v0 + 1]) == [
+        ("update_postimage", 1, 100),
+        ("update_preimage", 1, 2),
+    ]
+    assert sorted(by_ver[vr]) == [
+        ("update_postimage", 1, 2),
+        ("update_preimage", 1, 100),
+    ]
+    for r in got:
+        assert (
+            abs(
+                r["_commit_timestamp"]
+                - commit_timestamp(t, r["_commit_version"])
+            )
+            < 1e-6
+        )
