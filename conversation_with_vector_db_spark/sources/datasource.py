@@ -323,6 +323,127 @@ def _canon(v):
     return v
 
 
+def _cdc_partitions(table_dir: str, v_after: int, v_to: int) -> list:
+    """CDC partitions for the commit window (v_after, v_to] — shared
+    by the stream reader (micro-batch windows) and the batch range
+    reader. Appends become insert-only partitions (one per segment);
+    mutations one diff partition per commit; invariant ops skipped."""
+    parts = []
+    for v in range(v_after + 1, v_to + 1):
+        m = sl._read_manifest(table_dir, v)
+        if m.get("op") in _INVARIANT_OPS:
+            continue
+        cts = float(m.get("ts") or 0.0) or sl.commit_timestamp(
+            table_dir, v
+        )
+        added = [
+            r for r in m.get("added", ())
+            if not os.path.basename(r).startswith("log-")
+        ]
+        removed = [
+            r for r in m.get("removed", ())
+            if not os.path.basename(r).startswith("log-")
+        ]
+        if not added and not removed:
+            continue  # metadata-only commit
+        if not removed:
+            for rel in added:  # insert fast path: no preimage
+                files = tuple(_segment_files(table_dir, rel))
+                if files:
+                    parts.append(
+                        _CDCPartition(
+                            files_before=(),
+                            files_after=files,
+                            commit_version=v,
+                            commit_ts=cts,
+                        )
+                    )
+            continue
+        before, after = [], []
+        for rel in removed:
+            before.extend(_segment_files(table_dir, rel))
+        for rel in added:
+            after.extend(_segment_files(table_dir, rel))
+        parts.append(
+            _CDCPartition(
+                files_before=tuple(before),
+                files_after=tuple(after),
+                commit_version=v,
+                commit_ts=cts,
+            )
+        )
+    return parts
+
+
+def _cdc_read(partition: _CDCPartition, schema: StructType,
+              key: str, pc: str):
+    """Derive one partition's CDC rows (shared stream/batch body)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    # The DECLARED schema fixes name order and physical types:
+    # segments written by different paths (create vs upsert vs merge)
+    # store columns in different orders, and the JVM reads Arrow
+    # batches positionally.
+    out_schema = to_arrow_schema(schema)
+    stamps = ("_change_type", "_commit_version", "_commit_timestamp")
+    cols = [f.name for f in out_schema if f.name not in stamps]
+
+    def _load(files):
+        if not files:
+            return []
+        tabs = [pq.read_table(p, columns=cols) for p in files]
+        return pa.concat_tables(tabs).to_pylist()
+
+    after = _load(partition.files_after)
+    v = partition.commit_version
+    cts = partition.commit_ts
+    if not partition.files_before:
+        rows = [
+            {**r, "_change_type": "insert", "_commit_version": v,
+             "_commit_timestamp": cts}
+            for r in after
+        ]
+        if rows:
+            yield from pa.Table.from_pylist(
+                rows, schema=out_schema
+            ).to_batches()
+        return
+    before = _load(partition.files_before)
+    bmap = {(r[pc], r[key]): r for r in before}
+    amap = {(r[pc], r[key]): r for r in after}
+    rows = []
+    for ident, r in bmap.items():
+        if ident not in amap:
+            rows.append(
+                {**r, "_change_type": "delete",
+                 "_commit_version": v, "_commit_timestamp": cts}
+            )
+    for ident, r in amap.items():
+        if ident not in bmap:
+            rows.append(
+                {**r, "_change_type": "insert",
+                 "_commit_version": v, "_commit_timestamp": cts}
+            )
+            continue
+        b = bmap[ident]
+        if any(_canon(b[c]) != _canon(r[c]) for c in cols):
+            rows.append(
+                {**b, "_change_type": "update_preimage",
+                 "_commit_version": v, "_commit_timestamp": cts}
+            )
+            rows.append(
+                {**r, "_change_type": "update_postimage",
+                 "_commit_version": v, "_commit_timestamp": cts}
+            )
+    if rows:
+        yield from pa.Table.from_pylist(
+            rows, schema=out_schema
+        ).to_batches()
+
+
 class _ChangeFeedStreamReader(DataSourceStreamReader):
     """``readChangeFeed=true``: the FULL change-data-feed stream —
     every micro-batch delivers the rows of
@@ -364,128 +485,49 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         return {"version": sl.latest_version(self._table_dir)}
 
     def partitions(self, start: dict, end: dict):
-        parts = []
-        for v in range(
-            int(start["version"]) + 1, int(end["version"]) + 1
-        ):
-            m = sl._read_manifest(self._table_dir, v)
-            if m.get("op") in _INVARIANT_OPS:
-                continue
-            cts = float(m.get("ts") or 0.0) or sl.commit_timestamp(
-                self._table_dir, v
-            )
-            added = [
-                r for r in m.get("added", ())
-                if not os.path.basename(r).startswith("log-")
-            ]
-            removed = [
-                r for r in m.get("removed", ())
-                if not os.path.basename(r).startswith("log-")
-            ]
-            if not added and not removed:
-                continue  # metadata-only commit
-            if not removed:
-                for rel in added:  # insert fast path: no preimage
-                    files = tuple(
-                        _segment_files(self._table_dir, rel)
-                    )
-                    if files:
-                        parts.append(
-                            _CDCPartition(
-                                files_before=(),
-                                files_after=files,
-                                commit_version=v,
-                                commit_ts=cts,
-                            )
-                        )
-                continue
-            before, after = [], []
-            for rel in removed:
-                before.extend(_segment_files(self._table_dir, rel))
-            for rel in added:
-                after.extend(_segment_files(self._table_dir, rel))
-            parts.append(
-                _CDCPartition(
-                    files_before=tuple(before),
-                    files_after=tuple(after),
-                    commit_version=v,
-                    commit_ts=cts,
-                )
-            )
-        return parts
+        return _cdc_partitions(
+            self._table_dir, int(start["version"]), int(end["version"])
+        )
 
     def read(self, partition: _CDCPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        # The DECLARED schema fixes name order and physical types:
-        # segments written by different paths (create vs upsert vs
-        # merge) store columns in different orders, and the JVM reads
-        # Arrow batches positionally.
-        out_schema = to_arrow_schema(self._schema)
-        stamps = ("_change_type", "_commit_version",
-                  "_commit_timestamp")
-        cols = [f.name for f in out_schema if f.name not in stamps]
-
-        def _load(files):
-            if not files:
-                return []
-            tabs = [pq.read_table(p, columns=cols) for p in files]
-            return pa.concat_tables(tabs).to_pylist()
-
-        after = _load(partition.files_after)
-        v = partition.commit_version
-        cts = partition.commit_ts
-        if not partition.files_before:
-            rows = [
-                {**r, "_change_type": "insert", "_commit_version": v,
-                 "_commit_timestamp": cts}
-                for r in after
-            ]
-            if rows:
-                yield from pa.Table.from_pylist(
-                    rows, schema=out_schema
-                ).to_batches()
-            return
-        before = _load(partition.files_before)
-        k, pc = self._key, self._pc
-        bmap = {(r[pc], r[k]): r for r in before}
-        amap = {(r[pc], r[k]): r for r in after}
-        rows = []
-        for ident, r in bmap.items():
-            if ident not in amap:
-                rows.append(
-                    {**r, "_change_type": "delete",
-                     "_commit_version": v, "_commit_timestamp": cts}
-                )
-        for ident, r in amap.items():
-            if ident not in bmap:
-                rows.append(
-                    {**r, "_change_type": "insert",
-                     "_commit_version": v, "_commit_timestamp": cts}
-                )
-                continue
-            b = bmap[ident]
-            if any(
-                _canon(b[c]) != _canon(r[c]) for c in cols
-            ):
-                rows.append(
-                    {**b, "_change_type": "update_preimage",
-                     "_commit_version": v, "_commit_timestamp": cts}
-                )
-                rows.append(
-                    {**r, "_change_type": "update_postimage",
-                     "_commit_version": v, "_commit_timestamp": cts}
-                )
-        if rows:
-            yield from pa.Table.from_pylist(
-                rows, schema=out_schema
-            ).to_batches()
+        yield from _cdc_read(
+            partition, self._schema, self._key, self._pc
+        )
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the stream checkpoint
+
+
+class _ChangeFeedBatchReader(DataSourceReader):
+    """Batch CDC range read through the format (Delta's batch
+    readChangeFeed): ``startingVersion`` (inclusive, default 1 = from
+    table creation) .. ``endingVersion`` (inclusive, default head) —
+    the format() spelling of :func:`~.transactional.table_changes`,
+    sharing the stream reader's partitioning (per-commit bounded) and
+    derive logic verbatim."""
+
+    def __init__(self, options, schema: StructType):
+        self._table_dir = _table_dir_opt(options)
+        self._schema = schema
+        self._from = int(options.get("startingVersion", 1))
+        end = options.get("endingVersion")
+        self._to = (
+            int(end)
+            if end is not None
+            else sl.latest_version(self._table_dir)
+        )
+        self._key = options.get("key", "vec_id")
+        self._pc = options.get("partitionCol", "namespace")
+
+    def partitions(self):
+        return _cdc_partitions(
+            self._table_dir, self._from - 1, self._to
+        )
+
+    def read(self, partition: _CDCPartition):
+        yield from _cdc_read(
+            partition, self._schema, self._key, self._pc
+        )
 
 
 class SnapshotLogDataSource(DataSource):
@@ -534,7 +576,9 @@ class SnapshotLogDataSource(DataSource):
             spark_schema = spark_schema.add("_commit_version", "long")
         return spark_schema
 
-    def reader(self, schema: StructType) -> _SnapshotReader:
+    def reader(self, schema: StructType):
+        if self.options.get("readChangeFeed", "").lower() == "true":
+            return _ChangeFeedBatchReader(self.options, schema)
         return _SnapshotReader(self.options, schema)
 
     def streamReader(self, schema: StructType):

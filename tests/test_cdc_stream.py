@@ -329,3 +329,54 @@ def test_cdc_stream_covers_restore_and_stamps_timestamps(
             )
             < 1e-6
         )
+
+
+def test_cdc_batch_range_read_through_format(ds_spark, tmp_path):
+    """spark.read.format("snapshot_log").option("readChangeFeed") —
+    the batch CDF range read, equal to the native table_changes over
+    the same window and respecting endingVersion."""
+    t = str(tmp_path / "t")
+    _mk(ds_spark, t, [(1, 2, 0), (2, 3, 1)])
+    v0 = latest_version(t)
+    tx.upsert_by_key(
+        ds_spark,
+        t,
+        ds_spark.createDataFrame([(1, 100, 0)], SCHEMA),
+        key="vec_id",
+    )
+    v1 = latest_version(t)
+    tx.upsert_by_key(
+        ds_spark,
+        t,
+        ds_spark.createDataFrame([(2, 200, 1)], SCHEMA),
+        key="vec_id",
+    )
+    head = latest_version(t)
+
+    def fmt_read(v_from, v_to):
+        return (
+            ds_spark.read.format("snapshot_log")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", v_from)
+            .option("endingVersion", v_to)
+            .load()
+        )
+
+    got = sorted(
+        (r["_change_type"], r["vec_id"], r["label"])
+        for r in fmt_read(v0 + 1, head).collect()
+    )
+    want = sorted(
+        (r["_change_type"], r["vec_id"], r["label"])
+        for r in tx.table_changes(
+            ds_spark, t, v0, head, key="vec_id"
+        ).collect()
+    )
+    assert got == want and len(got) == 4
+    # endingVersion bounds the window.
+    only_first = fmt_read(v0 + 1, v1).collect()
+    assert sorted(
+        (r["_change_type"], r["vec_id"]) for r in only_first
+    ) == [("update_postimage", 1), ("update_preimage", 1)]
+    assert all(r["_commit_version"] == v1 for r in only_first)
