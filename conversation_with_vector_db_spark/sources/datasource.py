@@ -715,6 +715,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
         self._table_dir = _table_dir_opt(options)
         self._app = options.get("appId", "pyds-sink")
+        self._compact_every = int(options.get("autoCompactEvery", 0))
 
     def write(self, iterator):
         return _task_stage_write(self._table_dir, iterator)
@@ -734,6 +735,30 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
             op="append_txn",
             txn=(self._app, int(batchId)),
         )
+        if (
+            self._compact_every
+            and (int(batchId) + 1) % self._compact_every == 0
+        ):
+            # autoCompactEvery=N: bound the small-file backlog an
+            # unbounded micro-batch ingest otherwise accumulates
+            # (Delta's synchronous auto-compaction). Best-effort and
+            # AFTER the txn commit: the batch's data is already
+            # durable, a lost compaction race just leaves the fold to
+            # a later batch; the txn replay guard is unaffected
+            # because compaction is a rewrite, not a txn commit.
+            from pyspark.sql import SparkSession
+
+            # getActiveSession is thread-local and the streaming
+            # commit runs off the main thread; getOrCreate returns
+            # the one existing driver session.
+            spark = (
+                SparkSession.getActiveSession()
+                or SparkSession.builder.getOrCreate()
+            )
+            try:
+                sl.compact_snapshots(spark, self._table_dir)
+            except (sl.CommitConflictError, FileNotFoundError):
+                pass  # raced another writer; next window retries
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         _discard_staged(messages)

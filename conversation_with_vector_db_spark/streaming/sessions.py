@@ -891,6 +891,7 @@ def streaming_ivm_sink(
     group_col: str = "namespace",
     value_col: str = "label",
     app_id: str = "ivm-view",
+    auto_compact_every: int = 0,
 ):
     """Streaming incremental view maintenance: the CDC stream
     (sources/datasource.py ``readChangeFeed=true``) folded per
@@ -936,6 +937,21 @@ def streaming_ivm_sink(
         append_snapshot_txn(
             part, view_dir, app=app_id, txn_version=batch_id
         )
+        if auto_compact_every and (
+            (batch_id + 1) % auto_compact_every == 0
+        ):
+            # Fold the partial backlog in place (best-effort — a lost
+            # race leaves the fold to a later window); the view read
+            # is compaction-invariant by the partials' linearity.
+            from ..sources.snapshot_log import (
+                CommitConflictError,
+                compact_snapshots,
+            )
+
+            try:
+                compact_snapshots(batch_df.sparkSession, view_dir)
+            except (CommitConflictError, FileNotFoundError):
+                pass
 
     return (
         change_stream.writeStream.outputMode("append")

@@ -361,3 +361,54 @@ def test_format_writer_races_native_appends(ds_spark, tmp_path):
         r.id for r in read_snapshot(ds_spark, t).collect()
     ) == want
     assert versions(t) == list(range(7))  # create + 6 appends
+
+
+def test_stream_writer_auto_compacts(ds_spark, tmp_path):
+    """autoCompactEvery=N: unbounded micro-batch ingest keeps the
+    small-file backlog bounded — the fold runs inside the sink every
+    N batches, best-effort, after the txn commit (data completeness
+    and replay protection unaffected)."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        live_segments as live,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        stream_parquet_dir,
+    )
+
+    root = tmp_path / "src"
+    root.mkdir()
+    schema = StructType([StructField("id", LongType())])
+    for i in range(6):
+        part = str(root / f"s{i}")
+        ds_spark.range(i * 10, i * 10 + 3).coalesce(1).write.parquet(
+            part
+        )
+        for f in glob.glob(part + "/*.parquet"):
+            sh.move(f, str(root / f"file{i}.parquet"))
+        sh.rmtree(part)
+    t = str(tmp_path / "t")
+    create_table(t)
+    q = (
+        stream_parquet_dir(ds_spark, str(root), schema)
+        .writeStream.format("snapshot_log")
+        .option("path", t)
+        .option("autoCompactEvery", 2)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r["id"] for r in read_snapshot(ds_spark, t).collect()
+    )
+    assert got == sorted(
+        x for i in range(6) for x in range(i * 10, i * 10 + 3)
+    )
+    # 6 one-file batches would leave 6 segments; the folds bound it.
+    assert len(live(t)) < 6

@@ -231,3 +231,43 @@ def test_streaming_ivm_sink_converges_and_restarts_clean(
     q.stop()
     assert lv(view) == head  # restart commits nothing
     assert _view(spark, view) == _direct(spark, src)
+
+
+def test_streaming_ivm_auto_compaction_bounds_partials(
+    spark, tmp_path
+):
+    from conversation_with_vector_db_spark.sources.datasource import (
+        register,
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        live_segments as live,
+    )
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        streaming_ivm_sink,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    _mk(spark, src, [(i, i, i % 2) for i in range(1, 5)])
+    stream = (
+        spark.readStream.format("snapshot_log")
+        .option("path", src)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load()
+    )
+    q = streaming_ivm_sink(
+        stream, view, str(tmp_path / "ck"), auto_compact_every=2
+    ).start()
+    for i in range(5):
+        tx.upsert_by_key(
+            spark,
+            src,
+            spark.createDataFrame([(1, 100 + i, 1)], SCHEMA),
+            key="vec_id",
+        )
+        q.processAllAvailable()
+        assert _view(spark, view) == _direct(spark, src)
+    q.stop()
+    assert len(live(view)) <= 3  # folds bound the partial backlog
