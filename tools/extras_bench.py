@@ -47,6 +47,13 @@ QUERIES = [
     "s17_schema_evolution_lifecycle",
     "graph_label_communities",
     "a23_rolling_anomaly",
+    # Third continuation session additions:
+    "m16_table_changes",
+    "m17_check_constraints",
+    "m18_restore_lifecycle",
+    "m19_merge_sync_by_source",
+    "a25_ivm_group_aggregate",
+    "d9_sql_udtf_lateral",
 ]
 
 
