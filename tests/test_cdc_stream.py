@@ -380,3 +380,43 @@ def test_cdc_batch_range_read_through_format(ds_spark, tmp_path):
         (r["_change_type"], r["vec_id"]) for r in only_first
     ) == [("update_postimage", 1), ("update_preimage", 1)]
     assert all(r["_commit_version"] == v1 for r in only_first)
+
+
+def test_cdc_stream_behind_vacuum_fails_loudly(ds_spark, tmp_path):
+    """A CDC stream that falls behind the vacuum retention window
+    must FAIL (preimage manifests/files are gone), never silently
+    skip changes."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(ds_spark, t, [(1, 2, 0)])
+    tx.upsert_by_key(
+        ds_spark,
+        t,
+        ds_spark.createDataFrame([(1, 10, 0)], SCHEMA),
+        key="vec_id",
+    )
+    tx.upsert_by_key(
+        ds_spark,
+        t,
+        ds_spark.createDataFrame([(1, 20, 0)], SCHEMA),
+        key="vec_id",
+    )
+    vacuum(t, keep_versions=1, orphan_min_age_sec=0.0)
+    q = (
+        ds_spark.readStream.format("snapshot_log")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, b: df.collect())
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()

@@ -271,3 +271,106 @@ def test_streaming_ivm_auto_compaction_bounds_partials(
         assert _view(spark, view) == _direct(spark, src)
     q.stop()
     assert len(live(view)) <= 3  # folds bound the partial backlog
+
+
+def test_ivm_converges_through_source_restore(spark, tmp_path):
+    """RESTORE is just another mutation commit to the feed: the view
+    follows the un-restore of an upsert incrementally."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        restore_table,
+    )
+
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(1, 10, 0), (2, 20, 1)])
+    v_good = latest_version(src)
+    ivm_refresh(spark, src, v)
+    tx.upsert_by_key(
+        spark,
+        src,
+        spark.createDataFrame([(1, 999, 0), (3, 7, 1)], SCHEMA),
+        key="vec_id",
+    )
+    ivm_refresh(spark, src, v)
+    assert _view(spark, v) == _direct(spark, src)
+    restore_table(src, v_good)
+    r = ivm_refresh(spark, src, v)
+    assert r["mode"] == "incremental"
+    assert _view(spark, v) == _direct(spark, src) == {
+        0: (1, 10), 1: (1, 20),
+    }
+
+
+def test_ivm_randomized_walk_matches_direct_aggregate(
+    spark, tmp_path
+):
+    """Model test: a seeded random sequence of upserts / global
+    upserts / deletes / appends / compactions with refreshes at
+    random points — after every refresh the view equals the direct
+    aggregate."""
+    import random
+
+    rng = random.Random(20260815)
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(i, i, i % 3) for i in range(1, 13)])
+    ivm_refresh(spark, src, v)
+    next_id = 100
+    for step in range(12):
+        op = rng.choice(["upsert", "global", "delete", "append",
+                         "compact"])
+        if op == "upsert":
+            k = rng.randrange(1, 13)
+            tx.upsert_by_key(
+                spark,
+                src,
+                spark.createDataFrame(
+                    [(k, rng.randrange(-50, 50), k % 3)], SCHEMA
+                ),
+                key="vec_id",
+            )
+        elif op == "global":
+            k = rng.randrange(1, 13)
+            tx.upsert_by_key_global(
+                spark,
+                src,
+                spark.createDataFrame(
+                    [(k, rng.randrange(-50, 50),
+                      rng.randrange(3))], SCHEMA
+                ),
+                key="vec_id",
+            )
+        elif op == "delete":
+            state = {
+                r["vec_id"]: r["namespace"]
+                for r in tx.read_table(spark, src).collect()
+            }
+            if state:
+                k = rng.choice(sorted(state))
+                tx.merge_into(
+                    spark,
+                    src,
+                    spark.createDataFrame(
+                        [(k, 0, state[k])], SCHEMA
+                    ),
+                    key="vec_id",
+                    matched=(("delete", None, None),),
+                    insert=False,
+                )
+        elif op == "append":
+            tx.append_partitioned(
+                spark,
+                spark.createDataFrame(
+                    [(next_id, rng.randrange(100), next_id % 3)],
+                    SCHEMA,
+                ),
+                src,
+            )
+            next_id += 1
+        else:
+            compact_snapshots(spark, src)
+        if rng.random() < 0.6 or step == 11:
+            ivm_refresh(spark, src, v)
+            assert _view(spark, v) == _direct(spark, src), (
+                f"diverged at step {step} after {op}"
+            )

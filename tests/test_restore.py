@@ -180,3 +180,37 @@ def test_restore_survives_vacuum_when_target_in_window(
     # v1's segments are live at head again: vacuum must keep them.
     vacuum(t, keep_versions=1, orphan_min_age_sec=0.0)
     assert _ids(read_snapshot(spark, t)) == list(range(5))
+
+
+def test_restore_racing_append_keeps_the_append(spark, tmp_path):
+    """The documented restore-vs-append resolution: an append that
+    lands between the restore's read and its CAS survives (its
+    segment is in neither version's live set), same as Delta."""
+    import threading
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(spark.range(0, 5), t)  # v1
+    _clobber(spark.range(50, 53), t)  # v2
+
+    # Race: many appends while a restore commits.
+    errs: list = []
+
+    def appender():
+        try:
+            append_snapshot(spark.range(100, 103), t)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    restore_table(t, 1)
+    th.join()
+    assert not errs
+    got = set(_ids(read_snapshot(spark, t)))
+    # Restore target rows are back; the racing append either landed
+    # before the restore's read (then it was part of "current" and
+    # was removed) or after (then it survives) — both serializable.
+    assert set(range(5)) <= got
+    assert not ({50, 51, 52} & got)
+    assert got - set(range(5)) in (set(), {100, 101, 102})
