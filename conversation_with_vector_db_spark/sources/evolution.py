@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .snapshot_log import (
@@ -118,12 +119,61 @@ def append_evolved(df: DataFrame, table_dir: str) -> int:
         )
     merged, changed = evolve_fields(old, _fields_of(df.schema))
     rel = _write_segment(df, table_dir)
+    _enforce_constraints_evolved(
+        df.sparkSession, table_dir, rel, merged
+    )
     meta = (
         {SCHEMA_KEY: json.dumps(merged)} if changed else None
     )
     return commit_segments(
         table_dir, added=[rel], removed=[], op="append", meta=meta
     )
+
+
+def _enforce_constraints_evolved(
+    spark: SparkSession, table_dir: str, rel: str, merged: list[dict]
+) -> None:
+    """CHECK-constraint enforcement on the evolved write path: the
+    staged segment is read through the MERGED declared schema (the
+    same typed-NULL backfill the evolved read uses), so a row that
+    OMITS a constrained column evaluates its predicate on NULL and is
+    refused — the same fail-closed semantics as the transactional
+    paths (sources/transactional._enforce_constraints_on_staged).
+    Costs one scan of the staged segment only; constraint-free tables
+    pay a metadata read."""
+    from .snapshot_log import segment_path
+    from .transactional import (
+        ConstraintViolationError,
+        table_constraints,
+    )
+
+    cons = table_constraints(table_dir)
+    if not cons:
+        return
+    staged = spark.read.schema(declared_struct(merged)).parquet(
+        segment_path(table_dir, rel)
+    )
+    checks = [
+        F.sum(
+            (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
+        ).alias(name)
+        for name, pred in sorted(cons.items())
+    ]
+    row = staged.agg(*checks).first()
+    bad = {
+        name: int(row[name])
+        for name, _ in sorted(cons.items())
+        if row[name]
+    }
+    if bad:
+        import shutil as _shutil
+
+        _shutil.rmtree(
+            segment_path(table_dir, rel), ignore_errors=True
+        )
+        raise ConstraintViolationError(
+            f"write violates CHECK constraint(s) {bad} at {table_dir}"
+        )
 
 
 def declared_struct(fields: list[dict]) -> T.StructType:

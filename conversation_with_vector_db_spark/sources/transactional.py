@@ -1603,7 +1603,16 @@ def add_check_constraint(
 
     cur = table_constraints(table_dir)
     try:
-        head_df = read_table(spark, table_dir)
+        if table_meta(table_dir).get("schema") is not None:
+            # Schema-tracked table (sources/evolution.py): validate
+            # through the declared-schema read so heterogeneous
+            # segments backfill typed NULLs instead of failing
+            # analysis on a column their files predate.
+            from .evolution import read_evolved
+
+            head_df = read_evolved(spark, table_dir)
+        else:
+            head_df = read_table(spark, table_dir)
     except ValueError:
         head_df = None  # empty table: vacuously satisfied
     if head_df is not None:

@@ -141,3 +141,58 @@ def test_constraint_free_tables_pay_nothing_extra(spark, tdir):
         key="vec_id",
     )
     assert _state(spark, tdir)[(1, 0)] == 50
+
+
+def test_constraints_enforced_on_evolved_appends(spark, tdir):
+    """The schema-evolution write path enforces CHECK constraints
+    too, through the declared-schema read: a violating append is
+    refused, and an append that OMITS a constrained column is
+    fail-closed refused (omitted = NULL = not provably conformant)."""
+    from conversation_with_vector_db_spark.sources import (
+        evolution as ev,
+    )
+
+    ev.create_evolved_table(
+        spark.createDataFrame([(1, "a")], "id: long, txt: string"),
+        tdir,
+    )
+    # Widen with a score column, then constrain it.
+    ev.append_evolved(
+        spark.createDataFrame(
+            [(2, "b", 5.0)], "id: long, txt: string, score: double"
+        ),
+        tdir,
+    )
+    with pytest.raises(tx.ConstraintViolationError):
+        # Rows predating the column read score as NULL: fail-closed,
+        # so the constraint is not addable over the current table.
+        tx.add_check_constraint(
+            spark, tdir, "pos_score", "score >= 0"
+        )
+    tx.add_check_constraint(
+        spark, tdir, "pos_score", "coalesce(score, 0) >= 0"
+    )
+    v = latest_version(tdir)
+    with pytest.raises(tx.ConstraintViolationError):
+        ev.append_evolved(
+            spark.createDataFrame(
+                [(3, "c", -1.0)],
+                "id: long, txt: string, score: double",
+            ),
+            tdir,
+        )
+    assert latest_version(tdir) == v  # refused atomically
+    # Conformant append (omitting score passes the coalesce form).
+    ev.append_evolved(
+        spark.createDataFrame([(4, "d")], "id: long, txt: string"),
+        tdir,
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in ev.read_evolved(spark, tdir).collect()
+    }
+    assert got == {1: None, 2: 5.0, 4: None}
+    # A strict constraint over a fresh strict column IS addable when
+    # every row conforms after a full rewrite-free widen + backfill
+    # is out of scope — the fail-closed refusal above is the pinned
+    # contract.
