@@ -196,3 +196,48 @@ def test_constraints_enforced_on_evolved_appends(spark, tdir):
     # every row conforms after a full rewrite-free widen + backfill
     # is out of scope — the fail-closed refusal above is the pinned
     # contract.
+
+
+def test_constraint_added_on_branch_carries_through_merge(
+    spark, tdir
+):
+    """Governance-as-WAP: a CHECK constraint staged on a BRANCH rides
+    the merge's atomic meta-diff carry — after publish, the PARENT
+    enforces it; before publish, the parent does not."""
+    from conversation_with_vector_db_spark.sources.branching import (
+        branch_dir,
+        create_branch,
+        merge_branch,
+    )
+
+    _mk(spark, tdir)
+    create_branch(tdir, "audit")
+    bdir = branch_dir(tdir, "audit")
+    tx.add_check_constraint(spark, bdir, "nonneg", "label >= 0")
+    # Parent unaffected while the branch stages.
+    assert tx.table_constraints(tdir) == {}
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(7, -1, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        tdir,
+    )
+    # That violating parent row blocks the merge? No — merge carries
+    # the META; Delta's ADD CONSTRAINT validates at ADD time, and the
+    # branch validated ITS snapshot. The parent gained a violating
+    # row concurrently: the carried key conflicts with nothing, so
+    # the merge lands and FUTURE parent writes are gated.
+    merge_branch(tdir, "audit")
+    assert tx.table_constraints(tdir) == {
+        "nonneg": "label >= 0"
+    }
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(8, -2, 0)],
+                "vec_id: long, label: int, namespace: int",
+            ),
+            tdir,
+        )
