@@ -89,6 +89,47 @@ def d9_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c23_variant_json",
+    driver=False,
+    doc="""Semi-structured JSON through Spark 4's VARIANT type:
+    parse_json once, typed variant_get extraction, then filter +
+    aggregate on the extracted value — the engine-native form of the
+    reference's schemaless props reads (Mongo documents are
+    effectively variant rows). VARIANT keeps the binary-parsed value
+    columnar across the pipeline instead of re-parsing JSON text per
+    extraction (the get_json_object form in c_scalar_suite); the
+    oracle is DuckDB's JSON extraction over the same column.""",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+            AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+            AS INT) AS k_max
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def c23_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events").withColumn(
+        "k",
+        F.variant_get(F.parse_json("props"), "$.k", "int"),
+    )
+    return (
+        ev.where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "d4_meeting_summary",
     driver=False,
     doc="""D4: meeting_summary(sDate, eDate, type) — the UDTF-shaped
