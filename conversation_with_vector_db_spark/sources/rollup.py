@@ -177,6 +177,23 @@ def rollup_read(spark: SparkSession, rollup_dir: str) -> DataFrame:
 IVM_TXN_APP = "ivm_refresh"
 
 
+def _segment_rows(table_dir: str, rel: str) -> int:
+    """Row count of a just-written segment from parquet FOOTERS only
+    (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(os.path.join(table_dir, rel)):
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith(
+                (".", "_")
+            ):
+                total += pq.ParquetFile(
+                    os.path.join(root, name)
+                ).metadata.num_rows
+    return total
+
+
 def ivm_refresh(
     spark: SparkSession,
     source_dir: str,
@@ -253,14 +270,23 @@ def ivm_refresh(
                 )
                 .where((F.col("n") != 0) | (F.col("total") != 0))
             )
-            if part.limit(1).count() == 0:
+            # Write first, probe the FOOTER for emptiness: the diff
+            # is the expensive plan here, and a limit(1).count()
+            # pre-check would execute it twice (once to test, once
+            # to write).
+            rel = _write_segment(part, view_dir)
+            if _segment_rows(view_dir, rel) == 0:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(view_dir, rel), ignore_errors=True
+                )
                 commit_segments(
                     view_dir, added=[], removed=[], op="ivm_noop",
                     txn=(IVM_TXN_APP, v_head), meta=commit_meta,
                 )
                 return {"mode": "incremental",
                         "source_version": v_head}
-            rel = _write_segment(part, view_dir)
             commit_segments(
                 view_dir, added=[rel], removed=[], op="ivm_delta",
                 txn=(IVM_TXN_APP, v_head), meta=commit_meta,

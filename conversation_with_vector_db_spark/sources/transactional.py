@@ -1542,31 +1542,33 @@ def table_changes(
     for c in cols:
         eq = F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
         same_row = eq if same_row is None else (same_row & eq)
-    deletes = j.where(F.col("_ae").isNull()).select(
-        F.lit("delete").alias("_change_type"),
-        *[F.col(f"b.{c}").alias(c) for c in cols],
-    )
-    inserts = j.where(F.col("_be").isNull()).select(
-        F.lit("insert").alias("_change_type"),
-        *[F.col(f"a.{c}").alias(c) for c in cols],
-    )
-    changed = j.where(
-        F.col("_be").isNotNull()
-        & F.col("_ae").isNotNull()
-        & ~same_row
-    )
-    pre = changed.select(
-        F.lit("update_preimage").alias("_change_type"),
-        *[F.col(f"b.{c}").alias(c) for c in cols],
-    )
-    post = changed.select(
-        F.lit("update_postimage").alias("_change_type"),
-        *[F.col(f"a.{c}").alias(c) for c in cols],
-    )
-    return (
-        deletes.unionByName(inserts)
-        .unionByName(pre)
-        .unionByName(post)
+
+    # ONE pass over the join: each joined row maps to an array of 0-2
+    # typed change structs, exploded in place. The earlier
+    # union-of-four-selections shape re-executed the (potentially
+    # large) diff join once per change type; explode(NULL) emits
+    # nothing, so unchanged rows vanish for free.
+    def img(kind: str, side: str):
+        return F.struct(
+            F.lit(kind).alias("_change_type"),
+            *[F.col(f"{side}.{c}").alias(c) for c in cols],
+        )
+
+    arr = (
+        F.when(F.col("_ae").isNull(), F.array(img("delete", "b")))
+        .when(F.col("_be").isNull(), F.array(img("insert", "a")))
+        .when(
+            ~same_row,
+            F.array(
+                img("update_preimage", "b"),
+                img("update_postimage", "a"),
+            ),
+        )
+    )  # unchanged rows: NULL array -> explode drops them
+    ex = j.select(F.explode(arr).alias("_ch"))
+    return ex.select(
+        F.col("_ch._change_type").alias("_change_type"),
+        *[F.col(f"_ch.{c}").alias(c) for c in cols],
     )
 
 
