@@ -1643,6 +1643,106 @@ def m18_restore_lifecycle(
 
 
 @query(
+    "a26_ivm_minmax_aggregate",
+    driver=False,
+    doc="""Retraction-aware min/max IVM (sources/rollup.
+    ivm_refresh_minmax): the NON-linear aggregates maintained under
+    keyed mutations — inserts extend extrema in place, a delete
+    strictly inside the current extrema is absorbed with no rescan,
+    and only a group whose deleted value EQUALLED its extremum is
+    recomputed, with the rescan pruned to that group's partition at
+    the segment list (the bounded-rescan rule from the
+    view-maintenance literature). Lifecycle in-plan: full build ->
+    extremum-moving updates + deletes -> refresh -> the view equals
+    the direct aggregate, checked by the oracle.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 5 AS INT) AS namespace
+    FROM embeddings
+),
+upd AS (
+    SELECT vec_id, CAST(-label AS INT) AS label, namespace
+    FROM base WHERE vec_id % 30 = 0
+),
+merged AS (
+    SELECT b.vec_id,
+           coalesce(u.label, b.label) AS label,
+           b.namespace
+    FROM base b LEFT JOIN upd u ON u.vec_id = b.vec_id
+),
+fin AS (SELECT * FROM merged WHERE vec_id % 13 <> 4)
+SELECT namespace AS grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS total,
+       CAST(min(label) AS INT) AS vmin,
+       CAST(max(label) AS INT) AS vmax
+FROM fin GROUP BY 1 ORDER BY grp
+""",
+)
+def a26_ivm_minmax_aggregate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+    from ..sources.rollup import ivm_read_minmax, ivm_refresh_minmax
+
+    parent = os.path.join(tempfile.gettempdir(), "cvdb_ivmm_query")
+    shutil.rmtree(parent, ignore_errors=True)
+    src = os.path.join(parent, uuid.uuid4().hex)
+    view = src + "-view"
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 5).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(spark, base, src, key="vec_id")
+    ivm_refresh_minmax(spark, src, view)  # full build
+
+    # Negating labels moves minima BELOW every current minimum
+    # (extremum-class updates) ...
+    tx.upsert_by_key(
+        spark,
+        src,
+        base.filter(F.col("vec_id") % 30 == 0).select(
+            "vec_id",
+            (-F.col("label")).cast("int").alias("label"),
+            "namespace",
+        ),
+        key="vec_id",
+    )
+    # ... and deletes hit arbitrary positions incl. extrema.
+    tx.merge_into(
+        spark,
+        src,
+        base.filter(F.col("vec_id") % 13 == 4).select(
+            "vec_id",
+            F.lit(0).cast("int").alias("label"),
+            "namespace",
+        ),
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    ivm_refresh_minmax(spark, src, view)
+    return (
+        ivm_read_minmax(spark, view)
+        .select(
+            "grp",
+            "n_rows",
+            F.col("total").cast("long").alias("total"),
+            F.col("vmin").cast("int").alias("vmin"),
+            F.col("vmax").cast("int").alias("vmax"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
     "m19_merge_sync_by_source",
     driver=False,
     doc="""WHEN NOT MATCHED BY SOURCE (Delta 2.4's MERGE extension,

@@ -314,6 +314,210 @@ def ivm_refresh(
     return {"mode": "full", "source_version": v_head}
 
 
+def ivm_refresh_minmax(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    group_col: str = "namespace",
+    value_col: str = "label",
+    key: str = "vec_id",
+    partition_col: str = "namespace",
+) -> dict:
+    """IVM for the NON-linear aggregates: a consolidated
+    (grp, n_rows, total, vmin, vmax) view maintained under keyed
+    mutations. count/sum fold linearly from the change feed exactly
+    like :func:`ivm_refresh`; min/max cannot retract, so the refresh
+    applies the classic bounded-rescan rule (the Materialize /
+    view-maintenance-literature treatment):
+
+    * inserts only EXTEND extrema: new_min = min(cur, ins_min) — no
+      rescan;
+    * a delete whose value is strictly INSIDE the current extrema
+      cannot move them — no rescan;
+    * only a group whose deleted/preimage value EQUALS its current
+      extremum (or whose rows all vanished) is rescanned, and the
+      rescan is GROUP-LOCAL: the source read prunes to that group's
+      partition at the segment list (``group_col`` ==
+      ``partition_col`` is the layout this is designed for), so the
+      cost is one partition, not the table.
+
+    The view is a consolidated table (one row per group), rewritten
+    whole each refresh — group-sized, so the rewrite is metadata-ish
+    next to any source scan. Watermark + txn ride the commit like
+    the linear form. Returns ``{"mode": ..., "source_version": v,
+    "rescanned_groups": [...]}``."""
+    from .transactional import read_table, table_changes
+
+    v_head = latest_version(source_dir)
+    create_table(view_dir)
+
+    meta = table_meta(view_dir)
+    v_done = meta.get("ivm_source_version")
+    if v_done is not None and int(v_done) >= v_head:
+        return {"mode": "noop", "source_version": v_head,
+                "rescanned_groups": []}
+    prev_txn = last_txn_version(view_dir, IVM_TXN_APP)
+    if prev_txn is not None and prev_txn >= v_head:
+        return {"mode": "noop", "source_version": v_head,
+                "rescanned_groups": []}
+
+    commit_meta = {"ivm_source_version": v_head}
+    view_live = live_segments(view_dir, latest_version(view_dir))
+
+    def _full() -> dict:
+        consolidated = (
+            read_table(spark, source_dir, v_head)
+            .select(
+                F.col(group_col).alias("grp"),
+                F.col(value_col).alias("_v"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("_v").alias("total"),
+                F.min("_v").alias("vmin"),
+                F.max("_v").alias("vmax"),
+            )
+        )
+        rel = _write_segment(consolidated, view_dir)
+        commit_segments(
+            view_dir, added=[rel], removed=view_live, op="ivm_full",
+            txn=(IVM_TXN_APP, v_head), meta=commit_meta,
+        )
+        return {"mode": "full", "source_version": v_head,
+                "rescanned_groups": []}
+
+    if v_done is None:
+        return _full()
+    try:
+        ch = table_changes(
+            spark, source_dir, int(v_done), v_head,
+            key=key, partition_col=partition_col,
+        )
+    except (FileNotFoundError, ValueError):
+        return _full()
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    ins = F.col("_s") == 1
+    delta_rows = (
+        ch.where(F.col("_change_type") != "")
+        .select(
+            F.col(group_col).alias("grp"),
+            sign.alias("_s"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("_s").cast("long").alias("dn"),
+            F.sum(F.col("_s") * F.col("_v")).alias("dtotal"),
+            F.min(F.when(ins, F.col("_v"))).alias("ins_min"),
+            F.max(F.when(ins, F.col("_v"))).alias("ins_max"),
+            F.min(F.when(~ins, F.col("_v"))).alias("del_min"),
+            F.max(F.when(~ins, F.col("_v"))).alias("del_max"),
+        )
+        .collect()
+    )  # group-sized: one row per TOUCHED group
+    if not delta_rows:
+        commit_segments(
+            view_dir, added=[], removed=[], op="ivm_noop",
+            txn=(IVM_TXN_APP, v_head), meta=commit_meta,
+        )
+        return {"mode": "incremental", "source_version": v_head,
+                "rescanned_groups": []}
+
+    cur = {
+        r["grp"]: r
+        for r in read_snapshot(spark, view_dir).collect()
+    }  # the view IS group-sized; this is a catalog-scale collect
+    out: dict = {
+        g: dict(n_rows=r["n_rows"], total=r["total"],
+                vmin=r["vmin"], vmax=r["vmax"])
+        for g, r in cur.items()
+    }
+    rescan: list = []
+    for d in delta_rows:
+        g = d["grp"]
+        prev = out.get(
+            g, dict(n_rows=0, total=0, vmin=None, vmax=None)
+        )
+        n = prev["n_rows"] + d["dn"]
+        if n <= 0:
+            out.pop(g, None)
+            continue
+        total = (prev["total"] or 0) + (d["dtotal"] or 0)
+        vmin, vmax = prev["vmin"], prev["vmax"]
+        if prev["n_rows"] == 0:
+            # Brand-new group: inserts define the extrema exactly
+            # (any deletes in this window had nothing to delete).
+            vmin, vmax = d["ins_min"], d["ins_max"]
+        else:
+            if d["del_min"] is not None and (
+                vmin is None
+                or d["del_min"] <= vmin
+                or d["del_max"] >= vmax
+            ):
+                rescan.append(g)
+                out[g] = dict(n_rows=n, total=total,
+                              vmin=None, vmax=None)
+                continue
+            if d["ins_min"] is not None:
+                vmin = (
+                    d["ins_min"] if vmin is None
+                    else min(vmin, d["ins_min"])
+                )
+                vmax = (
+                    d["ins_max"] if vmax is None
+                    else max(vmax, d["ins_max"])
+                )
+        out[g] = dict(n_rows=n, total=total, vmin=vmin, vmax=vmax)
+
+    if rescan:
+        exact = (
+            read_table(
+                spark,
+                source_dir,
+                v_head,
+                partitions={str(g) for g in rescan},
+                partition_col=partition_col,
+            )
+            .where(F.col(group_col).isin(rescan))
+            .groupBy(F.col(group_col).alias("grp"))
+            .agg(
+                F.min(value_col).alias("vmin"),
+                F.max(value_col).alias("vmax"),
+            )
+            .collect()
+        )
+        for r in exact:
+            if r["grp"] in out:
+                out[r["grp"]]["vmin"] = r["vmin"]
+                out[r["grp"]]["vmax"] = r["vmax"]
+
+    tmpl = read_snapshot(spark, view_dir).schema
+    consolidated = spark.createDataFrame(
+        [
+            (g, v["n_rows"], v["total"], v["vmin"], v["vmax"])
+            for g, v in sorted(out.items())
+        ],
+        tmpl,
+    )
+    rel = _write_segment(consolidated, view_dir)
+    commit_segments(
+        view_dir, added=[rel], removed=view_live, op="ivm_delta",
+        txn=(IVM_TXN_APP, v_head), meta=commit_meta,
+    )
+    return {"mode": "incremental", "source_version": v_head,
+            "rescanned_groups": sorted(rescan)}
+
+
+def ivm_read_minmax(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The consolidated view, as stored (one row per group)."""
+    return read_snapshot(spark, view_dir)
+
+
 def ivm_read(spark: SparkSession, view_dir: str) -> DataFrame:
     """Merged view: (grp, n_rows, total, avg) — one tiny groupBy over
     group-level signed partials; groups netted to zero rows vanish."""

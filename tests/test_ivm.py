@@ -374,3 +374,196 @@ def test_ivm_randomized_walk_matches_direct_aggregate(
             assert _view(spark, v) == _direct(spark, src), (
                 f"diverged at step {step} after {op}"
             )
+
+
+def _mview(spark, v):
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_read_minmax,
+    )
+
+    return {
+        r["grp"]: (r["n_rows"], r["total"], r["vmin"], r["vmax"])
+        for r in ivm_read_minmax(spark, v).collect()
+    }
+
+
+def _mdirect(spark, t):
+    return {
+        r["namespace"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in tx.read_table(spark, t)
+        .groupBy("namespace")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").alias("total"),
+            F.min("label").alias("vmin"),
+            F.max("label").alias("vmax"),
+        )
+        .collect()
+    }
+
+
+def test_ivm_minmax_inserts_extend_without_rescan(spark, tmp_path):
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_refresh_minmax,
+    )
+
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(1, 10, 0), (2, 20, 0), (3, 5, 1)])
+    assert ivm_refresh_minmax(spark, src, v)["mode"] == "full"
+    assert _mview(spark, v) == _mdirect(spark, src)
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame([(9, 99, 0), (10, 1, 0)], SCHEMA),
+        src,
+    )
+    r = ivm_refresh_minmax(spark, src, v)
+    assert r["mode"] == "incremental"
+    assert r["rescanned_groups"] == []  # inserts only extend
+    assert _mview(spark, v) == _mdirect(spark, src)
+    assert _mview(spark, v)[0][2:] == (1, 99)
+
+
+def test_ivm_minmax_interior_delete_no_rescan(spark, tmp_path):
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_refresh_minmax,
+    )
+
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(1, 10, 0), (2, 20, 0), (3, 30, 0)])
+    ivm_refresh_minmax(spark, src, v)
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame([(2, 0, 0)], SCHEMA),  # interior value
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    r = ivm_refresh_minmax(spark, src, v)
+    assert r["rescanned_groups"] == []  # 20 is strictly inside 10..30
+    assert _mview(spark, v) == _mdirect(spark, src)
+
+
+def test_ivm_minmax_extremum_delete_rescans_that_group_only(
+    spark, tmp_path
+):
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_refresh_minmax,
+    )
+
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(
+        spark,
+        src,
+        [(1, 10, 0), (2, 20, 0), (3, 30, 0), (4, 7, 1), (5, 9, 1)],
+    )
+    ivm_refresh_minmax(spark, src, v)
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame([(3, 0, 0)], SCHEMA),  # group 0's MAX
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    r = ivm_refresh_minmax(spark, src, v)
+    assert r["rescanned_groups"] == [0]  # group 1 untouched
+    got = _mview(spark, v)
+    assert got == _mdirect(spark, src)
+    assert got[0][2:] == (10, 20)
+
+
+def test_ivm_minmax_group_emptied_and_update_moves_extremum(
+    spark, tmp_path
+):
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_refresh_minmax,
+    )
+
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(1, 10, 0), (2, 20, 1)])
+    ivm_refresh_minmax(spark, src, v)
+    # Update group 1's only row downward (preimage 20 was both
+    # extrema -> rescan), and empty group 0.
+    tx.upsert_by_key(
+        spark,
+        src,
+        spark.createDataFrame([(2, 3, 1)], SCHEMA),
+        key="vec_id",
+    )
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame([(1, 0, 0)], SCHEMA),
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    r = ivm_refresh_minmax(spark, src, v)
+    got = _mview(spark, v)
+    assert got == _mdirect(spark, src) == {1: (1, 3, 3, 3)}
+    assert 0 not in got
+    assert ivm_refresh_minmax(spark, src, v)["mode"] == "noop"
+
+
+def test_ivm_minmax_randomized_walk(spark, tmp_path):
+    import random
+
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_refresh_minmax,
+    )
+
+    rng = random.Random(8151945)
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    _mk(spark, src, [(i, i * 3, i % 3) for i in range(1, 10)])
+    ivm_refresh_minmax(spark, src, v)
+    next_id = 50
+    for step in range(10):
+        op = rng.choice(["upsert", "delete", "append", "compact"])
+        if op == "upsert":
+            k = rng.randrange(1, 10)
+            tx.upsert_by_key(
+                spark,
+                src,
+                spark.createDataFrame(
+                    [(k, rng.randrange(-40, 40), k % 3)], SCHEMA
+                ),
+                key="vec_id",
+            )
+        elif op == "delete":
+            state = {
+                r["vec_id"]: r["namespace"]
+                for r in tx.read_table(spark, src).collect()
+            }
+            if state:
+                k = rng.choice(sorted(state))
+                tx.merge_into(
+                    spark,
+                    src,
+                    spark.createDataFrame([(k, 0, state[k])], SCHEMA),
+                    key="vec_id",
+                    matched=(("delete", None, None),),
+                    insert=False,
+                )
+        elif op == "append":
+            tx.append_partitioned(
+                spark,
+                spark.createDataFrame(
+                    [(next_id, rng.randrange(-40, 40), next_id % 3)],
+                    SCHEMA,
+                ),
+                src,
+            )
+            next_id += 1
+        else:
+            compact_snapshots(spark, src)
+        if rng.random() < 0.7 or step == 9:
+            ivm_refresh_minmax(spark, src, v)
+            assert _mview(spark, v) == _mdirect(spark, src), (
+                f"diverged at step {step} after {op}"
+            )
