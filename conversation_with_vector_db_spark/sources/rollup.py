@@ -475,12 +475,20 @@ def ivm_refresh_minmax(
         out[g] = dict(n_rows=n, total=total, vmin=vmin, vmax=vmax)
 
     if rescan:
+        # Segment-list pruning is sound only when groups ARE the
+        # partition tags; a rollup grouped on some other column must
+        # rescan with a plain (row-filtered) read.
+        part_filter = (
+            {str(g) for g in rescan}
+            if group_col == partition_col
+            else None
+        )
         exact = (
             read_table(
                 spark,
                 source_dir,
                 v_head,
-                partitions={str(g) for g in rescan},
+                partitions=part_filter,
                 partition_col=partition_col,
             )
             .where(F.col(group_col).isin(rescan))

@@ -567,3 +567,57 @@ def test_ivm_minmax_randomized_walk(spark, tmp_path):
             assert _mview(spark, v) == _mdirect(spark, src), (
                 f"diverged at step {step} after {op}"
             )
+
+
+def test_ivm_minmax_group_other_than_partition(spark, tmp_path):
+    """When the GROUP column is not the partition tag, the extremum
+    rescan must fall back to a row-filtered full read — segment-list
+    pruning by group values would silently miss rows."""
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_refresh_minmax,
+    )
+
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    # label%2 is the group; namespace is the partition — disjoint.
+    rows = [(i, i * 7 % 40, i % 3) for i in range(1, 12)]
+    _mk(spark, src, rows)
+    ivm_refresh_minmax(
+        spark, src, v, group_col="label", value_col="vec_id"
+    )
+    # Delete the row holding group-X's max vec_id.
+    state = tx.read_table(spark, src).collect()
+    target = max(state, key=lambda r: r["vec_id"])
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(target["vec_id"], 0, target["namespace"])], SCHEMA
+        ),
+        key="vec_id",
+        matched=(("delete", None, None),),
+        insert=False,
+    )
+    ivm_refresh_minmax(
+        spark, src, v, group_col="label", value_col="vec_id"
+    )
+    got = {
+        r["grp"]: (r["n_rows"], r["total"], r["vmin"], r["vmax"])
+        for r in __import__(
+            "conversation_with_vector_db_spark.sources.rollup",
+            fromlist=["ivm_read_minmax"],
+        ).ivm_read_minmax(spark, v).collect()
+    }
+    want = {
+        r["label"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in tx.read_table(spark, src)
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("vec_id").alias("total"),
+            F.min("vec_id").alias("vmin"),
+            F.max("vec_id").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == want
