@@ -289,14 +289,17 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
 
 #: Commit ops that re-package live rows without changing table
-#: content (binpack compaction, Z-order clustering, IVF cell moves,
-#: MOR log folds): the CDC feed SKIPS them outright — deriving their
-#: diff would read every touched segment to discover zero changes.
-#: ``append_log`` is the MOR overlay (not base rows) and is skipped
-#: like the append feed skips ``log-`` segments.
-_INVARIANT_OPS = frozenset(
-    {"compact", "zorder", "rebalance", "compact_log", "append_log"}
-)
+#: content (binpack compaction, Z-order clustering): the CDC feed
+#: SKIPS them outright — deriving their diff would read every touched
+#: segment to discover zero changes. ``append_log`` is the MOR
+#: overlay (not base rows) and is skipped like the append feed skips
+#: ``log-`` segments; the overlay's mutations surface when
+#: ``compact_log`` FOLDS them into base segments — that op is
+#: deliberately NOT here (its diff is the overlay's changes), and
+#: neither is ``rebalance`` (IVF cell moves change each row's cell
+#: column), keeping the stream pinned equal to the batch
+#: table_changes range read for MOR and index tables too.
+_INVARIANT_OPS = frozenset({"compact", "zorder", "append_log"})
 
 
 @dataclass
@@ -704,6 +707,62 @@ class _SnapshotWriter(DataSourceArrowWriter):
         _discard_staged(messages)
 
 
+def _fold_small_segments_arrow(
+    table_dir: str, target_bytes: int = 64 << 20
+) -> None:
+    """Session-free binpack for stream-written backlogs: concat the
+    head's sub-target UNTAGGED segments (the format writer's own
+    output shape) per identical arrow schema into one segment each,
+    and swap them in one conflict-checked rewrite commit. Tagged
+    segments (partitioned transactional layout) are left to the
+    Spark-powered compact_snapshots — their fold must preserve tags."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    head = sl.latest_version(table_dir)
+    small = []
+    for rel in sl.live_segments(table_dir, head):
+        base = os.path.basename(rel)
+        if base.startswith("log-") or "=" in base:
+            continue  # overlay / tagged segments: not ours to fold
+        files = _segment_files(table_dir, rel)
+        size = sum(os.path.getsize(f) for f in files)
+        if files and size < target_bytes:
+            small.append((rel, files))
+    if len(small) <= 1:
+        return
+    by_schema: dict = {}
+    for rel, files in small:
+        sch = pq.ParquetFile(files[0]).schema_arrow
+        by_schema.setdefault(sch.to_string(), []).append((rel, files))
+    added, removed = [], []
+    for group in by_schema.values():
+        if len(group) <= 1:
+            continue
+        tabs = [
+            pq.read_table(f) for _rel, files in group for f in files
+        ]
+        merged = pa.concat_tables(tabs, promote_options="default")
+        rel = os.path.join("data", uuid.uuid4().hex)
+        seg = os.path.join(table_dir, rel)
+        os.makedirs(seg)
+        pq.write_table(merged, os.path.join(seg, "part-0.parquet"))
+        added.append(rel)
+        removed.extend(r for r, _f in group)
+    if not added:
+        return
+    try:
+        sl.commit_segments(
+            table_dir, added=added, removed=removed, op="compact"
+        )
+    except Exception:
+        for rel in added:
+            _rmtree(os.path.join(table_dir, rel))
+        raise
+
+
 class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     """Streaming sink: each micro-batch commits txn-tagged with its
     batch id (``append_snapshot_txn`` semantics), so a replayed batch
@@ -745,20 +804,16 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
             # AFTER the txn commit: the batch's data is already
             # durable, a lost compaction race just leaves the fold to
             # a later batch; the txn replay guard is unaffected
-            # because compaction is a rewrite, not a txn commit.
-            from pyspark.sql import SparkSession
-
-            # getActiveSession is thread-local and the streaming
-            # commit runs off the main thread; getOrCreate returns
-            # the one existing driver session.
-            spark = (
-                SparkSession.getActiveSession()
-                or SparkSession.builder.getOrCreate()
-            )
+            # because compaction is a rewrite, not a txn commit. The
+            # fold is PURE pyarrow — this commit hook runs in the
+            # sink-commit Python runner, which has no SparkSession
+            # (and must not construct a rogue one); the backlog
+            # segments are micro-batch-sized by construction, exactly
+            # the single-process case.
             try:
-                sl.compact_snapshots(spark, self._table_dir)
-            except (sl.CommitConflictError, FileNotFoundError):
-                pass  # raced another writer; next window retries
+                _fold_small_segments_arrow(self._table_dir)
+            except Exception:  # noqa: BLE001 - best-effort fold
+                pass
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         _discard_staged(messages)

@@ -119,61 +119,58 @@ def append_evolved(df: DataFrame, table_dir: str) -> int:
         )
     merged, changed = evolve_fields(old, _fields_of(df.schema))
     rel = _write_segment(df, table_dir)
-    _enforce_constraints_evolved(
-        df.sparkSession, table_dir, rel, merged
-    )
     meta = (
         {SCHEMA_KEY: json.dumps(merged)} if changed else None
     )
-    return commit_segments(
-        table_dir, added=[rel], removed=[], op="append", meta=meta
-    )
-
-
-def _enforce_constraints_evolved(
-    spark: SparkSession, table_dir: str, rel: str, merged: list[dict]
-) -> None:
-    """CHECK-constraint enforcement on the evolved write path: the
-    staged segment is read through the MERGED declared schema (the
-    same typed-NULL backfill the evolved read uses), so a row that
-    OMITS a constrained column evaluates its predicate on NULL and is
-    refused — the same fail-closed semantics as the transactional
-    paths (sources/transactional._enforce_constraints_on_staged).
-    Costs one scan of the staged segment only; constraint-free tables
-    pay a metadata read."""
-    from .snapshot_log import segment_path
-    from .transactional import (
-        ConstraintViolationError,
-        table_constraints,
-    )
-
-    cons = table_constraints(table_dir)
-    if not cons:
-        return
-    staged = spark.read.schema(declared_struct(merged)).parquet(
-        segment_path(table_dir, rel)
-    )
-    checks = [
-        F.sum(
-            (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
-        ).alias(name)
-        for name, pred in sorted(cons.items())
-    ]
-    row = staged.agg(*checks).first()
-    bad = {
-        name: int(row[name])
-        for name, _ in sorted(cons.items())
-        if row[name]
-    }
-    if bad:
+    try:
+        return commit_segments(
+            table_dir, added=[rel], removed=[], op="append",
+            meta=meta,
+            pre_commit=_constraints_pre_commit_evolved(
+                df.sparkSession, table_dir, rel, merged
+            ),
+        )
+    except Exception:
         import shutil as _shutil
+
+        from .snapshot_log import segment_path
 
         _shutil.rmtree(
             segment_path(table_dir, rel), ignore_errors=True
         )
-        raise ConstraintViolationError(
-            f"write violates CHECK constraint(s) {bad} at {table_dir}"
+        raise
+
+
+def _constraints_pre_commit_evolved(
+    spark: SparkSession, table_dir: str, rel: str, merged: list[dict]
+):
+    """Per-CAS-attempt CHECK enforcement on the evolved write path
+    (the evolution-side twin of transactional's
+    _constraints_pre_commit; shared core = check_violations): the
+    staged segment is read through the MERGED declared schema (the
+    same typed-NULL backfill the evolved read uses), so a row that
+    OMITS a constrained column evaluates its predicate on NULL and is
+    refused — fail-closed. Memoized per constraint map; cleanup of
+    the refused segment is the caller's except block."""
+    from .snapshot_log import segment_path
+    from .transactional import check_violations, table_constraints
+
+    state = {"ok_for": None}
+
+    def hook(_head: int) -> None:
+        cons = table_constraints(table_dir)
+        if not cons:
+            return
+        key = json.dumps(cons, sort_keys=True)
+        if state["ok_for"] == key:
+            return
+        staged = spark.read.schema(declared_struct(merged)).parquet(
+            segment_path(table_dir, rel)
         )
+        check_violations(staged, cons, table_dir)
+        state["ok_for"] = key
+
+    return hook
 
 
 def declared_struct(fields: list[dict]) -> T.StructType:

@@ -483,6 +483,13 @@ def ivm_refresh_minmax(
             if group_col == partition_col
             else None
         )
+        nn = [g for g in rescan if g is not None]
+        cond = F.col(group_col).isin(nn) if nn else F.lit(False)
+        if any(g is None for g in rescan):
+            # isin never matches NULL (SQL IN semantics): a NULL
+            # group whose extremum was deleted needs its own branch
+            # or its exact recompute silently never happens.
+            cond = cond | F.col(group_col).isNull()
         exact = (
             read_table(
                 spark,
@@ -491,7 +498,7 @@ def ivm_refresh_minmax(
                 partitions=part_filter,
                 partition_col=partition_col,
             )
-            .where(F.col(group_col).isin(rescan))
+            .where(cond)
             .groupBy(F.col(group_col).alias("grp"))
             .agg(
                 F.min(value_col).alias("vmin"),
@@ -508,7 +515,9 @@ def ivm_refresh_minmax(
     consolidated = spark.createDataFrame(
         [
             (g, v["n_rows"], v["total"], v["vmin"], v["vmax"])
-            for g, v in sorted(out.items())
+            for g, v in sorted(
+                out.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+            )
         ],
         tmpl,
     )
@@ -517,8 +526,13 @@ def ivm_refresh_minmax(
         view_dir, added=[rel], removed=view_live, op="ivm_delta",
         txn=(IVM_TXN_APP, v_head), meta=commit_meta,
     )
-    return {"mode": "incremental", "source_version": v_head,
-            "rescanned_groups": sorted(rescan)}
+    return {
+        "mode": "incremental",
+        "source_version": v_head,
+        "rescanned_groups": sorted(
+            rescan, key=lambda g: (g is None, str(g))
+        ),
+    }
 
 
 def ivm_read_minmax(spark: SparkSession, view_dir: str) -> DataFrame:

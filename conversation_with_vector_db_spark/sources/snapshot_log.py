@@ -475,6 +475,7 @@ def commit_segments(
     txn: tuple[str, int] | None = None,
     stats: dict[str, dict] | None = None,
     meta: dict | None = None,
+    pre_commit=None,
 ) -> int:
     """CAS-commit already-written segments as one atomic version: the
     primitive every write path shares (appends, keyed upserts/deletes,
@@ -485,7 +486,10 @@ def commit_segments(
     optionally publishes table-metadata keys atomically with the
     commit (see :func:`table_meta`) — e.g. a centroid-model pointer
     that must never be observable without its assignment or vice
-    versa.
+    versa; ``pre_commit(head)`` optionally runs per CAS attempt
+    before publishing (write-time CHECK enforcement — see
+    sources/transactional.py), so a retry revalidates against rules
+    that landed since the previous attempt.
 
     With an empty ``removed`` this is an append-shaped commit: it
     commutes, so CAS losers replay the same delta blindly and no prior
@@ -498,6 +502,14 @@ def commit_segments(
     resurrect rows)."""
     for _ in range(max_retries):
         head = latest_version(table_dir)
+        if pre_commit is not None:
+            # Per-ATTEMPT validation hook (constraint enforcement):
+            # runs against the head this attempt will CAS on, so a
+            # rule committed between attempts is seen by the retry —
+            # every committed version observes every rule committed
+            # before it (the OCC read-set revalidation Delta applies
+            # to metadata). The hook must raise to refuse.
+            pre_commit(head)
         new_live: list[str] | None = None
         if removed:
             try:
@@ -1112,41 +1124,66 @@ def restore_table(table_dir: str, version: int) -> int:
     against concurrent rewrites via the normal CAS revalidation; a
     concurrent APPEND that lands while the restore commits survives it
     (its segment is in neither version's live set — the same
-    resolution Delta applies to restore-vs-append races)."""
+    resolution Delta applies to restore-vs-append races).
+
+    Concurrency shape: the delta is recomputed from the CURRENT head
+    inside a re-plan loop and each plan gets exactly ONE CAS attempt
+    (``max_retries=1``) — a lost race must never blind-replay an
+    append-shaped delta (two racing restores would each re-add the
+    same segments, doubling rows); the loser re-plans against the
+    winner's head and converges to a no-op. The target-file existence
+    check also reruns per attempt, shrinking (not eliminating — the
+    same residual window Delta has) the restore-vs-vacuum race."""
     target = live_segments(table_dir, version)
-    gone = [
-        r for r in target
-        if not os.path.exists(segment_path(table_dir, r))
-    ]
-    if gone:
-        raise ValueError(
-            f"cannot restore {table_dir} to v{version}: "
-            f"{len(gone)} segment(s) already vacuumed, e.g. {gone[0]}"
-        )
     target_stats = segment_stats(table_dir, version)
     target_meta = _collect_meta(table_dir, version)
-    head = latest_version(table_dir)
-    current = live_segments(table_dir, head)
-    current_meta = _collect_meta(table_dir, head)
-    cur_set, tgt_set = set(current), set(target)
-    added = [r for r in target if r not in cur_set]
-    removed = [r for r in current if r not in tgt_set]
-    meta_patch: dict = {
-        k: v for k, v in target_meta.items()
-        if current_meta.get(k) != v
-    }
-    for k in current_meta:
-        if k not in target_meta and current_meta[k] is not None:
-            meta_patch[k] = None
-    return commit_segments(
-        table_dir,
-        added=added,
-        removed=removed,
-        op="restore",
-        stats={r: target_stats[r] for r in added if r in target_stats}
-        or None,
-        meta=meta_patch or None,
-    )
+    tgt_set = set(target)
+    last: Exception | None = None
+    for _ in range(8):
+        gone = [
+            r for r in target
+            if not os.path.exists(segment_path(table_dir, r))
+        ]
+        if gone:
+            raise ValueError(
+                f"cannot restore {table_dir} to v{version}: "
+                f"{len(gone)} segment(s) already vacuumed, "
+                f"e.g. {gone[0]}"
+            )
+        head = latest_version(table_dir)
+        try:
+            current = live_segments(table_dir, head)
+            current_meta = _collect_meta(table_dir, head)
+        except FileNotFoundError:
+            continue  # head vacuumed mid-read; re-resolve
+        cur_set = set(current)
+        added = [r for r in target if r not in cur_set]
+        removed = [r for r in current if r not in tgt_set]
+        meta_patch: dict = {
+            k: v for k, v in target_meta.items()
+            if current_meta.get(k) != v
+        }
+        for k in current_meta:
+            if k not in target_meta and current_meta[k] is not None:
+                meta_patch[k] = None
+        try:
+            return commit_segments(
+                table_dir,
+                added=added,
+                removed=removed,
+                op="restore",
+                stats={
+                    r: target_stats[r]
+                    for r in added
+                    if r in target_stats
+                }
+                or None,
+                meta=meta_patch or None,
+                max_retries=1,
+            )
+        except CommitConflictError as e:
+            last = e  # someone else committed first; re-plan
+    raise last if last is not None else CommitConflictError(table_dir)
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:

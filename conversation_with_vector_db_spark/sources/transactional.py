@@ -509,14 +509,16 @@ def append_partitioned(
     optional Bloom sidecar (see :func:`create_partitioned_table`)."""
     rels = _stage_partition_segments(df, table_dir, partition_col)
     try:
-        _enforce_constraints_on_staged(spark, table_dir, rels)
-    except ConstraintViolationError:
+        return commit_segments(
+            table_dir, added=rels, removed=[], op="append",
+            stats=_write_stats(spark, table_dir, rels, key, bloom_bits),
+            pre_commit=_constraints_pre_commit(spark, table_dir, rels),
+        )
+    except Exception:
+        # Constraint refusal, analysis error in a stored predicate,
+        # or CAS exhaustion: never leave staged dirs behind.
         _cleanup(table_dir, rels)
         raise
-    return commit_segments(
-        table_dir, added=rels, removed=[], op="append",
-        stats=_write_stats(spark, table_dir, rels, key, bloom_bits),
-    )
 
 
 def _read_segments(
@@ -634,20 +636,21 @@ def upsert_by_key(
             merged = updates
         new_rels = _stage_partition_segments(merged, table_dir, partition_col)
         try:
-            _enforce_constraints_on_staged(spark, table_dir, new_rels)
-        except ConstraintViolationError:
-            _cleanup(table_dir, new_rels)
-            raise
-        try:
             return commit_segments(
                 table_dir, added=new_rels, removed=old, op="upsert",
                 stats=_segment_key_stats(
                     table_dir, new_rels, key, spark=spark
                 ),
+                pre_commit=_constraints_pre_commit(
+                    spark, table_dir, new_rels
+                ),
             )
         except CommitConflictError as e:
             _cleanup(table_dir, new_rels)
             last = e  # same-partition writer won; re-plan
+        except Exception:
+            _cleanup(table_dir, new_rels)
+            raise
     raise last if last is not None else CommitConflictError(table_dir)
 
 
@@ -726,21 +729,22 @@ def upsert_by_key_global(
             merged = updates
         new_rels = _stage_partition_segments(merged, table_dir, partition_col)
         try:
-            _enforce_constraints_on_staged(spark, table_dir, new_rels)
-        except ConstraintViolationError:
-            _cleanup(table_dir, new_rels)
-            raise
-        try:
             return commit_segments(
                 table_dir, added=new_rels, removed=old, op="upsert_global",
                 stats=_segment_key_stats(
                     table_dir, new_rels, key, spark=spark
                 ),
                 txn=txn,
+                pre_commit=_constraints_pre_commit(
+                    spark, table_dir, new_rels
+                ),
             )
         except CommitConflictError as e:
             _cleanup(table_dir, new_rels)
             last = e
+        except Exception:
+            _cleanup(table_dir, new_rels)
+            raise
     raise last if last is not None else CommitConflictError(table_dir)
 
 
@@ -1083,11 +1087,16 @@ def merge_into(
                 "set_map — there is no source row to copy"
             )
 
-    touched = {
-        str(r[0])
-        for r in source.select(partition_col).distinct().collect()
-    }
-    slo, shi = source.agg(F.min(key), F.max(key)).first()
+    if not_matched_by_source:
+        # Pruning is disabled below; don't pay the two source jobs
+        # whose results would never be consulted.
+        touched, slo, shi = set(), None, None
+    else:
+        touched = {
+            str(r[0])
+            for r in source.select(partition_col).distinct().collect()
+        }
+        slo, shi = source.agg(F.min(key), F.max(key)).first()
     last: Exception | None = None
     for _ in range(max_replans):
         head = latest_version(table_dir)
@@ -1232,11 +1241,6 @@ def merge_into(
             merged, table_dir, partition_col
         )
         try:
-            _enforce_constraints_on_staged(spark, table_dir, new_rels)
-        except ConstraintViolationError:
-            _cleanup(table_dir, new_rels)
-            raise
-        try:
             return commit_segments(
                 table_dir,
                 added=new_rels,
@@ -1245,10 +1249,16 @@ def merge_into(
                 stats=_segment_key_stats(
                     table_dir, new_rels, key, spark=spark
                 ),
+                pre_commit=_constraints_pre_commit(
+                    spark, table_dir, new_rels
+                ),
             )
         except CommitConflictError as e:
             _cleanup(table_dir, new_rels)
             last = e
+        except Exception:
+            _cleanup(table_dir, new_rels)
+            raise
     raise last if last is not None else CommitConflictError(table_dir)
 
 
@@ -1650,18 +1660,12 @@ def drop_check_constraint(table_dir: str, name: str) -> int:
     )
 
 
-def _enforce_constraints_on_staged(
-    spark: SparkSession, table_dir: str, new_rels: list[str]
-) -> None:
-    """Validate staged (not-yet-committed) segments against the
-    head's constraint map; raise and let the caller clean up on any
-    violation. Costs one scan of the NEW segments only — the
-    Delta/Iceberg write-validation shape — and nothing at all on
-    constraint-free tables (one metadata read)."""
-    cons = table_constraints(table_dir)
-    if not cons or not new_rels:
-        return
-    staged = _read_segments(spark, table_dir, new_rels)
+def check_violations(staged: DataFrame, cons: dict[str, str],
+                     where: str) -> None:
+    """Shared CHECK core (transactional + evolution write paths): one
+    aggregated scan of ``staged`` counting rows each predicate does
+    not PROVABLY satisfy (NULL = violation, fail-closed); raises
+    :class:`ConstraintViolationError` naming every violated rule."""
     checks = [
         F.sum(
             (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
@@ -1676,5 +1680,37 @@ def _enforce_constraints_on_staged(
     }
     if bad:
         raise ConstraintViolationError(
-            f"write violates CHECK constraint(s) {bad} at {table_dir}"
+            f"write violates CHECK constraint(s) {bad} at {where}"
         )
+
+
+def _constraints_pre_commit(
+    spark: SparkSession, table_dir: str, new_rels: list[str]
+):
+    """Per-CAS-attempt enforcement hook for
+    :func:`~.snapshot_log.commit_segments`: re-reads the constraint
+    map on EVERY attempt, so a constraint committed between a
+    writer's staging and its winning CAS is still enforced on that
+    writer (the OCC metadata-revalidation Delta applies — without
+    this, an in-flight append could land rows violating a rule whose
+    ADD already committed). The staged scan is memoized per distinct
+    constraint map, so the common no-conflict path pays it at most
+    once — and constraint-free tables pay one metadata read."""
+    state = {"ok_for": None}
+
+    def hook(_head: int) -> None:
+        import json as _json
+
+        cons = table_constraints(table_dir)
+        if not cons or not new_rels:
+            return
+        key = _json.dumps(cons, sort_keys=True)
+        if state["ok_for"] == key:
+            return
+        check_violations(
+            _read_segments(spark, table_dir, new_rels), cons,
+            table_dir,
+        )
+        state["ok_for"] = key
+
+    return hook

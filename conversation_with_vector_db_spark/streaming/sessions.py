@@ -35,6 +35,8 @@ plans/streaming_batch.py.
 
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -934,8 +936,35 @@ def streaming_ivm_sink(
             )
             .where((F.col("n") != 0) | (F.col("total") != 0))
         )
-        append_snapshot_txn(
-            part, view_dir, app=app_id, txn_version=batch_id
+        # Stage + footer-probe (the ivm_refresh shape): a batch whose
+        # changes net to zero commits its txn WITHOUT a zero-row
+        # segment, so quiet stretches don't inflate the view's
+        # segment list.
+        from ..sources.rollup import _segment_rows
+        from ..sources.snapshot_log import (
+            _write_segment,
+            commit_segments,
+            last_txn_version,
+        )
+
+        prev = last_txn_version(view_dir, app_id)
+        if prev is not None and prev >= batch_id:
+            return  # replay: publish nothing
+        rel = _write_segment(part, view_dir)
+        if _segment_rows(view_dir, rel) == 0:
+            import shutil
+
+            shutil.rmtree(
+                _os.path.join(view_dir, rel), ignore_errors=True
+            )
+            commit_segments(
+                view_dir, added=[], removed=[], op="ivm_noop",
+                txn=(app_id, int(batch_id)),
+            )
+            return
+        commit_segments(
+            view_dir, added=[rel], removed=[], op="ivm_delta",
+            txn=(app_id, int(batch_id)),
         )
         if auto_compact_every and (
             (batch_id + 1) % auto_compact_every == 0
@@ -943,15 +972,12 @@ def streaming_ivm_sink(
             # Fold the partial backlog in place (best-effort — a lost
             # race leaves the fold to a later window); the view read
             # is compaction-invariant by the partials' linearity.
-            from ..sources.snapshot_log import (
-                CommitConflictError,
-                compact_snapshots,
-            )
+            from ..sources.snapshot_log import compact_snapshots
 
             try:
                 compact_snapshots(batch_df.sparkSession, view_dir)
-            except (CommitConflictError, FileNotFoundError):
-                pass
+            except Exception:  # noqa: BLE001 - best-effort fold
+                pass  # partials already committed; fold later
 
     return (
         change_stream.writeStream.outputMode("append")

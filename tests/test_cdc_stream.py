@@ -420,3 +420,66 @@ def test_cdc_stream_behind_vacuum_fails_loudly(ds_spark, tmp_path):
     with pytest.raises(Exception):
         q.processAllAvailable()
     q.stop()
+
+
+def test_cdc_stream_surfaces_mor_fold_changes(ds_spark, tmp_path):
+    """Mutations applied through the merge-on-read overlay surface in
+    the feed when compact_change_log FOLDS them into base segments —
+    the fold's diff IS the overlay's changes, equal to the batch
+    range read (overlay segments themselves stay invisible, matching
+    table_changes' base-rows-only contract)."""
+    from conversation_with_vector_db_spark.sources.transactional import (
+        append_change_segment,
+        compact_change_log,
+    )
+
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(ds_spark, t, [(1, 2, 0), (2, 3, 0), (3, 4, 1)])
+    v0 = latest_version(t)
+    append_change_segment(
+        ds_spark,
+        ds_spark.createDataFrame([(1, 100, 0)], SCHEMA),
+        t,
+        op="upsert",
+        seq=1,
+    )
+    append_change_segment(
+        ds_spark,
+        ds_spark.createDataFrame([(2, 0, 0)], SCHEMA),
+        t,
+        op="delete",
+        seq=2,
+    )
+    compact_change_log(ds_spark, t, key="vec_id")
+    head = latest_version(t)
+
+    got: list = []
+    q = (
+        ds_spark.readStream.format("snapshot_log")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v0 + 1)
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = sorted(
+        (r["_change_type"], r["vec_id"], r["label"]) for r in got
+    )
+    batch_rows = sorted(
+        (r["_change_type"], r["vec_id"], r["label"])
+        for r in tx.table_changes(
+            ds_spark, t, v0, head, key="vec_id"
+        ).collect()
+    )
+    assert stream_rows == batch_rows
+    assert ("update_postimage", 1, 100) in stream_rows
+    assert ("delete", 2, 3) in stream_rows
+    # The overlay-append commits themselves emitted nothing; only
+    # the fold's versions appear.
+    assert all(r["_commit_version"] == head for r in got)

@@ -241,3 +241,44 @@ def test_constraint_added_on_branch_carries_through_merge(
             ),
             tdir,
         )
+
+
+def test_constraint_added_between_staging_and_commit_is_enforced(
+    spark, tdir
+):
+    """The OCC metadata-revalidation hole, closed: enforcement runs
+    per CAS attempt (commit_segments pre_commit), so a constraint
+    whose ADD commits after a writer STAGED violating rows — but
+    before that writer's CAS — still refuses the write."""
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        commit_segments,
+        segment_path,
+    )
+
+    _mk(spark, tdir)
+    bad = spark.createDataFrame(
+        [(5, -1, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    rels = tx._stage_partition_segments(bad, tdir, "namespace")
+    # The rule lands AFTER staging (another session's ALTER TABLE).
+    tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+    v = latest_version(tdir)
+    with pytest.raises(tx.ConstraintViolationError):
+        try:
+            commit_segments(
+                tdir,
+                added=rels,
+                removed=[],
+                op="append",
+                pre_commit=tx._constraints_pre_commit(
+                    spark, tdir, rels
+                ),
+            )
+        except Exception:
+            tx._cleanup(tdir, rels)
+            raise
+    assert latest_version(tdir) == v
+    assert (5, 0) not in _state(spark, tdir)
+    import os
+
+    assert not os.path.exists(segment_path(tdir, rels[0]))

@@ -621,3 +621,41 @@ def test_ivm_minmax_group_other_than_partition(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ivm_minmax_null_group_rescan(spark, tmp_path):
+    """A NULL group is a real group: deleting its extremum must
+    rescan and refill it (isin alone would drop NULL-group rows)."""
+    from conversation_with_vector_db_spark.sources.rollup import (
+        ivm_refresh_minmax,
+    )
+
+    src = str(tmp_path / "src")
+    v = str(tmp_path / "view")
+    df = spark.createDataFrame(
+        [(1, 10, 0, None), (2, 20, 0, None), (3, 5, 1, "a")],
+        "vec_id: long, label: int, namespace: int, region: string",
+    )
+    tx.create_partitioned_table(spark, df, src, key="vec_id")
+    ivm_refresh_minmax(spark, src, v, group_col="region")
+    tx.merge_into(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(2, 0, 0, None)],
+            "vec_id: long, label: int, namespace: int, region: string",
+        ),
+        key="vec_id",
+        matched=(("delete", None, None),),  # NULL group's max (20)
+        insert=False,
+    )
+    r = ivm_refresh_minmax(spark, src, v, group_col="region")
+    assert r["rescanned_groups"] == [None]
+    got = {
+        rr["grp"]: (rr["n_rows"], rr["vmin"], rr["vmax"])
+        for rr in __import__(
+            "conversation_with_vector_db_spark.sources.rollup",
+            fromlist=["ivm_read_minmax"],
+        ).ivm_read_minmax(spark, v).collect()
+    }
+    assert got[None] == (1, 10, 10) and got["a"] == (1, 5, 5)
