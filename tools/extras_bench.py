@@ -53,7 +53,9 @@ QUERIES = [
     "m18_restore_lifecycle",
     "m19_merge_sync_by_source",
     "a25_ivm_group_aggregate",
+    "a26_ivm_minmax_aggregate",
     "d9_sql_udtf_lateral",
+    "c23_variant_json",
 ]
 
 
