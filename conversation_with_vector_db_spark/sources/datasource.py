@@ -221,8 +221,13 @@ class _SnapshotReader(DataSourceReader):
                 yield batch
 
 
-#: Commit ops whose ``added`` segments are NEW rows (the change feed
-#: emits these). Rewrite-shaped ops re-package already-delivered rows.
+#: Commit ops whose ``added`` segments MAY be new rows (the append
+#: feed emits these when the commit is APPEND-SHAPED, i.e. removed
+#: nothing). The shape test matters: a merge_into or branch merge
+#: that also REMOVED segments re-packages already-delivered rows in
+#: its added set — emitting those would duplicate them, so
+#: mixed-shape commits are skipped here and belong to the
+#: readChangeFeed mode, whose diff handles them exactly.
 _FEED_OPS = frozenset({"append", "append_txn", "merge", "create"})
 
 
@@ -250,6 +255,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             m = sl._read_manifest(self._table_dir, v)
             if m.get("op") not in _FEED_OPS:
+                continue
+            if any(
+                not os.path.basename(r).startswith("log-")
+                for r in m.get("removed", ())
+            ):
+                # Rewrite-shaped despite the op name (e.g. a merge
+                # that rewrote segments): its added set re-packages
+                # delivered rows — never re-emit.
                 continue
             for rel in m.get("added", ()):
                 if os.path.basename(rel).startswith("log-"):

@@ -412,3 +412,55 @@ def test_stream_writer_auto_compacts(ds_spark, tmp_path):
     )
     # 6 one-file batches would leave 6 segments; the folds bound it.
     assert len(live(t)) < 6
+
+
+def test_stream_append_feed_skips_rewrite_shaped_merge(
+    ds_spark, tmp_path
+):
+    """A merge_into that rewrites segments must NOT re-deliver the
+    rewritten slice through the append feed (its op is in the feed
+    set, but its SHAPE is a rewrite — the shape test governs)."""
+    from conversation_with_vector_db_spark.sources import (
+        transactional as tx,
+    )
+
+    t = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    tx.create_partitioned_table(
+        ds_spark,
+        ds_spark.createDataFrame(
+            [(1, 2, 0), (2, 3, 0)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        t,
+        key="vec_id",
+    )
+    got: list = []
+    q = (
+        ds_spark.readStream.format("snapshot_log")
+        .option("path", t)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _b: got.extend(
+                (r["vec_id"], r["label"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    assert sorted(got) == [(1, 2), (2, 3)]
+    # Rewrite-shaped merge (update): nothing re-delivered.
+    tx.merge_into(
+        ds_spark,
+        t,
+        ds_spark.createDataFrame(
+            [(1, 100, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        key="vec_id",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == [(1, 2), (2, 3)]  # no duplicates
