@@ -1743,6 +1743,98 @@ def a26_ivm_minmax_aggregate(
 
 
 @query(
+    "m20_foreign_key_lifecycle",
+    driver=False,
+    doc="""FOREIGN KEY lifecycle (sources/transactional.
+    add_foreign_key — referential integrity enforced at WRITE time,
+    the rule Delta itself leaves to audits): add an FK from the
+    child's namespace to a parent key table (validated against the
+    existing child first), refuse a commit carrying orphans
+    atomically (no version, no partial rows; NULL FKs pass — SQL
+    semantics), land the conformant batch. Enforcement is one
+    broadcast LEFT ANTI of the staged rows' keys against the parent's
+    distinct keys, inside the same per-CAS-attempt hook as CHECK
+    constraints. The oracle replays the surviving state.""",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, CAST(vec_id % 4 AS INT) AS namespace
+    FROM embeddings
+),
+ins AS (
+    SELECT vec_id + 3000000 AS vec_id, CAST(label + 2 AS INT) AS label,
+           namespace
+    FROM base WHERE vec_id % 90 = 0
+),
+fin AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+SELECT count(*) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS label_sum,
+       1 AS n_fks,
+       1 AS n_refused
+FROM fin
+""",
+)
+def m20_foreign_key_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import transactional as tx
+
+    parent_dir = os.path.join(tempfile.gettempdir(), "cvdb_fk_query")
+    shutil.rmtree(parent_dir, ignore_errors=True)
+    t = os.path.join(parent_dir, uuid.uuid4().hex)
+    p = t + "-parent"
+
+    base = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 4).cast("int").alias("namespace"),
+    )
+    tx.create_partitioned_table(
+        spark,
+        spark.createDataFrame(
+            [(k, k, k) for k in range(4)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        p,
+    )
+    tx.create_partitioned_table(spark, base, t, key="vec_id")
+    tx.add_foreign_key(spark, t, "fk_ns", "namespace", p, "namespace")
+    refused = 0
+    try:
+        tx.append_partitioned(
+            spark,
+            base.filter(F.col("vec_id") % 90 == 0).select(
+                (F.col("vec_id") + 3000000).alias("vec_id"),
+                (F.col("label") + 2).cast("int").alias("label"),
+                F.lit(9).cast("int").alias("namespace"),  # orphan
+            ),
+            t,
+        )
+    except tx.ConstraintViolationError:
+        refused = 1
+    tx.append_partitioned(
+        spark,
+        base.filter(F.col("vec_id") % 90 == 0).select(
+            (F.col("vec_id") + 3000000).alias("vec_id"),
+            (F.col("label") + 2).cast("int").alias("label"),
+            "namespace",
+        ),
+        t,
+    )
+    head = tx.read_table(spark, t)
+    return head.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("label").cast("long").alias("label_sum"),
+        F.lit(len(tx.table_foreign_keys(t))).alias("n_fks"),
+        F.lit(refused).alias("n_refused"),
+    )
+
+
+@query(
     "m19_merge_sync_by_source",
     driver=False,
     doc="""WHEN NOT MATCHED BY SOURCE (Delta 2.4's MERGE extension,

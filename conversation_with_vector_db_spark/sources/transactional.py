@@ -1684,6 +1684,103 @@ def check_violations(staged: DataFrame, cons: dict[str, str],
         )
 
 
+#: Manifest meta key holding the FOREIGN-KEY map
+#: (name -> {col, parent, parent_col}). Parents are referenced by
+#: table PATH — the engine's tables are directory-addressed, so the
+#: reference is as stable as the table itself.
+FOREIGN_KEYS_KEY = "foreign_keys"
+
+
+def table_foreign_keys(table_dir: str) -> dict[str, dict]:
+    """Effective FOREIGN KEY constraints at the head."""
+    import json as _json
+
+    raw = table_meta(table_dir).get(FOREIGN_KEYS_KEY)
+    return _json.loads(raw) if raw else {}
+
+
+def _fk_orphans(
+    spark: SparkSession, df: DataFrame, fk: dict
+) -> int:
+    """Rows of ``df`` whose non-NULL ``col`` has no match in the
+    parent's ``parent_col`` (SQL FK semantics: NULLs pass). The probe
+    is one broadcast LEFT ANTI against the parent's DISTINCT key
+    column — dimension-sized by assumption, the same shape as
+    operators/expectations' referential-integrity check."""
+    parent_keys = (
+        read_table(spark, fk["parent"])
+        .select(F.col(fk["parent_col"]).alias("_pk"))
+        .distinct()
+    )
+    return (
+        df.select(F.col(fk["col"]).alias("_ck"))
+        .where(F.col("_ck").isNotNull())
+        .join(
+            F.broadcast(parent_keys),
+            F.col("_ck") == F.col("_pk"),
+            "left_anti",
+        )
+        .count()
+    )
+
+
+def add_foreign_key(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    col: str,
+    parent_dir: str,
+    parent_col: str,
+) -> int:
+    """ADD CONSTRAINT ... FOREIGN KEY (the referential rule even
+    Delta leaves to expectations): validates the EXISTING table
+    against the parent's CURRENT keys first, then publishes the FK
+    map as a metadata-only commit. From that version on every
+    row-introducing write validates its staged rows against the
+    parent HEAD inside the same per-CAS-attempt hook as CHECK
+    constraints. Scope (documented, not hidden): the parent is read
+    at enforcement time — a later parent DELETE is not blocked (no
+    reverse trigger), which is the expectations-suite's job to
+    audit; enforcement here stops orphans from ever being WRITTEN."""
+    import json as _json
+
+    fk = {"col": col, "parent": parent_dir, "parent_col": parent_col}
+    try:
+        head_df = read_table(spark, table_dir)
+    except ValueError:
+        head_df = None
+    if head_df is not None:
+        bad = _fk_orphans(spark, head_df, fk)
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add foreign key {name!r}: {bad} existing "
+                f"row(s) have no parent in {parent_dir}:{parent_col}"
+            )
+    cur = table_foreign_keys(table_dir)
+    cur[name] = fk
+    return commit_segments(
+        table_dir,
+        added=[],
+        removed=[],
+        op="add_constraint",
+        meta={FOREIGN_KEYS_KEY: _json.dumps(cur)},
+    )
+
+
+def drop_foreign_key(table_dir: str, name: str) -> int:
+    import json as _json
+
+    cur = table_foreign_keys(table_dir)
+    cur.pop(name, None)
+    return commit_segments(
+        table_dir,
+        added=[],
+        removed=[],
+        op="drop_constraint",
+        meta={FOREIGN_KEYS_KEY: _json.dumps(cur)},
+    )
+
+
 def _constraints_pre_commit(
     spark: SparkSession, table_dir: str, new_rels: list[str]
 ):
@@ -1702,15 +1799,23 @@ def _constraints_pre_commit(
         import json as _json
 
         cons = table_constraints(table_dir)
-        if not cons or not new_rels:
+        fks = table_foreign_keys(table_dir)
+        if (not cons and not fks) or not new_rels:
             return
-        key = _json.dumps(cons, sort_keys=True)
+        key = _json.dumps([cons, fks], sort_keys=True)
         if state["ok_for"] == key:
             return
-        check_violations(
-            _read_segments(spark, table_dir, new_rels), cons,
-            table_dir,
-        )
+        staged = _read_segments(spark, table_dir, new_rels)
+        if cons:
+            check_violations(staged, cons, table_dir)
+        for name, fk in sorted(fks.items()):
+            bad = _fk_orphans(spark, staged, fk)
+            if bad:
+                raise ConstraintViolationError(
+                    f"write violates FOREIGN KEY {name!r}: {bad} "
+                    f"row(s) have no parent in "
+                    f"{fk['parent']}:{fk['parent_col']}"
+                )
         state["ok_for"] = key
 
     return hook

@@ -282,3 +282,91 @@ def test_constraint_added_between_staging_and_commit_is_enforced(
     import os
 
     assert not os.path.exists(segment_path(tdir, rels[0]))
+
+
+def _mk_parent(spark, pdir, keys=(0, 1, 2)):
+    tx.create_partitioned_table(
+        spark,
+        spark.createDataFrame(
+            [(k, k * 10, k) for k in keys],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        pdir,
+    )
+
+
+def test_foreign_key_add_validates_and_blocks_orphans(
+    spark, tdir
+):
+    parent = tdir + "_parent"
+    _mk_parent(spark, parent)
+    _mk(spark, tdir, [(1, 2, 0), (2, 3, 1)])
+    tx.add_foreign_key(
+        spark, tdir, "fk_ns", "namespace", parent, "namespace"
+    )
+    v = latest_version(tdir)
+    with pytest.raises(
+        tx.ConstraintViolationError, match="FOREIGN KEY"
+    ):
+        tx.append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(9, 1, 7)],  # namespace 7 has no parent
+                "vec_id: long, label: int, namespace: int",
+            ),
+            tdir,
+        )
+    assert latest_version(tdir) == v
+    # Conformant insert lands; NULL FK passes (SQL semantics).
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(9, 1, 2), (10, 1, None)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        tdir,
+    )
+    got = {r["vec_id"] for r in tx.read_table(spark, tdir).collect()}
+    assert {9, 10} <= got
+
+
+def test_foreign_key_not_addable_over_orphaned_rows(spark, tdir):
+    parent = tdir + "_parent"
+    _mk_parent(spark, parent, keys=(0,))
+    _mk(spark, tdir, [(1, 2, 0), (2, 3, 5)])  # 5 is an orphan
+    with pytest.raises(
+        tx.ConstraintViolationError, match="existing"
+    ):
+        tx.add_foreign_key(
+            spark, tdir, "fk_ns", "namespace", parent, "namespace"
+        )
+    assert tx.table_foreign_keys(tdir) == {}
+
+
+def test_foreign_key_drop_reopens_and_merge_enforced(spark, tdir):
+    parent = tdir + "_parent"
+    _mk_parent(spark, parent)
+    _mk(spark, tdir, [(1, 2, 0)])
+    tx.add_foreign_key(
+        spark, tdir, "fk_ns", "namespace", parent, "namespace"
+    )
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.merge_into(
+            spark,
+            tdir,
+            spark.createDataFrame(
+                [(7, 1, 9)],
+                "vec_id: long, label: int, namespace: int",
+            ),
+            key="vec_id",
+        )
+    tx.drop_foreign_key(tdir, "fk_ns")
+    tx.merge_into(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(7, 1, 9)], "vec_id: long, label: int, namespace: int"
+        ),
+        key="vec_id",
+    )
+    assert (7, 9) in _state(spark, tdir)
