@@ -642,7 +642,10 @@ def upsert_by_key(
                     table_dir, new_rels, key, spark=spark
                 ),
                 pre_commit=_constraints_pre_commit(
-                    spark, table_dir, new_rels
+                    spark, table_dir, new_rels,
+                    # keyed fold: identity uniqueness holds by
+                    # construction, skip the UNIQUE probe
+                    uniqueness_preserved=True,
                 ),
             )
         except CommitConflictError as e:
@@ -736,7 +739,10 @@ def upsert_by_key_global(
                 ),
                 txn=txn,
                 pre_commit=_constraints_pre_commit(
-                    spark, table_dir, new_rels
+                    spark, table_dir, new_rels,
+                    # keyed fold: identity uniqueness holds by
+                    # construction, skip the UNIQUE probe
+                    uniqueness_preserved=True,
                 ),
             )
         except CommitConflictError as e:
@@ -1250,7 +1256,10 @@ def merge_into(
                     table_dir, new_rels, key, spark=spark
                 ),
                 pre_commit=_constraints_pre_commit(
-                    spark, table_dir, new_rels
+                    spark, table_dir, new_rels,
+                    # keyed fold: identity uniqueness holds by
+                    # construction, skip the UNIQUE probe
+                    uniqueness_preserved=True,
                 ),
             )
         except CommitConflictError as e:
@@ -1781,8 +1790,142 @@ def drop_foreign_key(table_dir: str, name: str) -> int:
     )
 
 
+#: Manifest meta key holding the UNIQUE-constraint map
+#: (name -> {cols: [...]}).
+UNIQUE_KEYS_KEY = "unique_keys"
+
+
+def table_unique_constraints(table_dir: str) -> dict[str, dict]:
+    """Effective UNIQUE constraints at the head."""
+    import json as _json
+
+    raw = table_meta(table_dir).get(UNIQUE_KEYS_KEY)
+    return _json.loads(raw) if raw else {}
+
+
+def _unique_violation(
+    spark: SparkSession,
+    table_dir: str,
+    staged: DataFrame,
+    new_rels: list[str],
+    cols: list[str],
+    head: int,
+) -> str | None:
+    """UNIQUE check for one staged write: (a) the staged rows may not
+    repeat the key among themselves; (b) no staged key may already be
+    live. Scale shape for (b): candidate segments prune exactly like
+    an upsert — recorded key min/max against the staged range, then
+    Bloom sidecars against the staged distinct keys — so an append
+    whose keys sit in a fresh range reads NO existing data files
+    before passing."""
+    dup = (
+        staged.groupBy(*cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        return "duplicate keys within the write itself"
+    key = cols[0]
+    slo, shi = staged.agg(F.min(key), F.max(key)).first()
+    if slo is None:
+        return None  # all-NULL keys: SQL UNIQUE ignores NULLs
+    live = live_segments(table_dir, head)
+    stats = segment_stats(table_dir, head)
+    new_set = set(new_rels)
+    cands = [
+        s
+        for s in live
+        if not _is_log(s)
+        and s not in new_set
+        and _stats_may_match(stats.get(s), key, slo, shi)
+    ]
+    if cands and any("bloom" in (stats.get(s) or {}) for s in cands):
+        probe = _collect_probe_keys(staged, key)
+        cands = [
+            s
+            for s in cands
+            if _bloom_any_match(stats.get(s), key, probe)
+        ]
+    if not cands:
+        return None
+    existing = _read_segments(spark, table_dir, cands).select(*cols)
+    clash = (
+        staged.select(*cols)
+        .where(F.col(key).isNotNull())
+        .join(existing, on=cols, how="inner")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        return "key already present in the table"
+    return None
+
+
+def add_unique_constraint(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    cols: list[str] | tuple,
+) -> int:
+    """ADD CONSTRAINT ... UNIQUE: validates the existing table (a key
+    appearing twice makes the rule unaddable), then publishes the map
+    metadata-only. From then on APPEND-shaped writes are checked
+    (within the write and against pruned live segments) inside the
+    per-CAS-attempt hook; keyed upserts/merges preserve uniqueness by
+    construction (they fold on the key). NULL keys are ignored, SQL
+    UNIQUE semantics."""
+    import json as _json
+
+    cols = list(cols)
+    try:
+        head_df = read_table(spark, table_dir)
+    except ValueError:
+        head_df = None
+    if head_df is not None:
+        dup = (
+            head_df.groupBy(*cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ConstraintViolationError(
+                f"cannot add unique constraint {name!r}: existing "
+                f"rows repeat {cols}"
+            )
+    cur = table_unique_constraints(table_dir)
+    cur[name] = {"cols": cols}
+    return commit_segments(
+        table_dir,
+        added=[],
+        removed=[],
+        op="add_constraint",
+        meta={UNIQUE_KEYS_KEY: _json.dumps(cur)},
+    )
+
+
+def drop_unique_constraint(table_dir: str, name: str) -> int:
+    import json as _json
+
+    cur = table_unique_constraints(table_dir)
+    cur.pop(name, None)
+    return commit_segments(
+        table_dir,
+        added=[],
+        removed=[],
+        op="drop_constraint",
+        meta={UNIQUE_KEYS_KEY: _json.dumps(cur)},
+    )
+
+
 def _constraints_pre_commit(
-    spark: SparkSession, table_dir: str, new_rels: list[str]
+    spark: SparkSession,
+    table_dir: str,
+    new_rels: list[str],
+    uniqueness_preserved: bool = False,
 ):
     """Per-CAS-attempt enforcement hook for
     :func:`~.snapshot_log.commit_segments`: re-reads the constraint
@@ -1795,14 +1938,19 @@ def _constraints_pre_commit(
     once — and constraint-free tables pay one metadata read."""
     state = {"ok_for": None}
 
-    def hook(_head: int) -> None:
+    def hook(head: int) -> None:
         import json as _json
 
         cons = table_constraints(table_dir)
         fks = table_foreign_keys(table_dir)
-        if (not cons and not fks) or not new_rels:
+        uniqs = (
+            table_unique_constraints(table_dir)
+            if not uniqueness_preserved
+            else {}
+        )
+        if (not cons and not fks and not uniqs) or not new_rels:
             return
-        key = _json.dumps([cons, fks], sort_keys=True)
+        key = _json.dumps([cons, fks, uniqs], sort_keys=True)
         if state["ok_for"] == key:
             return
         staged = _read_segments(spark, table_dir, new_rels)
@@ -1816,6 +1964,17 @@ def _constraints_pre_commit(
                     f"row(s) have no parent in "
                     f"{fk['parent']}:{fk['parent_col']}"
                 )
-        state["ok_for"] = key
+        for name, u in sorted(uniqs.items()):
+            why = _unique_violation(
+                spark, table_dir, staged, new_rels, u["cols"], head
+            )
+            if why:
+                raise ConstraintViolationError(
+                    f"write violates UNIQUE {name!r}: {why}"
+                )
+        # UNIQUE is not memoized against a head change (its check is
+        # head-relative); CHECK/FK are. Memoize only when no uniques.
+        if not uniqs:
+            state["ok_for"] = key
 
     return hook

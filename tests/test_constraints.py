@@ -370,3 +370,77 @@ def test_foreign_key_drop_reopens_and_merge_enforced(spark, tdir):
         key="vec_id",
     )
     assert (7, 9) in _state(spark, tdir)
+
+
+def test_unique_constraint_blocks_duplicate_appends(spark, tdir):
+    _mk(spark, tdir, [(1, 2, 0), (2, 3, 1)])
+    tx.add_unique_constraint(spark, tdir, "pk", ["vec_id"])
+    v = latest_version(tdir)
+    # Duplicate WITHIN the write.
+    with pytest.raises(tx.ConstraintViolationError, match="within"):
+        tx.append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(9, 1, 0), (9, 2, 0)],
+                "vec_id: long, label: int, namespace: int",
+            ),
+            tdir,
+        )
+    # Duplicate AGAINST the table.
+    with pytest.raises(tx.ConstraintViolationError, match="already"):
+        tx.append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(1, 99, 0)],
+                "vec_id: long, label: int, namespace: int",
+            ),
+            tdir,
+        )
+    assert latest_version(tdir) == v
+    # Fresh keys land; keyed upserts stay allowed (fold on the key
+    # preserves uniqueness by construction).
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(9, 1, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        tdir,
+    )
+    tx.upsert_by_key(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(1, 50, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        key="vec_id",
+    )
+    assert _state(spark, tdir)[(1, 0)] == 50
+
+
+def test_unique_not_addable_over_duplicates_and_droppable(
+    spark, tdir
+):
+    _mk(spark, tdir, [(1, 2, 0), (1, 3, 1)])  # vec_id repeats
+    with pytest.raises(tx.ConstraintViolationError, match="repeat"):
+        tx.add_unique_constraint(spark, tdir, "pk", ["vec_id"])
+    # Composite-key form: (vec_id, namespace) IS unique here.
+    tx.add_unique_constraint(
+        spark, tdir, "pk2", ["vec_id", "namespace"]
+    )
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(1, 9, 1)],
+                "vec_id: long, label: int, namespace: int",
+            ),
+            tdir,
+        )
+    tx.drop_unique_constraint(tdir, "pk2")
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, 9, 1)], "vec_id: long, label: int, namespace: int"
+        ),
+        tdir,
+    )
