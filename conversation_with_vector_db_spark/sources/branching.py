@@ -157,6 +157,7 @@ def create_branch(
     if at_version is None:
         at_version = latest_version(table_dir)
     live = live_segments(table_dir, at_version)
+    live_set = set(live)
     stats = segment_stats(table_dir, at_version)
     meta = table_meta(table_dir, at_version)
     bdir = branch_dir(table_dir, name)
@@ -174,7 +175,7 @@ def create_branch(
         "stats": {
             _to_branch_rel(table_dir, bdir, rel): s
             for rel, s in stats.items()
-            if rel in set(live)
+            if rel in live_set
         },
         "branch_of": {"from_version": int(at_version)},
     }
@@ -193,12 +194,15 @@ def create_branch(
                     _to_parent_rel(table_dir, bdir, s)
                     for s in m0["live"]
                 ),
+                fork_meta=dict(m0.get("meta", {})),
             )
         raise FileExistsError(f"branch already exists: {name}")
     # branch.json is written AFTER the v0 CAS (the loser of a racing
     # create never clobbers the winner's fork record) and read by
     # merge/GC forever after, immune to branch-side vacuums.
-    _write_branch_meta(bdir, int(at_version), sorted(live))
+    _write_branch_meta(
+        bdir, int(at_version), sorted(live), fork_meta=dict(meta)
+    )
     missing = [
         s
         for s in live
@@ -214,21 +218,32 @@ def create_branch(
 
 
 def _write_branch_meta(
-    bdir: str, from_version: int, fork_live: list[str]
+    bdir: str,
+    from_version: int,
+    fork_live: list[str],
+    fork_meta: dict | None = None,
 ) -> None:
-    with open(os.path.join(bdir, _BRANCH_META), "w") as f:
-        json.dump(
-            {"from_version": from_version, "fork_live": fork_live},
-            f,
-            sort_keys=True,
-        )
+    # Atomic publish (tmp + rename): a creator dying mid-write, or a
+    # racing repair, must never leave TORN JSON where merge/GC expect
+    # the fork record — every other publication in this layer uses
+    # the same discipline.
+    path = os.path.join(bdir, _BRANCH_META)
+    tmp = path + f".tmp-{os.getpid()}"
+    rec = {"from_version": from_version, "fork_live": fork_live}
+    if fork_meta is not None:
+        rec["fork_meta"] = fork_meta
+    with open(tmp, "w") as f:
+        json.dump(rec, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _fork_live(bdir: str) -> list[str]:
     try:
         with open(os.path.join(bdir, _BRANCH_META)) as f:
             return list(json.load(f)["fork_live"])
-    except FileNotFoundError:
+    except (FileNotFoundError, json.JSONDecodeError):
         # Half-born ref (creator died before branch.json): fall back
         # to its committed v0, which is equivalent.
         m0 = _read_manifest(bdir, 0)
@@ -236,6 +251,62 @@ def _fork_live(bdir: str) -> list[str]:
         return sorted(
             _to_parent_rel(table_dir, bdir, s) for s in m0["live"]
         )
+
+
+def _update_branch_meta(bdir: str, **kv) -> None:
+    """Atomic read-modify-write of branch.json (merge bookkeeping)."""
+    path = os.path.join(bdir, _BRANCH_META)
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        rec = {}
+    rec.update(kv)
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(rec, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _published(bdir: str) -> tuple[set[str], set[str]]:
+    """Segments earlier merges of THIS ref already published to /
+    removed from the parent (merge bookkeeping in branch.json) —
+    what lets an idempotent re-merge or an incremental second merge
+    be told apart from a genuine parent-side conflict."""
+    try:
+        with open(os.path.join(bdir, _BRANCH_META)) as f:
+            rec = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return set(), set()
+    return (
+        set(rec.get("published_added", ())),
+        set(rec.get("published_removed", ())),
+    )
+
+
+def _fork_meta(bdir: str) -> dict:
+    """The parent's effective meta at the fork: branch.json's record
+    (survives branch-side vacuums), falling back to the v0 manifest
+    for refs created before fork_meta was recorded. A ref whose v0
+    was vacuumed AND whose branch.json predates the record cannot
+    resolve it — refuse loudly rather than mis-diffing meta."""
+    try:
+        with open(os.path.join(bdir, _BRANCH_META)) as f:
+            rec = json.load(f)
+        if "fork_meta" in rec:
+            return dict(rec["fork_meta"])
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    try:
+        return _read_manifest(bdir, 0).get("meta", {})
+    except FileNotFoundError:
+        raise ValueError(
+            f"fork meta of {bdir} is unrecoverable (v0 vacuumed and "
+            "branch.json predates fork_meta); re-record it before "
+            "merging meta changes"
+        ) from None
 
 
 def merge_branch(table_dir: str, name: str) -> int:
@@ -276,7 +347,7 @@ def merge_branch(table_dir: str, name: str) -> int:
     fork = set(_fork_live(bdir))
     added = sorted(set(live_b) - fork)
     removed = sorted(fork - set(live_b))
-    fork_meta = _read_manifest(bdir, 0).get("meta", {})
+    fork_meta = _fork_meta(bdir)
     changed_meta = {
         k: v
         for k, v in table_meta(bdir, head_b).items()
@@ -301,21 +372,84 @@ def merge_branch(table_dir: str, name: str) -> int:
                     f"meta key {k!r} points at branch-local artifact "
                     f"{v!r}; stage it under the parent before merging"
                 )
-    if not added and not removed and not changed_meta:
-        return latest_version(table_dir)
     stats_b = segment_stats(bdir, head_b)
     stats = {
         _to_parent_rel(table_dir, bdir, rel): s
         for rel, s in stats_b.items()
     }
-    return commit_segments(
-        table_dir,
-        added=added,
-        removed=removed,
-        op="merge",
-        stats={rel: s for rel, s in stats.items() if rel in set(added)},
-        meta=changed_meta or None,
-    )
+    # Idempotence / incremental merges: diff against the PARENT's
+    # current live set, not just the fork record — a retried merge
+    # (ambiguous failure) or a second merge after more branch writes
+    # must publish only what the parent does not already have, and
+    # remove only what it still holds. Each plan gets ONE CAS attempt
+    # (a lost race must not blind-replay an append-shaped delta and
+    # re-add segments the winner just published).
+    pub_added, pub_removed = _published(bdir)
+    last: Exception | None = None
+    for _ in range(8):
+        try:
+            parent_live = set(live_segments(table_dir))
+        except FileNotFoundError:
+            continue
+        # A fork segment we want removed but which is ALREADY gone
+        # from the parent is benign only if an earlier merge of THIS
+        # ref removed it — otherwise the parent rewrote it itself:
+        # genuine write-write conflict, surface it (silently skipping
+        # would partially apply both sides' rewrites).
+        missing = [
+            r for r in removed
+            if r not in parent_live and r not in pub_removed
+        ]
+        if missing:
+            raise CommitConflictError(
+                f"segments no longer live at the parent of branch "
+                f"{name!r} (parent rewrote them since the fork): "
+                f"{missing[:3]} — re-plan"
+            )
+        # Don't resurrect our own previously-published segments the
+        # parent has since compacted away.
+        eff_added = [
+            r for r in added
+            if r not in parent_live and r not in pub_added
+        ]
+        eff_removed = [r for r in removed if r in parent_live]
+        meta_now = table_meta(table_dir)
+        eff_meta = {
+            k: v for k, v in changed_meta.items()
+            if meta_now.get(k) != v
+        }
+        if not eff_added and not eff_removed and not eff_meta:
+            return latest_version(table_dir)  # fully published
+        added_set = set(eff_added)
+        try:
+            v = commit_segments(
+                table_dir,
+                added=eff_added,
+                removed=eff_removed,
+                op="merge",
+                stats={
+                    rel: st
+                    for rel, st in stats.items()
+                    if rel in added_set
+                }
+                or None,
+                meta=eff_meta or None,
+                max_retries=1,
+            )
+        except CommitConflictError as e:
+            last = e  # lost the CAS or removed-set raced; re-plan
+            continue
+        # Record what this ref has published (crash between the
+        # commit and this record fails SAFE: a later re-merge sees a
+        # missing removed segment not in the record and raises
+        # loudly instead of double-applying).
+        _update_branch_meta(
+            bdir,
+            published_added=sorted(pub_added | set(eff_added)),
+            published_removed=sorted(pub_removed | set(eff_removed)),
+        )
+        return v
+    raise last if last is not None else CommitConflictError(table_dir)
 
 
 def drop_branch(table_dir: str, name: str) -> None:
@@ -327,7 +461,10 @@ def drop_branch(table_dir: str, name: str) -> None:
     segments into the parent's own ``data/``) and a vacuum past the
     merge window first, then drop."""
     bdir = branch_dir(table_dir, name)
-    prefix = os.path.join(_REFS, name, _DATA) + os.sep
+    # ANY path under the ref counts — including nested-ref segments
+    # ('_refs/<name>/_refs/<sub>/data/...'), which a merged
+    # branch-of-branch legitimately leaves in the parent's live set.
+    prefix = os.path.join(_REFS, name) + os.sep
     held = 0
     for v in versions(table_dir):
         try:
@@ -344,18 +481,66 @@ def drop_branch(table_dir: str, name: str) -> None:
                 f"parent v{v}; compact and vacuum the parent before "
                 "dropping it"
             )
+    # SIBLING refs can also inherit this branch's segments (a fork
+    # taken while a merged '_refs/<name>/...' path was live embeds it
+    # in ITS fork set, outliving the parent's retention window): scan
+    # every other ref of the whole tree for resolved paths under this
+    # ref dir before deleting anything.
+    bdir_abs = os.path.abspath(bdir)
+    root = _root_dir(table_dir)
+
+    def _reaches(tdir: str) -> bool:
+        for other in list_branches(tdir):
+            odir = branch_dir(tdir, other)
+            if os.path.abspath(odir) == bdir_abs:
+                continue  # the ref being dropped
+            refs: set[str] = set()
+            for rel in _fork_live(odir):
+                refs.add(
+                    os.path.normpath(
+                        os.path.join(os.path.abspath(tdir), rel)
+                    )
+                )
+            for v in versions(odir):
+                try:
+                    m = _read_manifest(odir, v)
+                except FileNotFoundError:
+                    continue
+                for rel in list(m.get("added", ())) + list(
+                    m.get("live", ())
+                ):
+                    refs.add(
+                        os.path.normpath(
+                            os.path.join(os.path.abspath(odir), rel)
+                        )
+                    )
+            if any(
+                p == bdir_abs or p.startswith(bdir_abs + os.sep)
+                for p in refs
+            ):
+                return True
+            if _reaches(odir):
+                return True
+        return False
+
+    if _reaches(root):
+        raise ValueError(
+            f"branch {name!r} still backs segments another ref "
+            "inherits; compact that ref (or drop it) first"
+        )
     shutil.rmtree(bdir, ignore_errors=True)
 
 
 def protected_segments(table_dir: str) -> set[str]:
-    """``table_dir``-level ``data/`` segments any branch — at ANY
-    nesting depth — can still reach: the union of every ref's
+    """Segments any branch — at ANY nesting depth — can still reach,
+    as ``table_dir``-relative paths: the union of every ref's
     persisted fork set and every surviving branch manifest/checkpoint
-    reference, resolved and kept when it lands in this table's data
-    dir. Conservative by design: a segment is only reclaimable when
-    NO ref can name it."""
+    reference. Covers the root's own ``data/`` AND paths under OTHER
+    refs (a sibling fork taken while a merged ``_refs/<b>/data/...``
+    segment was live inherits it — reaping that path would tear the
+    sibling even though it is not root data). Conservative by
+    design: a segment is only reclaimable when NO ref can name it."""
     root = os.path.abspath(table_dir)
-    data_abs = os.path.join(root, _DATA) + os.sep
     out: set[str] = set()
 
     def walk(tdir: str) -> None:
@@ -396,7 +581,7 @@ def protected_segments(table_dir: str) -> set[str]:
             out.update(
                 os.path.relpath(p, root)
                 for p in resolved
-                if p.startswith(data_abs)
+                if p.startswith(root + os.sep)
             )
             walk(bdir)
 

@@ -145,8 +145,9 @@ def versions(table_dir: str) -> list[int]:
     version sequence."""
     try:
         names = os.listdir(_commits_dir(table_dir))
-    except FileNotFoundError:
-        return []
+    except (FileNotFoundError, NotADirectoryError):
+        return []  # not a table (or a foreign FILE where a ref dir
+        # was expected) — same posture as ignoring foreign files
     out = [int(m.group(1)) for n in names if (m := _MANIFEST_RE.match(n))]
     return sorted(out)
 
@@ -535,8 +536,9 @@ def commit_segments(
         if txn is not None:
             manifest["txn"] = {"app": txn[0], "version": int(txn[1])}
         if stats:
+            added_set = set(added)
             manifest["stats"] = {
-                rel: s for rel, s in stats.items() if rel in set(added)
+                rel: s for rel, s in stats.items() if rel in added_set
             }
         if meta:
             manifest["meta"] = dict(meta)
@@ -837,7 +839,29 @@ def compact_snapshots(
         except FileNotFoundError:
             continue  # head vacuumed mid-read; re-plan (see append)
         suffixes = [_fold_suffix(g[0]) for g in groups]
-        rel_by_grp = _stage_group_segments(merged, table_dir, suffixes)
+        try:
+            rel_by_grp = _stage_group_segments(
+                merged, table_dir, suffixes
+            )
+        except Exception as e:  # noqa: BLE001 - classify below
+            # A fold segment vacuumed between planning and the Spark
+            # action surfaces as AnalysisException / SparkException
+            # ("path does not exist"), not FileNotFoundError — that
+            # is the same raced-vacuum condition: re-plan rather than
+            # crash the maintenance job. Anything else re-raises.
+            name = type(e).__name__
+            msg = str(e)
+            if (
+                "AnalysisException" in name
+                or "PATH_NOT_FOUND" in msg
+                or "does not exist" in msg
+                or isinstance(e, FileNotFoundError)
+            ):
+                last = CommitConflictError(
+                    f"compaction raced a vacuum at {table_dir}: {msg[:120]}"
+                )
+                continue
+            raise
         new_rels = list(rel_by_grp.values())
         try:
             return commit_segments(
@@ -1166,6 +1190,8 @@ def restore_table(table_dir: str, version: int) -> int:
         for k in current_meta:
             if k not in target_meta and current_meta[k] is not None:
                 meta_patch[k] = None
+        if not added and not removed and not meta_patch:
+            return head  # already at the target state: no-op
         try:
             return commit_segments(
                 table_dir,
@@ -1202,10 +1228,12 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
             rows.append((v, None, None, None, None, None, None, None))
             continue
         txn = m.get("txn") or {}
-        try:
-            ts = commit_timestamp(table_dir, v)
-        except FileNotFoundError:
-            ts = None
+        ts = m.get("ts")
+        if ts is None:
+            try:  # pre-stamp manifest: file mtime (legacy rule)
+                ts = os.path.getmtime(_manifest_path(table_dir, v))
+            except FileNotFoundError:
+                ts = None
         rows.append(
             (
                 v,

@@ -483,3 +483,115 @@ def test_wap_audit_gate_with_expectations(spark, tmp_path):
     # The good staged row published; both violations never reached
     # the parent.
     assert got == {(1, "O"), (2, "F"), (3, "P")}
+
+
+def test_remerge_is_idempotent_no_row_duplication(spark, tmp_path):
+    """Merging twice (ambiguous-failure retry) must publish nothing
+    the second time — before the merge-bookkeeping fix a re-merge
+    re-added the same segments and every merged row duplicated."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    append_snapshot(spark.range(100, 103), b)
+    merge_branch(t, "dev")
+    v = latest_version(t)
+    merge_branch(t, "dev")  # retry: no-op
+    assert latest_version(t) == v
+    assert _ids(read_snapshot(spark, t)) == list(range(10)) + [
+        100, 101, 102,
+    ]
+
+
+def test_incremental_merge_publishes_only_new_segments(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    append_snapshot(spark.range(100, 103), b)
+    merge_branch(t, "dev")
+    append_snapshot(spark.range(200, 202), b)  # keep working
+    merge_branch(t, "dev")  # second merge: just the new batch
+    assert _ids(read_snapshot(spark, t)) == (
+        list(range(10)) + [100, 101, 102, 200, 201]
+    )
+    # And a third merge is again a no-op.
+    v = latest_version(t)
+    merge_branch(t, "dev")
+    assert latest_version(t) == v
+
+
+def test_merge_survives_branch_side_vacuum(spark, tmp_path):
+    """branch.json records the fork META too, so merge no longer
+    depends on the branch's own v0 manifest surviving vacuum."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    for i in range(4):
+        append_snapshot(spark.range(100 + i, 101 + i), b)
+    vacuum(b, keep_versions=1, orphan_min_age_sec=0.0)
+    with pytest.raises(FileNotFoundError):
+        # v0 manifest really is gone...
+        from conversation_with_vector_db_spark.sources.snapshot_log import (  # noqa: E501
+            _read_manifest,
+        )
+
+        _read_manifest(b, 0)
+    merge_branch(t, "dev")  # ...and the merge still lands
+    got = set(_ids(read_snapshot(spark, t)))
+    assert {100, 101, 102, 103} <= got
+
+
+def test_drop_branch_refuses_while_nested_ref_segments_held(
+    spark, tmp_path
+):
+    """Nested-ref segments ('_refs/b/_refs/sb/data/...') in the
+    parent's live set must hold the drop — the old data/-only prefix
+    missed them and deleted parent-referenced files."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "b")
+    sb = create_branch(b, "sb")
+    append_snapshot(spark.range(500, 503), sb)
+    merge_branch(b, "sb")
+    merge_branch(t, "b")
+    with pytest.raises(ValueError, match="still backs"):
+        drop_branch(t, "b")
+    assert 500 in set(_ids(read_snapshot(spark, t)))
+
+
+def test_drop_branch_refuses_while_sibling_inherits(spark, tmp_path):
+    """A sibling fork taken while a merged '_refs/b/...' segment was
+    live embeds it in ITS fork set; dropping b would tear the
+    sibling even after the parent itself compacted past it."""
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "b")
+    append_snapshot(spark.range(300, 303), b)
+    merge_branch(t, "b")
+    create_branch(t, "c")  # inherits '_refs/b/data/...'
+    compact_snapshots(spark, t)  # parent folds it into data/
+    # The branch-safe GC must protect the sibling-inherited
+    # '_refs/b/...' path (not just root data/ segments).
+    vacuum_with_branches(t, keep_versions=1, orphan_min_age_sec=0.0)
+    with pytest.raises(ValueError, match="another ref"):
+        drop_branch(t, "b")
+    # The sibling still reads its fork state intact.
+    c = branch_dir(t, "c")
+    assert 300 in set(_ids(read_snapshot(spark, c)))
+
+
+def test_restore_to_current_state_is_version_free(spark, tmp_path):
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        restore_table,
+    )
+
+    t = _mk(spark, tmp_path)
+    v = latest_version(t)
+    assert restore_table(t, v) == v  # no useless empty commit
+    assert latest_version(t) == v
+
+
+def test_foreign_file_in_refs_dir_is_ignored(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    create_branch(t, "dev")
+    os.makedirs(os.path.join(t, "_refs"), exist_ok=True)
+    with open(os.path.join(t, "_refs", ".DS_Store"), "w") as f:
+        f.write("junk")
+    assert list_branches(t) == ["dev"]  # no NotADirectoryError
+    assert protected_segments(t)  # GC walk survives too
