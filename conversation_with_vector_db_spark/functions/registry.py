@@ -93,6 +93,13 @@ class _ChunkUDTF:
     greatest(ceil(len/size), 1) contract."""
 
     def eval(self, text, size: int):
+        if size is None or size < 1:
+            # Same contract as chunk_fixed: a non-positive size has no
+            # chunking meaning — fail with a named error instead of a
+            # ZeroDivisionError (or silent nonsense negative slices).
+            raise ValueError(
+                f"chunk_udtf: size must be >= 1, got {size!r}"
+            )
         text = text or ""
         n = max(-(-len(text) // size), 1)
         for i in range(n):

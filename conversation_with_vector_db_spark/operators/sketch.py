@@ -157,19 +157,67 @@ def cms_estimate(
     )
 
 
+#: Source-bytes gate for :func:`heavy_hitters_exact`'s arm choice.
+#: Below this much SOURCE data the direct JVM plan wins outright:
+#: Spark's hash aggregate already does map-side partial counting, so
+#: the shuffle carries only (distinct gram, partial count) rows — and
+#: at small scale the MG arm's one extra Python (Arrow) boundary over
+#: the ENTIRE gram stream costs more than it saves (measured at sf1:
+#: 9.3 s MG vs ~1.6 s direct — VERDICT r8 #3). The MG arm is the
+#: 100 TB regime's tool: when per-partition DISTINCT counts explode
+#: (web-scale vocabularies), partial aggregation stops collapsing and
+#: the raw-vocabulary shuffle becomes the bottleneck the bounded
+#: summaries avoid. Both arms return the identical exact answer.
+DIRECT_BYTES_GATE = 8 << 30
+
+
+def heavy_hitters_direct(
+    items: DataFrame, col: str, top: int = 20
+) -> DataFrame:
+    """The small/medium-scale arm: one JVM hash aggregate with
+    map-side partial counting, then a top-``top`` sort of the
+    distinct domain. Whole-stage-codegen throughout, zero Python."""
+    return (
+        items.groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(col))
+        .limit(top)
+    )
+
+
 def heavy_hitters_exact(
     items: DataFrame,
     col: str,
     top: int = 20,
     k_counters: int = 256,
+    source_bytes: int | None = None,
 ) -> DataFrame:
-    """Exact top-``top`` most frequent values of ``items[col]`` via the
-    summary-then-verify plan: MG candidate union (one pass, no
-    shuffle of the raw stream), broadcast semi-join, exact counts of
-    candidates only, deterministic (count desc, value asc) order.
-    Exactness requires the top-th frequency > N/k_counters — size
-    ``k_counters`` to the skew (Zipfian corpora satisfy this with
-    small k; a uniform domain has no heavy hitters to find)."""
+    """Exact top-``top`` most frequent values of ``items[col]``,
+    cost-gated between two plans that return the IDENTICAL answer
+    (same discipline as the vector fold's 512 KB gate and the dedup
+    caps — the gate picks the cheap arm, never changes the result):
+
+    * ``source_bytes < DIRECT_BYTES_GATE``: the direct JVM
+      ``groupBy.count.orderBy.limit`` — map-side partial aggregation
+      already avoids shuffling the raw stream whenever the distinct
+      domain is modest.
+    * at/above the gate, or ``source_bytes`` unknown (``None``): the
+      summary-then-verify plan — per-partition MG candidate union
+      (one pass, bounded memory, no shuffle of the raw stream),
+      broadcast semi-join, exact counts of candidates only. Exactness
+      requires the top-th frequency > N/k_counters — size
+      ``k_counters`` to the skew (Zipfian corpora satisfy this with
+      small k; a uniform domain has no heavy hitters to find).
+
+    Pass ``source_bytes`` (e.g.
+    :func:`..sources.parquet_io.parquet_bytes_on_disk` of the table
+    the items derive from). ``None`` means "no evidence" and takes
+    the MG arm — the same unknown-is-LARGE posture as the vector
+    fold's broadcast gate: the MG arm's worst case is one avoidable
+    Python boundary, the direct arm's is an unbounded-vocabulary
+    hash aggregate."""
+    if source_bytes is not None and source_bytes < DIRECT_BYTES_GATE:
+        return heavy_hitters_direct(items, col, top)
     cands = (
         mg_partition_summaries(items, col, k_counters)
         .select(col)

@@ -888,16 +888,22 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_heavy_hitters_sketch",
     driver=False,
-    doc="""Exact top-20 word bigrams via the Misra-Gries
-    summary-then-verify plan (operators/sketch.py): per-partition
-    bounded-memory MG summaries (one pass, NO shuffle of the raw gram
-    stream), union of the tiny summaries as a broadcast candidate
-    set, then one exact counting pass restricted to candidates. The
-    output is EXACT — the sketch bounds the work, never the answer —
-    which is what lets a DuckDB groupBy oracle pin it. At 100 TB this
-    replaces the full gram-stream shuffle with a shuffle of
+    doc="""Exact top-20 word bigrams, COST-GATED between two plans
+    with the identical answer (operators/sketch.py, VERDICT r8 #3):
+    below the source-bytes gate, one JVM hash aggregate (map-side
+    partial counting — the shuffle carries distinct grams, not the
+    stream); above it, the Misra-Gries summary-then-verify plan —
+    per-partition bounded-memory MG summaries (one pass, NO shuffle
+    of the raw gram stream), union of the tiny summaries as a
+    broadcast candidate set, then one exact counting pass restricted
+    to candidates. The output is EXACT either way — the sketch bounds
+    the WORK, never the answer — which is what lets one DuckDB
+    groupBy oracle pin both arms. At 100 TB (vocabulary-explosion
+    regime, where partial aggregation stops collapsing) the MG arm
+    replaces the full gram-domain shuffle with
     O(partitions * k_counters) summary rows plus a candidate-pruned
-    count.""",
+    count; measured walls for both arms at sf0.1/sf1 are in
+    BENCH_EXTRAS*.json.""",
     oracle="""
 WITH tok AS (
     SELECT regexp_extract_all(
@@ -942,8 +948,18 @@ def text_heavy_hitters_sketch(
     # k_counters=1024 exceeds the fixture's possible bigram domain, so
     # the guarantee precondition (20th frequency > N/k) holds
     # trivially here; the decrement path is exercised by the Zipf unit
-    # test in tests/test_dedup.py.
-    return heavy_hitters_exact(grams, "gram", top=20, k_counters=1024)
+    # test in tests/test_dedup.py. source_bytes = the documents
+    # table's on-disk size, feeding the direct-vs-MG cost gate
+    # (unknown = LARGE = MG arm, the repo's standard posture).
+    from ..session import table_path
+    from ..sources.parquet_io import parquet_bytes_on_disk
+
+    return heavy_hitters_exact(
+        grams, "gram", top=20, k_counters=1024,
+        source_bytes=parquet_bytes_on_disk(
+            table_path(sf_dir, "documents")
+        ),
+    )
 
 
 @query(

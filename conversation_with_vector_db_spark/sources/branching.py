@@ -384,13 +384,19 @@ def merge_branch(table_dir: str, name: str) -> int:
     # remove only what it still holds. Each plan gets ONE CAS attempt
     # (a lost race must not blind-replay an append-shaped delta and
     # re-add segments the winner just published).
-    pub_added, pub_removed = _published(bdir)
     last: Exception | None = None
     for _ in range(8):
         try:
             parent_live = set(live_segments(table_dir))
         except FileNotFoundError:
             continue
+        # Re-read the published-set bookkeeping INSIDE the loop, next
+        # to the parent_live re-read: a merge racing its twin on the
+        # SAME ref must see what the winner just recorded, else the
+        # loser re-plans with a stale pub_removed and raises a
+        # spurious 'parent rewrote them' conflict when the truth is
+        # 'already published by my twin' (VERDICT r8 #2).
+        pub_added, pub_removed = _published(bdir)
         # A fork segment we want removed but which is ALREADY gone
         # from the parent is benign only if an earlier merge of THIS
         # ref removed it — otherwise the parent rewrote it itself:

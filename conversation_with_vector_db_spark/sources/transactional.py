@@ -642,10 +642,11 @@ def upsert_by_key(
                     table_dir, new_rels, key, spark=spark
                 ),
                 pre_commit=_constraints_pre_commit(
-                    spark, table_dir, new_rels,
-                    # keyed fold: identity uniqueness holds by
-                    # construction, skip the UNIQUE probe
-                    uniqueness_preserved=True,
+                    spark, table_dir, new_rels, removed=old,
+                    # (partition, key) fold: UNIQUE constraints whose
+                    # cols ⊇ the identity hold by construction; any
+                    # other (e.g. email) is probed normally.
+                    fold_identity=(partition_col, key),
                 ),
             )
         except CommitConflictError as e:
@@ -739,10 +740,10 @@ def upsert_by_key_global(
                 ),
                 txn=txn,
                 pre_commit=_constraints_pre_commit(
-                    spark, table_dir, new_rels,
-                    # keyed fold: identity uniqueness holds by
-                    # construction, skip the UNIQUE probe
-                    uniqueness_preserved=True,
+                    spark, table_dir, new_rels, removed=old,
+                    # global-key fold: UNIQUE constraints containing
+                    # the key hold by construction; others are probed.
+                    fold_identity=(key,),
                 ),
             )
         except CommitConflictError as e:
@@ -1256,10 +1257,11 @@ def merge_into(
                     table_dir, new_rels, key, spark=spark
                 ),
                 pre_commit=_constraints_pre_commit(
-                    spark, table_dir, new_rels,
-                    # keyed fold: identity uniqueness holds by
-                    # construction, skip the UNIQUE probe
-                    uniqueness_preserved=True,
+                    spark, table_dir, new_rels, removed=old,
+                    # (partition, key) merge fold: UNIQUE constraints
+                    # whose cols ⊇ the identity hold by construction;
+                    # any other (e.g. email) is probed normally.
+                    fold_identity=(partition_col, key),
                 ),
             )
         except CommitConflictError as e:
@@ -1434,13 +1436,20 @@ def zorder_rewrite(
     ``by`` is one column (range clustering — a straight sort bucket)
     or two (Morton-interleaved Z-order via operators/layout.py, the
     multi-dimensional trade: each dimension prunes somewhat instead
-    of one pruning perfectly). The bucket cut is an ``ntile`` over
-    the cluster value — ONE global sort shuffle, the price every
-    OPTIMIZE pays, scheduled like any other heavyweight maintenance
-    job. The swap is one conflict-checked rewrite commit: concurrent
-    appends survive (post-CAS live set), concurrent rewriters lose
-    cleanly and re-plan."""
-    from pyspark.sql import Window
+    of one pruning perfectly). Bucket CUT POINTS come from
+    ``approxQuantile`` on the cluster value (one sampled-sketch scan,
+    fully distributed), and rows bucket by comparison against the
+    broadcast cuts — so the rewrite is scan → per-row bucket expr →
+    one partitioned write, with NO single-task stage anywhere (an
+    ``ntile`` over a global window would funnel the whole table
+    through one task — the bottleneck this plan exists to avoid;
+    ADVICE r8). Buckets cover disjoint half-open value ranges by
+    construction, so the manifest min/max stats prune exactly as a
+    perfect equi-depth split would; quantile error only skews bucket
+    SIZES, never overlaps ranges. The swap is one conflict-checked
+    rewrite commit: concurrent appends survive (post-CAS live set),
+    concurrent rewriters lose cleanly and re-plan."""
+    from functools import reduce
 
     from ..operators.layout import with_z_value
 
@@ -1462,10 +1471,40 @@ def zorder_rewrite(
             zed = with_z_value(cur, by[0], by[1], out_col="_zv")
         else:
             zed = cur.withColumn("_zv", F.col(by[0]))
-        w = Window.orderBy(F.col("_zv"), *[F.col(c) for c in by])
-        zed = zed.withColumn(
-            "_zb", F.ntile(n_buckets).over(w)
-        ).drop("_zv")
+        zed = zed.withColumn("_zvd", F.col("_zv").cast("double"))
+        cuts = sorted(
+            set(
+                zed.stat.approxQuantile(
+                    "_zvd",
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    0.001,
+                )
+            )
+        )
+        bucket = (
+            reduce(
+                lambda a, b: a + b,
+                [
+                    (F.col("_zvd") > F.lit(c)).cast("int")
+                    for c in cuts
+                ],
+            )
+            if cuts
+            else F.lit(0)
+        )
+        zed = (
+            zed.withColumn(
+                "_zb",
+                # NULL cluster values sort first, like ntile over an
+                # ascending window did.
+                F.coalesce(bucket, F.lit(0)),
+            )
+            # One task per bucket, sorted within, so each leaf file is
+            # written in cluster order (page-level stats stay tight).
+            .repartition(n_buckets, F.col("_zb"))
+            .sortWithinPartitions("_zv", *by)
+            .drop("_zv", "_zvd")
+        )
         new_rels = _stage_clustered_segments(
             zed, table_dir, partition_col, "_zb"
         )
@@ -1608,35 +1647,70 @@ def table_constraints(table_dir: str) -> dict[str, str]:
     return _json.loads(raw) if raw else {}
 
 
+def _head_df_at(
+    spark: SparkSession, table_dir: str, head: int
+) -> DataFrame | None:
+    """The table's full contents AT a specific version, for ADD-time
+    constraint validation (None = empty, vacuously satisfied).
+    Schema-tracked tables (sources/evolution.py) read through the
+    declared schema so heterogeneous segments backfill typed NULLs
+    instead of failing analysis on a column their files predate."""
+    try:
+        if table_meta(table_dir, head).get("schema") is not None:
+            from .evolution import read_evolved
+
+            return read_evolved(spark, table_dir, head)
+        return read_table(spark, table_dir, head)
+    except ValueError:
+        return None
+
+
+def _revalidating_hook(validate):
+    """ADD CONSTRAINT pre-commit hook: runs ``validate(head)`` on
+    EVERY CAS attempt, memoized per head — so a writer whose commit
+    lands between one attempt's validation and the CAS (the writer's
+    own pre_commit hook did not see the new rule yet) is re-checked
+    before the rule is published. Without this the ADD's retry would
+    blind-replay the metadata commit over data the rule forbids —
+    the exact 'guarantee becomes a lie' the docstrings promise to
+    prevent (ADVICE r8)."""
+    state = {"ok_at": None}
+
+    def hook(head: int) -> None:
+        if state["ok_at"] == head:
+            return
+        validate(head)
+        state["ok_at"] = head
+
+    return hook
+
+
 def add_check_constraint(
     spark: SparkSession, table_dir: str, name: str, predicate: str
 ) -> int:
     """Delta-style ALTER TABLE ADD CONSTRAINT CHECK: validates the
-    EXISTING table first (a constraint the data already violates must
-    not be addable — it would make the guarantee a lie), then
-    publishes the constraint map as a metadata-only commit. From that
-    version on, every row-introducing transactional write
-    (append_partitioned, upsert_by_key[_global], merge_into)
-    validates its STAGED output before the CAS and refuses the commit
-    on violation — a constraint holds for every committed version at
-    or after its own, which is also what time travel observes."""
+    EXISTING table (a constraint the data already violates must not
+    be addable — it would make the guarantee a lie), then publishes
+    the constraint map as a metadata-only commit. Validation runs
+    inside the commit's per-CAS-attempt hook against the head each
+    attempt will publish over, so a write racing the ADD is checked
+    too — whichever of the two commits second sees the other (the
+    writer's hook re-reads the constraint map; the ADD's hook re-reads
+    the data). From the ADD's version on, every row-introducing
+    transactional write (append_partitioned, upsert_by_key[_global],
+    merge_into) validates its STAGED output before the CAS and
+    refuses the commit on violation — a constraint holds for every
+    committed version at or after its own, which is also what time
+    travel observes."""
     import json as _json
 
     cur = table_constraints(table_dir)
-    try:
-        if table_meta(table_dir).get("schema") is not None:
-            # Schema-tracked table (sources/evolution.py): validate
-            # through the declared-schema read so heterogeneous
-            # segments backfill typed NULLs instead of failing
-            # analysis on a column their files predate.
-            from .evolution import read_evolved
+    cur[name] = predicate
 
-            head_df = read_evolved(spark, table_dir)
-        else:
-            head_df = read_table(spark, table_dir)
-    except ValueError:
-        head_df = None  # empty table: vacuously satisfied
-    if head_df is not None:
+    def validate(head: int) -> None:
+        head_df = _head_df_at(spark, table_dir, head)
+        if head_df is None:
+            return
         bad = head_df.where(
             ~F.coalesce(F.expr(predicate), F.lit(False))
         ).count()
@@ -1645,13 +1719,14 @@ def add_check_constraint(
                 f"cannot add constraint {name!r}: {bad} existing "
                 f"row(s) violate ({predicate})"
             )
-    cur[name] = predicate
+
     return commit_segments(
         table_dir,
         added=[],
         removed=[],
         op="add_constraint",
         meta={CONSTRAINTS_KEY: _json.dumps(cur)},
+        pre_commit=_revalidating_hook(validate),
     )
 
 
@@ -1747,32 +1822,37 @@ def add_foreign_key(
     map as a metadata-only commit. From that version on every
     row-introducing write validates its staged rows against the
     parent HEAD inside the same per-CAS-attempt hook as CHECK
-    constraints. Scope (documented, not hidden): the parent is read
-    at enforcement time — a later parent DELETE is not blocked (no
-    reverse trigger), which is the expectations-suite's job to
-    audit; enforcement here stops orphans from ever being WRITTEN."""
+    constraints — and the ADD's own existing-data validation runs
+    inside ITS commit hook per attempt, so a child write racing the
+    ADD is re-checked before the rule publishes. Scope (documented,
+    not hidden): the parent is read at enforcement time — a later
+    parent DELETE is not blocked (no reverse trigger), which is the
+    expectations-suite's job to audit; enforcement here stops orphans
+    from ever being WRITTEN."""
     import json as _json
 
     fk = {"col": col, "parent": parent_dir, "parent_col": parent_col}
-    try:
-        head_df = read_table(spark, table_dir)
-    except ValueError:
-        head_df = None
-    if head_df is not None:
+    cur = table_foreign_keys(table_dir)
+    cur[name] = fk
+
+    def validate(head: int) -> None:
+        head_df = _head_df_at(spark, table_dir, head)
+        if head_df is None:
+            return
         bad = _fk_orphans(spark, head_df, fk)
         if bad:
             raise ConstraintViolationError(
                 f"cannot add foreign key {name!r}: {bad} existing "
                 f"row(s) have no parent in {parent_dir}:{parent_col}"
             )
-    cur = table_foreign_keys(table_dir)
-    cur[name] = fk
+
     return commit_segments(
         table_dir,
         added=[],
         removed=[],
         op="add_constraint",
         meta={FOREIGN_KEYS_KEY: _json.dumps(cur)},
+        pre_commit=_revalidating_hook(validate),
     )
 
 
@@ -1803,23 +1883,42 @@ def table_unique_constraints(table_dir: str) -> dict[str, dict]:
     return _json.loads(raw) if raw else {}
 
 
+def _non_null_keyed(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows participating in a UNIQUE relation: SQL UNIQUE ignores any
+    row whose key is (even partially, for composite keys) NULL — any
+    number of NULL-keyed rows coexist under the constraint. Filtering
+    them FIRST matters because ``groupBy`` treats NULLs as equal, so an
+    unfiltered duplicate check would wrongly refuse two NULL-keyed
+    rows (confirmed-bug fix, VERDICT r8 #1)."""
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    return df.where(cond)
+
+
 def _unique_violation(
     spark: SparkSession,
     table_dir: str,
     staged: DataFrame,
-    new_rels: list[str],
+    exclude: set[str],
     cols: list[str],
     head: int,
 ) -> str | None:
     """UNIQUE check for one staged write: (a) the staged rows may not
     repeat the key among themselves; (b) no staged key may already be
-    live. Scale shape for (b): candidate segments prune exactly like
-    an upsert — recorded key min/max against the staged range, then
-    Bloom sidecars against the staged distinct keys — so an append
-    whose keys sit in a fresh range reads NO existing data files
-    before passing."""
+    live outside this commit's own segments (``exclude`` = the write's
+    added AND removed rels, so a rewrite-shaped commit is compared
+    against the segments that SURVIVE it, never against rows it is
+    itself replacing). NULL keys are ignored throughout, SQL UNIQUE
+    semantics (see :func:`_non_null_keyed`). Scale shape for (b):
+    candidate segments prune exactly like an upsert — recorded key
+    min/max against the staged range, then Bloom sidecars against the
+    staged distinct keys — so an append whose keys sit in a fresh
+    range reads NO existing data files before passing."""
+    keyed = _non_null_keyed(staged, cols)
     dup = (
-        staged.groupBy(*cols)
+        keyed.groupBy(*cols)
         .count()
         .where(F.col("count") > 1)
         .limit(1)
@@ -1828,21 +1927,20 @@ def _unique_violation(
     if dup:
         return "duplicate keys within the write itself"
     key = cols[0]
-    slo, shi = staged.agg(F.min(key), F.max(key)).first()
+    slo, shi = keyed.agg(F.min(key), F.max(key)).first()
     if slo is None:
-        return None  # all-NULL keys: SQL UNIQUE ignores NULLs
+        return None  # no non-NULL keys staged: nothing to check
     live = live_segments(table_dir, head)
     stats = segment_stats(table_dir, head)
-    new_set = set(new_rels)
     cands = [
         s
         for s in live
         if not _is_log(s)
-        and s not in new_set
+        and s not in exclude
         and _stats_may_match(stats.get(s), key, slo, shi)
     ]
     if cands and any("bloom" in (stats.get(s) or {}) for s in cands):
-        probe = _collect_probe_keys(staged, key)
+        probe = _collect_probe_keys(keyed, key)
         cands = [
             s
             for s in cands
@@ -1852,8 +1950,7 @@ def _unique_violation(
         return None
     existing = _read_segments(spark, table_dir, cands).select(*cols)
     clash = (
-        staged.select(*cols)
-        .where(F.col(key).isNotNull())
+        keyed.select(*cols)
         .join(existing, on=cols, how="inner")
         .limit(1)
         .count()
@@ -1871,21 +1968,25 @@ def add_unique_constraint(
 ) -> int:
     """ADD CONSTRAINT ... UNIQUE: validates the existing table (a key
     appearing twice makes the rule unaddable), then publishes the map
-    metadata-only. From then on APPEND-shaped writes are checked
-    (within the write and against pruned live segments) inside the
-    per-CAS-attempt hook; keyed upserts/merges preserve uniqueness by
-    construction (they fold on the key). NULL keys are ignored, SQL
-    UNIQUE semantics."""
+    metadata-only; validation runs inside the commit's
+    per-CAS-attempt hook so a write racing the ADD is re-checked.
+    From then on every row-introducing write is checked (within the
+    write and against pruned surviving live segments) inside the
+    writer's per-CAS-attempt hook; keyed upserts/merges skip only the
+    constraints their fold identity already guarantees (identity
+    ⊆ constraint cols). NULL keys are ignored, SQL UNIQUE semantics:
+    any number of rows whose key is (even partially) NULL coexist."""
     import json as _json
 
     cols = list(cols)
-    try:
-        head_df = read_table(spark, table_dir)
-    except ValueError:
-        head_df = None
-    if head_df is not None:
+
+    def validate(head: int) -> None:
+        head_df = _head_df_at(spark, table_dir, head)
+        if head_df is None:
+            return
         dup = (
-            head_df.groupBy(*cols)
+            _non_null_keyed(head_df, cols)
+            .groupBy(*cols)
             .count()
             .where(F.col("count") > 1)
             .limit(1)
@@ -1896,6 +1997,7 @@ def add_unique_constraint(
                 f"cannot add unique constraint {name!r}: existing "
                 f"rows repeat {cols}"
             )
+
     cur = table_unique_constraints(table_dir)
     cur[name] = {"cols": cols}
     return commit_segments(
@@ -1904,6 +2006,7 @@ def add_unique_constraint(
         removed=[],
         op="add_constraint",
         meta={UNIQUE_KEYS_KEY: _json.dumps(cur)},
+        pre_commit=_revalidating_hook(validate),
     )
 
 
@@ -1925,7 +2028,8 @@ def _constraints_pre_commit(
     spark: SparkSession,
     table_dir: str,
     new_rels: list[str],
-    uniqueness_preserved: bool = False,
+    removed: list[str] | None = None,
+    fold_identity: tuple | None = None,
 ):
     """Per-CAS-attempt enforcement hook for
     :func:`~.snapshot_log.commit_segments`: re-reads the constraint
@@ -1935,19 +2039,31 @@ def _constraints_pre_commit(
     this, an in-flight append could land rows violating a rule whose
     ADD already committed). The staged scan is memoized per distinct
     constraint map, so the common no-conflict path pays it at most
-    once — and constraint-free tables pay one metadata read."""
+    once — and constraint-free tables pay one metadata read.
+
+    ``removed`` (rewrite-shaped commits) excludes the segments this
+    commit replaces from the UNIQUE live-clash probe — staged
+    survivors must not clash with their own pre-images.
+    ``fold_identity`` names the column tuple a keyed write folds on;
+    a UNIQUE constraint whose columns form a SUPERSET of the identity
+    is then guaranteed by construction and skips the probe (identity
+    ⊆ cols is the sound direction: fold-unique on (p, k) implies
+    unique on (p, k, extra) but NOT on (k) alone, which a second
+    partition may repeat — so everything else is probed normally)."""
     state = {"ok_for": None}
+    identity = set(fold_identity) if fold_identity else None
+    exclude = set(new_rels) | set(removed or ())
 
     def hook(head: int) -> None:
         import json as _json
 
         cons = table_constraints(table_dir)
         fks = table_foreign_keys(table_dir)
-        uniqs = (
-            table_unique_constraints(table_dir)
-            if not uniqueness_preserved
-            else {}
-        )
+        uniqs = {
+            name: u
+            for name, u in table_unique_constraints(table_dir).items()
+            if identity is None or not identity <= set(u["cols"])
+        }
         if (not cons and not fks and not uniqs) or not new_rels:
             return
         key = _json.dumps([cons, fks, uniqs], sort_keys=True)
@@ -1966,7 +2082,7 @@ def _constraints_pre_commit(
                 )
         for name, u in sorted(uniqs.items()):
             why = _unique_violation(
-                spark, table_dir, staged, new_rels, u["cols"], head
+                spark, table_dir, staged, exclude, u["cols"], head
             )
             if why:
                 raise ConstraintViolationError(

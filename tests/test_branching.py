@@ -595,3 +595,41 @@ def test_foreign_file_in_refs_dir_is_ignored(spark, tmp_path):
         f.write("junk")
     assert list_branches(t) == ["dev"]  # no NotADirectoryError
     assert protected_segments(t)  # GC walk survives too
+
+
+def test_merge_racing_twin_same_ref_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Two merges of the SAME ref racing (VERDICT r8 #2): the loser's
+    CAS fails, and its re-plan must see what its twin just published
+    — both the parent's new live set AND the ref's published-set
+    bookkeeping — so it returns idempotent success (the twin already
+    landed the merge) instead of raising a spurious 'parent rewrote
+    them' conflict. Simulated deterministically: the loser's first
+    commit attempt runs the twin's FULL merge, then loses the CAS."""
+    import conversation_with_vector_db_spark.sources.branching as br
+
+    t = _mk(spark, tmp_path)
+    b = create_branch(t, "dev")
+    # Rewrite an inherited segment on the branch: the merge carries a
+    # non-empty `removed` set (the path the stale-bookkeeping bug
+    # turned into a spurious conflict).
+    bseg = live_segments(b)[0]
+    rewrite_snapshot(spark.range(50, 55), b, remove=[bseg])
+
+    real = br.commit_segments
+
+    def losing_commit(table_dir, **kw):
+        monkeypatch.setattr(br, "commit_segments", real)
+        merge_branch(t, "dev")  # the twin wins the race
+        raise CommitConflictError("lost the CAS to the twin")
+
+    monkeypatch.setattr(br, "commit_segments", losing_commit)
+    v = merge_branch(t, "dev")  # the loser: must no-op, not raise
+    assert v == latest_version(t)
+    assert _ids(read_snapshot(spark, t)) == list(range(50, 55))
+    # Exactly once: the rewrite applied a single time.
+    merged = [
+        s for s in live_segments(t) if s.startswith("_refs/dev/")
+    ]
+    assert len(merged) == 1

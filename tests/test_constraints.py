@@ -444,3 +444,214 @@ def test_unique_not_addable_over_duplicates_and_droppable(
         ),
         tdir,
     )
+
+
+def test_unique_allows_multiple_null_keys(spark, tdir):
+    """SQL UNIQUE ignores NULL keys (VERDICT r8 #1 regression): two
+    NULL-keyed rows in ONE write land; a NULL-keyed row 'matching' an
+    existing NULL lands; and add_unique_constraint succeeds over a
+    table already holding NULL duplicates."""
+    _mk(spark, tdir, [(1, 2, 0), (None, 3, 0)])
+    tx.add_unique_constraint(spark, tdir, "pk", ["vec_id"])
+    # Two NULL keys within one write: allowed.
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(None, 4, 0), (None, 5, 1)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        tdir,
+    )
+    # A NULL key against existing NULLs: allowed.
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(None, 6, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        tdir,
+    )
+    # Non-NULL duplicates are still refused.
+    with pytest.raises(tx.ConstraintViolationError, match="already"):
+        tx.append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(1, 9, 1)], "vec_id: long, label: int, namespace: int"
+            ),
+            tdir,
+        )
+    labels = sorted(
+        r["label"]
+        for r in tx.read_table(spark, tdir)
+        .where(F.col("vec_id").isNull())
+        .collect()
+    )
+    assert labels == [3, 4, 5, 6]
+
+
+def test_add_unique_over_existing_null_dups(spark, tdir):
+    _mk(spark, tdir, [(None, 1, 0), (None, 2, 0), (3, 3, 1)])
+    tx.add_unique_constraint(spark, tdir, "pk", ["vec_id"])
+    assert "pk" in tx.table_unique_constraints(tdir)
+
+
+def test_unique_composite_any_null_ignored(spark, tdir):
+    """Composite keys: a row with ANY constraint column NULL
+    participates in no uniqueness relation (SQL standard)."""
+    _mk(spark, tdir, [(1, 2, 0)])
+    tx.add_unique_constraint(
+        spark, tdir, "pk", ["vec_id", "label"]
+    )
+    # (1, NULL) twice in one write: allowed — label is NULL.
+    tx.append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, None, 0), (1, None, 1)],
+            "vec_id: long, label: int, namespace: int",
+        ),
+        tdir,
+    )
+    # A full non-NULL duplicate of an existing (vec_id, label): refused.
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(1, 2, 1)], "vec_id: long, label: int, namespace: int"
+            ),
+            tdir,
+        )
+
+
+def test_unique_nonidentity_cols_enforced_on_upsert_and_merge(
+    spark, tdir
+):
+    """ADVICE r8: a keyed upsert/merge folds on (partition, key) —
+    that guarantees UNIQUE constraints whose cols CONTAIN the
+    identity, and ONLY those. A UNIQUE on a different column (email
+    shape: here `label`) must still be probed on these write paths."""
+    _mk(spark, tdir, [(1, 10, 0), (2, 20, 1)])
+    tx.add_unique_constraint(spark, tdir, "ulabel", ["label"])
+    # Upsert rewriting vec_id=1 with a label that duplicates the row
+    # in the OTHER (untouched) partition: refused.
+    with pytest.raises(
+        tx.ConstraintViolationError, match="ulabel"
+    ):
+        tx.upsert_by_key(
+            spark,
+            tdir,
+            spark.createDataFrame(
+                [(1, 20, 0)],
+                "vec_id: long, label: int, namespace: int",
+            ),
+            key="vec_id",
+        )
+    # Merge with the same clash: refused.
+    with pytest.raises(tx.ConstraintViolationError, match="ulabel"):
+        tx.merge_into(
+            spark,
+            tdir,
+            spark.createDataFrame(
+                [(1, 20, 0)],
+                "vec_id: long, label: int, namespace: int",
+            ),
+            key="vec_id",
+        )
+    # A non-clashing upsert lands — including re-writing a row with
+    # its OWN existing label (the pre-image lives in a segment this
+    # commit removes, which the probe must exclude).
+    tx.upsert_by_key(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(1, 10, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        key="vec_id",
+    )
+    assert _state(spark, tdir)[(1, 0)] == 10
+    # Constraints whose cols contain the fold identity are still
+    # skipped (no probe cost): upsert same key with a fresh label.
+    tx.add_unique_constraint(
+        spark, tdir, "pk", ["vec_id", "namespace"]
+    )
+    tx.upsert_by_key(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(1, 11, 0)], "vec_id: long, label: int, namespace: int"
+        ),
+        key="vec_id",
+    )
+    assert _state(spark, tdir)[(1, 0)] == 11
+
+
+def test_add_check_revalidates_when_write_races_the_add(
+    spark, tdir, monkeypatch
+):
+    """ADVICE r8 (medium): ADD CONSTRAINT validates existing data
+    inside its commit's per-CAS-attempt hook, so a write whose commit
+    lands between the ADD's validation and its CAS is re-checked —
+    the ADD must refuse to publish a rule the table already violates.
+    The race is simulated by landing a violating append from inside
+    the ADD's commit path, i.e. after any up-front validation ran."""
+    _mk(spark, tdir)  # labels all >= 0
+    bad = spark.createDataFrame(
+        [(9, -1, 0)], "vec_id: long, label: int, namespace: int"
+    )
+    real = tx.commit_segments
+
+    def racing(table_dir, **kw):
+        monkeypatch.setattr(tx, "commit_segments", real)
+        tx.append_partitioned(spark, bad, tdir)  # the racing writer
+        return real(table_dir, **kw)
+
+    monkeypatch.setattr(tx, "commit_segments", racing)
+    with pytest.raises(tx.ConstraintViolationError, match="existing"):
+        tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+    assert "nonneg" not in tx.table_constraints(tdir)
+    # The raced write itself stays (it committed first and no rule
+    # bound it); a retried ADD still refuses over it.
+    with pytest.raises(tx.ConstraintViolationError):
+        tx.add_check_constraint(spark, tdir, "nonneg", "label >= 0")
+
+
+def test_add_unique_revalidates_when_write_races_the_add(
+    spark, tdir, monkeypatch
+):
+    _mk(spark, tdir, [(1, 2, 0)])
+    dup = spark.createDataFrame(
+        [(1, 3, 1)], "vec_id: long, label: int, namespace: int"
+    )
+    real = tx.commit_segments
+
+    def racing(table_dir, **kw):
+        monkeypatch.setattr(tx, "commit_segments", real)
+        tx.append_partitioned(spark, dup, tdir)
+        return real(table_dir, **kw)
+
+    monkeypatch.setattr(tx, "commit_segments", racing)
+    with pytest.raises(tx.ConstraintViolationError, match="repeat"):
+        tx.add_unique_constraint(spark, tdir, "pk", ["vec_id"])
+    assert "pk" not in tx.table_unique_constraints(tdir)
+
+
+def test_add_foreign_key_revalidates_when_write_races_the_add(
+    spark, tdir, monkeypatch
+):
+    parent = tdir + "_parent"
+    _mk_parent(spark, parent, keys=(0, 1))
+    _mk(spark, tdir, [(1, 2, 0)])
+    orphan = spark.createDataFrame(
+        [(9, 1, 7)], "vec_id: long, label: int, namespace: int"
+    )
+    real = tx.commit_segments
+
+    def racing(table_dir, **kw):
+        monkeypatch.setattr(tx, "commit_segments", real)
+        tx.append_partitioned(spark, orphan, tdir)
+        return real(table_dir, **kw)
+
+    monkeypatch.setattr(tx, "commit_segments", racing)
+    with pytest.raises(tx.ConstraintViolationError, match="existing"):
+        tx.add_foreign_key(
+            spark, tdir, "fk_ns", "namespace", parent, "namespace"
+        )
+    assert tx.table_foreign_keys(tdir) == {}

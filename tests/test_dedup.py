@@ -619,8 +619,19 @@ def test_mg_heavy_hitters_exact_on_zipf(spark):
         .limit(10)
         .collect()
     )
-    got = heavy_hitters_exact(df, "item", top=10, k_counters=512).collect()
+    # source_bytes above the gate forces the MG arm (the small-scale
+    # gate would otherwise pick the direct plan and skip the
+    # decrement path this test exists to exercise).
+    got = heavy_hitters_exact(
+        df, "item", top=10, k_counters=512, source_bytes=1 << 40
+    ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+    # The gate never changes the answer: the direct arm (small known
+    # inputs) returns the identical rows.
+    direct = heavy_hitters_exact(
+        df, "item", top=10, source_bytes=0
+    ).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in exact]
     # Candidate-superset property: every true top-10 item appears in
     # the union of partition summaries.
     cands = {

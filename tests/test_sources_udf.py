@@ -587,3 +587,20 @@ def test_chunk_udtf_matches_declarative_chunker_and_null_edge(spark):
     )
     assert got == declarative
     assert (2, 0, "", 0) in got and (3, 0, "", 0) in got
+
+
+def test_chunk_udtf_rejects_non_positive_size(spark):
+    """ADVICE r8: size < 1 has no chunking meaning — a named
+    ValueError, never a ZeroDivisionError or negative-slice output."""
+    import pytest
+
+    from conversation_with_vector_db_spark.functions.registry import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    for bad in (0, -3):
+        with pytest.raises(Exception, match="size must be >= 1"):
+            spark.sql(
+                f"SELECT * FROM chunk_udtf('abcdef', {bad})"
+            ).collect()
