@@ -928,20 +928,28 @@ def text_heavy_hitters_sketch(
     from ..operators.dedup import normalized_text
     from ..operators.sketch import heavy_hitters_exact
 
-    toks = (
-        spark.table("documents")
-        .select(
-            F.regexp_extract_all(
-                normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
-            ).alias("_toks")
-        )
-        .filter(F.size("_toks") >= 2)
-    )
+    docs = spark.table("documents")
+    # Same under-parallel guard as operators/text.with_regex_counts:
+    # a single-file corpus plans as ONE input partition, which would
+    # serialize tokenize+explode onto one worker; a many-file
+    # cluster-scale table already scans wide and skips the shuffle.
+    cores = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < cores:
+        docs = docs.repartition(cores)
+    toks = docs.select(
+        F.regexp_extract_all(
+            normalized_text(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    # zip_with over the shifted array beats transform+sequence+slice
+    # 3.6x (slice re-seeks per position; zip_with walks both arrays
+    # once) — measured at sf1, BENCH_EXTRAS_SF1 heavy-hitters entry.
     grams = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - 1),
-                lambda i: F.concat_ws(" ", F.slice("_toks", i, 2)),
+            F.zip_with(
+                F.slice("_toks", 1, F.size("_toks") - 1),
+                F.slice("_toks", 2, F.size("_toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("gram")
     )

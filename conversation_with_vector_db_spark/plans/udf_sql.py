@@ -98,7 +98,19 @@ def d9_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     effectively variant rows). VARIANT keeps the binary-parsed value
     columnar across the pipeline instead of re-parsing JSON text per
     extraction (the get_json_object form in c_scalar_suite); the
-    oracle is DuckDB's JSON extraction over the same column.""",
+    oracle is DuckDB's JSON extraction over the same column.
+
+    Storage posture (VERDICT r8 #6, measured by tools/variant_cost.py
+    at sf1, BENCH_EXTRAS_SF1 `c23_variant_json_arms`): this registered
+    form parses the JSON text per query because the fixture stores
+    `props` as a string — 2.97 s at sf1, parse-dominated. On a real
+    table the cheap arm is to parse ONCE at write time: a stored
+    parquet VARIANT column serves the same aggregate in 0.41 s (7×),
+    and shredding the known access path to a typed column in 0.26 s
+    (1.6× DuckDB's 0.17 s); the one-time rewrite (~3.2 s) pays for
+    itself after a single query. At 100 TB the per-query-parse form
+    re-reads and re-parses the full JSON text every time — always
+    store the VARIANT (or the shredded path) in the table.""",
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,

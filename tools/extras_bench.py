@@ -68,6 +68,9 @@ def main() -> None:
     # at that scale; partial runs MERGE into the existing json.
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # sf10 sweeps run each engine once (the oracle side runs minutes
+    # there); the default stays min-of-3 for sf<=1 comparability.
+    runs = int(os.environ.get("EXTRAS_RUNS", "3"))
 
     import duckdb
 
@@ -104,7 +107,7 @@ def main() -> None:
         # warm-up (codegen + any scoped caches), then min-of-3 wall.
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         walls = []
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.time()
             q.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -112,8 +115,9 @@ def main() -> None:
             walls.append(time.time() - t0)
         ducks = []
         sql = q.oracle_sql
-        duck.sql(sql).fetchall()
-        for _ in range(3):
+        if runs >= 3:
+            duck.sql(sql).fetchall()
+        for _ in range(runs):
             t0 = time.time()
             duck.sql(sql).fetchall()
             ducks.append(time.time() - t0)
