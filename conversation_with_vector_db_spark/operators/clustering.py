@@ -85,12 +85,100 @@ def _packed_argmin(centroids: list[tuple[int, list[int]]], k: int):
     return F.array_min(F.array(*dists))
 
 
+#: Centroid count past which assignment switches from the expression
+#: tree to one Arrow matmul pass. The expression argmin embeds k
+#: zip_with/aggregate branches (each carrying a dim-length literal
+#: array) into the plan — linear in k with a large codegen constant,
+#: fine for the oracle-pinned k=8 queries but unusable at SemDeDup's
+#: paper-scale k (50k clusters for 600M items, arXiv:2303.09540).
+#: Both paths produce the identical exact assignment (pinned by
+#: tests/test_scale_ops.py); the oracle-checked registered queries all
+#: run k=8 and never cross this gate.
+ARROW_ASSIGN_MIN_K = 32
+
+
+def _assign_arrow(
+    q: DataFrame, centroids: list[tuple[int, list[int]]], k: int,
+    id_col: str,
+) -> DataFrame:
+    """Large-k assignment: one ``mapInPandas`` pass computing the full
+    (batch x centroids) squared-distance matrix as
+    ``|q|^2 + |c|^2 - 2 q.C^T`` — the centroid matrix is a driver-held
+    k x dim int64 model shipped inside the closure (KBs), so the pass
+    stays a stateless, shuffle-free map exactly like the expression
+    path.
+
+    Exactness: inputs are quantized int64. The cross term runs as a
+    float64 BLAS matmul whenever ``dim * max|q| * max|c| < 2^53`` —
+    every product and every partial sum is then an integer below
+    2^53, so IEEE double arithmetic is EXACT regardless of
+    accumulation order (at the module's scale=1e6 and unit-norm
+    embeddings that allows dim up to ~4000). Past the bound it falls
+    back to the int64 matmul, which carries the same BIGINT range
+    contract as the expression path's ``(a-b)^2`` fold. Ties break to
+    the smallest cluster id: centroids are sorted ascending and
+    ``argmin`` returns the first minimum — the same total order as
+    ``min(sq_dist * k + c)``.
+
+    Requires uniform vector length (callers filter
+    ``size(q) == dim`` first, as :func:`quantized_lloyd_fit`
+    documents)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.int64)
+    dim = cmat.shape[1]
+    c_sq = (cmat * cmat).sum(axis=1)
+    max_c = int(np.abs(cmat).max()) if cmat.size else 0
+    cmat_f = cmat.astype(np.float64)
+    out_schema = (
+        f"{id_col} bigint, q array<bigint>, cluster int, sq_dist bigint"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array(pdf["q"].tolist(), dtype=np.int64)
+            max_q = int(np.abs(qm).max()) if qm.size else 0
+            if dim * max_q * max_c < 2**53:
+                cross = np.rint(qm.astype(np.float64) @ cmat_f.T).astype(
+                    np.int64
+                )
+            else:
+                cross = qm @ cmat.T
+            dists = (
+                (qm * qm).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2 * cross
+            )
+            best = dists.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "q": pdf["q"].to_numpy(),
+                    "cluster": cids[best].astype(np.int32),
+                    "sq_dist": dists[np.arange(len(best)), best],
+                }
+            )
+
+    return q.select(id_col, "q").mapInPandas(assign, out_schema)
+
+
 def assign_clusters(
     q: DataFrame, centroids: list[tuple[int, list[int]]], k: int,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, cluster, sq_dist) under the given centroid model — a
-    stateless, shuffle-free map over the quantized corpus."""
+    stateless, shuffle-free map over the quantized corpus. Below
+    :data:`ARROW_ASSIGN_MIN_K` centroids the distances fold into the
+    plan as a JVM expression tree; at or above it, one Arrow matmul
+    pass (:func:`_assign_arrow`) — identical exact assignment either
+    way."""
+    if len(centroids) >= ARROW_ASSIGN_MIN_K:
+        return _assign_arrow(q, centroids, k, id_col)
     packed = _packed_argmin(centroids, k)
     return q.withColumn("_packed", packed).select(
         id_col,
@@ -239,7 +327,10 @@ def semdedup_prune(
     assignment, model-sized shuffles); the only corpus-sized shuffle
     keys on ``cluster`` for the pair join, quadratic in CLUSTER size by
     design — choose k ~ n/target_cluster_size (the paper runs 50k
-    clusters for 600M items). Rescoring inherits
+    clusters for 600M items; large k is cheap because assignment
+    switches to the Arrow matmul pass at :data:`ARROW_ASSIGN_MIN_K` —
+    measured law at sf10 in BENCH_EXTRAS_SF10 `dedup_semantic_scaling`:
+    k=8 → 2.5B within-cluster pairs, k=512 → 39M). Rescoring inherits
     :func:`~..operators.vector.rescore_candidates`' size-aware join.
 
     Returns (removed, cluster, witness, redundancy) ordered by removed.

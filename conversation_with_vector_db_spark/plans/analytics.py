@@ -865,10 +865,13 @@ def a17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving-user count and an integer-permille conversion from
     the previous step (integer division, cross-engine exact).
 
-    Scale shape: three per-user min aggregations chained by
-    co-partitioned user_id joins — every stage hashes on the same
-    key, so at scale this is one partitioning reused, never an
-    event-stream self-join; timestamps compare as integer micros.""",
+    Scale shape: ONE scan of the three step types and ONE user_id
+    shuffle; the strictly-after chaining is three unbounded window
+    aggregates over that single partitioning (no orderBy — frame =
+    whole partition, so no sort), then a co-partitioned per-user
+    collapse. Never an event-stream self-join, never a re-scan per
+    step (the r9 rewrite from the 3-scan/2-join form: 6.3 s -> one
+    pass at sf10); timestamps compare as integer micros.""",
     oracle="""
 WITH e AS (
     SELECT user_id, event_type, epoch_us(ts) AS us FROM events
@@ -907,34 +910,52 @@ SELECT * FROM (
 """,
 )
 def a20_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.table("events").select(
+    e = spark.table("events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
+    # One user_id partitioning serves all three steps: each t_i is an
+    # unbounded min over the partition (no orderBy => no sort), and
+    # t_{i+1}'s predicate reads the materialized t_i column — a user
+    # missing step i has t_i NULL, which nulls the when() out of the
+    # next min exactly like the inner-join form it replaces.
+    w = Window.partitionBy("user_id")
+    step = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
+    step = step.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w),
     )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
+    step = step.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w),
     )
-    counts = (
-        s1.agg(F.count("*").alias("n1"))
-        .crossJoin(s2.agg(F.count("*").alias("n2")))
-        .crossJoin(s3.agg(F.count("*").alias("n3")))
+    per_user = step.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
     steps = counts.selectExpr(
         """stack(3,

@@ -303,6 +303,48 @@ def test_quantized_lloyd_seeds_after_ragged_filter(spark):
     assert {r["cluster"] for r in got} == {0, 1}
 
 
+def test_assign_clusters_arrow_matches_expression_path(spark, sf_dir):
+    """The large-k Arrow matmul assignment must agree with the
+    expression-tree argmin value-for-value — same cluster, same
+    sq_dist, same smallest-id tie rule — on a real fitted model big
+    enough to cross ARROW_ASSIGN_MIN_K (the cost gate picks a path,
+    never the answer)."""
+    from conversation_with_vector_db_spark.operators.clustering import (
+        ARROW_ASSIGN_MIN_K,
+        _assign_arrow,
+        _packed_argmin,
+        quantize_vectors,
+        quantized_lloyd_fit,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    k = ARROW_ASSIGN_MIN_K + 8
+    centroids, dim = quantized_lloyd_fit(emb, k=k, iters=2)
+    assert len(centroids) > ARROW_ASSIGN_MIN_K
+    q = quantize_vectors(emb).select("vec_id", "q").filter(
+        F.size("q") == dim
+    )
+    via_arrow = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"])
+        for r in _assign_arrow(q, centroids, k, "vec_id").collect()
+    }
+    packed = _packed_argmin(centroids, k)
+    via_expr = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"])
+        for r in q.withColumn("_p", packed)
+        .select(
+            "vec_id",
+            (F.col("_p") % k).cast("int").alias("cluster"),
+            F.expr(f"_p div {k}").alias("sq_dist"),
+        )
+        .collect()
+    }
+    assert via_arrow == via_expr
+    assert len({c for c, _ in via_arrow.values()}) > 1
+
+
 def test_topic_mixture_flattens_to_smallest_topic(spark, sf_dir):
     """Every topic's kept share must land near the smallest topic's
     size (floor-permille sampling: n_kept <= n_before, and the implied

@@ -71,6 +71,12 @@ def main() -> None:
     # sf10 sweeps run each engine once (the oracle side runs minutes
     # there); the default stays min-of-3 for sf<=1 comparability.
     runs = int(os.environ.get("EXTRAS_RUNS", "3"))
+    # Shuffle partitions default to 8 (right for the sub-GB sf<=1
+    # fixtures, where more partitions only add scheduler floor); sf10
+    # sweeps pass the core count — on a real cluster this is sized to
+    # the data, and leaving 8 at 10M-row shuffles idles 3/4 of the
+    # machine inside every window/groupBy stage.
+    shuffle = int(os.environ.get("EXTRAS_SHUFFLE", "8"))
 
     import duckdb
 
@@ -86,7 +92,7 @@ def main() -> None:
     spark = get_spark(
         app_name="cvdb-extras-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=8,
+        shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
