@@ -560,3 +560,53 @@ def test_format_writer_enforces_constraints(ds_spark, tmp_path):
         raise AssertionError("stream should have failed")
     time.sleep(0.2)
     assert read_snapshot(ds_spark, t).count() == 3
+
+
+def test_format_writer_fails_closed_on_nonportable_check(
+    ds_spark, tmp_path
+):
+    """Dialect posture pin: a CHECK predicate the session-free DuckDB
+    evaluator cannot parse (Spark-only syntax) must REFUSE the format
+    write with a message pointing at the native API — never silently
+    bypass the rule. The native path still enforces it with Spark
+    semantics."""
+    from conversation_with_vector_db_spark.sources import (
+        transactional as tx,
+    )
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        latest_version,
+    )
+
+    t = str(tmp_path / "t")
+    create_table(t)
+    append_snapshot(
+        ds_spark.createDataFrame(
+            [(1, 5, 0)], "vec_id: long, label: long, namespace: long"
+        ),
+        t,
+    )
+    # Backtick-quoted identifier: valid Spark SQL, a parse error in
+    # DuckDB (which quotes with double quotes).
+    tx.add_check_constraint(ds_spark, t, "bt", "`label` >= 0")
+    v = latest_version(t)
+    with pytest.raises(Exception, match="append_partitioned"):
+        (
+            ds_spark.createDataFrame(
+                [(2, 3, 0)], "vec_id: long, label: long, namespace: long"
+            )
+            .write.format("snapshot_log")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+    assert latest_version(t) == v
+    # The native path enforces the same rule with Spark semantics.
+    with pytest.raises(tx.ConstraintViolationError, match="CHECK"):
+        tx.append_partitioned(
+            ds_spark,
+            ds_spark.createDataFrame(
+                [(3, -1, 0)],
+                "vec_id: long, label: long, namespace: long",
+            ),
+            t,
+        )
