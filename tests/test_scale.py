@@ -303,6 +303,34 @@ def test_quantized_lloyd_seeds_after_ragged_filter(spark):
     assert {r["cluster"] for r in got} == {0, 1}
 
 
+def test_quantized_lloyd_arrow_path_partitioning_independent(
+    spark, sf_dir
+):
+    """End-to-end pin for the large-k regime: a full fit+assign at
+    k >= ARROW_ASSIGN_MIN_K (every assignment pass inside the fit loop
+    rides the Arrow matmul path) must produce the identical model and
+    assignment regardless of input partitioning — the determinism
+    contract the module promises is path-independent."""
+    from conversation_with_vector_db_spark.operators.clustering import (
+        ARROW_ASSIGN_MIN_K,
+        quantized_lloyd,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    k = ARROW_ASSIGN_MIN_K + 4
+    a = [tuple(r) for r in quantized_lloyd(emb, k=k, iters=3).collect()]
+    b = [
+        tuple(r)
+        for r in quantized_lloyd(
+            emb.repartition(17), k=k, iters=3
+        ).collect()
+    ]
+    assert a == b
+    assert len({c for _, c, _ in a}) > ARROW_ASSIGN_MIN_K // 2
+
+
 def test_assign_clusters_arrow_matches_expression_path(spark, sf_dir):
     """The large-k Arrow matmul assignment must agree with the
     expression-tree argmin value-for-value — same cluster, same
