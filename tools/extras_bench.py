@@ -88,6 +88,12 @@ def main() -> None:
         table_path,
     )
 
+    # Partial fixture dirs (e.g. an sf100 events-only generation from
+    # gen_sf --tables) register only the tables they carry.
+    tables = tuple(
+        os.environ.get("EXTRAS_TABLES", ",".join(BASE_TABLES)).split(",")
+    )
+
     load_all()
     spark = get_spark(
         app_name="cvdb-extras-bench",
@@ -95,9 +101,10 @@ def main() -> None:
         shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, tables)
     for t in ("documents", "embeddings"):
-        spark.table(t).cache().count()
+        if t in tables:
+            spark.table(t).cache().count()
 
     duck = duckdb.connect()
     for t in BASE_TABLES:
