@@ -92,7 +92,7 @@ def _packed_argmin(centroids: list[tuple[int, list[int]]], k: int):
 #: fine for the oracle-pinned k=8 queries but unusable at SemDeDup's
 #: paper-scale k (50k clusters for 600M items, arXiv:2303.09540).
 #: Both paths produce the identical exact assignment (pinned by
-#: tests/test_scale_ops.py); the oracle-checked registered queries all
+#: tests/test_scale.py); the oracle-checked registered queries all
 #: run k=8 and never cross this gate.
 ARROW_ASSIGN_MIN_K = 32
 
@@ -115,7 +115,11 @@ def _assign_arrow(
     accumulation order (at the module's scale=1e6 and unit-norm
     embeddings that allows dim up to ~4000). Past the bound it falls
     back to the int64 matmul, which carries the same BIGINT range
-    contract as the expression path's ``(a-b)^2`` fold. Ties break to
+    contract as the expression path's ``(a-b)^2`` fold — and, unlike
+    numpy's silent wraparound, ENFORCES it: if the worst-case squared
+    distance ``dim * (max|q| + max|c|)^2`` leaves int64 range the
+    pass raises instead of returning a wrapped argmin that would
+    silently disagree with the expression path. Ties break to
     the smallest cluster id: centroids are sorted ascending and
     ``argmin`` returns the first minimum — the same total order as
     ``min(sq_dist * k + c)``.
@@ -133,8 +137,25 @@ def _assign_arrow(
     c_sq = (cmat * cmat).sum(axis=1)
     max_c = int(np.abs(cmat).max()) if cmat.size else 0
     cmat_f = cmat.astype(np.float64)
-    out_schema = (
-        f"{id_col} bigint, q array<bigint>, cluster int, sq_dist bigint"
+    # The id column keeps the caller's type (public API, arbitrary
+    # id_col — string doc ids included); hardcoding bigint here would
+    # make the k-gate silently change the OUTPUT SCHEMA, not just the
+    # physical path.
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, q.schema[id_col].dataType),
+            StructField("q", ArrayType(LongType())),
+            StructField("cluster", IntegerType()),
+            StructField("sq_dist", LongType()),
+        ]
     )
 
     def assign(batches):
@@ -143,6 +164,20 @@ def _assign_arrow(
                 continue
             qm = np.array(pdf["q"].tolist(), dtype=np.int64)
             max_q = int(np.abs(qm).max()) if qm.size else 0
+            # numpy wraps silently on int64 overflow, and the
+            # |q|^2+|c|^2-2q.c decomposition wraps DIFFERENTLY than the
+            # expression path's (a-b)^2 fold — enforce the documented
+            # BIGINT contract explicitly instead of returning a wrapped
+            # argmin. dim*(max|q|+max|c|)^2 bounds every intermediate
+            # (squared norms, 2*cross, final distance); the check is
+            # exact — Python ints are unbounded.
+            if dim * (max_q + max_c) ** 2 >= 2**63:
+                raise ValueError(
+                    "assign_clusters: quantized inputs exceed the "
+                    "BIGINT distance contract (dim * (max|q| + "
+                    f"max|c|)^2 = {dim * (max_q + max_c) ** 2} >= "
+                    "2^63); rescale the quantization"
+                )
             if dim * max_q * max_c < 2**53:
                 cross = np.rint(qm.astype(np.float64) @ cmat_f.T).astype(
                     np.int64

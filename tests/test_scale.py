@@ -373,6 +373,69 @@ def test_assign_clusters_arrow_matches_expression_path(spark, sf_dir):
     assert len({c for c, _ in via_arrow.values()}) > 1
 
 
+def test_assign_clusters_arrow_path_preserves_string_id_type(
+    spark, sf_dir
+):
+    """assign_clusters is a public API taking arbitrary id_col; the
+    Arrow path must emit the CALLER's id type (here a string doc id),
+    not a hardcoded bigint — the cost gate picks a physical path,
+    never the output schema."""
+    from conversation_with_vector_db_spark.operators.clustering import (
+        ARROW_ASSIGN_MIN_K,
+        assign_clusters,
+        quantize_vectors,
+        quantized_lloyd_fit,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "embedding",
+    )
+    k = ARROW_ASSIGN_MIN_K + 8
+    centroids, dim = quantized_lloyd_fit(
+        emb, k=k, iters=1, id_col="doc_id"
+    )
+    assert len(centroids) >= ARROW_ASSIGN_MIN_K
+    q = quantize_vectors(emb).select("doc_id", "q").filter(
+        F.size("q") == dim
+    )
+    big = assign_clusters(q, centroids, k, id_col="doc_id")
+    small = assign_clusters(q, centroids[:4], 4, id_col="doc_id")
+    # identical schema either side of the gate, caller's string id kept
+    assert big.schema["doc_id"].dataType.simpleString() == "string"
+    assert [f.name for f in big.schema] == [f.name for f in small.schema]
+    assert {
+        f.name: f.dataType.simpleString() for f in big.schema
+    } == {f.name: f.dataType.simpleString() for f in small.schema}
+    got = big.limit(5).collect()
+    assert all(r["doc_id"].startswith("doc-") for r in got)
+
+
+def test_assign_clusters_arrow_int64_fallback_raises_on_overflow(spark):
+    """Past the float64-exactness gate the int64 fallback must ENFORCE
+    the BIGINT distance contract — raise on would-wrap inputs rather
+    than return a silently wrapped argmin."""
+    from conversation_with_vector_db_spark.operators.clustering import (
+        ARROW_ASSIGN_MIN_K,
+        _assign_arrow,
+    )
+
+    big = 2**33  # dim * (max_q + max_c)^2 = 4 * (2^34)^2 = 2^70 >= 2^63
+    k = ARROW_ASSIGN_MIN_K
+    centroids = [(c, [big, -big, big, -big]) for c in range(k)]
+    q = spark.createDataFrame(
+        [(1, [big, big, big, big])], "vec_id bigint, q array<bigint>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="BIGINT distance contract"):
+        _assign_arrow(q, centroids, k, "vec_id").collect()
+
+
 def test_topic_mixture_flattens_to_smallest_topic(spark, sf_dir):
     """Every topic's kept share must land near the smallest topic's
     size (floor-permille sampling: n_kept <= n_before, and the implied

@@ -112,12 +112,45 @@ def main() -> None:
         if os.path.exists(p):
             duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    # Placeholder guard: an EXTRAS_TABLES-restricted fixture (e.g. the
+    # events-only sf100 generation) carries tiny sf0.001 placeholders
+    # for every other table so load_tables can register the full view
+    # set — a query whose inputs are placeholders would publish a
+    # meaningless denominator (the r9 sf100 artifact's a19 row read a
+    # placeholder lineitem and showed 116x). Detect each query's input
+    # tables from its oracle SQL (the oracle computes the same result
+    # over the same tables as the Spark plan) and REFUSE to time any
+    # query touching a table outside the at-scale set, recording it
+    # under "skipped_placeholder_inputs" instead.
+    import re as _re
+
+    restricted = os.environ.get("EXTRAS_TABLES") is not None
+    at_scale = set(tables)
+
     out: dict[str, dict[str, float]] = {}
+    skipped: dict[str, list[str]] = {}
     for name in QUERIES:
         if only is not None and name not in only:
             continue
         q = registry.REGISTRY[name]
-        # warm-up (codegen + any scoped caches), then min-of-3 wall.
+        sql = q.oracle_sql
+        if restricted and sql:
+            placeholder_inputs = sorted(
+                t
+                for t in BASE_TABLES
+                if t not in at_scale and _re.search(rf"\b{t}\b", sql)
+            )
+            if placeholder_inputs:
+                skipped[name] = placeholder_inputs
+                print(
+                    f"SKIP {name}: reads placeholder tables "
+                    f"{placeholder_inputs} in this restricted fixture",
+                    file=sys.stderr,
+                )
+                continue
+        # warm-up (codegen + any scoped caches), then min-of-N wall —
+        # BOTH engines warm unconditionally so a single-run sweep never
+        # compares warmed Spark to cold DuckDB.
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         walls = []
         for _ in range(runs):
@@ -127,9 +160,7 @@ def main() -> None:
             ).save()
             walls.append(time.time() - t0)
         ducks = []
-        sql = q.oracle_sql
-        if runs >= 3:
-            duck.sql(sql).fetchall()
+        duck.sql(sql).fetchall()
         for _ in range(runs):
             t0 = time.time()
             duck.sql(sql).fetchall()
@@ -149,6 +180,8 @@ def main() -> None:
         ),
         "queries": out,
     }
+    if skipped:
+        doc["skipped_placeholder_inputs"] = skipped
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(
         root, os.environ.get("EXTRAS_OUT", "BENCH_EXTRAS.json")
@@ -159,6 +192,12 @@ def main() -> None:
             prior = json.load(f)
         prior.get("queries", {}).update(out)
         prior["sf_dir"] = sf_dir
+        if skipped:
+            prior.setdefault(
+                "skipped_placeholder_inputs", {}
+            ).update(skipped)
+            for name in skipped:
+                prior.get("queries", {}).pop(name, None)
         doc = prior
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
