@@ -1624,7 +1624,12 @@ def graph_label_communities(
     sum-of-squares is rows/user * max_cents^2, ~1e13 at 1e3
     events/user and 1e5 cents, five decades inside BIGINT), so
     mu/sd/z are double expressions over identical exact integers on
-    both engines and parity is value-level. Plan shape: the naive ROWS BETWEEN 20 PRECEDING
+    both engines and parity is value-level. The running sums
+    0-coalesce NULL values (a NULL row must not poison every later
+    lag difference — sum over an all-NULL prefix is NULL and lag
+    propagates values, not defaults; zeros are exact under the
+    n >= 10 gate since the count tracks only non-NULLs — edge found
+    by the hypothesis algebra pin in tests/test_properties.py). Plan shape: the naive ROWS BETWEEN 20 PRECEDING
     frame makes Spark's WindowExec re-aggregate all 20 frame rows
     per output row per function (~6e9 updates at 100M events —
     measured 14s of the 18s wall); running totals + lag are
@@ -1640,9 +1645,14 @@ WITH e AS (
     FROM events
 ),
 cum AS (
+    -- coalesce-0 inside the running sums: a NULL value row must not
+    -- poison every later lag difference in its partition (sum over an
+    -- all-NULL prefix is NULL, and lag() propagates values, not
+    -- defaults); zeros are exact under the n >= 10 gate since cc
+    -- counts only non-NULLs.
     SELECT user_id, event_id, us, value, cents,
-           sum(cents) OVER w AS cs,
-           sum(cents * cents) OVER w AS csq,
+           sum(coalesce(cents, 0)) OVER w AS cs,
+           sum(coalesce(cents * cents, 0)) OVER w AS csq,
            count(cents) OVER w AS cc
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
@@ -1697,8 +1707,10 @@ def a23_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us",
         "value",
         "cents",
-        F.sum("cents").over(wc).alias("cs"),
-        F.sum(F.col("cents") * F.col("cents")).over(wc).alias("csq"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0))).over(wc).alias("cs"),
+        F.sum(F.coalesce(F.col("cents") * F.col("cents"), F.lit(0)))
+        .over(wc)
+        .alias("csq"),
         F.count("cents").over(wc).alias("cc"),
     )
     lagged = cum.select(

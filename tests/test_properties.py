@@ -447,3 +447,87 @@ class TestBinpackProperties:
         for rel, nbytes in sized:
             if nbytes >= target:
                 assert rel not in set(flat)
+
+
+class TestRollingAnomalyAlgebra:
+    """The a23 rewrite rests on algebra: trailing-20 sum/sumsq/count
+    via cumulative-sum lag differences must equal the direct sliding
+    ROWS frame aggregates on EVERY input — short series (< 21 rows),
+    ties in the ordering key, NULL values included."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),          # user
+                st.integers(0, 5),          # ts (ties likely)
+                st.integers(0, 9),          # tie-break id (unique-ified below)
+                st.one_of(st.none(), st.integers(0, 10_000)),  # cents
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_lag_differences_equal_sliding_frame(self, spark, rows):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        # unique (user, ts, id) ordering: synthesize a unique id so the
+        # frame is deterministic on both formulations
+        data = [
+            (u, t, i, c)
+            for i, (u, t, _x, c) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "user_id int, us int, event_id int, cents int"
+        )
+        wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+        wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ws = wo.rowsBetween(-20, -1)
+        cum = df.select(
+            "user_id",
+            "us",
+            "event_id",
+            "cents",
+            F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+            .over(wc)
+            .alias("cs"),
+            F.sum(
+                F.coalesce(F.col("cents") * F.col("cents"), F.lit(0))
+            )
+            .over(wc)
+            .alias("csq"),
+            F.count("cents").over(wc).alias("cc"),
+            F.sum("cents").over(ws).alias("s_direct"),
+            F.sum(F.col("cents") * F.col("cents"))
+            .over(ws)
+            .alias("ssq_direct"),
+            F.count("cents").over(ws).alias("n_direct"),
+        )
+        got = cum.select(
+            "event_id",
+            (
+                F.lag("cs", 1, 0).over(wo) - F.lag("cs", 21, 0).over(wo)
+            ).alias("s_lag"),
+            (
+                F.lag("csq", 1, 0).over(wo)
+                - F.lag("csq", 21, 0).over(wo)
+            ).alias("ssq_lag"),
+            (
+                F.lag("cc", 1, 0).over(wo) - F.lag("cc", 21, 0).over(wo)
+            ).alias("n_lag"),
+            "s_direct",
+            "ssq_direct",
+            "n_direct",
+        ).collect()
+        for r in got:
+            assert r["n_lag"] == r["n_direct"], r
+            # direct SUM over an all-null/empty frame is NULL; the lag
+            # difference yields 0 — equivalent under the n >= 10 gate
+            # (n = 0 there), so compare with 0-coalescing.
+            assert r["s_lag"] == (
+                r["s_direct"] if r["s_direct"] is not None else 0
+            ), r
+            assert r["ssq_lag"] == (
+                r["ssq_direct"] if r["ssq_direct"] is not None else 0
+            ), r
