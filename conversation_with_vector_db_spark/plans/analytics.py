@@ -898,14 +898,21 @@ counts AS (
            (SELECT count(*) FROM s3) AS n3
 )
 SELECT * FROM (
+    -- NULL permille when the previous step is empty: on ANSI engines
+    -- an unguarded integer division CRASHES a zero-conversion corpus
+    -- (edge found by the hypothesis funnel pin in
+    -- tests/test_properties.py, not by the fixtures).
     SELECT 'step_1_view' AS step, CAST(n1 AS BIGINT) AS users,
-           CAST(1000 AS BIGINT) AS permille_of_prev FROM counts
+           CASE WHEN n1 > 0 THEN CAST(1000 AS BIGINT) END
+               AS permille_of_prev FROM counts
     UNION ALL
     SELECT 'step_2_click', CAST(n2 AS BIGINT),
-           CAST((n2 * 1000) // n1 AS BIGINT) FROM counts
+           CASE WHEN n1 > 0 THEN CAST((n2 * 1000) // n1 AS BIGINT) END
+    FROM counts
     UNION ALL
     SELECT 'step_3_purchase', CAST(n3 AS BIGINT),
-           CAST((n3 * 1000) // n2 AS BIGINT) FROM counts
+           CASE WHEN n2 > 0 THEN CAST((n3 * 1000) // n2 AS BIGINT) END
+    FROM counts
 ) ORDER BY step
 """,
 )
@@ -957,11 +964,17 @@ def a20_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n2"),
         F.count("t3").alias("n3"),
     )
+    # NULL permille when the previous step is empty — unguarded `div`
+    # crashes a zero-conversion corpus under ANSI (hypothesis-found
+    # edge; the fixtures always convert).
     steps = counts.selectExpr(
         """stack(3,
-            'step_1_view', n1, CAST(1000 AS BIGINT),
-            'step_2_click', n2, (n2 * 1000) div n1,
-            'step_3_purchase', n3, (n3 * 1000) div n2
+            'step_1_view', n1,
+            CASE WHEN n1 > 0 THEN CAST(1000 AS BIGINT) END,
+            'step_2_click', n2,
+            CASE WHEN n1 > 0 THEN (n2 * 1000) div n1 END,
+            'step_3_purchase', n3,
+            CASE WHEN n2 > 0 THEN (n3 * 1000) div n2 END
         ) AS (step, users, permille_of_prev)"""
     )
     return steps.orderBy("step")

@@ -531,3 +531,212 @@ class TestRollingAnomalyAlgebra:
             assert r["ssq_lag"] == (
                 r["ssq_direct"] if r["ssq_direct"] is not None else 0
             ), r
+
+
+class TestFunnelAndRetentionAlgebra:
+    """Pin the window-algebra rewrites of a20 (chained unbounded mins
+    replace the 3-scan join funnel) and a21 (the offset-0 cell IS the
+    cohort size) against brute-force Python references on arbitrary
+    event streams — the registered query code runs as-is over a temp
+    `events` view."""
+
+    def _with_events(self, spark, sf_dir, rows):
+        df = spark.createDataFrame(
+            [
+                (
+                    i,
+                    # micros -> timestamp; keep within one year
+                    u,
+                    et,
+                    float(v),
+                    ts,
+                )
+                for i, (u, et, v, ts) in enumerate(rows)
+            ],
+            "event_id long, user_id long, event_type string, "
+            "value double, _us long",
+        ).selectExpr(
+            "event_id",
+            "timestamp_micros(_us) AS ts",
+            "user_id",
+            "event_type",
+            "value",
+            "cast(null as string) AS props",
+        )
+        df.createOrReplaceTempView("events")
+
+    def _restore(self, spark, sf_dir):
+        from conversation_with_vector_db_spark.session import load_tables
+
+        load_tables(spark, sf_dir, ("events",))
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 4),                       # user
+                st.sampled_from(["view", "click", "purchase", "other"]),
+                st.integers(0, 100),                     # value
+                st.integers(0, 10**7),                   # us (ties likely at 0 scale? fine)
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_funnel_counts_match_sequential_reference(
+        self, spark, sf_dir, rows
+    ):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        try:
+            self._with_events(spark, sf_dir, rows)
+            # __wrapped__: the registry wrapper re-registers the
+            # REAL fixture views over our temp `events`
+            got = {
+                r["step"]: r["users"]
+                for r in registry.REGISTRY["a20_funnel_conversion"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            }
+        finally:
+            self._restore(spark, sf_dir)
+        # brute-force sequential funnel per user
+        by_user: dict = {}
+        for u, et, _v, us in rows:
+            by_user.setdefault(u, []).append((et, us))
+        n1 = n2 = n3 = 0
+        for evs in by_user.values():
+            t1 = min((us for et, us in evs if et == "view"), default=None)
+            if t1 is None:
+                continue
+            n1 += 1
+            t2 = min(
+                (us for et, us in evs if et == "click" and us > t1),
+                default=None,
+            )
+            if t2 is None:
+                continue
+            n2 += 1
+            t3 = min(
+                (us for et, us in evs if et == "purchase" and us > t2),
+                default=None,
+            )
+            if t3 is not None:
+                n3 += 1
+        assert got["step_1_view"] == n1
+        assert got["step_2_click"] == n2
+        assert got["step_3_purchase"] == n3
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 4),       # user
+                st.integers(0, 3),       # week index
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_retention_offset_zero_cell_is_cohort_size(
+        self, spark, sf_dir, rows
+    ):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        WEEK = 604800000000
+        ev_rows = [
+            (u, "view", 0, wk * WEEK + 12345)
+            for u, wk in rows
+        ]
+        try:
+            self._with_events(spark, sf_dir, ev_rows)
+            got = registry.REGISTRY[
+                "a21_retention_cohorts"
+            ].fn.__wrapped__(spark, sf_dir).collect()
+        finally:
+            self._restore(spark, sf_dir)
+        first = {}
+        active = set()
+        for u, wk in rows:
+            first[u] = min(first.get(u, wk), wk)
+            active.add((u, wk))
+        import collections
+
+        cohort_size = collections.Counter(first.values())
+        cells = collections.Counter(
+            (first[u], wk - first[u]) for u, wk in active
+        )
+        for r in got:
+            assert r["active_users"] == cells[
+                (r["cohort_wk"], r["wk_offset"])
+            ], r
+            assert r["cohort_size"] == cohort_size[r["cohort_wk"]], r
+            assert (
+                r["retention_permille"]
+                == r["active_users"] * 1000 // r["cohort_size"]
+            ), r
+        assert len(got) == len(cells)
+
+
+class TestExactPercentileBracket:
+    """Pin a19's two-phase histogram-bracket selection against true
+    order statistics on arbitrary price lists — bucket-boundary values
+    (exact multiples of the 1000-cent bucket), duplicates, and
+    single-element inputs included. Runs the REAL registered query
+    over a temp `lineitem` view."""
+
+    @given(
+        prices=st.lists(
+            st.one_of(
+                st.integers(0, 3000),          # dense around boundaries
+                st.sampled_from([0, 999, 1000, 1001, 2000, 10**6]),
+            ),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_matches_true_order_statistics(self, spark, sf_dir, prices):
+        import math
+
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        df = spark.createDataFrame(
+            [(c / 100.0,) for c in prices], "l_extendedprice double"
+        )
+        df.createOrReplaceTempView("lineitem")
+        try:
+            got = {
+                r["label"]: (r["rank_k"], r["value_cents"])
+                for r in registry.REGISTRY["a19_exact_percentiles"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            }
+        finally:
+            from conversation_with_vector_db_spark.session import (
+                load_tables,
+            )
+
+            load_tables(spark, sf_dir, ("lineitem",))
+        s = sorted(prices)
+        n = len(s)
+        for label, num, den in (
+            ("p25", 1, 4),
+            ("p50", 1, 2),
+            ("p75", 3, 4),
+            ("p99", 99, 100),
+        ):
+            k = (num * n + den - 1) // den
+            assert got[label] == (k, s[k - 1]), (label, got[label], k)
