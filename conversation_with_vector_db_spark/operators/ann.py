@@ -292,6 +292,15 @@ def ivf_fit_cells(
         if fit_fraction is None
         else corpus_v.sample(fraction=fit_fraction, seed=seed)
     )
+    # Explicit empty guard (the quantized_lloyd / exact_topk idiom):
+    # MLlib's KMeans.fit on a 0-row frame dies with a raw Py4J error
+    # deep in the JVM — surface the caller's actual mistake instead.
+    if fit_on.isEmpty():
+        raise ValueError(
+            "ivf_fit_cells: empty corpus (or empty fit sample) — "
+            "cannot fit an IVF cell model; callers should "
+            "short-circuit the no-data case"
+        )
     model = KMeans(k=nlist, seed=seed, featuresCol="_features").fit(fit_on)
     assigned = (
         model.transform(corpus_v)

@@ -161,6 +161,16 @@ def bm25_write_index(
     One tokenize scan feeds everything; df folds from the postings
     aggregate, not a second pass over text.
     """
+    # Explicit empty guard: writing a 0-row partitioned index leaves
+    # schema-less parquet dirs the query side cannot re-read
+    # (UNABLE_TO_INFER_SCHEMA) — fail at build time with the real
+    # reason instead.
+    if docs.isEmpty():
+        raise ValueError(
+            "bm25_write_index: empty corpus — refusing to write an "
+            "unreadable empty index; callers should short-circuit "
+            "the no-data case"
+        )
     toks = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")

@@ -121,6 +121,13 @@ def brp_recall_report(
         numHashTables=4,
         seed=42,
     )
+    # Empty guard (quantized_lloyd idiom): MLlib fit on a 0-row frame
+    # dies with a raw Py4J error deep in the JVM.
+    if normed.isEmpty():
+        raise ValueError(
+            "ann_brp_lsh_recall: empty embeddings corpus — cannot "
+            "fit the LSH model"
+        )
     model = lsh.fit(normed)
     queries_df = normed.filter(F.col("vec_id") < 5)
     # approxSimilarityJoin on unit vectors: euclid^2 = 2 - 2*cosine,
