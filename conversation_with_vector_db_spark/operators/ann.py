@@ -286,22 +286,46 @@ def ivf_fit_cells(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # NULL/ragged embeddings cannot be indexed (they could never be
+    # scored) and crash MLlib's fit/transform with a raw JVM error —
+    # exclude them up front, the same malformed-row contract the
+    # hand-rolled vector families enforce via size(q) == dim.
+    first = (
+        corpus.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .first()
+    )
+    if first is None:
+        raise ValueError(
+            "ivf_fit_cells: no non-NULL vectors — cannot fit an IVF "
+            "cell model; callers should short-circuit the no-data case"
+        )
+    dim = len(first[0])
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
     corpus_v = corpus.withColumn("_features", array_to_vector(vec_col))
     fit_on = (
         corpus_v
         if fit_fraction is None
         else corpus_v.sample(fraction=fit_fraction, seed=seed)
     )
-    # Explicit empty guard (the quantized_lloyd / exact_topk idiom):
-    # MLlib's KMeans.fit on a 0-row frame dies with a raw Py4J error
-    # deep in the JVM — surface the caller's actual mistake instead.
-    if fit_on.isEmpty():
+    # Degenerate-k guard: MLlib's block KMeans aggregator hits an
+    # ArrayIndexOutOfBounds when k exceeds the number of DISTINCT
+    # training points (reproduced: 3 distinct x dim 64, k=16). Cap k
+    # at the distinct count — the fit sample is small by design
+    # (FAISS-style ~30x nlist points), so the distinct() is a
+    # model-sized job, and on any real corpus distinct >> nlist makes
+    # this a no-op. Also covers the empty case with a named error.
+    n_distinct = fit_on.select(vec_col).distinct().count()
+    if n_distinct == 0:
         raise ValueError(
             "ivf_fit_cells: empty corpus (or empty fit sample) — "
             "cannot fit an IVF cell model; callers should "
             "short-circuit the no-data case"
         )
-    model = KMeans(k=nlist, seed=seed, featuresCol="_features").fit(fit_on)
+    k_eff = min(nlist, n_distinct)
+    model = KMeans(k=k_eff, seed=seed, featuresCol="_features").fit(fit_on)
     assigned = (
         model.transform(corpus_v)
         .withColumnRenamed("prediction", "cell")

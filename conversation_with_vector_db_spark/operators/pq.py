@@ -58,9 +58,25 @@ def pq_fit(
         if sample_fraction is None
         else corpus.sample(fraction=sample_fraction, seed=seed)
     )
-    vecs = np.asarray(
-        [r[0] for r in fit_on.select(vec_col).collect()], dtype=np.float64
-    )
+    # Drop NULL vectors and refuse ragged lengths LOUDLY: a None (or a
+    # short row) in the collected list makes np.asarray build an
+    # inhomogeneous object array whose error names numpy, not the
+    # caller's data problem.
+    rows = [
+        r[0]
+        for r in fit_on.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .collect()
+    ]
+    if not rows:
+        raise ValueError("pq_fit: no non-NULL vectors to train on")
+    dims = {len(v) for v in rows}
+    if len(dims) != 1:
+        raise ValueError(
+            f"pq_fit: ragged vector lengths {sorted(dims)[:5]} — "
+            "filter the corpus to a single dimension first"
+        )
+    vecs = np.asarray(rows, dtype=np.float64)
     n, dim = vecs.shape
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
@@ -109,6 +125,13 @@ def pq_encode(
     from .cache import scoped_broadcast
 
     mm, k_eff, dsub = codebooks.shape
+    # NULL/ragged vectors cannot be encoded (np.asarray would build an
+    # inhomogeneous object array inside the Arrow batch) — exclude
+    # them, the same malformed-row contract as the quantized families'
+    # size(q) == dim filter.
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == mm * dsub)
+    )
     bc = scoped_broadcast(
         corpus.sparkSession.sparkContext.broadcast(codebooks)
     )

@@ -102,6 +102,23 @@ def brp_recall_report(
     )
 
     emb = spark.table("embeddings")
+    # Exclude NULL/ragged embeddings (unindexable; raw JVM error from
+    # MLlib otherwise) — the hand-rolled families' size(q)==dim
+    # contract, applied to the stock-MLlib path.
+    first = (
+        emb.select("embedding")
+        .where(F.col("embedding").isNotNull())
+        .first()
+    )
+    if first is None:
+        raise ValueError(
+            "ann_brp_lsh_recall: no non-NULL embeddings — cannot "
+            "fit the LSH model"
+        )
+    emb = emb.where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == len(first[0]))
+    )
     vecs = emb.withColumn("_raw", array_to_vector("embedding"))
     normed = Normalizer(
         inputCol="_raw", outputCol="_features", p=2.0
@@ -121,13 +138,6 @@ def brp_recall_report(
         numHashTables=4,
         seed=42,
     )
-    # Empty guard (quantized_lloyd idiom): MLlib fit on a 0-row frame
-    # dies with a raw Py4J error deep in the JVM.
-    if normed.isEmpty():
-        raise ValueError(
-            "ann_brp_lsh_recall: empty embeddings corpus — cannot "
-            "fit the LSH model"
-        )
     model = lsh.fit(normed)
     queries_df = normed.filter(F.col("vec_id") < 5)
     # approxSimilarityJoin on unit vectors: euclid^2 = 2 - 2*cosine,
@@ -375,9 +385,16 @@ def ann_ivf_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in ivf_table_topk(spark, t, probe, k=5, nprobe=2)
             .collect()
         )
-        moved = [float(x) for x in emb.filter(
-            F.col("vec_id") == 7
-        ).first()["embedding"]]
+        # The lifecycle demo moves fixture row vec_id=7; guard its
+        # absence (degenerate corpora) with a named error instead of
+        # a NoneType subscript.
+        moved_row = emb.filter(F.col("vec_id") == 7).first()
+        if moved_row is None or moved_row["embedding"] is None:
+            raise ValueError(
+                "ann_ivf_table_lifecycle: fixture row vec_id=7 with a "
+                "non-NULL embedding is required by the lifecycle demo"
+            )
+        moved = [float(x) for x in moved_row["embedding"]]
         new_id = 900000001  # clear of every fixture id range
         ivf_table_upsert(
             spark,

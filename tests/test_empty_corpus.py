@@ -24,21 +24,27 @@ from conversation_with_vector_db_spark.session import (
 load_all()
 
 
-def test_every_query_survives_an_empty_corpus(spark, sf_dir):
+def _sweep(spark, sf_dir, make_view):
+    """Run every registered query over replaced base views; collect
+    anything that dies outside the documented guard types."""
+    from conversation_with_vector_db_spark.sources.transactional import (
+        ConstraintViolationError,
+    )
+
     load_tables(spark, sf_dir)
     schemas = {t: spark.table(t).schema for t in BASE_TABLES}
     failures: list[tuple[str, str, str]] = []
     try:
         for t, sch in schemas.items():
-            spark.createDataFrame([], sch).createOrReplaceTempView(t)
+            make_view(t, sch)
         fixtures.register_derived_views(spark)
         for name, q in sorted(registry.REGISTRY.items()):
             try:
                 # __wrapped__: the registry wrapper would re-register
-                # the REAL fixture views over the empty ones.
+                # the REAL fixture views over the replaced ones.
                 q.fn.__wrapped__(spark, sf_dir).limit(5).collect()
-            except ValueError:
-                continue  # documented empty-input guard
+            except (ValueError, ConstraintViolationError):
+                continue  # documented input/domain guards
             except Exception as e:  # noqa: BLE001 — triaging everything
                 failures.append(
                     (name, type(e).__name__, str(e).splitlines()[0][:120])
@@ -46,7 +52,45 @@ def test_every_query_survives_an_empty_corpus(spark, sf_dir):
     finally:
         load_tables(spark, sf_dir)
         fixtures.register_derived_views(spark)
-    assert not failures, failures
+    return failures
+
+
+def test_every_query_survives_a_pathological_corpus(spark, sf_dir):
+    """NULL-heavy, tie-heavy micro corpus: 3 real rows per table, one
+    row with every nullable column NULLed, plus the first row
+    duplicated twice. This sweep found the MLlib KMeans
+    ArrayIndexOutOfBounds at k > distinct points, NULL embeddings
+    crashing PQ encode inside the Arrow batch, and the lifecycle
+    demo's NoneType subscript — each now a named guard or handled."""
+    from pyspark.sql import functions as F
+
+    def make_view(t, sch):
+        base = spark.table(t).limit(3)
+        nulled = base.limit(1).select(
+            *[
+                (
+                    F.lit(None).cast(f.dataType)
+                    if f.nullable
+                    else F.col(f.name)
+                ).alias(f.name)
+                for f in sch.fields
+            ]
+        )
+        (
+            base.unionByName(nulled)
+            .unionByName(base.limit(1))
+            .unionByName(base.limit(1))
+            .createOrReplaceTempView(t)
+        )
+
+    assert not _sweep(spark, sf_dir, make_view)
+
+
+def test_every_query_survives_an_empty_corpus(spark, sf_dir):
+    def make_view(t, sch):
+        spark.createDataFrame([], sch).createOrReplaceTempView(t)
+
+    assert not _sweep(spark, sf_dir, make_view)
 
 
 if __name__ == "__main__":
