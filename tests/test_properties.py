@@ -740,3 +740,280 @@ class TestExactPercentileBracket:
         ):
             k = (num * n + den - 1) // den
             assert got[label] == (k, s[k - 1]), (label, got[label], k)
+
+
+class TestGapfillAlgebra:
+    """Pin a17's integer-rational gap-fill (hourly mean round-half-up
+    via positive-modulus floor division, LOCF, and exact integer
+    linear interpolation) against a brute-force Python reference —
+    leading/trailing gaps, single observations, and NEGATIVE values
+    (the positive-modulus rounding's hard case) included."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),        # event_type
+                st.integers(0, 8),                   # hour bucket
+                st.integers(-20000, 20000),          # value in 1e-4 units
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_matches_integer_reference(self, spark, sf_dir, rows):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        HOUR = 3600000000
+        ev = [
+            (i, t, iv / 10000.0, b * HOUR + 7)
+            for i, (t, b, iv) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            ev, "event_id long, event_type string, value double, _us long"
+        ).selectExpr(
+            "event_id",
+            "timestamp_micros(_us) AS ts",
+            "cast(event_id % 3 as long) AS user_id",
+            "event_type",
+            "value",
+            "cast(null as string) AS props",
+        )
+        df.createOrReplaceTempView("events")
+        try:
+            got = {
+                (r["event_type"], r["bucket"]): r
+                for r in registry.REGISTRY["a17_gapfill_locf"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            }
+        finally:
+            from conversation_with_vector_db_spark.session import (
+                load_tables,
+            )
+
+            load_tables(spark, sf_dir, ("events",))
+
+        # brute-force integer reference
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for t, b, iv in rows:
+            per[(t, b)].append(iv)
+        types = sorted({t for t, _, _ in rows})
+        expect = {}
+        for t in types:
+            buckets = sorted(b for (tt, b) in per if tt == t)
+            lo, hi = buckets[0], buckets[-1]
+            hourly = {}
+            for b in range(lo, hi + 1):
+                ivs = per.get((t, b))
+                if ivs:
+                    siv, n = sum(ivs), len(ivs)
+                    hourly[b] = (2 * siv + n) // (2 * n)  # round half-up
+            for b in range(lo, hi + 1):
+                obs = b in hourly
+                n_events = len(per.get((t, b), []))
+                prevs = [x for x in hourly if x <= b]
+                nxts = [x for x in hourly if x >= b]
+                locf = max(prevs) if prevs else None
+                if obs:
+                    interp = hourly[b] / 10000.0
+                elif prevs and nxts:
+                    pb, nb = max(prevs), min(nxts)
+                    num = 2 * (
+                        hourly[pb] * (nb - pb)
+                        + (hourly[nb] - hourly[pb]) * (b - pb)
+                    ) + (nb - pb)
+                    interp = (num // (2 * (nb - pb))) / 10000.0
+                else:
+                    interp = None
+                expect[(t, b)] = (
+                    n_events,
+                    obs,
+                    hourly[locf] / 10000.0 if locf is not None else None,
+                    interp,
+                )
+        assert set(got) == set(expect)
+        for key, (n_events, obs, locf, interp) in expect.items():
+            r = got[key]
+            assert r["n_events"] == n_events, (key, r)
+            assert r["observed"] == obs, (key, r)
+            assert r["locf_value"] == locf, (key, r)
+            assert r["interp_value"] == interp, (key, r)
+
+
+class TestSessionizationAlgebra:
+    """Pin a18's gaps-and-islands sessionization against a brute-force
+    Python reference on arbitrary event streams — exact-boundary gaps
+    (== 900 s stays in-session, > 900 s opens one), timestamp ties
+    (event_id tie-break), and single-event users included."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),                       # user
+                st.sampled_from([0, 1, 899, 900, 901, 2000]),  # gap sec
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_matches_sequential_reference(self, spark, sf_dir, rows):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        # build per-user increasing timestamps from the gap steps (so
+        # the boundary values land EXACTLY on 900s), plus deliberate
+        # ties (gap 0)
+        cur = {}
+        ev = []
+        for i, (u, gap) in enumerate(rows):
+            cur[u] = cur.get(u, 10**6) + gap * 1_000_000
+            ev.append((i, u, cur[u]))
+        df = spark.createDataFrame(
+            ev, "event_id long, user_id long, _us long"
+        ).selectExpr(
+            "event_id",
+            "timestamp_micros(_us) AS ts",
+            "user_id",
+            "'view' AS event_type",
+            "cast(1.0 as double) AS value",
+            "cast(null as string) AS props",
+        )
+        df.createOrReplaceTempView("events")
+        try:
+            got = [
+                (
+                    r["user_id"],
+                    r["session_id"],
+                    r["n_events"],
+                    r["start_us"],
+                    r["end_us"],
+                    r["duration_sec"],
+                )
+                for r in registry.REGISTRY["a18_sessionization"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            ]
+        finally:
+            from conversation_with_vector_db_spark.session import (
+                load_tables,
+            )
+
+            load_tables(spark, sf_dir, ("events",))
+        # reference: sort per user by (us, event_id), split on gap > 900s
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for i, u, us in ev:
+            per[u].append((us, i))
+        expect = []
+        for u in sorted(per):
+            seq = sorted(per[u])
+            sess, sessions = [seq[0]], []
+            for prev, cur_ in zip(seq, seq[1:]):
+                if cur_[0] - prev[0] > 900_000_000:
+                    sessions.append(sess)
+                    sess = [cur_]
+                else:
+                    sess.append(cur_)
+            sessions.append(sess)
+            for sid, s in enumerate(sessions, start=1):
+                uss = [x[0] for x in s]
+                expect.append(
+                    (
+                        u,
+                        sid,
+                        len(s),
+                        min(uss),
+                        max(uss),
+                        (max(uss) - min(uss)) // 1_000_000,
+                    )
+                )
+        assert sorted(got) == sorted(expect)
+
+
+class TestScd2Algebra:
+    """Pin w6's run-length SCD2 interval construction (lag change flag
+    + running version sum + lead valid_to) against a brute-force
+    reference — consecutive same-type runs, type flips on timestamp
+    ties (event_id break), and single-event users."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),                  # user
+                st.sampled_from(["x", "y"]),        # event_type
+                st.integers(0, 5),                  # ts step
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_matches_run_length_reference(self, spark, sf_dir, rows):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        cur = {}
+        ev = []
+        for i, (u, t, step) in enumerate(rows):
+            cur[u] = cur.get(u, 10**6) + step * 1_000_000
+            ev.append((i, u, t, cur[u]))
+        df = spark.createDataFrame(
+            ev, "event_id long, user_id long, event_type string, _us long"
+        ).selectExpr(
+            "event_id",
+            "timestamp_micros(_us) AS ts",
+            "user_id",
+            "event_type",
+            "cast(1.0 as double) AS value",
+            "cast(null as string) AS props",
+        )
+        df.createOrReplaceTempView("events")
+        try:
+            got = [
+                tuple(r)
+                for r in registry.REGISTRY["w6_scd2_intervals"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            ]
+        finally:
+            from conversation_with_vector_db_spark.session import (
+                load_tables,
+            )
+
+            load_tables(spark, sf_dir, ("events",))
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for i, u, t, us in ev:
+            per[u].append((us, i, t))
+        expect = []
+        for u in sorted(per):
+            seq = sorted(per[u])
+            runs = []
+            for us, _i, t in seq:
+                if not runs or runs[-1][0] != t:
+                    runs.append((t, [us]))
+                else:
+                    runs[-1][1].append(us)
+            for v, (t, uss) in enumerate(runs, start=1):
+                valid_from = min(uss)
+                valid_to = (
+                    min(runs[v][1]) if v < len(runs) else None
+                )
+                expect.append((u, v, t, valid_from, valid_to, len(uss)))
+        assert sorted(got, key=str) == sorted(expect, key=str)
