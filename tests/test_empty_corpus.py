@@ -31,10 +31,27 @@ def _sweep(spark, sf_dir, make_view):
         ConstraintViolationError,
     )
 
+    def clear_markers():
+        # load_tables and register_derived_views are idempotence-
+        # marker-skipped; without clearing, the sweep's view
+        # replacement is invisible to them (derived views would stay
+        # bound to the REAL base plans — temp views capture their
+        # source plan at creation) and the finally-restore would be a
+        # silent no-op, leaking degenerate views into later tests.
+        for key in (
+            "spark.cvdb.registered.sfdir",
+            "spark.cvdb.derived.sfdir",
+        ):
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+
     load_tables(spark, sf_dir)
     schemas = {t: spark.table(t).schema for t in BASE_TABLES}
     failures: list[tuple[str, str, str]] = []
     try:
+        clear_markers()
         for t, sch in schemas.items():
             make_view(t, sch)
         fixtures.register_derived_views(spark)
@@ -50,6 +67,7 @@ def _sweep(spark, sf_dir, make_view):
                     (name, type(e).__name__, str(e).splitlines()[0][:120])
                 )
     finally:
+        clear_markers()
         load_tables(spark, sf_dir)
         fixtures.register_derived_views(spark)
     return failures

@@ -16,6 +16,24 @@ from conversation_with_vector_db_spark.operators.chunking import (
 )
 from conversation_with_vector_db_spark.operators.filters import build_filter
 
+def _restore_views(spark, sf_dir, *tables):
+    """Re-register REAL fixture views over a test's synthetic temp
+    views. load_tables is idempotence-marker-skipped, so a plain call
+    is a silent no-op after createOrReplaceTempView — clear the marker
+    first or the synthetic view leaks into every later test in the
+    session."""
+    from conversation_with_vector_db_spark.session import (
+        BASE_TABLES,
+        load_tables,
+    )
+
+    try:
+        spark.conf.unset("spark.cvdb.registered.sfdir")
+    except Exception:
+        pass
+    load_tables(spark, sf_dir, tables if tables else BASE_TABLES)
+
+
 texts = st.text(
     alphabet=st.sampled_from("ab cd\n.!?"), min_size=0, max_size=2000
 )
@@ -566,9 +584,7 @@ class TestFunnelAndRetentionAlgebra:
         df.createOrReplaceTempView("events")
 
     def _restore(self, spark, sf_dir):
-        from conversation_with_vector_db_spark.session import load_tables
-
-        load_tables(spark, sf_dir, ("events",))
+        _restore_views(spark, sf_dir, "events")
 
     @given(
         rows=st.lists(
@@ -725,11 +741,7 @@ class TestExactPercentileBracket:
                 .collect()
             }
         finally:
-            from conversation_with_vector_db_spark.session import (
-                load_tables,
-            )
-
-            load_tables(spark, sf_dir, ("lineitem",))
+            _restore_views(spark, sf_dir, "lineitem")
         s = sorted(prices)
         n = len(s)
         for label, num, den in (
@@ -792,11 +804,7 @@ class TestGapfillAlgebra:
                 .collect()
             }
         finally:
-            from conversation_with_vector_db_spark.session import (
-                load_tables,
-            )
-
-            load_tables(spark, sf_dir, ("events",))
+            _restore_views(spark, sf_dir, "events")
 
         # brute-force integer reference
         from collections import defaultdict
@@ -905,11 +913,7 @@ class TestSessionizationAlgebra:
                 .collect()
             ]
         finally:
-            from conversation_with_vector_db_spark.session import (
-                load_tables,
-            )
-
-            load_tables(spark, sf_dir, ("events",))
+            _restore_views(spark, sf_dir, "events")
         # reference: sort per user by (us, event_id), split on gap > 900s
         from collections import defaultdict
 
@@ -991,11 +995,7 @@ class TestScd2Algebra:
                 .collect()
             ]
         finally:
-            from conversation_with_vector_db_spark.session import (
-                load_tables,
-            )
-
-            load_tables(spark, sf_dir, ("events",))
+            _restore_views(spark, sf_dir, "events")
         from collections import defaultdict
 
         per = defaultdict(list)
