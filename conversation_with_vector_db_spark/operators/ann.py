@@ -206,6 +206,25 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return len(df.select(vec_col).first()[0])
 
 
+def majority_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Deterministic dimension of a possibly-dirty corpus: the MODE
+    of non-NULL vector sizes (ties break to the larger dim).
+    ``first()``-row derivation depends on partition order — a
+    minority-dim row landing first would make the downstream
+    ``size(vec) == dim`` filter silently drop the MAJORITY of the
+    corpus from the index (ADVICE r10). One groupBy job over the
+    handful of distinct sizes (not distinct vectors). ``None`` on an
+    all-NULL/empty corpus."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(vec_col).alias("_d"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("_d"))
+        .first()
+    )
+    return None if row is None else int(row["_d"])
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -275,6 +294,7 @@ def ivf_fit_cells(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Seeded-KMeans cell model: ``(corpus + cell column, centroids)``.
 
@@ -282,6 +302,12 @@ def ivf_fit_cells(
     (the standard IVF practice at corpus scale — FAISS trains on ~30x
     nlist points, not the full set); the ASSIGNMENT transform still
     covers every corpus row, so the index is always complete.
+
+    ``dim`` pins the indexed dimension explicitly; when omitted it is
+    the MODE of non-NULL vector sizes (:func:`majority_dim`), never an
+    arbitrary first() row — on a mixed-dimension corpus the first-row
+    derivation depended on partition order and a minority-dim row
+    could silently drop the majority of the corpus (ADVICE r10).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -290,17 +316,13 @@ def ivf_fit_cells(
     # scored) and crash MLlib's fit/transform with a raw JVM error —
     # exclude them up front, the same malformed-row contract the
     # hand-rolled vector families enforce via size(q) == dim.
-    first = (
-        corpus.select(vec_col)
-        .where(F.col(vec_col).isNotNull())
-        .first()
-    )
-    if first is None:
+    if dim is None:
+        dim = majority_dim(corpus, vec_col)
+    if dim is None:
         raise ValueError(
             "ivf_fit_cells: no non-NULL vectors — cannot fit an IVF "
             "cell model; callers should short-circuit the no-data case"
         )
-    dim = len(first[0])
     corpus = corpus.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     )

@@ -110,6 +110,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_cols: tuple[str, ...] = (),
+    strict: bool = False,
 ) -> DataFrame:
     """(id, code array<int>[, keep_cols]) — each vector's per-subspace
     nearest centroid ids. One Arrow-batched pass; per batch the
@@ -118,7 +119,16 @@ def pq_encode(
     (m bytes/vector) while the raw arrays stay cold in object storage
     for the refine reads. ``keep_cols`` ride through unchanged (e.g.
     the IVF cell tag, so IVF-PQ stores ONE code table partitioned by
-    cell)."""
+    cell).
+
+    MALFORMED-ROW CONTRACT (ADVICE r10): NULL/ragged vectors are
+    SILENTLY DROPPED from the encoded index by default — the same
+    size(q) == dim filter every quantized family applies, documented
+    here because ``pq_fit`` raises loudly on the same input while the
+    default encode path does not; corruption introduced between fit
+    and encode therefore shrinks the index without a signal unless
+    ``strict=True``, which counts the malformed rows (one cheap
+    boolean aggregate) and raises a named error instead."""
     import numpy as np
     import pandas as pd
 
@@ -129,9 +139,17 @@ def pq_encode(
     # inhomogeneous object array inside the Arrow batch) — exclude
     # them, the same malformed-row contract as the quantized families'
     # size(q) == dim filter.
-    corpus = corpus.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == mm * dsub)
-    )
+    _ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == mm * dsub)
+    if strict:
+        n_bad = corpus.where(~F.coalesce(_ok, F.lit(False))).count()
+        if n_bad:
+            raise ValueError(
+                f"pq_encode: {n_bad} NULL/ragged vector(s) (expected "
+                f"dim {mm * dsub}) in a strict encode — the index "
+                "would silently shrink; clean the corpus or encode "
+                "with strict=False to drop them"
+            )
+    corpus = corpus.where(_ok)
     bc = scoped_broadcast(
         corpus.sparkSession.sparkContext.broadcast(codebooks)
     )

@@ -81,6 +81,11 @@ def cms_counters(
     depth*width rows — the sketch IS a tiny DataFrame, so it merges
     across corpora/micro-batches by ``union().groupBy(r, b).sum(c)``
     (counters are linear) and broadcasts to any estimator join.
+    MERGE CONTRACT: mergeable only across counters of identical
+    (depth, width) AND identical lane scheme (:data:`CMS_LANE_SCHEME`)
+    — the r10 lane rederivation remapped every bucket, so counters
+    persisted under the old scheme estimate garbage when unioned with
+    new ones; rebuild them instead.
 
     Hash rows are LANES of one md5: hex digits [1, 16) of
     ``md5(value)`` parse ONCE to a 60-bit integer, and row r's
@@ -117,6 +122,18 @@ def cms_counters(
 #: past the accuracy knee (error ~ e*N/width); wider sketches should
 #: raise depth, not width.
 CMS_MAX_WIDTH = 1 << 15
+
+#: Lane-scheme version marker (ADVICE r10). v2: each lane r is the
+#: 15-bit window [15(r mod 4), +15) of ONE 60-bit parse of
+#: ``md5(salt)`` hex digits [1, 16). v1 (pre-r10) hashed per-lane
+#: hex-digit windows — the SAME item lands in DIFFERENT buckets under
+#: the two schemes, so counters are only mergeable/estimable against
+#: counters built under the SAME scheme: persisted v1 counters (incl.
+#: streaming CMS stores written before the change) must be REBUILT,
+#: never unioned with v2 partials. streaming_cms_sink stamps each
+#: committed partial with this marker and read_cms_store refuses a
+#: store whose partials mix schemes.
+CMS_LANE_SCHEME = "cms-lanes-v2-15bit"
 
 
 def _lane_hash_cols(depth: int, width: int):

@@ -104,20 +104,20 @@ def brp_recall_report(
     emb = spark.table("embeddings")
     # Exclude NULL/ragged embeddings (unindexable; raw JVM error from
     # MLlib otherwise) — the hand-rolled families' size(q)==dim
-    # contract, applied to the stock-MLlib path.
-    first = (
-        emb.select("embedding")
-        .where(F.col("embedding").isNotNull())
-        .first()
-    )
-    if first is None:
+    # contract, applied to the stock-MLlib path. Dimension is the
+    # MODE of sizes (majority_dim), not an arbitrary first() row —
+    # partition-order independent on a mixed-dim corpus (ADVICE r10).
+    from ..operators.ann import majority_dim
+
+    dim = majority_dim(emb, "embedding")
+    if dim is None:
         raise ValueError(
             "ann_brp_lsh_recall: no non-NULL embeddings — cannot "
             "fit the LSH model"
         )
     emb = emb.where(
         F.col("embedding").isNotNull()
-        & (F.size("embedding") == len(first[0]))
+        & (F.size("embedding") == dim)
     )
     vecs = emb.withColumn("_raw", array_to_vector("embedding"))
     normed = Normalizer(

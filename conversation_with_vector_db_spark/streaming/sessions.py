@@ -859,7 +859,24 @@ def streaming_cms_sink(
     advance) is skipped by the txn high-water mark, so no item is
     ever double-counted. This is the streaming form of the batch
     `text_cms_freq` plan: per-term frequency monitoring over an
-    unbounded ingest without ever holding the vocabulary."""
+    unbounded ingest without ever holding the vocabulary.
+
+    Each committed partial is stamped with the lane-scheme marker
+    (:data:`~..operators.sketch.CMS_LANE_SCHEME`); ``read_cms_store``
+    refuses a store whose partials mix schemes, so a store written
+    before a lane rederivation fails LOUDLY instead of estimating
+    garbage. Width/depth are validated HERE, at the gate — not on the
+    first micro-batch, hours into a stream."""
+    from ..operators.sketch import CMS_LANE_SCHEME, CMS_MAX_WIDTH
+
+    if not 1 <= width <= CMS_MAX_WIDTH:
+        raise ValueError(
+            f"streaming_cms_sink: width {width} outside "
+            f"[1, {CMS_MAX_WIDTH}] (each lane is a 15-bit window of "
+            "the block hash); raise depth instead of width"
+        )
+    if depth < 1:
+        raise ValueError(f"streaming_cms_sink: depth {depth} < 1")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.sketch import cms_counters
@@ -873,7 +890,8 @@ def streaming_cms_sink(
             create_table(store_dir)
         sk = cms_counters(batch_df, col, depth, width)
         append_snapshot_txn(
-            sk.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            sk.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("lane_scheme", F.lit(CMS_LANE_SCHEME)),
             store_dir,
             app=app_id,
             txn_version=batch_id,
@@ -989,14 +1007,32 @@ def streaming_ivm_sink(
 def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """The effective sketch at the store's head: cell-wise sum of the
     committed per-batch partials (counter linearity). Compatible with
-    :func:`~..operators.sketch.cms_estimate`."""
+    :func:`~..operators.sketch.cms_estimate`.
+
+    Refuses a store whose partials carry more than one lane-scheme
+    marker, or a marker other than the CURRENT scheme — the r10 lane
+    rederivation remapped every bucket, so summing cross-scheme
+    partials estimates garbage silently (ADVICE r10). A store with no
+    marker column predates the stamp and is summed as-is (its
+    partials are scheme-homogeneous by construction: one sink, one
+    code version)."""
+    from ..operators.sketch import CMS_LANE_SCHEME
     from ..sources.snapshot_log import read_snapshot
 
-    return (
-        read_snapshot(spark, store_dir)
-        .groupBy("r", "b")
-        .agg(F.sum("c").alias("c"))
-    )
+    snap = read_snapshot(spark, store_dir)
+    if "lane_scheme" in snap.columns:
+        schemes = sorted(
+            r["lane_scheme"]
+            for r in snap.select("lane_scheme").distinct().collect()
+        )
+        if schemes and schemes != [CMS_LANE_SCHEME]:
+            raise ValueError(
+                f"read_cms_store: store {store_dir} carries lane "
+                f"scheme(s) {schemes} but this build estimates under "
+                f"{CMS_LANE_SCHEME!r} — cross-scheme counters are not "
+                "mergeable; rebuild the store"
+            )
+    return snap.groupBy("r", "b").agg(F.sum("c").alias("c"))
 
 
 def streaming_expectations_sink(

@@ -60,6 +60,26 @@ def test_encode_emits_one_code_row_per_vector(spark, clustered):
     assert {r["vec_id"]: list(r["code"]) for r in rows} == again
 
 
+def test_encode_strict_refuses_malformed_rows(spark, clustered):
+    """ADVICE r10: pq_fit raises loudly on NULL/ragged vectors while
+    pq_encode silently filtered them — corruption between fit and
+    encode shrank the index with no signal. The default drop contract
+    is now documented, and strict=True counts-and-raises."""
+    books = pq_fit(clustered, m=4, k=16, seed=7)
+    dirty = clustered.unionByName(
+        spark.createDataFrame(
+            [(9001, None), (9002, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    # default: silent drop, index covers exactly the clean rows
+    assert pq_encode(dirty, books).count() == clustered.count()
+    with pytest.raises(ValueError, match="2 NULL/ragged"):
+        pq_encode(dirty, books, strict=True)
+    # a clean corpus passes strict unchanged
+    assert pq_encode(clustered, books, strict=True).count() == 400
+
+
 def test_adc_score_equals_reconstructed_inner_product(spark, clustered):
     """ADC's table-lookup score must equal the inner product of the
     query with the RECONSTRUCTED (centroid-concatenated) vector — the

@@ -550,6 +550,76 @@ class TestRollingAnomalyAlgebra:
                 r["ssq_direct"] if r["ssq_direct"] is not None else 0
             ), r
 
+    def _events(self, spark, rows):
+        """rows: (user_id, value) → the a23 input schema."""
+        ev = [
+            (u, i, 1_000_000 + i, float(v))
+            for i, (u, v) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            ev, "user_id long, event_id long, _us long, value double"
+        ).selectExpr(
+            "user_id",
+            "event_id",
+            "timestamp_micros(_us) AS ts",
+            "value",
+        ).createOrReplaceTempView("events")
+
+    def test_refuses_int64_overflow_with_named_error(
+        self, spark, sf_dir
+    ):
+        """ADVICE r10 (medium): cs/csq are UNBOUNDED-preceding int64
+        running sums per user — Spark's non-ANSI sum(bigint) WRAPS
+        silently while the DuckDB oracle promotes to HUGEINT, so an
+        out-of-range corpus would silently diverge. The plan must
+        refuse with a named OverflowError instead."""
+        import pytest
+
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        # one row's cents^2 = (4e12)^2 = 1.6e25 >> 2^62
+        self._events(spark, [(1, 4.0e10), (1, 4.0e10)])
+        try:
+            with pytest.raises(OverflowError, match="sum-of-squared"):
+                registry.REGISTRY["a23_rolling_anomaly"].fn.__wrapped__(
+                    spark, sf_dir
+                ).collect()
+        finally:
+            _restore_views(spark, sf_dir, "events")
+
+    def test_global_trip_but_per_user_safe_does_not_refuse(
+        self, spark, sf_dir
+    ):
+        """The guard is two-tier: the cheap GLOBAL sum-of-squares
+        pre-check may trip while every individual user's cumulative
+        csq stays in int64 range — the per-user escalation must then
+        let the plan run (each user ~3.2e18 >= 2^62/2 but < 2^62;
+        three users together ~9.7e18 >= 2^62)."""
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        # cents = 1.8e9 per row -> cents^2 = 3.24e18 < 2^62 = 4.61e18
+        # per user (one row each); global 3 * 3.24e18 = 9.7e18 > 2^62.
+        self._events(
+            spark, [(1, 1.8e7), (2, 1.8e7), (3, 1.8e7)]
+        )
+        try:
+            out = registry.REGISTRY["a23_rolling_anomaly"].fn.__wrapped__(
+                spark, sf_dir
+            ).collect()
+            # one row per user: n < 10 everywhere, so no flags — the
+            # point is that it RUNS, not what it flags.
+            assert out == []
+        finally:
+            _restore_views(spark, sf_dir, "events")
+
 
 class TestFunnelAndRetentionAlgebra:
     """Pin the window-algebra rewrites of a20 (chained unbounded mins
@@ -944,6 +1014,136 @@ class TestSessionizationAlgebra:
                     )
                 )
         assert sorted(got) == sorted(expect)
+
+
+class TestTemporalJoinAlgebra:
+    """VERDICT r10 #6: j15/j16's tie and boundary edges were
+    hand-enumerated; replay the REAL registered plans over arbitrary
+    event streams against brute-force references — the r10 experience
+    (a20 zero-division, a23 NULL poisoning) says arbitrary streams
+    find what enumeration misses."""
+
+    MIN_US = 60_000_000
+    WIN_US = 1_800_000_000  # the 30-min incident window, in micros
+
+    def _events(self, spark, rows):
+        """rows: (user, minute, event_type, quarter_value|None) →
+        register the events view; returns the materialized tuples
+        (event_id, user, us, event_type, value)."""
+        ev = [
+            (i, u, m * self.MIN_US, et, None if v is None else v / 4.0)
+            for i, (u, m, et, v) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            ev,
+            "event_id long, user_id long, _us long, "
+            "event_type string, value double",
+        ).selectExpr(
+            "event_id",
+            "user_id",
+            "timestamp_micros(_us) AS ts",
+            "event_type",
+            "value",
+        ).createOrReplaceTempView("events")
+        return ev
+
+    _rows = st.lists(
+        st.tuples(
+            st.integers(0, 2),        # user
+            st.integers(0, 75),       # minute: windows genuinely cut,
+                                      # incl. exact 30-min boundaries
+            st.sampled_from(["click", "purchase", "error", "view"]),
+            st.one_of(st.none(), st.integers(0, 1000)),  # value*4
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(rows=_rows)
+    @settings(max_examples=10, deadline=None)
+    def test_asof_attribution_matches_bruteforce(
+        self, spark, sf_dir, rows
+    ):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        ev = self._events(spark, rows)
+        try:
+            got = {
+                r["event_id"]: (r["click_event_id"], r["gap_us"])
+                for r in registry.REGISTRY["j15_asof_attribution"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            }
+        finally:
+            _restore_views(spark, sf_dir, "events")
+        clicks = [
+            (i, u, us) for (i, u, us, et, _v) in ev if et == "click"
+        ]
+        expect = {}
+        for i, u, us, et, _v in ev:
+            if et != "purchase":
+                continue
+            best = max(
+                (
+                    (cus, ci)
+                    for ci, cu, cus in clicks
+                    if cu == u and cus <= us  # inclusive at-or-before
+                ),
+                default=None,
+            )  # ties on ts: greatest event_id wins (the documented
+            #    tiebreak) — tuple order (ts, id) encodes exactly that
+            expect[i] = (
+                (best[1], us - best[0]) if best else (None, None)
+            )
+        assert got == expect
+
+    @given(rows=_rows)
+    @settings(max_examples=10, deadline=None)
+    def test_interval_attribution_matches_bruteforce(
+        self, spark, sf_dir, rows
+    ):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        ev = self._events(spark, rows)
+        try:
+            got = {
+                r["incident_id"]: (
+                    r["n_events"],
+                    r["n_types"],
+                    r["total_value"],
+                )
+                for r in registry.REGISTRY["j16_interval_attribution"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            }
+        finally:
+            _restore_views(spark, sf_dir, "events")
+        expect = {}
+        for ii, u, lo, et, _v in ev:
+            if et != "error":
+                continue
+            members = [
+                (met, mv)
+                for (_mi, mu, mus, met, mv) in ev
+                if mu == u and lo <= mus < lo + self.WIN_US
+            ]  # [lo, hi): an event exactly at lo+30min is OUT; the
+            #    error event itself is IN (ts == lo)
+            if members:  # inner join: empty incidents don't appear
+                vals = [v for _, v in members if v is not None]
+                expect[ii] = (
+                    len(members),
+                    len({t for t, _ in members}),
+                    round(sum(vals), 4) if vals else None,
+                )
+        assert got == expect
 
 
 class TestScd2Algebra:

@@ -1472,6 +1472,52 @@ def test_streaming_cms_sketch_converges_and_replays_nothing(
     }
     assert got2 == want
 
+    # Lane-scheme guard (ADVICE r10): the stamped partials carry the
+    # current marker; a store holding a FOREIGN-scheme partial (e.g.
+    # pre-r10 hex-digit lanes) must refuse to estimate, not sum
+    # incompatible buckets silently.
+    from conversation_with_vector_db_spark.sources.snapshot_log import (
+        append_snapshot_txn,
+    )
+
+    append_snapshot_txn(
+        spark.createDataFrame(
+            [(0, 1, 1, 999, "cms-lanes-v1-hexdigit")],
+            "r int, b long, c long, batch_id long, lane_scheme string",
+        ),
+        store,
+        app="cms-sketch-legacy",
+        txn_version=0,
+    )
+    with pytest.raises(ValueError, match="lane scheme"):
+        read_cms_store(spark, store).collect()
+
+
+def test_streaming_cms_sink_validates_width_at_the_gate(
+    spark, tmp_path
+):
+    """ADVICE r10: the CMS_MAX_WIDTH contract (width <= 2^15, each
+    lane is a 15-bit window) used to be enforced only inside
+    cms_counters — i.e. on the FIRST MICRO-BATCH, hours into a
+    stream. The sink must refuse at construction time."""
+    from conversation_with_vector_db_spark.streaming.sessions import (
+        streaming_cms_sink,
+    )
+
+    ratestream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="width"):
+        streaming_cms_sink(
+            ratestream, str(tmp_path / "s"), str(tmp_path / "c"),
+            col="value", width=(1 << 15) + 1,
+        )
+    with pytest.raises(ValueError, match="depth"):
+        streaming_cms_sink(
+            ratestream, str(tmp_path / "s"), str(tmp_path / "c"),
+            col="value", depth=0,
+        )
+
 
 def _flat_parquet_files(spark, root, batches, schema_ddl):
     """Write each batch as one flat parquet FILE under root (the file

@@ -946,6 +946,44 @@ def test_exact_topk_branches_agree_on_null_vectors(spark):
         exact_topk(corpus, nullq, k=5, corpus_bytes=1 << 40)
 
 
+def test_ivf_mixed_dim_corpus_indexes_the_majority(spark):
+    """ADVICE r10: dim used to come from an arbitrary first() row, so
+    on a mixed-dimension corpus WHICH dimension survived the
+    size(vec)==dim filter depended on partition order — a minority-dim
+    row landing first silently dropped the majority of the corpus.
+    Now dim is the MODE of sizes (majority_dim), partition-order
+    independent: with the minority rows deliberately FIRST in a
+    single partition, the index must still cover every majority row."""
+    from conversation_with_vector_db_spark.operators.ann import (
+        ivf_fit_cells,
+        majority_dim,
+    )
+
+    minority = [(100 + i, [float(i), 1.0]) for i in range(2)]
+    majorit = [
+        (i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        minority + majorit + [(999, None)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)  # minority row IS the first() row
+    assert majority_dim(corpus, "embedding") == 4
+    assigned, cent = ivf_fit_cells(corpus, nlist=4)
+    ids = {r["vec_id"] for r in assigned.select("vec_id").collect()}
+    assert ids == {i for i, _ in majorit}
+    # explicit pin still wins over the mode
+    assigned2, _ = ivf_fit_cells(corpus, nlist=2, dim=2)
+    ids2 = {r["vec_id"] for r in assigned2.select("vec_id").collect()}
+    assert ids2 == {100, 101}
+    # ties break to the larger dim, deterministically
+    tied = spark.createDataFrame(
+        [(1, [1.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert majority_dim(tied, "embedding") == 2
+    assert majority_dim(tied.where("vec_id < 0"), "embedding") is None
+
+
 def test_regex_counts_gate_flips_strategy(spark):
     """Below the byte threshold with_regex_counts counts JVM-side (no
     Python stage in the plan); above or unknown it runs pyarrow's RE2

@@ -17,6 +17,65 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import re as _re
+
+
+def plan_input_tables(df, sf_dir: str) -> set[str]:
+    """Base tables a query's Spark plan actually SCANS, derived from
+    the analyzed plan's file list (``df.inputFiles()``) mapped back to
+    the fixture's table paths. Works for rows-only queries (no oracle
+    SQL) — the class the old SQL-regex guard silently bypassed — and
+    never false-positives on a table name inside a SQL comment or
+    string literal (ADVICE r10). Paths that are not base-table
+    fixtures (index dirs, snapshot stores) simply don't match."""
+    from conversation_with_vector_db_spark.session import (
+        BASE_TABLES,
+        table_path,
+    )
+
+    roots = {
+        t: os.path.abspath(table_path(sf_dir, t)) for t in BASE_TABLES
+    }
+    found: set[str] = set()
+    for f in df.inputFiles():
+        p = os.path.abspath(_re.sub(r"^file:(//)?", "", f))
+        for t, r in roots.items():
+            if p == r or p.startswith(r + os.sep):
+                found.add(t)
+    return found
+
+
+def sql_input_tables(sql: str | None) -> set[str]:
+    """Base tables referenced by the oracle SQL, with line comments
+    and single-quoted string literals stripped first so a table name
+    mentioned in prose can't spuriously skip a query (ADVICE r10).
+    Complements the plan-derived set: a query whose BUILD phase reads
+    a table eagerly (fit loops, store creation) may return a frame
+    that no longer scans it, but the oracle still names it."""
+    from conversation_with_vector_db_spark.session import BASE_TABLES
+
+    if not sql:
+        return set()
+    s = _re.sub(r"''", " ", sql)          # escaped quote inside literal
+    s = _re.sub(r"'[^']*'", " ", s)
+    s = _re.sub(r"--[^\n]*", " ", s)
+    return {t for t in BASE_TABLES if _re.search(rf"\b{t}\b", s)}
+
+
+def placeholder_inputs_for(
+    df, sql: str | None, sf_dir: str, at_scale: set[str]
+) -> list[str]:
+    """Sorted placeholder tables this query would read in a restricted
+    fixture — the union of what the Spark plan scans and what the
+    oracle names, minus the at-scale set. Non-empty means REFUSE to
+    time (the r9 sf100 artifact's a19 row read a placeholder lineitem
+    and published 116x)."""
+    return sorted(
+        (plan_input_tables(df, sf_dir) | sql_input_tables(sql))
+        - at_scale
+    )
+
+
 QUERIES = [
     "dedup_semantic_semdedup",
     "dedup_semantic_incremental",
@@ -89,9 +148,15 @@ def main() -> None:
     )
 
     # Partial fixture dirs (e.g. an sf100 events-only generation from
-    # gen_sf --tables) register only the tables they carry.
+    # gen_sf --tables) register only the tables they carry. Entries
+    # are stripped and blanks dropped (ADVICE r10: " events" silently
+    # matched nothing, skipping every query).
     tables = tuple(
-        os.environ.get("EXTRAS_TABLES", ",".join(BASE_TABLES)).split(",")
+        t.strip()
+        for t in os.environ.get(
+            "EXTRAS_TABLES", ",".join(BASE_TABLES)
+        ).split(",")
+        if t.strip()
     )
 
     load_all()
@@ -117,13 +182,12 @@ def main() -> None:
     # for every other table so load_tables can register the full view
     # set — a query whose inputs are placeholders would publish a
     # meaningless denominator (the r9 sf100 artifact's a19 row read a
-    # placeholder lineitem and showed 116x). Detect each query's input
-    # tables from its oracle SQL (the oracle computes the same result
-    # over the same tables as the Spark plan) and REFUSE to time any
-    # query touching a table outside the at-scale set, recording it
-    # under "skipped_placeholder_inputs" instead.
-    import re as _re
-
+    # placeholder lineitem and showed 116x). Inputs are the UNION of
+    # what the Spark plan actually scans (plan_input_tables — covers
+    # rows-only queries, which the old SQL-only guard bypassed) and
+    # what the oracle SQL names outside comments/literals; any query
+    # touching a table outside the at-scale set is REFUSED and
+    # recorded under "skipped_placeholder_inputs" instead.
     restricted = os.environ.get("EXTRAS_TABLES") is not None
     at_scale = set(tables)
 
@@ -134,11 +198,9 @@ def main() -> None:
             continue
         q = registry.REGISTRY[name]
         sql = q.oracle_sql
-        if restricted and sql:
-            placeholder_inputs = sorted(
-                t
-                for t in BASE_TABLES
-                if t not in at_scale and _re.search(rf"\b{t}\b", sql)
+        if restricted:
+            placeholder_inputs = placeholder_inputs_for(
+                q.fn(spark, sf_dir), sql, sf_dir, at_scale
             )
             if placeholder_inputs:
                 skipped[name] = placeholder_inputs
