@@ -34,9 +34,22 @@ from .cache import scoped_cache
 # --------------------------------------------------------------------------
 
 
+#: Explicit whitespace class, shared verbatim with every DuckDB
+#: oracle: Java regex \s is [ \t\n\x0B\f\r] but RE2's \s OMITS \x0B
+#: (vertical tab), so a bare \s+ normalizes "a\x0Bb" to "a b" on
+#: Spark and leaves it on DuckDB — two docs that are exact duplicates
+#: on one engine and distinct on the other, silently (found by
+#: cross-engine probing in r11, not by the fixtures, which carry only
+#: plain spaces). The explicit class behaves identically in both
+#: engines; fixture hashes are unchanged.
+WHITESPACE_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def normalized_text(text: Column) -> Column:
-    """Whitespace-collapse + trim + lowercase — the canonical form."""
-    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    """Whitespace-collapse + trim + lowercase — the canonical form.
+    Collapses exactly :data:`WHITESPACE_CLASS` (the Java \\s set,
+    spelled out so the RE2-side oracles agree on every byte)."""
+    return F.regexp_replace(F.trim(F.lower(text)), WHITESPACE_CLASS, " ")
 
 
 def content_hash(text: Column) -> Column:

@@ -62,10 +62,14 @@ def fuzzy_value_pairs(
     names = df.select(F.col(key_col).alias("name")).where(
         F.col("name").isNotNull()
     ).distinct()
+    # WHITESPACE_CLASS, not \s: Java and RE2 disagree on \x0B, and the
+    # oracle splits with the identical explicit class.
+    from .dedup import WHITESPACE_CLASS
+
     toks = names.select(
         "name",
         F.explode(
-            F.array_distinct(F.split(F.col("name"), r"\s+"))
+            F.array_distinct(F.split(F.col("name"), WHITESPACE_CLASS))
         ).alias("tok"),
     ).where(F.length("tok") > 0)
     # Stop-token cap: a token shared by more than max_token_df distinct

@@ -22,6 +22,49 @@ from pyspark.sql import functions as F
 from ..session import load_table_in_range
 from .registry import query
 
+
+def _csq_footer_bound(df: DataFrame, value_col: str) -> float | None:
+    """Upper bound on the GLOBAL sum of squared cents from parquet
+    footer statistics alone — zero Spark jobs, the same metadata
+    discipline as the FK stats pruning (sources/datasource.py): bound
+    = total_rows * (max |value|*100 + 1)^2. ``None`` (no claim) when
+    the frame isn't file-backed (synthetic temp views), any file is
+    unreadable locally, or any row group lacks min/max stats — the
+    caller then falls back to the scan-based tiers. Conservative by
+    construction: overestimates, never under."""
+    import os as _os
+    import re as _re
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as _pq
+
+    total_rows, vmax = 0, 0.0
+    for f in files:
+        path = _re.sub(r"^file:(//)?", "", f)
+        if not _os.path.exists(path) or not path.endswith(".parquet"):
+            return None
+        try:
+            md = _pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        try:
+            idx = md.schema.names.index(value_col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            vmax = max(vmax, abs(float(st.min)), abs(float(st.max)))
+        total_rows += md.num_rows
+    cents_max = vmax * 100.0 + 1.0
+    return float(total_rows) * cents_max * cents_max
+
 # Fixed month window (FIXTURES.md determinism rules: never now()).
 MONTH_START = "2024-01-01"
 MONTH_END = "2024-02-01"
@@ -1647,10 +1690,12 @@ def graph_label_communities(
     cancellation is possible; range: the per-user running
     sum-of-squares is rows/user * max_cents^2, ~1e13 at 1e3
     events/user and 1e5 cents, five decades inside BIGINT — and the
-    range is ENFORCED, not assumed: a cheap global sum-of-squares
-    pre-check escalates to a per-user max only when it trips, and
-    raises a named OverflowError before Spark's non-ANSI int64 sums
-    could wrap silently against the HUGEINT-promoting oracle), so
+    range is ENFORCED, not assumed: parquet footer stats bound the
+    corpus with zero jobs in the common case, escalating to a global
+    sum-of-squares scan and then a per-user max only as each cheaper
+    tier fails to prove safety, and raise a named OverflowError
+    before Spark's non-ANSI int64 sums could wrap silently against
+    the HUGEINT-promoting oracle), so
     mu/sd/z are double expressions over identical exact integers on
     both engines and parity is value-level. The running sums
     0-coalesce NULL values (a NULL row must not poison every later
@@ -1733,16 +1778,24 @@ def a23_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # csq is an UNBOUNDED-preceding sum of cents^2 per user — Spark's
     # sum(bigint) WRAPS silently under non-ANSI while the DuckDB
     # oracle promotes to HUGEINT, so past the documented range the
-    # engines would silently diverge. Two tiers, both exact-enough in
-    # double (threshold 2^62 leaves a full bit of FP margin below
-    # 2^63): (1) one map-side-combined global sum of cents^2 — if even
-    # the ALL-users total is in range, every per-user prefix is; (2)
-    # only if that trips, a per-user max (one extra shuffle) decides
-    # whether any single user actually overflows, and only then does
-    # the plan refuse with a named error instead of a wrong answer.
+    # engines would silently diverge. Three tiers, cheapest first,
+    # each exact-enough in double (threshold 2^62 leaves a full bit
+    # of FP margin below 2^63): (0) parquet FOOTER stats alone —
+    # n_rows * max(|value|)^2 in cents, zero Spark jobs, the same
+    # metadata discipline as the FK stats pruning — proves the common
+    # case safe without touching data; (1) one map-side-combined
+    # global sum of cents^2 — if even the ALL-users total is in
+    # range, every per-user prefix is; (2) only if that trips, a
+    # per-user max (one extra shuffle) decides whether any single
+    # user actually overflows, and only then does the plan refuse
+    # with a named error instead of a wrong answer.
     _csq_bound = float(1 << 62)
     _c2 = F.col("cents").cast("double") * F.col("cents").cast("double")
-    _gtot = e.select(F.sum(_c2).alias("g")).first()["g"]
+    _footer = _csq_footer_bound(spark.table("events"), "value")
+    if _footer is not None and _footer < _csq_bound:
+        _gtot = None  # footers prove the whole corpus safe: no job
+    else:
+        _gtot = e.select(F.sum(_c2).alias("g")).first()["g"]
     if _gtot is not None and _gtot >= _csq_bound:
         _umax = (
             e.groupBy("user_id")

@@ -33,7 +33,7 @@ _SHINGLES_CTE = """
 tok AS (
     SELECT doc_id,
            regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS toks
     FROM corpus
 ),
@@ -118,7 +118,7 @@ def _capped_shingle_index(
     oracle="""
 WITH hashes AS (
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
                AS chash
     FROM corpus
 )
@@ -390,7 +390,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tok AS (
     SELECT doc_id,
            unnest(regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+')) AS token
     FROM corpus
 ),
@@ -552,7 +552,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH norm AS (
     SELECT doc_id,
-           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS ntext
+           regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS ntext
     FROM corpus
 ),
 sh0 AS (
@@ -615,7 +615,7 @@ _DECON_ORACLE = """
 WITH btok AS (
     SELECT doc_id,
            regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS toks
     FROM documents WHERE doc_id % 53 = 0
 ),
@@ -629,7 +629,7 @@ bsh AS (
 ttok AS (
     SELECT doc_id,
            regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS toks
     FROM corpus WHERE doc_id % 53 <> 0
 ),
@@ -939,7 +939,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUAL_RANKED_CTES = """,
 qual AS (
     SELECT doc_id,
-           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ',
+           CAST(length(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ',
                 'g')) AS BIGINT) AS quality
     FROM corpus
 ),
@@ -1221,7 +1221,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
     SELECT doc_id,
            regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS t
     FROM corpus
 ),
@@ -1331,7 +1331,7 @@ def dedup_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
     SELECT doc_id,
            regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS t
     FROM corpus
 ),
@@ -1572,7 +1572,7 @@ WITH names AS (
 ),
 toks0 AS (
     SELECT DISTINCT name, t.tok
-    FROM names, unnest(regexp_split_to_array(name, '\\s+')) AS t(tok)
+    FROM names, unnest(regexp_split_to_array(name, '[ \\t\\n\\x0B\\f\\r]+')) AS t(tok)
     WHERE length(t.tok) > 0
 ),
 toks AS (

@@ -360,14 +360,14 @@ def m7_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v1 AS (
     SELECT doc_id, TRUE AS p,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+           md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
     FROM documents
 ),
 v2 AS (
     SELECT doc_id, TRUE AS p,
            md5(regexp_replace(trim(lower(
                CASE WHEN doc_id % 89 = 5 THEN text || ' v2-edit'
-                    ELSE text END)), '\\s+', ' ', 'g')) AS h
+                    ELSE text END)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
     FROM corpus WHERE doc_id % 97 <> 3
 ),
 diff AS (

@@ -502,7 +502,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH norm AS (
     SELECT doc_id,
-           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS ntext
+           regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS ntext
     FROM documents WHERE doc_id < 200
 ),
 tok AS (
@@ -620,7 +620,7 @@ def t8_vector_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sig AS (
     SELECT doc_id, text,
            length(text) AS n_chars,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
                AS chash,
            CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
                 AS BIGINT) AS n_words,
@@ -775,7 +775,7 @@ def text_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tok AS (
     SELECT doc_id,
            regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS toks
     FROM corpus
 ),
@@ -907,7 +907,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tok AS (
     SELECT regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS toks
     FROM documents
 ),
@@ -1334,7 +1334,7 @@ def text_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
     SELECT doc_id,
            regexp_extract_all(
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                '[a-z0-9]+') AS t
     FROM corpus
 ),

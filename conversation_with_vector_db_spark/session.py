@@ -88,14 +88,37 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Hive partition column of the date-partitioned events layout
+#: (tools/gen_sf.py --partition-events): dt=YYYY-MM-DD derived from
+#: date(ts) UTC. SURVEY §7's 100 TB posture — "partition events by
+#: date" — made concrete: load_table_in_range injects the matching
+#: dt predicate so month/day-window scans prune whole partition
+#: directories (PartitionFilters), not just row groups.
+PARTITION_DATE_COL = "dt"
+
+
 @functools.lru_cache(maxsize=256)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read
     them natively (PARQUET_TYPE_ILLEGAL); we read them as long and
-    convert. Footer-only check, no data read."""
+    convert. Footer-only check, no data read. For a hive-partitioned
+    directory layout the footer is read from one leaf data file (all
+    leaves share the physical schema by construction)."""
+    import glob
+
     import pyarrow.parquet as pq
     import pyarrow.types as pt
 
+    if os.path.isdir(path):
+        leaves = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"),
+                      recursive=True)
+        )
+        if not leaves:
+            raise FileNotFoundError(
+                f"no parquet data files under directory layout {path}"
+            )
+        path = leaves[0]
     schema = pq.read_schema(path)
     return tuple(
         name
@@ -126,7 +149,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _convert_nano_cols(spark.read.parquet(path), nano_cols)
+    df = _convert_nano_cols(spark.read.parquet(path), nano_cols)
+    # Date-partitioned layout: the hive partition column is a layout
+    # detail, not part of the table's logical schema — drop it so both
+    # layouts present IDENTICAL schemas to every query and oracle.
+    # (Filters injected by load_table_in_range run before this
+    # projection; Catalyst pushes partition predicates through it
+    # regardless.)
+    if PARTITION_DATE_COL in df.columns:
+        df = df.drop(PARTITION_DATE_COL)
+    return df
 
 
 def _iso_to_epoch_ns(iso_date: str) -> int:
@@ -151,6 +183,36 @@ def _iso_to_epoch_ns(iso_date: str) -> int:
     return int(dt.timestamp()) * 1_000_000_000
 
 
+def _with_partition_date_range(
+    df: DataFrame, lo_iso: str, hi_iso: str
+) -> DataFrame:
+    """Inject the partition predicate matching a ``[lo, hi)`` ts range
+    when the frame carries the date-partitioned layout's hive column:
+    ``dt >= date(lo)`` and ``dt < date(hi)`` (``<= date(hi)`` when hi
+    has a time-of-day part — the boundary day still holds in-range
+    rows). ISO date strings compare identically under string or
+    inferred-DATE partition typing. This is what makes the scan show
+    PartitionFilters and touch only in-window directories; the exact
+    ts predicate still applies row-level on top. No-op on the flat
+    single-file layout."""
+    if PARTITION_DATE_COL not in df.columns:
+        return df
+    from datetime import datetime
+
+    lo = datetime.fromisoformat(lo_iso)
+    hi = datetime.fromisoformat(hi_iso)
+    cond = F.col(PARTITION_DATE_COL) >= F.lit(lo.date().isoformat())
+    if (hi.hour, hi.minute, hi.second, hi.microsecond) == (0, 0, 0, 0):
+        cond = cond & (
+            F.col(PARTITION_DATE_COL) < F.lit(hi.date().isoformat())
+        )
+    else:
+        cond = cond & (
+            F.col(PARTITION_DATE_COL) <= F.lit(hi.date().isoformat())
+        )
+    return df.filter(cond)
+
+
 def load_table_in_range(
     spark: SparkSession,
     sf_dir: str,
@@ -169,20 +231,40 @@ def load_table_in_range(
     on the scanned attribute and prunes parquet row groups. Correct for
     whole-second boundaries: the us-truncating cast can't move a value
     across an exact-second boundary.
+
+    On the date-partitioned layout (``dt=YYYY-MM-DD`` hive dirs,
+    tools/gen_sf.py --partition-events) the matching ``dt`` predicate
+    is injected FIRST, so the window prunes whole partition
+    directories (PartitionFilters in the scan) before row groups —
+    SURVEY §7's "partition events by date" posture, measured in
+    PLANS.md. The hive column is then dropped: both layouts present
+    identical logical schemas.
     """
     path = table_path(sf_dir, name)
     nano_cols = _nano_ts_columns(path)
     if ts_col not in nano_cols:
-        df = load_table(spark, sf_dir, name)
-        return df.filter(
+        if nano_cols:  # other nano columns still need the conversion
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = _convert_nano_cols(
+            _with_partition_date_range(
+                spark.read.parquet(path), lo_iso, hi_iso
+            ),
+            nano_cols,
+        ).filter(
             (F.col(ts_col) >= F.lit(lo_iso)) & (F.col(ts_col) < F.lit(hi_iso))
         )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path).filter(
-        (F.col(ts_col) >= F.lit(_iso_to_epoch_ns(lo_iso)))
-        & (F.col(ts_col) < F.lit(_iso_to_epoch_ns(hi_iso)))
-    )
-    return _convert_nano_cols(df, nano_cols)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = _with_partition_date_range(
+            spark.read.parquet(path), lo_iso, hi_iso
+        ).filter(
+            (F.col(ts_col) >= F.lit(_iso_to_epoch_ns(lo_iso)))
+            & (F.col(ts_col) < F.lit(_iso_to_epoch_ns(hi_iso)))
+        )
+        df = _convert_nano_cols(df, nano_cols)
+    if PARTITION_DATE_COL in df.columns:
+        df = df.drop(PARTITION_DATE_COL)
+    return df
 
 
 def load_tables(

@@ -591,6 +591,44 @@ class TestRollingAnomalyAlgebra:
         finally:
             _restore_views(spark, sf_dir, "events")
 
+    def test_footer_bound_tier_claims_only_when_provable(
+        self, spark, sf_dir
+    ):
+        """Tier 0 of the overflow guard: parquet footer stats bound
+        the global sum-of-squared-cents with ZERO Spark jobs on
+        file-backed corpora, and make NO claim (None) on synthetic
+        views — which then fall back to the scan tiers (the refusal
+        tests above exercise exactly that path)."""
+        from conversation_with_vector_db_spark.plans.analytics import (
+            _csq_footer_bound,
+        )
+        from conversation_with_vector_db_spark.session import (
+            load_tables,
+        )
+
+        load_tables(spark, sf_dir)
+        ev = spark.table("events")
+        bound = _csq_footer_bound(ev, "value")
+        assert bound is not None and bound > 0
+        # conservative: bound >= the true global sum of cents^2
+        from pyspark.sql import functions as F
+
+        true = ev.select(
+            F.sum(
+                F.pow(F.floor(F.col("value") * 100 + 0.5), 2)
+            ).alias("g")
+        ).first()["g"]
+        assert bound >= true
+        # fixture corpus is provably safe: the zero-job tier decides
+        assert bound < float(1 << 62)
+        # synthetic view: no files, no claim
+        syn = spark.createDataFrame(
+            [(1, 1.0)], "user_id long, value double"
+        )
+        assert _csq_footer_bound(syn, "value") is None
+        # missing column: no claim
+        assert _csq_footer_bound(ev.drop("value"), "nope") is None
+
     def test_global_trip_but_per_user_safe_does_not_refuse(
         self, spark, sf_dir
     ):
@@ -1143,6 +1181,108 @@ class TestTemporalJoinAlgebra:
                     len({t for t, _ in members}),
                     round(sum(vals), 4) if vals else None,
                 )
+        assert got == expect
+
+
+class TestSubstringSpanAlgebra:
+    """Replay the REAL registered dedup_substring_spans over arbitrary
+    tiny-vocab corpora against a brute-force tuple-equality reference
+    (no hashing — md5-60bit collisions are impossible at this size):
+    stride-1 12-token windows, global frequency >= 2, within-doc
+    starts merged into maximal spans when the later start <= earlier
+    start + 12. A 2-4 word vocab makes repeated windows COMMON, so
+    whole-doc spans, overlapping islands, and sub-window docs all
+    occur naturally."""
+
+    W = 12
+
+    def _restore(self, spark, sf_dir):
+        from conversation_with_vector_db_spark import fixtures
+        from conversation_with_vector_db_spark.session import (
+            load_tables,
+        )
+
+        for key in (
+            "spark.cvdb.registered.sfdir",
+            "spark.cvdb.derived.sfdir",
+        ):
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        load_tables(spark, sf_dir)
+        fixtures.register_derived_views(spark)
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_bruteforce(self, spark, sf_dir, docs):
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        W = self.W
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).createOrReplaceTempView("corpus")
+        try:
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"],
+                    r["n_spans"],
+                    r["dup_tokens"],
+                    r["dup_fraction"],
+                )
+                for r in registry.REGISTRY["dedup_substring_spans"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            }
+        finally:
+            self._restore(spark, sf_dir)
+
+        # brute force: global window multiset, then per-doc islands
+        from collections import Counter
+
+        wins: Counter = Counter()
+        for toks in docs:
+            for i in range(len(toks) - W + 1):
+                wins[tuple(toks[i:i + W])] += 1
+        expect = {}
+        for d, toks in enumerate(docs):
+            hits = [
+                i
+                for i in range(len(toks) - W + 1)
+                if wins[tuple(toks[i:i + W])] >= 2
+            ]
+            if not hits:
+                continue
+            spans = []
+            s = prev = hits[0]
+            for p in hits[1:]:
+                if p > prev + W:
+                    spans.append((s, prev + W))
+                    s = p
+                prev = p
+            spans.append((s, prev + W))
+            dup = sum(e - b for b, e in spans)
+            expect[d] = (
+                len(toks),
+                len(spans),
+                dup,
+                round(dup / len(toks), 4),
+            )
         assert got == expect
 
 

@@ -88,6 +88,16 @@ def main() -> None:
         "Lets an sf100 events-only sweep skip the 600M-row lineitem "
         "build it doesn't need.",
     )
+    ap.add_argument(
+        "--partition-events",
+        action="store_true",
+        help="write events as a hive-partitioned dataset "
+        "(events.parquet/dt=YYYY-MM-DD/...) instead of one file — "
+        "SURVEY §7's 'partition events by date' 100 TB layout; "
+        "session.load_table_in_range prunes whole partition dirs on "
+        "it (PartitionFilters). Values are identical to the flat "
+        "layout; only the physical layout differs.",
+    )
     args = ap.parse_args()
     only = set(args.tables.split(",")) if args.tables else None
 
@@ -211,7 +221,7 @@ def main() -> None:
         # scales with sf over the FIXED 30-day window (as in the
         # fixtures)
         ets = np.sort(rng.integers(e_lo, e_hi, ne))
-        write(args.out, "events", pa.table({
+        events_tbl = pa.table({
             "event_id": pa.array(range(ne), pa.int64()),
             "ts": pa.array(ets, pa.timestamp("us")),
             "user_id": pa.array(
@@ -227,7 +237,31 @@ def main() -> None:
                 ),
                 "}",
             ),
-        }))
+        })
+        if args.partition_events:
+            # dt = UTC calendar date of ts, the hive partition key.
+            # Events are ts-sorted, so each of the ~30 day partitions
+            # gets one contiguous file.
+            day_us = 86_400 * US
+            dt = np.array(
+                [
+                    str(np.datetime64(int(t // day_us), "D"))
+                    for t in ets
+                ]
+            )
+            root = os.path.join(args.out, "events.parquet")
+            pq.write_to_dataset(
+                events_tbl.append_column("dt", pa.array(dt)),
+                root_path=root,
+                partition_cols=["dt"],
+                compression="zstd",
+            )
+            print(
+                f"  events: {events_tbl.num_rows} rows "
+                f"(partitioned dt={dt[0]}..{dt[-1]})"
+            )
+        else:
+            write(args.out, "events", events_tbl)
 
     nd = n["documents"]
     if nd >= 500_000_000:
