@@ -458,6 +458,19 @@ def main() -> None:
         "materialize_sec": materialize_sec,
         "exec_sec": exec_sec,
         "duckdb_oracle_sec": duck_timings,
+        # Raw per-pass samples (same order as the interleaved passes):
+        # the min above is the headline; the spread is the variance
+        # evidence — e.g. the sf1 dedup_embedding_cosine row's
+        # historical ±50% swing is diagnosable from here instead of
+        # re-running the whole artifact.
+        "exec_samples": {
+            n: [round(x, 4) for x in s]
+            for n, s in exec_samples.items()
+        },
+        "duckdb_samples": {
+            n: [round(x, 4) for x in s]
+            for n, s in duck_samples.items()
+        },
         "spark_over_duckdb_ratio": ratios,
         "spark_exec_over_duckdb_ratio": exec_ratios,
         "aqe_on_queries": aqe_on_timings,

@@ -415,6 +415,47 @@ def test_graph_rounds_are_exchange_free_off_the_cached_index(spark):
         assert plan.count("Exchange") == 0, (op.__name__, plan)
 
 
+def test_window_family_runs_identically_on_partitioned_layout(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end companion to the pruning pin below: the REAL
+    registered month/day-window queries (flagship, f3, f15, x7, a8)
+    run over a fully partitioned fixture and must return row-identical
+    results to the flat fixture — this is the test that would catch a
+    `dt` column leaking through a select("*"), a schema drift between
+    layouts, or a boundary slip in the injected partition predicate,
+    through actual query plans rather than the chokepoint alone."""
+    import os
+    import subprocess
+    import sys
+
+    from conversation_with_vector_db_spark.session import load_tables
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    for out, extra in ((flat, []), (part, ["--partition-events"])):
+        subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "gen_sf.py"),
+             "--sf", "0.001", "--out", out, *extra],
+            check=True, capture_output=True,
+        )
+    names = [
+        "flagship_usage_daily_by_user",
+        "f3_month_window",
+        "f15_recency_filter",
+        "x7_daily_cron_digest",
+        "a8_per_model_period_usage",
+    ]
+    try:
+        for name in names:
+            q = registry.REGISTRY[name]
+            a = sorted(map(str, (tuple(r) for r in q.fn(spark, flat).collect())))
+            b = sorted(map(str, (tuple(r) for r in q.fn(spark, part).collect())))
+            assert a == b and len(a) > 0, name
+    finally:
+        load_tables(spark, sf_dir)  # point the session back at fixtures
+
+
 def test_partitioned_events_layout_prunes_window_scans(
     spark, tmp_path
 ):

@@ -241,13 +241,11 @@ def main() -> None:
         if args.partition_events:
             # dt = UTC calendar date of ts, the hive partition key.
             # Events are ts-sorted, so each of the ~30 day partitions
-            # gets one contiguous file.
+            # gets one contiguous file. Vectorized: a Python-level
+            # per-row loop is a 100M-iteration crawl at sf100.
             day_us = 86_400 * US
-            dt = np.array(
-                [
-                    str(np.datetime64(int(t // day_us), "D"))
-                    for t in ets
-                ]
+            dt = np.datetime_as_string(
+                (ets // day_us).astype("datetime64[D]"), unit="D"
             )
             root = os.path.join(args.out, "events.parquet")
             pq.write_to_dataset(
