@@ -37,7 +37,15 @@ class FunctionDef:
 def _surrogate_token_count(text: str | None) -> int:
     if not text:
         return 0
-    return len(re.findall(r"[a-z0-9]+|[^a-z0-9\s]", text.lower()))
+    # Explicit ASCII whitespace class, NOT \s: Python's re \s is
+    # UNICODE (absorbs NBSP, \x0B, ...) while the d1 oracle's RE2 \s
+    # and the declarative t11 form are ASCII — on hostile text the
+    # three tokenizers disagreed about what counts as a marker char
+    # (r11 cross-engine probe). The spelled-out class is the one
+    # definition all three share.
+    return len(
+        re.findall(r"[a-z0-9]+|[^a-z0-9\t\n\f\r ]", text.lower())
+    )
 
 
 def _title_from_description(text: str | None) -> str:

@@ -28,7 +28,7 @@ from .registry import query
     oracle="""
 SELECT prompt_id,
        CAST(length(regexp_extract_all(lower(description),
-            '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+            '[a-z0-9]+|[^a-z0-9\\t\\n\\f\\r ]')) AS BIGINT) AS n_tokens,
        substr(description, 1, 50) AS title
 FROM prompts
 WHERE userid = 21
@@ -114,20 +114,37 @@ def d9_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
-            AS BIGINT) AS k_sum,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
-            AS INT) AS k_max
+       CAST(sum(CAST(floor(CAST(json_extract_string(props, '$.k')
+                AS DOUBLE)) AS INT)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(floor(CAST(json_extract_string(props, '$.k')
+                AS DOUBLE)) AS INT)) AS INT) AS k_max
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+WHERE CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+       AS INT) > 50
 GROUP BY event_type
 ORDER BY event_type
 """,
 )
 def c23_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Extraction contract made explicit (r11 probe): variant_get(...,
+    # 'int') TRUNCATES a non-integer k toward zero while the oracle's
+    # CAST(text AS INT) ROUNDS (2.7 -> 2 vs 3) — the known
+    # truncate-vs-round CAST class resurfacing through the JSON path,
+    # silent on any corpus with non-integer k (the fixture's k is
+    # always integral). Both sides now extract as DOUBLE and floor()
+    # explicitly — identical by construction, including negatives
+    # (floor(-2.7) = -3 on both; native truncation would give -2).
+    # Duplicate-key JSON stays a LOUD divergence: Spark's VARIANT
+    # parser raises per spec where DuckDB extracts the first key —
+    # pinned in tests/test_sources_udf.py as a documented oracle
+    # leniency, not papered over with try_parse_json (NULLing
+    # malformed rows would silently drop them from the aggregate the
+    # oracle still counts).
     ev = spark.table("events").withColumn(
         "k",
-        F.variant_get(F.parse_json("props"), "$.k", "int"),
+        F.floor(
+            F.variant_get(F.parse_json("props"), "$.k", "double")
+        ).cast("int"),
     )
     return (
         ev.where(F.col("k") > 50)

@@ -604,3 +604,109 @@ def test_chunk_udtf_rejects_non_positive_size(spark):
             spark.sql(
                 f"SELECT * FROM chunk_udtf('abcdef', {bad})"
             ).collect()
+
+
+def test_variant_json_extraction_contract_is_cross_engine_exact(spark):
+    """r11 probe on the c23 JSON path: variant_get(..., 'int')
+    TRUNCATES a non-integer k toward zero while the oracle's
+    CAST(text AS INT) ROUNDS (2.7 -> 2 vs 3) — silent value
+    divergence on any corpus whose k isn't integral. Both sides now
+    extract as DOUBLE and floor() explicitly; this pin runs the exact
+    expressions from plan and oracle over hostile payloads (floats,
+    negative floats, quoted numbers, missing/wrong-case keys) and
+    demands identical values. Duplicate-key JSON is pinned as the
+    LOUD divergence it is: Spark's VARIANT parser raises per spec,
+    DuckDB leniently extracts the first key."""
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    payloads = [
+        '{"k": 7}',
+        '{"k": 2.7}',
+        '{"k": -2.7}',
+        '{"k": "9"}',
+        '{"K": 5}',
+        '{"other": 1}',
+        None,
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "props string")
+    got = [
+        r["k"]
+        for r in df.select(
+            F.floor(
+                F.variant_get(F.parse_json("props"), "$.k", "double")
+            ).cast("int").alias("k")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(floor(CAST(json_extract_string(?, '$.k')"
+            " AS DOUBLE)) AS INT)",
+            [p],
+        ).fetchone()[0]
+        for p in payloads
+    ]
+    assert got == want == [7, 2, -3, 9, None, None, None]
+
+    dup = spark.createDataFrame([('{"k":1,"k":2}',)], "props string")
+    with pytest.raises(Exception, match="MALFORMED_RECORD"):
+        dup.select(
+            F.variant_get(F.parse_json("props"), "$.k", "double")
+        ).collect()
+    assert con.execute(
+        "SELECT json_extract_string(?, '$.k')", ['{"k":1,"k":2}']
+    ).fetchone()[0] == "1"  # the documented oracle leniency
+
+
+def test_tokenizer_three_forms_agree_on_hostile_whitespace(spark):
+    """r11: the D1 surrogate token counter (Python UDF), the t11
+    declarative form (Java regex), and the RE2 oracles must share ONE
+    tokenizer definition. Python's \\s is UNICODE (absorbs NBSP and
+    \\x0B) while the oracle's RE2 \\s is ASCII, so the UDF under-
+    counted marker characters the other two forms count — fixed by
+    spelling out the shared class [^a-z0-9\\t\\n\\f\\r ]. Hostile
+    bytes: \\x0B and NBSP are TOKENS under the shared ASCII contract
+    (neither is in the class), plain whitespace is not."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.functions.registry import (
+        _surrogate_token_count,
+    )
+
+    hostile = [
+        "a b,c",          # 4: a, b, ',', c
+        "a\x0bb",         # 3: a, \x0B token, b
+        "a\xa0b",         # 3: NBSP is a token char on all three now
+        "tab\tand space", # 3 words
+        "",               # 0
+    ]
+    py = [_surrogate_token_count(t) for t in hostile]
+    jv = [
+        r["n"]
+        for r in spark.createDataFrame([(t,) for t in hostile], "t string")
+        .select(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("t"),
+                    F.lit(r"[a-z0-9]+|[^a-z0-9\t\n\f\r ]"),
+                    0,
+                )
+            ).alias("n")
+        )
+        .collect()
+    ]
+    con = duckdb.connect()
+    re2 = [
+        con.execute(
+            "SELECT length(regexp_extract_all(lower(?),"
+            " '[a-z0-9]+|[^a-z0-9\\t\\n\\f\\r ]'))",
+            [t],
+        ).fetchone()[0]
+        for t in hostile
+    ]
+    assert py == jv == re2 == [4, 3, 3, 3, 0]
