@@ -387,6 +387,17 @@ def main() -> None:
     paired_ratio_min = (
         round(min(pass_ratios), 4) if pass_ratios else None
     )
+    # Median is the honest robust statistic: min is biased LOW — a
+    # load spike landing on the DuckDB half of one pass makes that
+    # pass's ratio plunge and min picks it (observed: per-pass series
+    # [2.16, 1.97, 1.58, 1.23, 0.96] under external load, where min
+    # says 0.96 and median says 1.58). Ship both; the full series is
+    # in the detail file.
+    paired_ratio_median = (
+        round(sorted(pass_ratios)[len(pass_ratios) // 2], 4)
+        if pass_ratios
+        else None
+    )
 
     # AQE-forced-on comparison pass (VERDICT r3 #6): the production
     # session default is AQE=on; when the cost gate turned it off above,
@@ -536,6 +547,7 @@ def main() -> None:
                 # pass, so this number is stable where
                 # value/duckdb_total_sec (cross-pass mins) can drift.
                 "paired_ratio_min": paired_ratio_min,
+                "paired_ratio_median": paired_ratio_median,
                 "aqe_on_total_sec": aqe_on_total,
                 "detail_file": os.path.basename(detail_path),
             },
