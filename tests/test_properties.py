@@ -1286,6 +1286,70 @@ class TestSubstringSpanAlgebra:
         assert got == expect
 
 
+class TestFingerprintAlgebra:
+    """Replay the REAL registered text_fingerprint over arbitrary
+    hostile ASCII docs against a hashlib reference: whole-doc md5 of
+    the normalized text plus min-md5 over 5-token shingles, with the
+    documented sub-window edges (docs with < 5 tokens fingerprint
+    their full token run; zero-token docs fingerprint the empty
+    string; the shingle index upper bound is max(len-4, 1) on both
+    sides). ASCII alphabet by design — the unicode lower() divergence
+    is pinned separately as an oracle limit."""
+
+    @given(
+        docs=st.lists(
+            st.text(
+                alphabet="ab1 .,\t\x0b-Z",
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_hashlib_reference(self, spark, sf_dir, docs):
+        import hashlib
+        import re
+
+        from conversation_with_vector_db_spark.plans import (
+            load_all,
+            registry,
+        )
+
+        load_all()
+        rows = [(i, t) for i, t in enumerate(docs)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).createOrReplaceTempView("documents")
+        try:
+            got = {
+                r["doc_id"]: (r["content_hash"], r["min_shingle"])
+                for r in registry.REGISTRY["text_fingerprint"]
+                .fn.__wrapped__(spark, sf_dir)
+                .collect()
+            }
+        finally:
+            _restore_views(spark, sf_dir, "documents")
+
+        def md5(s: str) -> str:
+            return hashlib.md5(s.encode()).hexdigest()
+
+        expect = {}
+        for i, t in rows:
+            n = re.sub(
+                "[ \t\n\x0b\f\r]+", " ", t.lower().strip(" ")
+            )  # trim strips SPACES only, like both engines' trim()
+            toks = re.findall("[a-z0-9]+", n)
+            upper = max(len(toks) - 4, 1)
+            shingles = [
+                md5(" ".join(toks[j - 1:j + 4]))
+                for j in range(1, upper + 1)
+            ]
+            expect[i] = (md5(n), min(shingles))
+        assert got == expect
+
+
 class TestScd2Algebra:
     """Pin w6's run-length SCD2 interval construction (lag change flag
     + running version sum + lead valid_to) against a brute-force
