@@ -155,8 +155,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # layouts present IDENTICAL schemas to every query and oracle.
     # (Filters injected by load_table_in_range run before this
     # projection; Catalyst pushes partition predicates through it
-    # regardless.)
-    if PARTITION_DATE_COL in df.columns:
+    # regardless.) Directory layouts ONLY: a flat file whose DATA
+    # legitimately carries a `dt` column must keep it — dropping user
+    # data because of a name collision would be silent loss.
+    if PARTITION_DATE_COL in df.columns and os.path.isdir(path):
         df = df.drop(PARTITION_DATE_COL)
     return df
 
@@ -242,27 +244,35 @@ def load_table_in_range(
     """
     path = table_path(sf_dir, name)
     nano_cols = _nano_ts_columns(path)
+    # `dt` is the LAYOUT's hive column only on a directory dataset; a
+    # flat file whose data legitimately carries a `dt` column must be
+    # neither filtered on it (it isn't date(ts)-derived there) nor
+    # have it dropped (silent data loss on a name collision).
+    part_layout = os.path.isdir(path)
+
+    def _prune(raw: DataFrame) -> DataFrame:
+        return (
+            _with_partition_date_range(raw, lo_iso, hi_iso)
+            if part_layout
+            else raw
+        )
+
     if ts_col not in nano_cols:
         if nano_cols:  # other nano columns still need the conversion
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _convert_nano_cols(
-            _with_partition_date_range(
-                spark.read.parquet(path), lo_iso, hi_iso
-            ),
-            nano_cols,
+            _prune(spark.read.parquet(path)), nano_cols
         ).filter(
             (F.col(ts_col) >= F.lit(lo_iso)) & (F.col(ts_col) < F.lit(hi_iso))
         )
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _with_partition_date_range(
-            spark.read.parquet(path), lo_iso, hi_iso
-        ).filter(
+        df = _prune(spark.read.parquet(path)).filter(
             (F.col(ts_col) >= F.lit(_iso_to_epoch_ns(lo_iso)))
             & (F.col(ts_col) < F.lit(_iso_to_epoch_ns(hi_iso)))
         )
         df = _convert_nano_cols(df, nano_cols)
-    if PARTITION_DATE_COL in df.columns:
+    if part_layout and PARTITION_DATE_COL in df.columns:
         df = df.drop(PARTITION_DATE_COL)
     return df
 

@@ -456,6 +456,47 @@ def test_window_family_runs_identically_on_partitioned_layout(
         load_tables(spark, sf_dir)  # point the session back at fixtures
 
 
+def test_flat_file_with_real_dt_column_is_not_touched(spark, tmp_path):
+    """Name-collision guard: `dt` is the partitioned LAYOUT's hive
+    column only when the table path is a directory dataset. A flat
+    file whose DATA legitimately carries a `dt` column must keep it
+    (no silent drop) and must not be range-FILTERED on it (it isn't
+    date(ts)-derived there — out-of-window dt values on in-window ts
+    rows would silently vanish)."""
+    import os
+
+    from conversation_with_vector_db_spark.session import (
+        load_table,
+        load_table_in_range,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00", "z-9999")],  # dt NOT a date of ts
+        "event_id long, _ts string, dt string",
+    ).selectExpr(
+        "event_id", "cast(_ts as timestamp_ntz) AS ts", "dt"
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    # directory vs file: Spark writes a dir — flatten to ONE file
+    import glob
+    import shutil
+
+    part_file = glob.glob(str(sf / "events.parquet" / "*.parquet"))[0]
+    flat = str(sf / "flat.parquet")
+    shutil.move(part_file, flat)
+    shutil.rmtree(str(sf / "events.parquet"))
+    os.rename(flat, str(sf / "events.parquet"))
+    assert os.path.isfile(str(sf / "events.parquet"))
+
+    full = load_table(spark, str(sf), "events")
+    assert "dt" in full.columns  # kept: it's user data here
+    rows = load_table_in_range(
+        spark, str(sf), "events", "ts", "2024-01-01", "2024-02-01"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["dt"] == "z-9999"
+
+
 def test_partitioned_events_layout_prunes_window_scans(
     spark, tmp_path
 ):
