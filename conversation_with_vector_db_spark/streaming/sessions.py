@@ -1021,9 +1021,14 @@ def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame:
 
     snap = read_snapshot(spark, store_dir)
     if "lane_scheme" in snap.columns:
+        # NULL markers are pre-stamp partials (the stamp postdates the
+        # current lane scheme, so unstamped rows in a stamped store
+        # are same-scheme by construction) — and sorting None against
+        # str would TypeError, masking the real verdict.
         schemes = sorted(
             r["lane_scheme"]
             for r in snap.select("lane_scheme").distinct().collect()
+            if r["lane_scheme"] is not None
         )
         if schemes and schemes != [CMS_LANE_SCHEME]:
             raise ValueError(

@@ -1480,6 +1480,25 @@ def test_streaming_cms_sketch_converges_and_replays_nothing(
         append_snapshot_txn,
     )
 
+    # An UNSTAMPED partial (NULL marker) in a stamped store is
+    # same-scheme by construction (the stamp postdates the scheme) —
+    # must still read, and must not TypeError the distinct-scheme sort.
+    r0, b0 = next(iter(want))  # an existing cell: c=0 adds nothing
+    append_snapshot_txn(
+        spark.createDataFrame(
+            [(r0, b0, 0, 998, None)],
+            "r int, b long, c long, batch_id long, lane_scheme string",
+        ),
+        store,
+        app="cms-sketch-prestamp",
+        txn_version=0,
+    )
+    got3 = {
+        (r["r"], r["b"]): r["c"]
+        for r in read_cms_store(spark, store).collect()
+    }
+    assert got3 == want  # the c=0 partial changes no counter
+
     append_snapshot_txn(
         spark.createDataFrame(
             [(0, 1, 1, 999, "cms-lanes-v1-hexdigit")],
