@@ -146,8 +146,15 @@ def pca_top_component(
     scalars rounded to 4dp (cross-engine ordering stability)."""
     C, _mu, _n = collect_covariance(df, dim, vec_col)
     v, ray, evr = power_iterate(C, iters)
+    # + 0.0 normalizes a rounded -0.0 to +0.0 (Python round preserves
+    # the sign bit; the SQL oracle's round(...) + 0 does the same).
     rows = [
-        (i + 1, round(float(v[i]), 4), round(ray, 4), round(evr, 4))
+        (
+            i + 1,
+            round(float(v[i]), 4) + 0.0,
+            round(ray, 4) + 0.0,
+            round(evr, 4) + 0.0,
+        )
         for i in range(dim)
     ]
     return spark.createDataFrame(

@@ -628,7 +628,7 @@ cand AS (
 resc AS (
     SELECT cand.qid, cand.vec_id,
            round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
     FROM cand
     JOIN q ON q.qid = cand.qid
     JOIN embeddings c ON c.vec_id = cand.vec_id

@@ -475,7 +475,7 @@ cands AS (
 scored AS (
     SELECT c.a AS a, c.b AS b,
            round(list_cosine_similarity(
-               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) + 0 AS sim
     FROM cands c
     JOIN embeddings ea ON ea.vec_id = c.a
     JOIN embeddings eb ON eb.vec_id = c.b
@@ -1421,7 +1421,7 @@ assign AS (
 pairs AS (
     SELECT x.vec_id AS a, y.vec_id AS b, y.cluster AS cluster,
            round(list_cosine_similarity(
-               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) + 0 AS sim
     FROM assign x
     JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
     JOIN embeddings ea ON ea.vec_id = x.vec_id
@@ -1519,7 +1519,7 @@ iassign AS (
 ipairs AS (
     SELECT i.a AS a, e.b AS b,
            round(list_cosine_similarity(
-               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) + 0 AS sim
     FROM iassign i JOIN exi e USING (cluster)
     JOIN embeddings ea ON ea.vec_id = i.a
     JOIN embeddings eb ON eb.vec_id = e.b

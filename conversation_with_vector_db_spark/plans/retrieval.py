@@ -114,7 +114,7 @@ cos_rank AS (
     FROM (
         SELECT c.vec_id,
                round(list_cosine_similarity(
-                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
         FROM embeddings c CROSS JOIN q
     ) QUALIFY rank <= 50
 ),
@@ -189,7 +189,7 @@ cos_rank AS (
     FROM (
         SELECT c.vec_id,
                round(list_cosine_similarity(
-                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
         FROM embeddings c CROSS JOIN q
     ) QUALIFY rank <= 50
 ),
@@ -210,7 +210,7 @@ cand AS (
 dd AS (
     SELECT a.doc_id AS a, b.doc_id AS b,
            round(list_cosine_similarity(
-               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) AS sim
+               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) + 0 AS sim
     FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
 ),
 sel AS (

@@ -988,9 +988,9 @@ w4 AS (SELECT c.i AS i, sum(c.cij * v3.v) AS w
        FROM c JOIN v3 ON v3.i = c.j GROUP BY c.i),
 ray AS (SELECT sum(v3.v * w4.w) AS r FROM v3 JOIN w4 USING (i)),
 tr AS (SELECT sum(cij) AS t FROM c WHERE i = j)
-SELECT v3.i AS i, round(v3.v, 4) AS loading,
-       round((SELECT r FROM ray), 4) AS rayleigh_q,
-       round((SELECT r FROM ray) / (SELECT t FROM tr), 4)
+SELECT v3.i AS i, round(v3.v, 4) + 0 AS loading,
+       round((SELECT r FROM ray), 4) + 0 AS rayleigh_q,
+       round((SELECT r FROM ray) / (SELECT t FROM tr), 4) + 0
            AS explained_ratio
 FROM v3
 ORDER BY i

@@ -311,7 +311,12 @@ def c_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     event values with outlier flags — the per-group pandas-in/
     pandas-out surface (Arrow batches, one group per call). The math is
     reproducible in SQL (sample stddev), so even the Python path is
-    oracle-checked.""",
+    oracle-checked. Presentation rounding happens JVM-side AFTER the
+    UDF (operators/vector.py's documented discipline): pandas
+    ``.round`` is numpy half-even on the binary value and preserves
+    -0.0, while JVM/DuckDB round the shortest decimal repr half-up and
+    the oracle normalizes -0.0 with ``+ 0`` — rounding inside the
+    batch would silently diverge on tie-repr and negative-tiny z.""",
     oracle="""
 WITH stats AS (
     SELECT user_id,
@@ -321,7 +326,7 @@ WITH stats AS (
     GROUP BY user_id
 )
 SELECT e.event_id AS event_id, e.user_id AS user_id,
-       round((e.value - s.mu) / s.sigma, 4) AS z,
+       round((e.value - s.mu) / s.sigma, 4) + 0 AS z,
        abs((e.value - s.mu) / s.sigma) > 2 AS is_outlier
 FROM events e JOIN stats s ON s.user_id = e.user_id
 WHERE e.user_id < 8
@@ -358,11 +363,14 @@ def d_grouped_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (sigma = NaN) or zero-variance group (z = inf) must yield
         # NULL, not NaN/inf, to match the stddev_samp/division oracle.
         z = z.where(np.isfinite(z))
+        # z leaves the batch UNROUNDED — JVM F.round below matches the
+        # oracle's round() exactly; pandas .round would not (half-even
+        # on binary, -0.0-preserving).
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "z": z.round(4),
+                "z": z,
                 "is_outlier": (z.abs() > 2).where(z.notna()),
             }
         )
@@ -372,5 +380,6 @@ def d_grouped_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 8)
         .groupBy("user_id")
         .applyInPandas(zscore, schema)
+        .withColumn("z", F.round("z", 4))
         .orderBy("event_id")
     )

@@ -69,7 +69,7 @@ WITH q AS (
 scored AS (
     SELECT q.qid AS qid, c.vec_id AS vec_id, c.label AS label,
            round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
     FROM q CROSS JOIN embeddings c
 )
 """
@@ -251,7 +251,7 @@ WITH q AS (
 scored AS (
     SELECT c.label % 3 AS namespace, c.vec_id AS vec_id,
            round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
     FROM q CROSS JOIN embeddings c
 )
 SELECT namespace, vec_id, sim, rn AS rank FROM (
@@ -437,7 +437,7 @@ WITH q AS (
 scored AS (
     SELECT q.qid AS qid, c.vec_id AS vec_id, c.label AS label,
            round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
     FROM q CROSS JOIN embeddings c
     WHERE c.label IN (2, 5, 7)
 )
@@ -487,7 +487,7 @@ q AS (SELECT vec_id AS qid, embedding AS qe
 cand0 AS (
     SELECT q.qid, c.vec_id,
            round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS rel,
+               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS rel,
            c.embedding AS ce
     FROM q CROSS JOIN embeddings c
 ),
@@ -500,7 +500,7 @@ cand AS (
 dd AS (
     SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(
-               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) AS sim
+               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) + 0 AS sim
     FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
 ),
 sel AS (
@@ -587,7 +587,7 @@ rec AS (
 q AS (SELECT vec_id AS qid, hat AS qhat FROM rec WHERE vec_id < 5),
 scored AS (
     SELECT qid, r.vec_id,
-           round(list_cosine_similarity(q.qhat, r.hat), 4) AS sim
+           round(list_cosine_similarity(q.qhat, r.hat), 4) + 0 AS sim
     FROM q CROSS JOIN rec r
 )
 SELECT qid, vec_id, sim, rn AS rank FROM (
@@ -646,7 +646,7 @@ yv AS (SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY 1),
 q AS (SELECT vec_id AS qid, yv AS qy FROM yv WHERE vec_id < 5),
 cand AS (
     SELECT qid, c.vec_id,
-           round(list_cosine_similarity(q.qy, c.yv), 4) AS psim
+           round(list_cosine_similarity(q.qy, c.yv), 4) + 0 AS psim
     FROM q CROSS JOIN yv c
 ),
 top AS (
@@ -660,7 +660,7 @@ ref AS (
     SELECT t.qid, t.vec_id,
            round(list_cosine_similarity(
                qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]),
-               4) AS sim
+               4) + 0 AS sim
     FROM top t
     JOIN embeddings qq ON qq.vec_id = t.qid
     JOIN embeddings cc ON cc.vec_id = t.vec_id

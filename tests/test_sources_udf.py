@@ -710,3 +710,112 @@ def test_tokenizer_three_forms_agree_on_hostile_whitespace(spark):
         for t in hostile
     ]
     assert py == jv == re2 == [4, 3, 3, 3, 0]
+
+
+def test_rounded_negative_zero_is_cross_engine_exact(spark, sf_dir):
+    """r11 probe on presentation rounding: Spark's F.round goes
+    through BigDecimal, which has no negative zero, so round(-1e-13,
+    4) is +0.0 — DuckDB's round PRESERVES the sign bit and yields
+    -0.0. Locally rows_match's float tolerance hides it, but the
+    driver's value-hash gate need not treat -0.0 == 0.0, so any
+    unthresholded rounded column whose value can be negative-tiny
+    (cosine sims over near-orthogonal pairs, z-scores) was one
+    hostile fixture away from a silent hash mismatch. Every
+    sign-possible oracle round site now appends ``+ 0`` (IEEE:
+    -0.0 + 0.0 = +0.0, exact identity for every other value,
+    NaN/inf included), matching F.round by construction. pandas
+    ``.round`` is wrong on BOTH axes (half-even on the binary value
+    AND -0.0-preserving), which is why d_grouped_udaf_zscore rounds
+    JVM-side after the UDF, per operators/vector.py's discipline."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    hostile = [-1e-13, -0.0, 0.0, 2.675, -2.675, 0.12345, -123.45675,
+               float("inf"), float("-inf")]
+
+    def key(x):
+        # repr-level equality: distinguishes -0.0 from 0.0
+        return (repr(x), math.copysign(1.0, x))
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(hostile)], "i int, v double"
+    )
+    got = {
+        r["i"]: key(r["r"])
+        for r in df.select("i", F.round("v", 4).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: key(
+            con.execute(
+                "SELECT round(?::DOUBLE, 4) + 0", [v]
+            ).fetchone()[0]
+        )
+        for i, v in enumerate(hostile)
+    }
+    assert got == want
+    # motive: WITHOUT + 0 DuckDB emits -0.0 where Spark emits +0.0
+    raw = con.execute("SELECT round(-1e-13::DOUBLE, 4)").fetchone()[0]
+    assert math.copysign(1.0, raw) == -1.0
+    assert math.copysign(1.0, got[0][1]) == 1.0
+    # motive: pandas rounds half-even on the binary value AND keeps
+    # -0.0 — diverges from the engines on both axes
+    pz = pd.Series([0.12345, -1e-13]).round(4)
+    assert pz[0] == 0.1234  # engines: 0.1235 (shortest-repr half-up)
+    assert math.copysign(1.0, pz[1]) == -1.0
+
+    # End-to-end through the REGISTERED zscore query: one event sits
+    # a hair BELOW its group mean (z ~ -6.7e-10 -> rounds to zero),
+    # so the unfixed pairing would hash-diverge on -0.0 vs 0.0.
+    from conversation_with_vector_db_spark.plans import (
+        load_all,
+        registry,
+    )
+
+    load_all()
+    rows = [
+        (1, 0, 1_000_000, "msg", 0.0, None),
+        (2, 0, 2_000_000, "msg", 2.0, None),
+        (3, 0, 3_000_000, "msg", 1.0 - 1e-9, None),
+    ]
+    schema = (
+        "event_id long, user_id long, _us long, event_type string,"
+        " value double, props string"
+    )
+    try:
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id",
+            "timestamp_micros(_us) AS ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).createOrReplaceTempView("events")
+        q = registry.REGISTRY["d_grouped_udaf_zscore"]
+        got_rows = {
+            r["event_id"]: key(r["z"])
+            for r in q.fn.__wrapped__(spark, sf_dir).collect()
+        }
+        con.execute(
+            "CREATE TABLE events (event_id BIGINT, user_id BIGINT,"
+            " value DOUBLE)"
+        )
+        con.executemany(
+            "INSERT INTO events VALUES (?, ?, ?)",
+            [(e, u, v) for (e, u, _t, _ty, v, _p) in rows],
+        )
+        want_rows = {
+            r[0]: key(r[2])
+            for r in con.execute(q.oracle_sql).fetchall()
+        }
+        assert got_rows == want_rows
+        # the engineered near-mean event really exercised the branch
+        assert got_rows[3] == ("0.0", 1.0)
+    finally:
+        try:
+            spark.conf.unset("spark.cvdb.registered.sfdir")
+        except Exception:
+            pass
+        load_tables(spark, sf_dir, ("events",))
