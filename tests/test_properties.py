@@ -1421,3 +1421,238 @@ class TestScd2Algebra:
                 )
                 expect.append((u, v, t, valid_from, valid_to, len(uss)))
         assert sorted(got, key=str) == sorted(expect, key=str)
+
+
+class TestGraphAlgebra:
+    """r11: the graph pair's registered oracle covers only the
+    BIPARTITE fixture shape — every edge mirrored, so no dangling
+    node ever exists there, and test_graph.py's dangling/tie cases
+    are hand-enumerated. Replay both operators over hypothesis-
+    generated ARBITRARY directed graphs (self-loops, danglers,
+    asymmetric bridges) against brute-force references — the r10/r11
+    lesson is that arbitrary inputs find what enumeration misses."""
+
+    _edges = st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+    )
+
+    @staticmethod
+    def _ref_pagerank(edges, iters=3, d=0.85):
+        out = {}
+        for s, t in set(edges):
+            out.setdefault(s, set()).add(t)
+        nodes = sorted({n for e in edges for n in e})
+        n = len(nodes)
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            dm = sum(r[v] for v in nodes if v not in out)
+            nxt = {v: (1 - d) / n + d * dm / n for v in nodes}
+            for s, ts in out.items():
+                for t in ts:
+                    nxt[t] += d * r[s] / len(ts)
+            r = nxt
+        return r
+
+    @staticmethod
+    def _ref_lpa(edges, iters=3):
+        e = set(edges)
+        nodes = sorted({n for p in e for n in p})
+        lbl = {v: v for v in nodes}
+        for _ in range(iters):
+            cnt = {}
+            for s, t in e:
+                c = cnt.setdefault(t, {})
+                c[lbl[s]] = c.get(lbl[s], 0) + 1
+            lbl = {
+                v: (
+                    min(cnt[v].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                    if v in cnt
+                    else lbl[v]
+                )
+                for v in nodes
+            }
+        return lbl
+
+    @given(edges=_edges)
+    @settings(max_examples=8, deadline=None)
+    def test_pagerank_matches_bruteforce(self, spark, edges):
+        from conversation_with_vector_db_spark.operators.cache import (
+            release_all,
+        )
+        from conversation_with_vector_db_spark.operators.graph import (
+            pagerank,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        try:
+            got = {
+                r["node"]: r["rank"]
+                for r in pagerank(df, iters=3).collect()
+            }
+        finally:
+            release_all()
+        want = self._ref_pagerank(edges)
+        assert set(got) == set(want)
+        # The pin checks the ALGEBRA (dangling mass, degrees, damping)
+        # to within one 6dp rounding step per side; bitwise exactness
+        # across sum orders is the registered oracle's job. A kernel
+        # bug (lost dangling mass, self-loop double count, degree off
+        # by one) shows up at the 1e-2..1e-1 scale, not 1e-6.
+        for v in want:
+            assert abs(got[v] - round(want[v], 6)) <= 1.000001e-6, (
+                v, got[v], want[v], edges,
+            )
+        # rank mass is conserved under dangling redistribution
+        assert abs(sum(got.values()) - 1.0) <= len(want) * 1e-6
+
+    @given(edges=_edges)
+    @settings(max_examples=8, deadline=None)
+    def test_label_propagation_matches_bruteforce(self, spark, edges):
+        from conversation_with_vector_db_spark.operators.cache import (
+            release_all,
+        )
+        from conversation_with_vector_db_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        try:
+            got = {
+                r["node"]: r["lbl"]
+                for r in label_propagation(df, iters=3).collect()
+            }
+        finally:
+            release_all()
+        # integer voting with a deterministic min-label tie-break is
+        # EXACT — no float tolerance on this one
+        assert got == self._ref_lpa(edges), edges
+
+
+class TestBpeAlgebra:
+    """r11: BPE is the one iterative value-parity family with no
+    hypothesis replay — train + frozen-encode are exact integer
+    algebra (corpus-weighted pair counts, count-desc/(l,r)-asc
+    argmax, left-to-right non-overlapping folds), so a brute-force
+    reference matches EXACTLY; only chars_per_token needs the JVM's
+    rounding (HALF_UP on the shortest decimal repr — Python's round
+    is half-even and would diverge on exact ties like 33/32)."""
+
+    _texts = st.lists(
+        st.text(alphabet=st.sampled_from("aab1 "), max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+
+    @staticmethod
+    def _words(texts):
+        import re
+        from collections import Counter
+
+        return Counter(
+            w
+            for t in texts
+            for w in re.findall(r"[a-z0-9]+", t.lower())
+        )
+
+    @staticmethod
+    def _merge(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @classmethod
+    def _ref_train(cls, texts, merges=3):
+        from collections import Counter
+
+        words = cls._words(texts)
+        vocab = {w: list(w) for w in words}
+        out = []
+        for step in range(1, merges + 1):
+            cnt = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += words[w]
+            if not cnt:
+                break
+            (l, r), c = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            vocab = {w: cls._merge(s, l, r) for w, s in vocab.items()}
+            n_symbols = len({s for ss in vocab.values() for s in ss})
+            out.append((step, l, r, c, n_symbols))
+        return out
+
+    @given(texts=_texts)
+    @settings(max_examples=8, deadline=None)
+    def test_train_matches_bruteforce(self, spark, texts):
+        from conversation_with_vector_db_spark.operators.bpe import (
+            bpe_train,
+        )
+        from conversation_with_vector_db_spark.operators.cache import (
+            release_all,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        try:
+            got = [
+                (r["step"], r["lhs"], r["rhs"], r["pair_count"],
+                 r["n_symbols"])
+                for r in bpe_train(docs, merges=3).collect()
+            ]
+        finally:
+            release_all()
+        assert got == self._ref_train(texts), texts
+
+    @given(texts=_texts)
+    @settings(max_examples=8, deadline=None)
+    def test_encode_stats_matches_bruteforce(self, spark, texts):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from conversation_with_vector_db_spark.operators.bpe import (
+            bpe_encode_stats,
+        )
+        from conversation_with_vector_db_spark.operators.cache import (
+            release_all,
+        )
+
+        merges = [m[1:3] for m in self._ref_train(texts, merges=2)]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        try:
+            got = [
+                tuple(r)
+                for r in bpe_encode_stats(docs, merges).collect()
+            ]
+        finally:
+            release_all()
+        import re
+
+        expect = []
+        for i, t in enumerate(texts):
+            ws = re.findall(r"[a-z0-9]+", t.lower())
+            syms = [list(w) for w in ws]
+            for l, r in merges:
+                syms = [self._merge(s, l, r) for s in syms]
+            n_tok = sum(len(s) for s in syms)
+            n_chars = sum(len(w) for w in ws)
+            if n_tok:
+                cpt = float(
+                    Decimal(repr(n_chars / n_tok)).quantize(
+                        Decimal("1.0000"), rounding=ROUND_HALF_UP
+                    )
+                )
+            else:
+                cpt = None
+            expect.append((i, len(ws), n_tok, cpt))
+        assert got == expect, texts
