@@ -53,10 +53,20 @@ def pq_fit(
     (loud refusal beats silent padding)."""
     import numpy as np
 
+    # Hash-stratified sample, not df.sample: Bernoulli membership is
+    # drawn from a per-partition RNG and would vary with the scan
+    # layout; xxhash64(vector, seed) is a pure function of the data.
+    # (The collected row ORDER is already layout-invariant: splits
+    # collect in file-offset order whatever their size.)
     fit_on = (
         corpus
         if sample_fraction is None
-        else corpus.sample(fraction=sample_fraction, seed=seed)
+        else corpus.where(
+            F.pmod(
+                F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(1_000_000)
+            )
+            < F.lit(int(sample_fraction * 1_000_000))
+        )
     )
     # Drop NULL vectors and refuse ragged lengths LOUDLY: a None (or a
     # short row) in the collected list makes np.asarray build an
