@@ -627,8 +627,9 @@ cand AS (
 ),
 resc AS (
     SELECT cand.qid, cand.vec_id,
-           round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0
+                 OR list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM cand
     JOIN q ON q.qid = cand.qid
     JOIN embeddings c ON c.vec_id = cand.vec_id

@@ -474,8 +474,9 @@ cands AS (
 ),
 scored AS (
     SELECT c.a AS a, c.b AS b,
-           round(list_cosine_similarity(
-               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0
+                 OR list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM cands c
     JOIN embeddings ea ON ea.vec_id = c.a
     JOIN embeddings eb ON eb.vec_id = c.b
@@ -1420,8 +1421,9 @@ assign AS (
 ),
 pairs AS (
     SELECT x.vec_id AS a, y.vec_id AS b, y.cluster AS cluster,
-           round(list_cosine_similarity(
-               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0
+                 OR list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM assign x
     JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
     JOIN embeddings ea ON ea.vec_id = x.vec_id
@@ -1518,8 +1520,9 @@ iassign AS (
 ),
 ipairs AS (
     SELECT i.a AS a, e.b AS b,
-           round(list_cosine_similarity(
-               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0
+                 OR list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM iassign i JOIN exi e USING (cluster)
     JOIN embeddings ea ON ea.vec_id = i.a
     JOIN embeddings eb ON eb.vec_id = e.b

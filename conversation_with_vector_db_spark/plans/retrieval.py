@@ -113,8 +113,9 @@ cos_rank AS (
     SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
     FROM (
         SELECT c.vec_id,
-               round(list_cosine_similarity(
-                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
+               round(CASE WHEN list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0
+                 OR list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) END, 4) + 0 AS sim
         FROM embeddings c CROSS JOIN q
     ) QUALIFY rank <= 50
 ),
@@ -188,8 +189,9 @@ cos_rank AS (
            row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
     FROM (
         SELECT c.vec_id,
-               round(list_cosine_similarity(
-                   q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
+               round(CASE WHEN list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0
+                 OR list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) END, 4) + 0 AS sim
         FROM embeddings c CROSS JOIN q
     ) QUALIFY rank <= 50
 ),
@@ -209,8 +211,9 @@ cand AS (
 ),
 dd AS (
     SELECT a.doc_id AS a, b.doc_id AS b,
-           round(list_cosine_similarity(
-               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(a.ce::DOUBLE[], a.ce::DOUBLE[]) = 0
+                 OR list_inner_product(b.ce::DOUBLE[], b.ce::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(a.ce::DOUBLE[], b.ce::DOUBLE[]) END, 4) + 0 AS sim
     FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
 ),
 sel AS (

@@ -68,8 +68,9 @@ WITH q AS (
 ),
 scored AS (
     SELECT q.qid AS qid, c.vec_id AS vec_id, c.label AS label,
-           round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0
+                 OR list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM q CROSS JOIN embeddings c
 )
 """
@@ -250,8 +251,9 @@ WITH q AS (
 ),
 scored AS (
     SELECT c.label % 3 AS namespace, c.vec_id AS vec_id,
-           round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0
+                 OR list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM q CROSS JOIN embeddings c
 )
 SELECT namespace, vec_id, sim, rn AS rank FROM (
@@ -436,8 +438,9 @@ WITH q AS (
 ),
 scored AS (
     SELECT q.qid AS qid, c.vec_id AS vec_id, c.label AS label,
-           round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0
+                 OR list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM q CROSS JOIN embeddings c
     WHERE c.label IN (2, 5, 7)
 )
@@ -486,8 +489,9 @@ q AS (SELECT vec_id AS qid, embedding AS qe
       FROM embeddings WHERE vec_id < 5),
 cand0 AS (
     SELECT q.qid, c.vec_id,
-           round(list_cosine_similarity(
-               q.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) + 0 AS rel,
+           round(CASE WHEN list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0
+                 OR list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) END, 4) + 0 AS rel,
            c.embedding AS ce
     FROM q CROSS JOIN embeddings c
 ),
@@ -499,8 +503,9 @@ cand AS (
 ),
 dd AS (
     SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
-           round(list_cosine_similarity(
-               a.ce::DOUBLE[], b.ce::DOUBLE[]), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(a.ce::DOUBLE[], a.ce::DOUBLE[]) = 0
+                 OR list_inner_product(b.ce::DOUBLE[], b.ce::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(a.ce::DOUBLE[], b.ce::DOUBLE[]) END, 4) + 0 AS sim
     FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
 ),
 sel AS (
@@ -587,7 +592,9 @@ rec AS (
 q AS (SELECT vec_id AS qid, hat AS qhat FROM rec WHERE vec_id < 5),
 scored AS (
     SELECT qid, r.vec_id,
-           round(list_cosine_similarity(q.qhat, r.hat), 4) + 0 AS sim
+           round(CASE WHEN list_inner_product(q.qhat, q.qhat) = 0
+                 OR list_inner_product(r.hat, r.hat) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qhat, r.hat) END, 4) + 0 AS sim
     FROM q CROSS JOIN rec r
 )
 SELECT qid, vec_id, sim, rn AS rank FROM (
@@ -646,7 +653,9 @@ yv AS (SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY 1),
 q AS (SELECT vec_id AS qid, yv AS qy FROM yv WHERE vec_id < 5),
 cand AS (
     SELECT qid, c.vec_id,
-           round(list_cosine_similarity(q.qy, c.yv), 4) + 0 AS psim
+           round(CASE WHEN list_inner_product(q.qy, q.qy) = 0
+                 OR list_inner_product(c.yv, c.yv) = 0 THEN 0.0
+            ELSE list_cosine_similarity(q.qy, c.yv) END, 4) + 0 AS psim
     FROM q CROSS JOIN yv c
 ),
 top AS (
@@ -658,9 +667,9 @@ top AS (
 ),
 ref AS (
     SELECT t.qid, t.vec_id,
-           round(list_cosine_similarity(
-               qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]),
-               4) + 0 AS sim
+           round(CASE WHEN list_inner_product(qq.embedding::DOUBLE[], qq.embedding::DOUBLE[]) = 0
+                 OR list_inner_product(cc.embedding::DOUBLE[], cc.embedding::DOUBLE[]) = 0 THEN 0.0
+            ELSE list_cosine_similarity(qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]) END, 4) + 0 AS sim
     FROM top t
     JOIN embeddings qq ON qq.vec_id = t.qid
     JOIN embeddings cc ON cc.vec_id = t.vec_id

@@ -1222,3 +1222,73 @@ def test_ivf_fit_is_layout_deterministic(spark):
     # rows are still assigned)
     assert len(want_s[0]) == len(rows)
     assert not math.isnan(want_s[1][0][1][0])
+
+
+def test_zero_norm_vectors_are_cross_engine_exact(spark, sf_dir):
+    """r11 probe: DuckDB's list_cosine_similarity returns -1.0 for a
+    zero-norm vector while the engine's guarded cosine returns 0.0
+    (the documented degenerate-vectors-are-dissimilar convention) — a
+    silent value/order divergence on any corpus with zero-padded
+    embeddings, invisible to the gate because the fixtures have none.
+    Every raw-embedding oracle site now wraps the cosine in the same
+    zero-norm CASE guard. This pin swaps in a corpus with a zero
+    CORPUS vector and a zero QUERY vector and runs the REGISTERED
+    v1_topk_cosine against its REGISTERED oracle, comparing reprs."""
+    import duckdb
+    import math
+    import random
+
+    from conversation_with_vector_db_spark.plans import (
+        load_all,
+        registry,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_all()
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 5)
+        for i in range(30)
+    ]
+    rows[0] = (0, [0.0] * 8, 0)    # zero QUERY vector (vec_id < 5)
+    rows[17] = (17, [0.0] * 8, 2)  # zero CORPUS vector
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label long"
+        ).createOrReplaceTempView("embeddings")
+        q = registry.REGISTRY["v1_topk_cosine"]
+        got = [
+            tuple(
+                (repr(v), math.copysign(1.0, v)) if isinstance(v, float)
+                else v
+                for v in r
+            )
+            for r in q.fn.__wrapped__(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings (vec_id BIGINT,"
+            " embedding DOUBLE[], label BIGINT)"
+        )
+        con.executemany(
+            "INSERT INTO embeddings VALUES (?, ?, ?)", rows
+        )
+        want = [
+            tuple(
+                (repr(v), math.copysign(1.0, v)) if isinstance(v, float)
+                else v
+                for v in r
+            )
+            for r in con.execute(q.oracle_sql).fetchall()
+        ]
+        assert got == want
+        # the zero query really went through the guard: all its sims
+        # are exactly +0.0
+        zero_q = [r for r in got if r[0] == 0]
+        assert zero_q and all(r[2] == ("0.0", 1.0) for r in zero_q)
+    finally:
+        try:
+            spark.conf.unset("spark.cvdb.registered.sfdir")
+        except Exception:
+            pass
+        load_tables(spark, sf_dir, ("embeddings",))
