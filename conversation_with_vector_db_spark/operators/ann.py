@@ -349,14 +349,16 @@ def ivf_fit_cells(
     # order, so the SAME multiset of vectors under a different
     # partitioning yields different centroids — the one
     # layout-dependence the determinism sweep (tools/
-    # determinism_sweep.py) found across the registry. A fixed
-    # single-partition, vector-sorted layout makes the fit a pure
-    # function of the data (measured: identical recall across 64 KB
-    # vs 128 MB scan splits and 8 vs 13 shuffle partitions). The fit
-    # input is model-sized by design (FAISS trains on ~30x nlist
-    # points — pass fit_fraction at corpus scale), so one partition
-    # is the fit's natural parallelism, not a bottleneck.
-    fit_on = fit_on.repartition(1).sortWithinPartitions(vec_col)
+    # determinism_sweep.py) found across the registry. A FIXED-width
+    # repartition hashed on the vector plus an in-partition sort
+    # makes the fit a pure function of the data (measured: identical
+    # results across 64 KB vs 128 MB scan splits and 8 vs 13 shuffle
+    # partitions) while keeping the fit parallel — 16 partitions is
+    # plenty for a model-sized fit input (FAISS trains on ~30x nlist
+    # points; pass fit_fraction at corpus scale).
+    fit_on = fit_on.repartition(16, F.col(vec_col)).sortWithinPartitions(
+        vec_col
+    )
     fit_on = scoped_cache(fit_on)
     # Degenerate-k guard: MLlib's block KMeans aggregator hits an
     # ArrayIndexOutOfBounds when k exceeds the number of DISTINCT
