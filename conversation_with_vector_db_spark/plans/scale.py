@@ -42,13 +42,15 @@ def scale_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
+    # Presentation sort dropped (r11): the gate hashes
+    # order-insensitively and the ORDER BY cost a range exchange.
     return out.select(
         "event_type",
         "n",
         F.round("total_raw", 4).alias("total"),
         F.round("vmin_raw", 4).alias("vmin"),
         F.round("vmax_raw", 4).alias("vmax"),
-    ).orderBy("event_type")
+    )
 
 
 @query(

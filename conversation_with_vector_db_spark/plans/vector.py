@@ -102,12 +102,15 @@ def v1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow path's Python-worker round-trip dominates; driver-folded
     # query matrix x Arrow-batched numpy once it is not.
     vec_bytes = _vec_bytes(sf_dir)
+    # No presentation sort: rank is already a column; a global ORDER BY
+    # here costs a range exchange + sampling pass that re-executes the
+    # scoring child (the gate hashes order-insensitively).
     return exact_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
         k=K,
         corpus_bytes=vec_bytes,
-    ).orderBy("qid", "rank")
+    )
 
 
 @query(

@@ -1030,3 +1030,73 @@ def test_unicode_lower_divergence_is_a_known_oracle_limit(spark):
     assert duck["İSTANBUL"] == "istanbul"        # simple mapping
     assert duck["ΣΟΦΟΣ"] == "σοφοσ"
     assert duck["STRASSE"] == got["STRASSE"]     # ASCII: no divergence
+
+
+def test_forward_index_arms_are_bit_identical(spark, sf_dir):
+    """r11 optimization pins: the forward-index derivations that
+    replaced per-execution posting-table explosions — map-only minhash
+    signatures, array_intersect candidate verification, and the free
+    per-doc ``sz`` column — must be BIT-identical to the explode/join
+    forms they replaced (same integer arithmetic, same rounding), not
+    merely tolerance-close: the driver's value hash is exact."""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark import fixtures
+    from conversation_with_vector_db_spark.operators.dedup import (
+        doc_shingle_lists,
+        exploded_shingles,
+        fused_capped_postings,
+        jaccard_verify,
+        jaccard_verify_from_lists,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        minhash_signatures_from_lists,
+    )
+    from conversation_with_vector_db_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    fixtures.register_derived_views(spark)
+    corpus = spark.table("corpus")
+    postings = fused_capped_postings(
+        exploded_shingles(corpus), "doc_id", 64
+    )
+    sh = postings.select(
+        "shingle", F.explode("_ids").alias("doc_id")
+    )
+    lists = doc_shingle_lists(postings)
+
+    # 1. sz column == explode+count sizes.
+    sizes_a = {
+        (r["doc_id"], r["sz"])
+        for r in sh.groupBy("doc_id").agg(F.count("*").alias("sz")).collect()
+    }
+    sizes_b = {(r["doc_id"], r["sz"]) for r in lists.select("doc_id", "sz").collect()}
+    assert sizes_a == sizes_b
+
+    # 2. map-only signatures == groupBy signatures, every column exact.
+    sig_a = sorted(
+        tuple(r) for r in minhash_signatures(corpus, shingles=sh).collect()
+    )
+    sig_b = sorted(
+        tuple(r) for r in minhash_signatures_from_lists(lists).collect()
+    )
+    assert sig_a == sig_b
+
+    # 3. verify arms: identical pair sets with repr-identical jaccard
+    # (repr distinguishes -0.0 and last-ulp flips).
+    cands = minhash_lsh_candidates(
+        corpus, num_perm=12, bands=4, shingles=sh
+    )
+    v_a = sorted(
+        (r["a"], r["b"], repr(r["jaccard"]))
+        for r in jaccard_verify(
+            corpus, cands, threshold=0.5, shingles=sh
+        ).collect()
+    )
+    v_b = sorted(
+        (r["a"], r["b"], repr(r["jaccard"]))
+        for r in jaccard_verify_from_lists(
+            cands, lists, threshold=0.5
+        ).collect()
+    )
+    assert v_a and v_a == v_b

@@ -98,8 +98,11 @@ def test_hostile_driver_session_timezone(spark, sf_dir):
     hostile.conf.unset("spark.cvdb.registered.sfdir")
     name = "flagship_usage_daily_by_user"
     q = registry.all_queries()[name]
-    want = [tuple(r) for r in q(spark, sf_dir).collect()]
-    got = [tuple(r) for r in q(hostile, sf_dir).collect()]
+    # Sorted compare: the flagship's presentation sort was dropped in
+    # r11 (the result SET is the contract), so collect order is
+    # partition-dependent.
+    want = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    got = sorted(tuple(r) for r in q(hostile, sf_dir).collect())
     assert got == want
     # load_tables must have forced the hostile session back to UTC.
     assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -1257,14 +1257,17 @@ def test_zero_norm_vectors_are_cross_engine_exact(spark, sf_dir):
             rows, "vec_id long, embedding array<double>, label long"
         ).createOrReplaceTempView("embeddings")
         q = registry.REGISTRY["v1_topk_cosine"]
-        got = [
+        # Sorted compare: v1's presentation sort was dropped in r11
+        # (the result SET is the contract), so collect order is
+        # partition-dependent while the oracle still ORDER BYs.
+        got = sorted(
             tuple(
                 (repr(v), math.copysign(1.0, v)) if isinstance(v, float)
                 else v
                 for v in r
             )
             for r in q.fn.__wrapped__(spark, sf_dir).collect()
-        ]
+        )
         con = duckdb.connect()
         con.execute(
             "CREATE TABLE embeddings (vec_id BIGINT,"
@@ -1273,14 +1276,14 @@ def test_zero_norm_vectors_are_cross_engine_exact(spark, sf_dir):
         con.executemany(
             "INSERT INTO embeddings VALUES (?, ?, ?)", rows
         )
-        want = [
+        want = sorted(
             tuple(
                 (repr(v), math.copysign(1.0, v)) if isinstance(v, float)
                 else v
                 for v in r
             )
             for r in con.execute(q.oracle_sql).fetchall()
-        ]
+        )
         assert got == want
         # the zero query really went through the guard: all its sims
         # are exactly +0.0
