@@ -40,6 +40,18 @@ from pyspark.sql import functions as F
 #: linear-time regex is the branch that survives scale.
 ARROW_REGEX_MIN_BYTES = 512 << 10
 
+#: Size-derived parallelism for the Arrow regex pass (r11): one task
+#: per this many COMPRESSED source bytes (text decompresses ~4x), so
+#: the under-parallel repartition spreads exactly as wide as the work
+#: pays for. Measured (steady exec, warm workers, 32 cores):
+#: sf0.1/0.6 MB single-partition 0.22 s vs repartition(32) 0.45 s —
+#: the exchange + 32-task overhead LOSES on a sub-MB corpus; sf1/
+#: 3.9 MB repartition(8) 0.51 s vs single-partition 0.70 s — wins by
+#: sf1 and grows with volume. One task per ~1 MB compressed puts the
+#: flip between those two measured points and still saturates every
+#: core past ~32 MB (sf10: 38 tasks -> capped at cores).
+ARROW_REPART_BYTES_PER_TASK = 1 << 20
+
 #: Java lookaround pair emulating RE2's ASCII word boundary: a
 #: position either entering or leaving a run of ``[0-9A-Za-z_]``.
 #: Java's native ``\\b`` is Unicode-aware and counts differently next
@@ -71,6 +83,7 @@ def with_regex_counts(
     counts: list[tuple[str, str, bool]],
     text_col: str = "text",
     src_bytes: int | None = None,
+    drop_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Append one BIGINT match-count column per ``(name, pattern,
     lowercase_first)`` spec, counting non-overlapping matches of
@@ -83,6 +96,14 @@ def with_regex_counts(
     ``mapInArrow`` pass evaluating every pattern with pyarrow's RE2
     directly on the Arrow buffers). Both branches produce identical
     values for patterns within the module's stated contract.
+
+    ``drop_cols`` names input columns the caller does not want back
+    (typically the text itself): on the Arrow branch they are omitted
+    from the RETURN batches, so the heavy payload crosses the Python
+    boundary once (in) instead of twice (guide §4.1 — a post-hoc
+    ``.drop`` cannot un-ship what the opaque function already
+    returned); the JVM branch drops them in the plan, keeping both
+    branches schema-identical.
     """
     if not counts:
         return df
@@ -95,10 +116,11 @@ def with_regex_counts(
             out = out.withColumn(
                 name, F.regexp_count(src, F.lit(jpat)).cast("long")
             )
-        return out
+        return out.drop(*drop_cols) if drop_cols else out
 
+    keep = [f for f in df.schema.fields if f.name not in drop_cols]
     base = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
     )
     fields = ", ".join(f"{name} long" for name, _, _ in counts)
     schema = f"{base}, {fields}"
@@ -106,14 +128,27 @@ def with_regex_counts(
     # A narrow map inherits the scan's parallelism; a single-file
     # corpus (the fixture layout) plans as ONE input partition, which
     # would serialize the whole regex pass onto one worker. Spread it
-    # to the core count first — only when under-parallel: a
-    # many-file cluster-scale table already scans wide and must NOT
-    # pay a full-text shuffle here.
+    # first — but only as wide as the measured per-task payoff
+    # (:data:`ARROW_REPART_BYTES_PER_TASK`): a sub-MB corpus runs
+    # faster on its single partition than behind an exchange + a
+    # task wave, and a many-file cluster-scale table already scans
+    # wide and must NOT pay a full-text shuffle here. Unknown size
+    # spreads to every core — the assume-big default, matching the
+    # branch predicate's own unknown-size choice.
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        df = df.repartition(cores)
+    want = (
+        cores
+        if src_bytes is None
+        else min(
+            cores,
+            -(-src_bytes // ARROW_REPART_BYTES_PER_TASK),  # ceil div
+        )
+    )
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
 
-    names = [f.name for f in df.schema.fields] + [n for n, _, _ in counts]
+    keep_names = [f.name for f in keep]
+    names = keep_names + [n for n, _, _ in counts]
 
     def score(batches):
         import pyarrow as pa
@@ -126,7 +161,7 @@ def with_regex_counts(
         for batch in batches:
             arr = batch.column(text_col)
             low = None
-            cols = list(batch.columns)
+            cols = [batch.column(k) for k in keep_names]
             for _, pattern, lower in counts:
                 if lower and low is None:
                     low = pc.utf8_lower(arr)

@@ -73,28 +73,84 @@ def dot_batched() -> "object":
             dtype=bool,
             count=n,
         )
-        out = pd.array([None] * n, dtype="Float64")
+        # Values and NULL-ness carried SEPARATELY (FloatingArray with
+        # an explicit mask): assigning into a pandas nullable Float64
+        # array coerces NaN to NA, which silently turned a genuine
+        # NaN dot (inf-overflow fold: inf + -inf over FINITE inputs)
+        # into SQL NULL and diverged from the HOF fold's NaN (r11,
+        # caught by the dot_unrolled bit-identity pin). A nan INPUT
+        # element still yields NULL: the Arrow boundary converts NULL
+        # elements to nan (indistinguishable from a real NaN element),
+        # so nan-in-input must mean NULL-element semantics here —
+        # :func:`dot_unrolled` is the path with exact NaN-element
+        # fidelity.
+        vals = np.zeros(n, dtype=np.float64)
+        mask = ~valid
         idx = np.flatnonzero(valid)
         if idx.size:
             lens = {len(an[i]) for i in idx}
             if len(lens) == 1:
                 va = np.stack(an[idx]).astype(np.float64, copy=False)
                 vb = np.stack(bn[idx]).astype(np.float64, copy=False)
+                innan = np.isnan(va).any(axis=1) | np.isnan(vb).any(
+                    axis=1
+                )
                 acc = np.zeros(va.shape[0], dtype=np.float64)
                 for d in range(va.shape[1]):
                     acc += va[:, d] * vb[:, d]
-                out[idx] = acc
+                vals[idx] = acc
+                mask[idx[innan]] = True
             else:
                 # mixed dims across rows (valid per-row, un-stackable):
                 # per-row left fold, same accumulation order
                 for i in idx:
+                    arr_a, arr_b = an[i], bn[i]
+                    if np.isnan(arr_a).any() or np.isnan(arr_b).any():
+                        mask[i] = True
+                        continue
                     s = 0.0
-                    for xd, yd in zip(an[i], bn[i]):
+                    for xd, yd in zip(arr_a, arr_b):
                         s += float(xd) * float(yd)
-                    out[i] = s
-        return pd.Series(out, dtype="Float64")
+                    vals[i] = s
+        return pd.Series(
+            pd.arrays.FloatingArray(vals, mask), dtype="Float64"
+        )
 
     return _dot
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product with the fold unrolled to a fixed ``dim`` — the
+    zero-Python-boundary form of :func:`dot_batched` for plans that
+    know the dimension at build time (r11, guide §4.1: prefer JVM
+    codegen over any Python path).
+
+    The expression is literally the fold's addition chain —
+    ``((0.0 + t0) + t1) + ... + t_{dim-1}`` with
+    ``t_i = get(a,i)::double * get(b,i)::double`` — so values are
+    bit-identical to :func:`dot` / :func:`dot_batched` including the
+    ``-0.0`` left-fold edge (``0.0 + -0.0 == +0.0``, exactly like the
+    fold's zero seed). Whole-stage codegen compiles the chain to
+    straight-line multiply-adds; the interpreted HOF loop and the
+    Arrow round-trip (which ships every pair's BOTH vectors into a
+    Python worker and back) both disappear.
+
+    Rows where either array is NULL or not exactly ``dim`` long fall
+    back to :func:`dot`, which reproduces the HOF NULL/ragged
+    semantics (zip_with null-pads, the fold propagates NULL; two
+    equal-but-short arrays still fold over their real elements).
+    ``F.get`` (not ``[]``/``element_at``) keeps the guarded branch
+    ANSI-safe — it returns NULL out of bounds instead of raising while
+    the guard predicate is still being evaluated.
+    """
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast(
+            "double"
+        )
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(
+        dot(a, b)
+    )
 
 
 def l2_norm(a: Column) -> Column:
@@ -123,13 +179,19 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
 
 
 def cosine_with_norms_batched(
-    a: Column, b: Column, na: Column, nb: Column
+    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
 ) -> Column:
-    """:func:`cosine_with_norms` with the dot product Arrow-batched —
-    bit-identical values (see :func:`dot_batched`); use in plans that
-    score many pairs per stage."""
+    """:func:`cosine_with_norms` for bulk pair scoring — bit-identical
+    values on every path. With ``dim`` (the plan knows its vector width
+    at build time): the unrolled JVM chain (:func:`dot_unrolled`) —
+    codegen multiply-adds, NO Python worker in the stage, and the
+    pair-duplicated vectors never cross the JVM boundary (r11; at sf1
+    the Arrow path shipped ~0.5 GB of duplicated arrays per execution
+    of one rescore). Without ``dim``: the Arrow-batched numpy fold
+    (:func:`dot_batched`), still ~100x the interpreted HOF."""
+    d = dot_unrolled(a, b, dim) if dim is not None else dot_batched()(a, b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
-        dot_batched()(a, b) / (na * nb)
+        d / (na * nb)
     )
 
 
@@ -149,6 +211,7 @@ def rescore_candidates(
     vec_col: str = "embedding",
     vec_bytes: int | None = None,
     broadcast_max_bytes: int = RESCORE_BROADCAST_MAX_BYTES,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine over candidate (a, b) pairs, size-aware.
 
@@ -167,7 +230,9 @@ def rescore_candidates(
       missing size must not select broadcast.
 
     Output: (a, b, sim) with sim rounded to 4 digits (cross-engine
-    ordering stability).
+    ordering stability). ``dim`` (when the caller knows the vector
+    width) selects the unrolled zero-Python scoring path — see
+    :func:`cosine_with_norms_batched`.
     """
     ea = vectors.select(
         F.col(id_col).alias("a"),
@@ -193,7 +258,11 @@ def rescore_candidates(
         "b",
         F.round(
             cosine_with_norms_batched(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                F.col("ea"),
+                F.col("eb"),
+                F.col("na"),
+                F.col("nb"),
+                dim=dim,
             ),
             4,
         ).alias("sim"),

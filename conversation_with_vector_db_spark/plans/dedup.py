@@ -592,7 +592,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.parquet_io import parquet_bytes_on_disk
 
     vec_bytes = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
-    scored = rescore_candidates(cands, emb, vec_bytes=vec_bytes)
+    # dim is already a plan-time constant here (the banding above is
+    # built for 64-wide vectors), so the rescore takes the unrolled
+    # zero-Python scoring path (r11): no ArrowEvalPython stage, no
+    # pair-duplicated vectors crossing the JVM boundary.
+    scored = rescore_candidates(cands, emb, vec_bytes=vec_bytes, dim=64)
     # Two-phase top-k (TakeOrderedAndProject), then rank the 30
     # survivors — no corpus-sized single-partition window.
     return (

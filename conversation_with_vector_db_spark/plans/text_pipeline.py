@@ -372,6 +372,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stats sort. Dropping the sort makes the small branch a pure
     # map-only plan (scan → regex projection, ZERO exchanges).
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
+    # drop_cols: the text payload crosses the Python boundary once
+    # (in), never back out — a post-hoc .drop cannot un-ship what the
+    # opaque Arrow function already returned (r11, guide §4.1).
     stats = with_regex_counts(
         docs,
         [
@@ -380,7 +383,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_sym", "[^a-zA-Z0-9 ]", False),
         ],
         src_bytes=src_bytes,
-    ).drop("text")
+        drop_cols=("text",),
+    )
     mean_word_len = F.col("n_chars").cast("double") / F.greatest(
         F.col("n_words"), F.lit(1)
     )
@@ -693,7 +697,8 @@ def text_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("de_score", r"\b(der|die|und|das|ist)\b", True),
         ],
         src_bytes=src_bytes,
-    ).drop("text")
+        drop_cols=("text",),  # ship text into Arrow once, not back
+    )
     canon = sig.withColumn(
         "canonical_id", F.min("doc_id").over(W.partitionBy("chash"))
     )
@@ -1173,6 +1178,7 @@ def _quality_scored_stats(
             ("n_sym", "[^a-zA-Z0-9 ]", False),
         ],
         src_bytes=src_bytes,
+        drop_cols=("text",),  # ship text into Arrow once, not back
     )
     score = F.round(
         F.col("n_stop").cast("double")

@@ -1295,3 +1295,122 @@ def test_zero_norm_vectors_are_cross_engine_exact(spark, sf_dir):
         except Exception:
             pass
         load_tables(spark, sf_dir, ("embeddings",))
+
+
+def test_dot_unrolled_bit_identical_to_fold_and_arrow(spark):
+    """r11: the unrolled fixed-dim JVM dot (the zero-Python rescore
+    path) must be BIT-identical — repr-level, -0.0 included — to both
+    the HOF fold and the Arrow-batched form, on well-formed AND
+    hostile rows (NULL vector, NULL element, ragged short/long, zero
+    vector, negative zeros)."""
+    from conversation_with_vector_db_spark.operators.vector import (
+        dot,
+        dot_batched,
+        dot_unrolled,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (1, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),          # zero vector
+        (2, [-0.0, -0.0, -0.0], [1.0, 1.0, 1.0]),        # -0.0 fold edge
+        (3, None, [1.0, 1.0, 1.0]),                      # NULL vector
+        (4, [1.0, None, 3.0], [4.0, 5.0, 6.0]),          # NULL element
+        (5, [1.0, 2.0], [4.0, 5.0, 6.0]),                # ragged short a
+        (6, [1.0, 2.0, 3.0, 4.0], [4.0, 5.0, 6.0]),      # ragged long a
+        (7, [1.0, 2.0], [4.0, 5.0]),                     # both short
+        (8, [1e308, 1e308, -1e308], [2.0, 2.0, 2.0]),    # overflow -> nan
+        (9, [1.0, float("nan"), 3.0], [4.0, 5.0, 6.0]),  # NaN element
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("fold"),
+        dot_batched()(F.col("a"), F.col("b")).alias("arrow"),
+        dot_unrolled(F.col("a"), F.col("b"), 3).alias("unrolled"),
+    ).collect()
+    for r in got:
+        assert repr(r.unrolled) == repr(r.fold), (r.id, r.unrolled, r.fold)
+        if r.id == 9:
+            # Documented boundary limit: a NaN ELEMENT reaches the
+            # Arrow worker indistinguishable from a NULL element (both
+            # arrive as nan), so the batched path yields NULL where
+            # the fold (and the unrolled chain) yield NaN.
+            assert r.arrow is None, r.arrow
+        else:
+            assert repr(r.arrow) == repr(r.fold), (r.id, r.arrow, r.fold)
+
+
+def test_rescore_dim_path_matches_arrow_path_on_fixture(spark, sf_dir):
+    """The dim-unrolled rescore (what dedup_embedding_cosine now uses)
+    must reproduce the Arrow rescore pair-for-pair at repr level over
+    the real fixture's LSH candidate set."""
+    from conversation_with_vector_db_spark.operators.ann import (
+        with_lsh_bands,
+    )
+    from conversation_with_vector_db_spark.operators.vector import (
+        rescore_candidates,
+    )
+    from conversation_with_vector_db_spark.session import (
+        load_tables,
+        table_path,
+    )
+    from conversation_with_vector_db_spark.sources.parquet_io import (
+        parquet_bytes_on_disk,
+    )
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    banded = with_lsh_bands(
+        emb.select("vec_id", "embedding"), n_bits=48, n_bands=6, dim=64
+    )
+    x = banded.select(F.col("vec_id").alias("a"), "band", "band_key")
+    y = banded.select(F.col("vec_id").alias("b"), "band", "band_key")
+    cands = (
+        x.join(y, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    vb = parquet_bytes_on_disk(table_path(sf_dir, "embeddings"))
+    arrow = {
+        (r.a, r.b): repr(r.sim)
+        for r in rescore_candidates(cands, emb, vec_bytes=vb).collect()
+    }
+    unrolled = {
+        (r.a, r.b): repr(r.sim)
+        for r in rescore_candidates(
+            cands, emb, vec_bytes=vb, dim=64
+        ).collect()
+    }
+    assert arrow == unrolled
+
+
+def test_regex_counts_drop_cols_identical_on_both_branches(spark):
+    """r11: ``drop_cols`` must yield IDENTICAL schemas and values on
+    the JVM and Arrow branches while keeping the heavy text column out
+    of the Arrow return batches (it crosses the boundary once, in)."""
+    from conversation_with_vector_db_spark.operators.text import (
+        with_regex_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 36, "The quick brown fox and the lazy dog"), (1, 0, None)],
+        "doc_id long, n_chars long, text string",
+    )
+    counts = [("n_words", "[a-z0-9]+", True)]
+    small = with_regex_counts(
+        df, counts, src_bytes=1, drop_cols=("text",)
+    )
+    large = with_regex_counts(
+        df, counts, src_bytes=1 << 40, drop_cols=("text",)
+    )
+    assert small.columns == large.columns == [
+        "doc_id",
+        "n_chars",
+        "n_words",
+    ]
+    assert sorted(tuple(r) for r in small.collect()) == sorted(
+        tuple(r) for r in large.collect()
+    )
