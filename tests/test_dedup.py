@@ -1100,3 +1100,95 @@ def test_forward_index_arms_are_bit_identical(spark, sf_dir):
         ).collect()
     )
     assert v_a and v_a == v_b
+
+
+def test_sized_pair_counts_tail_is_bit_identical(spark):
+    """r11: the size-annotated pair stream (length filter inside the
+    explode) must yield a final jaccard result BIT-identical to the
+    unfiltered pair-count tail — the filter may only drop pairs whose
+    rounded jaccard could never reach the threshold. Randomized
+    corpora with heavy singletons, a super-frequent shingle, and doc
+    sizes straddling every ratio band; thresholds on and off 4-decimal
+    boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        doc_shingle_lists,
+        fused_capped_postings,
+        jaccard_from_common,
+        pair_counts_from_lists,
+        pair_counts_from_sized_lists,
+        sized_postings_from_lists,
+    )
+
+    any_pairs = False
+    for seed, threshold in ((3, 0.5), (11, 0.8), (17, 0.3333)):
+        rng = random.Random(seed)
+        rows = sorted(
+            {(d, 0) for d in range(30)}
+            | {(rng.randrange(40), rng.randrange(2, 80))
+               for _ in range(250)}
+        )
+        sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+        postings = fused_capped_postings(sh, "doc_id", 6)
+        lists = doc_shingle_lists(postings)
+        sizes = F.broadcast(lists.select("doc_id", "sz"))
+        old = jaccard_from_common(
+            pair_counts_from_lists(postings), sizes, threshold
+        )
+        new = jaccard_from_common(
+            pair_counts_from_sized_lists(
+                sized_postings_from_lists(lists), threshold
+            ),
+            sizes,
+            threshold,
+        )
+        got_old = {(r.a, r.b): repr(r.jaccard) for r in old.collect()}
+        got_new = {(r.a, r.b): repr(r.jaccard) for r in new.collect()}
+        assert got_old == got_new, (seed, threshold)
+        any_pairs = any_pairs or bool(got_old)
+    assert any_pairs  # at least one corpus must actually produce pairs
+
+
+def test_sized_pair_filter_keeps_rounding_boundary_pairs(spark):
+    """A pair whose true jaccard sits in [t - 0.00005, t) rounds UP to
+    the threshold and must survive the length filter: sizes 9999 vs
+    19999 with full containment give J = 9999/19999 = 0.49997... ->
+    round 0.5 — exactly the band a naive min/max < t drop test would
+    lose. (Capped sizes saturate at 2047, which only biases toward
+    KEEP, so the uncapped ratio here is the hostile case for the
+    filter algebra itself at small sizes: 4/8... use exact small
+    sizes straddling the band.)"""
+    from pyspark.sql import functions as F
+
+    from conversation_with_vector_db_spark.operators.dedup import (
+        doc_shingle_lists,
+        fused_capped_postings,
+        jaccard_from_common,
+        pair_counts_from_sized_lists,
+        sized_postings_from_lists,
+    )
+
+    # doc 1 has shingles {0..3} (sz 4), doc 2 has {0..8} (sz 9):
+    # common 4, union 9 -> J = 0.4444; doc 3 has {0..3, 9..12} (sz 8):
+    # with doc 1 common 4, union 8 -> J = 0.5 exactly (ratio 4/8 = 0.5
+    # sits ON the boundary; thr_num math must keep it).
+    rows = (
+        [(1, s) for s in range(4)]
+        + [(2, s) for s in range(9)]
+        + [(3, s) for s in list(range(4)) + list(range(9, 13))]
+    )
+    sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    postings = fused_capped_postings(sh, "doc_id", 64)
+    lists = doc_shingle_lists(postings)
+    out = jaccard_from_common(
+        pair_counts_from_sized_lists(
+            sized_postings_from_lists(lists), 0.5
+        ),
+        F.broadcast(lists.select("doc_id", "sz")),
+        0.5,
+    )
+    got = {(r.a, r.b): r.jaccard for r in out.collect()}
+    assert got == {(1, 3): 0.5}, got
