@@ -397,8 +397,15 @@ def semdedup_prune(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
+    # dim comes from the fit (a plan-build-time int), so the rescore
+    # takes the unrolled zero-Python scoring path (r11).
     scored = rescore_candidates(
-        cands, vectors, id_col=id_col, vec_col=vec_col, vec_bytes=vec_bytes
+        cands,
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        vec_bytes=vec_bytes,
+        dim=dim,
     )
     # Redundancy of item b = its single most-similar lower-id
     # cluster-mate (ties to the smallest witness id).
@@ -492,8 +499,14 @@ def semdedup_incremental(
         "a", "b"
     )
     vectors = existing.unionByName(incoming).select(id_col, vec_col)
+    # dim from the fit -> unrolled zero-Python rescore (r11).
     scored = rescore_candidates(
-        cands, vectors, id_col=id_col, vec_col=vec_col, vec_bytes=vec_bytes
+        cands,
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        vec_bytes=vec_bytes,
+        dim=dim,
     )
     best = (
         scored.withColumn(

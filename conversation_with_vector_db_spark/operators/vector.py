@@ -408,18 +408,27 @@ def matmul_topk(
                 c = np.stack(
                     [np.asarray(vecs[i], dtype=np.float64) for i in idx]
                 )
+                # A NULL corpus ELEMENT arrives as nan at the Arrow
+                # boundary; those rows must stay NULL like the JVM
+                # fold's NULL propagation (see dot_batched).
+                valid[idx[np.isnan(c).any(axis=1)]] = False
                 cn = np.zeros(idx.size)
                 for d in range(dim):
                     cn += c[:, d] * c[:, d]
                 cn = np.sqrt(cn)
             for j in range(nq):
-                sims = pd.array([None] * n, dtype="Float64")
+                # Values and NULL-ness separated (FloatingArray +
+                # mask), like dot_batched: assigning into a nullable
+                # Float64 coerces a genuine NaN sim (inf-overflow on
+                # finite-normed vectors) to SQL NULL and diverges from
+                # the JVM fold branch (r11).
+                vals = np.zeros(n, dtype=np.float64)
                 if idx.size:
                     acc = np.zeros(idx.size)
                     for d in range(dim):
                         acc += c[:, d] * qmat[j, d]
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        sims[idx] = np.where(
+                        vals[idx] = np.where(
                             (qn[j] == 0) | (cn == 0),
                             0.0,
                             acc / (qn[j] * cn),
@@ -427,7 +436,10 @@ def matmul_topk(
                 out = {"qid": qids[j], id_col: pdf[id_col]}
                 for col in extra_cols:
                     out[col] = pdf[col]
-                out["sim"] = pd.Series(sims, dtype="Float64")
+                out["sim"] = pd.Series(
+                    pd.arrays.FloatingArray(vals, ~valid),
+                    dtype="Float64",
+                )
                 yield pd.DataFrame(out)
 
     scored = corpus.select(id_col, vec_col, *extra_cols).mapInPandas(
