@@ -40,17 +40,17 @@ from pyspark.sql import functions as F
 #: linear-time regex is the branch that survives scale.
 ARROW_REGEX_MIN_BYTES = 512 << 10
 
-#: Size-derived parallelism for the Arrow regex pass (r11): one task
-#: per this many COMPRESSED source bytes (text decompresses ~4x), so
-#: the under-parallel repartition spreads exactly as wide as the work
-#: pays for. Measured (steady exec, warm workers, 32 cores):
-#: sf0.1/0.6 MB single-partition 0.22 s vs repartition(32) 0.45 s —
-#: the exchange + 32-task overhead LOSES on a sub-MB corpus; sf1/
-#: 3.9 MB repartition(8) 0.51 s vs single-partition 0.70 s — wins by
-#: sf1 and grows with volume. One task per ~1 MB compressed puts the
-#: flip between those two measured points and still saturates every
-#: core past ~32 MB (sf10: 38 tasks -> capped at cores).
-ARROW_REPART_BYTES_PER_TASK = 1 << 20
+#: Size-derived parallelism for the Arrow regex pass (r11). Measured
+#: (steady exec, warm workers, 32 cores): sf0.1/0.6 MB stays fastest
+#: UNSPLIT — 1-way 0.26 s vs 2-way 0.34 vs 32-way 0.45 (the exchange
+#: + task wave loses on a small corpus at ANY width); sf1/3.9 MB
+#: flips — 8-way 0.51 s vs 4-way 0.74 vs 1-way 0.70. So: no
+#: repartition below MIN_BYTES, one task per BYTES_PER_TASK of
+#: COMPRESSED source above it (text decompresses ~4x), capped at
+#: cores — sf1 lands on the measured-best 8, sf10/38 MB saturates
+#: every core.
+ARROW_REPART_MIN_BYTES = 2 << 20
+ARROW_REPART_BYTES_PER_TASK = 512 << 10
 
 #: Java lookaround pair emulating RE2's ASCII word boundary: a
 #: position either entering or leaving a run of ``[0-9A-Za-z_]``.
@@ -136,14 +136,15 @@ def with_regex_counts(
     # spreads to every core — the assume-big default, matching the
     # branch predicate's own unknown-size choice.
     cores = df.sparkSession.sparkContext.defaultParallelism
-    want = (
-        cores
-        if src_bytes is None
-        else min(
+    if src_bytes is None:
+        want = cores
+    elif src_bytes < ARROW_REPART_MIN_BYTES:
+        want = 1
+    else:
+        want = min(
             cores,
             -(-src_bytes // ARROW_REPART_BYTES_PER_TASK),  # ceil div
         )
-    )
     if df.rdd.getNumPartitions() < want:
         df = df.repartition(want)
 
