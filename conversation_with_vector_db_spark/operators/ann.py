@@ -281,7 +281,11 @@ def hyperplane_lsh_topk(
         id_col,
         F.round(
             cosine_with_norms_batched(
-                F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+                F.col("_qvec"),
+                F.col(vec_col),
+                F.col("_qn"),
+                F.col("_cn"),
+                dim=dim,  # unrolled zero-Python path when known (r11)
             ),
             4,
         ).alias("sim"),

@@ -179,6 +179,7 @@ def bq_topk(
                     F.col(vec_col),
                     F.col("_qn"),
                     F.col("_cn"),
+                    dim=dim,  # unrolled zero-Python path when known
                 ),
                 4,
             ).alias("sim"),

@@ -254,6 +254,7 @@ def rp_topk_arrow(
                     F.col("_ce"),
                     F.col("_qn"),
                     l2_norm(F.col("_ce")),
+                    dim=dim_in,  # unrolled zero-Python path (r11)
                 ),
                 4,
             ).alias("sim"),

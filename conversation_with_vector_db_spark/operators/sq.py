@@ -127,6 +127,7 @@ def sq8_topk(
                 F.col("_chat"),
                 F.col("_qn"),
                 l2_norm(F.col("_chat")),
+                dim=dim,  # unrolled zero-Python path (r11)
             ),
             4,
         ).alias("sim"),

@@ -154,6 +154,7 @@ def brp_recall_report(
                 F.col("datasetB.embedding"),
                 F.col("datasetA._norm"),
                 F.col("datasetB._norm"),
+                dim=dim,  # majority dim above; unrolled path (r11)
             ),
             4,
         ).alias("sim"),
