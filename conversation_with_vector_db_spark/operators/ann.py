@@ -442,12 +442,16 @@ def _rescore_probed(
     k: int,
     id_col: str,
     vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared IVF rescoring tail: candidates = probed cells' vectors,
-    Arrow-batched cosine (bit-identical to the HOF fold), top-k via the
-    WindowGroupLimit shape. Both the query-time and the write-time
-    index paths end here, so their scores are identical by
-    construction."""
+    cosine over precomputed norms (bit-identical to the HOF fold),
+    top-k via the WindowGroupLimit shape. Both the query-time and the
+    write-time index paths end here, so their scores are identical by
+    construction. ``dim`` (the fit's indexed dimension, when the
+    caller has it) selects the unrolled zero-Python scoring chain;
+    without it the Arrow-batched fold handles the data-dependent case
+    — see :func:`..vector.cosine_with_norms_batched`."""
     cands = assigned.withColumn(
         "_cn", l2_norm(F.col(vec_col))
     ).join(F.broadcast(probed.withColumn("_qn", l2_norm("_qvec"))), "cell")
@@ -455,10 +459,11 @@ def _rescore_probed(
         "qid",
         id_col,
         F.round(
-            # Arrow-batched: the probe fan-out makes this the bulk-pair
-            # stage (bit-identical values to the HOF fold).
+            # The probe fan-out makes this the bulk-pair stage
+            # (bit-identical values on both dim branches, pinned).
             cosine_with_norms_batched(
-                F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+                F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn"),
+                dim=dim,
             ),
             4,
         ).alias("sim"),
@@ -486,11 +491,16 @@ def ivf_topk(
     training set (FAISS-style) — essential at high dimension where a
     full-corpus fit dominates the query itself.
     """
+    # Derive the indexed dimension ONCE here (the same majority-of-sizes
+    # rule ivf_fit_cells would apply) so the rescore tail can take the
+    # unrolled zero-Python scoring chain — the fit consumes the value
+    # instead of re-deriving it, so the job count is unchanged (r11).
+    dim = majority_dim(corpus, vec_col)
     assigned, cent_df = ivf_fit_cells(
-        corpus, nlist, vec_col, seed, fit_fraction
+        corpus, nlist, vec_col, seed, fit_fraction, dim=dim
     )
     probed = ivf_probed_cells(cent_df, queries, nprobe, id_col, vec_col)
-    return _rescore_probed(assigned, probed, k, id_col, vec_col)
+    return _rescore_probed(assigned, probed, k, id_col, vec_col, dim=dim)
 
 
 def ivf_write_index(

@@ -307,7 +307,7 @@ def ann_ivf_indexed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed = ivf_probed_cells(cent, q, nprobe=IDX_NPROBE)
         full = _rescore_probed(
             spark.read.parquet(f"{path}/data"), probed, K,
-            "vec_id", "embedding",
+            "vec_id", "embedding", dim=EMB_DIM,
         )
         n_diff = (
             full.exceptAll(pruned)

@@ -186,6 +186,34 @@ class TestIvfIndexed:
         assert row.pruned_matches_full, row
         assert row.partitions_pruned, row
 
+    def test_query_time_ivf_rescore_is_python_free(self, spark):
+        """ivf_topk threads the fit's majority dim into the shared
+        rescore tail (r11): the executed plan must carry NO Python
+        evaluation node, and the rows must be identical to the
+        dim-less Arrow arm of _rescore_probed over the same
+        fit/probe (the two dot branches are bit-identical by the
+        dot_unrolled pins; this pins the PLUMBING)."""
+        from conversation_with_vector_db_spark.operators.ann import (
+            _rescore_probed,
+            ivf_fit_cells,
+            ivf_probed_cells,
+            ivf_topk,
+        )
+
+        corpus = self._clustered_corpus(spark)
+        queries = corpus.filter(F.col("vec_id") < 3)
+        topk = ivf_topk(corpus, queries, k=5, nlist=8, nprobe=3)
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        assert not any(
+            s in plan for s in ("MapInArrow", "ArrowEval", "Python")
+        ), plan
+        assigned, cent = ivf_fit_cells(corpus, nlist=8)
+        probed = ivf_probed_cells(cent, queries, nprobe=3)
+        arrow = _rescore_probed(assigned, probed, 5, "vec_id", "embedding")
+        assert sorted(map(tuple, topk.collect())) == sorted(
+            map(tuple, arrow.collect())
+        )
+
     def test_indexed_pruning_reads_only_probed_files(self, spark, tmp_path):
         """The probed-cell IN filter must prune at FILE LISTING, not as
         a row filter: the executed scan's numFiles metric equals the
