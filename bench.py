@@ -193,6 +193,26 @@ def _ann_1536d_summary() -> dict | None:
     }
 
 
+def _git_rev() -> str | None:
+    """Short rev of the tree this run measured (detail-file regime
+    stamp); None outside a git checkout or without the git binary."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -352,16 +372,35 @@ def main() -> None:
     # load regime, and the pass-level ratio (pairwise: same-pass
     # spark-sum over duck-sum, over the oracle-backed query set) is
     # load-invariant — a spike inflates both sides of its own pass.
-    con = duckdb.connect()
-    for t in BASE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
-        )
+    # Per-pass DuckDB connections (VERDICT r11 #3): r11's bisection
+    # showed a LIVE DuckDB connection inflates co-resident Spark
+    # samples (dedup_embedding_cosine ~1.0 s with the connection open
+    # vs 0.38-0.43 s after con.close() — duck's retained thread pool /
+    # allocator competes with the JVM even between queries on a box
+    # with no CPU quota). Opening a fresh connection for each oracle
+    # half and closing it before the next Spark half keeps the
+    # paired-ratio protocol fully interleaved (numerator and
+    # denominator still sample the same pass's load regime) while no
+    # foreign engine idles alongside the timed Spark executions.
+    # DuckDB's own numbers are unaffected: connection setup is untimed
+    # (~ms), parse+plan was already sub-ms, and the parquet views read
+    # through the OS page cache which outlives the connection.
+    def duck_connect():
+        c = duckdb.connect()
+        for t in BASE_TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{table_path(sf_dir, t)}'"
+            )
+        return c
+
     duck_names = [n for n in names if n in oracles]
     # One untimed oracle warm pass (OS page cache), mirroring the
     # Spark materialization pass above.
+    con = duck_connect()
     for name in duck_names:
         con.execute(oracles[name]).fetchall()
+    con.close()
     exec_samples: dict[str, list[float]] = {n: [] for n in names}
     duck_samples: dict[str, list[float]] = {n: [] for n in duck_names}
     pass_ratios: list[float] = []
@@ -371,10 +410,12 @@ def main() -> None:
             prepared[name].write.format("noop").mode("overwrite").save()
             exec_samples[name].append(time.perf_counter() - t0)
         spark_pass = sum(exec_samples[n][-1] for n in duck_names)
+        con = duck_connect()
         for name in duck_names:
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             duck_samples[name].append(time.perf_counter() - t0)
+        con.close()
         duck_pass = sum(duck_samples[n][-1] for n in duck_names)
         if duck_pass > 0:
             pass_ratios.append(spark_pass / duck_pass)
@@ -497,6 +538,12 @@ def main() -> None:
         ],
         "sf": sf,
         "shuffle_partitions": int(parts),
+        # Regime stamp (VERDICT r11 #7): the r11 official detail file
+        # was silently overwritten by the driver's 8-core re-run —
+        # stamping cpus (and the tree the run measured) makes detail
+        # artifacts self-attributing across multi-run rounds.
+        "cpus": int(cpus),
+        "git_rev": _git_rev(),
     }
     # Off-cycle quiet captures set BENCH_DETAIL_OUT so they never
     # overwrite the official artifact (VERDICT r10: a CHANGES claim

@@ -459,8 +459,17 @@ def _rescore_probed(
         "qid",
         id_col,
         F.round(
-            # The probe fan-out makes this the bulk-pair stage
-            # (bit-identical values on both dim branches, pinned).
+            # The probe fan-out makes this the bulk-pair stage.
+            # Branch parity (pinned): bit-identical on NULL/ragged/
+            # finite data; the one documented divergence is a genuine
+            # NaN ELEMENT inside a dim-length vector — the unrolled
+            # branch folds it to sim=NaN (HOF-faithful, sorts above
+            # every real double in the descending top-k) while the
+            # Arrow branch yields NULL (the boundary erases the
+            # NaN/NULL-element distinction; vector.py dot_batched).
+            # ivf_fit_cells filters NULL/ragged rows, not NaN
+            # elements, so a NaN-element corpus can rank differently
+            # across branches (ADVICE r11).
             cosine_with_norms_batched(
                 F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn"),
                 dim=dim,

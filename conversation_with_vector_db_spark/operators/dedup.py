@@ -380,6 +380,41 @@ def sized_postings_from_lists(
     )
 
 
+def sized_pair_longs(threshold: float) -> Column:
+    """THE filtered pair-explode expression over a ``_idsz`` sized
+    posting list: every ordered in-list pair that survives the
+    AllPairs/PPJoin length filter, packed ``a*2^32+b``. One definition
+    (ADVICE r11) so :func:`pair_counts_from_sized_lists` and any
+    decomposition tool (tools/r11_experiments.py) always measure the
+    SHIPPED expression instead of a re-implementation that can drift.
+    """
+    import math
+
+    # smallest J that still rounds to >= threshold, as x/100000
+    thr_num = math.ceil(threshold * 10000 - 1e-9) * 10 - 5
+
+    def _id(c):  # packed entry -> doc id
+        return F.shiftright(c, SIZE_BITS)
+
+    def _sz(c):  # packed entry -> capped set size
+        return c.bitwiseAND(F.lit(SIZE_MASK))
+
+    return F.flatten(
+        F.transform(
+            "_idsz",
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice("_idsz", i + F.lit(2), F.size("_idsz")),
+                    lambda y: F.least(_sz(x), _sz(y)) * 100000
+                    >= F.greatest(_sz(x), _sz(y)) * thr_num,
+                ),
+                lambda y: F.least(_id(x), _id(y)) * F.lit(1 << 32)
+                + F.greatest(_id(x), _id(y)),
+            ),
+        )
+    )
+
+
 def pair_counts_from_sized_lists(
     sized: DataFrame, threshold: float
 ) -> DataFrame:
@@ -399,33 +434,8 @@ def pair_counts_from_sized_lists(
     (``100000*min < thr_num*max``). Pinned bit-identical to the
     unfiltered :func:`pair_counts_from_lists` tail by test.
     """
-    import math
-
-    # smallest J that still rounds to >= threshold, as x/100000
-    thr_num = math.ceil(threshold * 10000 - 1e-9) * 10 - 5
-
-    def _id(c):  # packed entry -> doc id
-        return F.shiftright(c, SIZE_BITS)
-
-    def _sz(c):  # packed entry -> capped set size
-        return c.bitwiseAND(F.lit(SIZE_MASK))
-
-    pair_longs = F.flatten(
-        F.transform(
-            "_idsz",
-            lambda x, i: F.transform(
-                F.filter(
-                    F.slice("_idsz", i + F.lit(2), F.size("_idsz")),
-                    lambda y: F.least(_sz(x), _sz(y)) * 100000
-                    >= F.greatest(_sz(x), _sz(y)) * thr_num,
-                ),
-                lambda y: F.least(_id(x), _id(y)) * F.lit(1 << 32)
-                + F.greatest(_id(x), _id(y)),
-            ),
-        )
-    )
     return (
-        sized.select(F.explode(pair_longs).alias("_ab"))
+        sized.select(F.explode(sized_pair_longs(threshold)).alias("_ab"))
         .groupBy("_ab")
         .agg(F.count("*").alias("common"))
         .select(

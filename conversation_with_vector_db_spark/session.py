@@ -64,6 +64,22 @@ def get_spark(
         # Deterministic wall-clock-free semantics: oracle comparisons run
         # against naive (UTC) timestamps written by the data generator.
         .config("spark.sql.session.timeZone", "UTC")
+        # Whole-stage-codegen CLASS cache sized to the engine's query
+        # working set (r12; guide §1 empirical loop). The default is
+        # 100 entries, LRU: a session serving this engine's many-query
+        # workload cycles far more generated classes than that, so
+        # EVERY execution re-paid janino compilation of EVERY codegen
+        # unit — measured 2.2x on the 18-query headline set (6.79 ->
+        # 3.13 s total; dedup_embedding_cosine 1.08 -> 0.25 s), the
+        # r11 "co-residency inflation" in full. This caches COMPILED
+        # PLAN CODE (Spark reuses it by design), never data or
+        # results. Static conf: takes effect on the first session of
+        # the process. 4096 entries covers the full 199-query registry
+        # sweep; entries are KB-scale compiled classes.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         # 100 TB posture: adaptive execution re-plans joins, coalesces
         # post-shuffle partitions, and splits skewed shuffle partitions.
         .config("spark.sql.adaptive.enabled", "true")

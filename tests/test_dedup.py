@@ -1,3 +1,5 @@
+import pytest
+
 
 
 def test_connected_components_toy(spark):
@@ -78,6 +80,7 @@ def test_minhash_bucket_cap_bounds_fanout(spark, sf_dir):
     assert capped.count() == 0  # every clique bucket exceeds the cap
 
 
+@pytest.mark.heavy
 def test_connected_components_high_diameter_path(spark):
     """VERDICT r2 #5: a high-diameter chain must converge without
     plan-size blowup — min-label propagation moves one hop per round,
@@ -688,6 +691,7 @@ def test_semdedup_planted_duplicate_ranked_first(spark):
     assert 0 in kept and min(i for i in all_ids if i >= 12) in kept
 
 
+@pytest.mark.heavy
 def test_semdedup_budget_and_determinism(spark, sf_dir):
     """Fixture-level invariants: per-cluster removal count is exactly
     ceil(n/4) (every non-min item has a lower-id mate), and a rerun

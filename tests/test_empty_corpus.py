@@ -14,7 +14,12 @@ from __future__ import annotations
 
 import pytest
 
-from conversation_with_vector_db_spark import fixtures
+# Heavy tier: the two full-registry sweeps here are ~5.5 min of the
+# suite's wall (every query twice over pathological corpora) — stress
+# coverage, not per-commit regression coverage (conftest.py tiering).
+pytestmark = pytest.mark.heavy
+
+from conversation_with_vector_db_spark import fixtures  # noqa: E402
 from conversation_with_vector_db_spark.plans import load_all, registry
 from conversation_with_vector_db_spark.session import (
     BASE_TABLES,

@@ -170,6 +170,7 @@ def test_ivm_vacuumed_watermark_falls_back_to_full(spark, tmp_path):
     assert _view(spark, v) == _direct(spark, src)
 
 
+@pytest.mark.heavy
 def test_streaming_ivm_sink_converges_and_restarts_clean(
     spark, tmp_path
 ):
@@ -233,6 +234,7 @@ def test_streaming_ivm_sink_converges_and_restarts_clean(
     assert _view(spark, view) == _direct(spark, src)
 
 
+@pytest.mark.heavy
 def test_streaming_ivm_auto_compaction_bounds_partials(
     spark, tmp_path
 ):
@@ -301,6 +303,7 @@ def test_ivm_converges_through_source_restore(spark, tmp_path):
     }
 
 
+@pytest.mark.heavy
 def test_ivm_randomized_walk_matches_direct_aggregate(
     spark, tmp_path
 ):
@@ -510,6 +513,7 @@ def test_ivm_minmax_group_emptied_and_update_moves_extremum(
     assert ivm_refresh_minmax(spark, src, v)["mode"] == "noop"
 
 
+@pytest.mark.heavy
 def test_ivm_minmax_randomized_walk(spark, tmp_path):
     import random
 

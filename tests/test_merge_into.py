@@ -368,6 +368,7 @@ def test_table_changes_zorder_is_invisible_too(spark, tdir):
     assert tx.table_changes(spark, tdir, v0, key="vec_id").count() == 0
 
 
+@pytest.mark.heavy
 def test_cdf_replication_loop_converges(spark, tdir):
     """CDC replication end to end: a downstream replica follows the
     source purely through table_changes ranges applied with

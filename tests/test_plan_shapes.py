@@ -70,6 +70,34 @@ def test_ngram_jaccard_join_strategy(spark, sf_dir):
     assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2, plan2
 
 
+def test_minhash_verify_scale_arm_never_broadcasts_corpus(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r11 #6: the forward-index broadcast verify
+    (jaccard_verify_from_lists — inline array_intersect over two
+    broadcast corpus lookups) is the fused-cap regime's privilege.
+    Above FUSED_CAP_MAX_BYTES the gate must select the join-based
+    jaccard_verify that shuffles CANDIDATES, never a broadcast of a
+    corpus-sized forward index. array_intersect is the broadcast
+    arm's plan fingerprint: present under the gate, absent above it."""
+    from conversation_with_vector_db_spark.operators.dedup import (
+        FUSED_CAP_MAX_BYTES,
+    )
+    from conversation_with_vector_db_spark.plans import dedup as plans_dedup
+
+    fused = _spark_plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "array_intersect" in fused, fused
+
+    monkeypatch.setattr(
+        plans_dedup, "_docs_bytes", lambda _sf: FUSED_CAP_MAX_BYTES + 1
+    )
+    scale = _spark_plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "array_intersect" not in scale, scale
+    # The scale verify engages: candidate pairs hash-join back to the
+    # (df-capped) shingle table instead of broadcasting per-doc arrays.
+    assert "ShuffledHashJoin" in scale, scale
+
+
 def test_rescore_join_is_size_aware(spark, sf_dir):
     """VERDICT r2 #3: candidate rescoring must broadcast the vector
     table only under the size threshold; past it the vector sides flip

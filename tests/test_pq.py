@@ -183,6 +183,7 @@ def test_ivf_pq_composed_recall_and_pruning(spark, clustered):
         assert all(cell_of[i] in probed[q] for i in ids)
 
 
+@pytest.mark.heavy
 def test_pq_indexed_matches_inmemory_composition(spark, clustered, tmp_path):
     """The persisted pq_write_index layout must rank exactly what the
     in-memory ivf_pq_topk composition ranks (same seeds, same

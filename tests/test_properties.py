@@ -4,6 +4,7 @@ fixtures."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -467,6 +468,7 @@ class TestBinpackProperties:
                 assert rel not in set(flat)
 
 
+@pytest.mark.heavy
 class TestRollingAnomalyAlgebra:
     """The a23 rewrite rests on algebra: trailing-20 sum/sumsq/count
     via cumulative-sum lag differences must equal the direct sliding
@@ -659,6 +661,7 @@ class TestRollingAnomalyAlgebra:
             _restore_views(spark, sf_dir, "events")
 
 
+@pytest.mark.heavy
 class TestFunnelAndRetentionAlgebra:
     """Pin the window-algebra rewrites of a20 (chained unbounded mins
     replace the 3-scan join funnel) and a21 (the offset-0 cell IS the
@@ -810,6 +813,7 @@ class TestFunnelAndRetentionAlgebra:
         assert len(got) == len(cells)
 
 
+@pytest.mark.heavy
 class TestExactPercentileBracket:
     """Pin a19's two-phase histogram-bracket selection against true
     order statistics on arbitrary price lists — bucket-boundary values
@@ -862,6 +866,7 @@ class TestExactPercentileBracket:
             assert got[label] == (k, s[k - 1]), (label, got[label], k)
 
 
+@pytest.mark.heavy
 class TestGapfillAlgebra:
     """Pin a17's integer-rational gap-fill (hourly mean round-half-up
     via positive-modulus floor division, LOCF, and exact integer
@@ -963,6 +968,7 @@ class TestGapfillAlgebra:
             assert r["interp_value"] == interp, (key, r)
 
 
+@pytest.mark.heavy
 class TestSessionizationAlgebra:
     """Pin a18's gaps-and-islands sessionization against a brute-force
     Python reference on arbitrary event streams — exact-boundary gaps
@@ -1184,6 +1190,7 @@ class TestTemporalJoinAlgebra:
         assert got == expect
 
 
+@pytest.mark.heavy
 class TestSubstringSpanAlgebra:
     """Replay the REAL registered dedup_substring_spans over arbitrary
     tiny-vocab corpora against a brute-force tuple-equality reference
@@ -1286,6 +1293,7 @@ class TestSubstringSpanAlgebra:
         assert got == expect
 
 
+@pytest.mark.heavy
 class TestFingerprintAlgebra:
     """Replay the REAL registered text_fingerprint over arbitrary
     hostile ASCII docs against a hashlib reference: whole-doc md5 of
@@ -1350,6 +1358,7 @@ class TestFingerprintAlgebra:
         assert got == expect
 
 
+@pytest.mark.heavy
 class TestScd2Algebra:
     """Pin w6's run-length SCD2 interval construction (lag change flag
     + running version sum + lead valid_to) against a brute-force
@@ -1423,6 +1432,7 @@ class TestScd2Algebra:
         assert sorted(got, key=str) == sorted(expect, key=str)
 
 
+@pytest.mark.heavy
 class TestGraphAlgebra:
     """r11: the graph pair's registered oracle covers only the
     BIPARTITE fixture shape — every edge mirrored, so no dangling
@@ -1530,6 +1540,7 @@ class TestGraphAlgebra:
         assert got == self._ref_lpa(edges), edges
 
 
+@pytest.mark.heavy
 class TestBpeAlgebra:
     """r11: BPE is the one iterative value-parity family with no
     hypothesis replay — train + frozen-encode are exact integer

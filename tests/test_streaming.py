@@ -367,6 +367,7 @@ def test_streaming_index_upsert_exactly_once(spark, tmp_path):
     assert versions(t) == before
 
 
+@pytest.mark.heavy
 def test_streaming_index_steady_state_compaction_loop(spark, tmp_path):
     """The live serving-index steady state (VERDICT r6 #5 / r7 next #4):
     N streaming upsert micro-batches accumulate small per-cell
@@ -875,6 +876,7 @@ def test_streaming_minhash_gate_refuses_foreign_store(spark, tmp_path):
     assert ids == [1, 2]
 
 
+@pytest.mark.heavy
 def test_streaming_dedup_gate_survives_store_compaction(spark, tmp_path):
     """Steady-state maintenance of the streaming near-dup gate's THREE
     snapshot-log stores (bands/accepted/decisions): compact them while
@@ -1079,6 +1081,7 @@ def test_streaming_rollup_refresh_converges(spark, tmp_path):
     assert versions(rup) == rup_before
 
 
+@pytest.mark.heavy
 def test_streaming_semantic_dedup_gate(spark, tmp_path):
     """Streaming semantic ingest: base vectors arrive first (fit +
     accept), then exact copies (rejected at sim 1.0 against their
@@ -1203,6 +1206,7 @@ def test_streaming_semantic_dedup_gate(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.heavy
 def test_streaming_semantic_gate_crash_mid_commit_sequence(
     spark, tmp_path, monkeypatch
 ):

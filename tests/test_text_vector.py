@@ -359,6 +359,7 @@ class TestIvfIndexed:
         }
         assert pinned == before
 
+    @pytest.mark.heavy
     def test_index_table_delete_and_rebalance(self, spark, tmp_path):
         """Cross-cell delete, then an atomic rebalance (re-fit +
         reassign all rows in one commit, versioned centroid sidecar):
@@ -423,6 +424,7 @@ class TestIvfIndexed:
         )
         assert pinned == before
 
+    @pytest.mark.heavy
     def test_index_table_filtered_query_and_metadata(self, spark, tmp_path):
         """Pinecone-style filtered query: the `where` predicate applies
         INSIDE the probed cells before scoring (never post-top-k), and
@@ -490,6 +492,7 @@ class TestIvfIndexed:
         )
         assert {r["vec_id"] for r in got2.collect()} >= {6, 9001}
 
+    @pytest.mark.heavy
     def test_index_table_vacuum_reaps_unreachable_models(
         self, spark, tmp_path
     ):
@@ -517,6 +520,7 @@ class TestIvfIndexed:
         got = ivf_table_topk(spark, t, probe, k=5, nprobe=4).collect()
         assert len(got) == 5
 
+    @pytest.mark.heavy
     def test_vacuum_skips_model_reaping_on_incomplete_meta_walk(
         self, spark, tmp_path, monkeypatch
     ):
@@ -586,6 +590,7 @@ class TestIvfIndexed:
         assert a == b
 
 
+    @pytest.mark.heavy
     def test_rebalance_sidecar_atomic_with_commit(
         self, spark, tmp_path, monkeypatch
     ):
@@ -648,6 +653,7 @@ class TestIvfIndexed:
         got2 = ivf_table_topk(spark, t, probe, k=5, nprobe=4).collect()
         assert len(got2) == 5
 
+    @pytest.mark.heavy
     def test_upsert_conflict_reassigns_under_new_model(
         self, spark, tmp_path, monkeypatch
     ):
@@ -1194,6 +1200,7 @@ def test_dsir_separates_disjoint_vocabularies(spark):
     assert all(v > 0 for v in tgt) and all(v < 0 for v in off)
 
 
+@pytest.mark.heavy
 def test_ivf_fit_is_layout_deterministic(spark):
     """r11 determinism sweep finding: of all 199 registered queries,
     only the IVF recall reports were layout-DEPENDENT — MLlib's

@@ -851,6 +851,7 @@ def test_small_commit_null_key_file_keeps_other_segments_stats(
     assert by_part["n1"] == {"col": "id", "min": 10, "max": 14}
 
 
+@pytest.mark.heavy
 def test_random_op_sequences_match_dict_model(spark, tmp_path):
     """Model-based randomized exerciser of the transactional table: a
     seeded 24-step walk of append / upsert / scoped-delete /
@@ -1064,6 +1065,7 @@ def test_writers_racing_compactor_lose_nothing(spark, tmp_path):
     assert got == model
 
 
+@pytest.mark.heavy
 def test_mor_random_walk_matches_dict_model(spark, tmp_path):
     """Merge-on-read model walk: a seeded sequence of change-log
     upsert/delete batches (monotone _seq) interleaved with

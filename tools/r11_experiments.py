@@ -175,34 +175,16 @@ def ngram_decomp(passes, parts):
     _noop(sized)
 
     common = pair_counts_from_sized_lists(sized, 0.5)
-    # pair explode WITHOUT the aggregate:
-    import math
-    thr_num = math.ceil(0.5 * 10000 - 1e-9) * 10 - 5
+    # pair explode WITHOUT the aggregate — the SHIPPED expression,
+    # imported so the decomposition can never drift from the operator
+    # (ADVICE r11).
     from conversation_with_vector_db_spark.operators.dedup import (
-        SIZE_BITS, SIZE_MASK,
+        sized_pair_longs,
     )
 
-    def _id(c):
-        return F.shiftright(c, SIZE_BITS)
-
-    def _sz(c):
-        return c.bitwiseAND(F.lit(SIZE_MASK))
-
-    pair_longs = F.flatten(
-        F.transform(
-            "_idsz",
-            lambda x, i: F.transform(
-                F.filter(
-                    F.slice("_idsz", i + F.lit(2), F.size("_idsz")),
-                    lambda y: F.least(_sz(x), _sz(y)) * 100000
-                    >= F.greatest(_sz(x), _sz(y)) * thr_num,
-                ),
-                lambda y: F.least(_id(x), _id(y)) * F.lit(1 << 32)
-                + F.greatest(_id(x), _id(y)),
-            ),
-        )
+    exploded = sized.select(
+        F.explode(sized_pair_longs(0.5)).alias("_ab")
     )
-    exploded = sized.select(F.explode(pair_longs).alias("_ab"))
 
     # Alternative A: JVM groupBy at higher parallelism is covered by
     # --parts-ab (the exchange partition count is the session conf).
